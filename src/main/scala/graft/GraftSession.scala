@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table loading helpers for the graft engine.
+  *
+  * The engine is a library over `org.apache.spark.sql` (see SURVEY.md §7):
+  * Catalyst owns parse/optimize/execute; we own the query surface, the
+  * parity functions, and the scale-oriented defaults below.
+  *
+  * Scale-oriented defaults (tested on local[32], designed for a real
+  * cluster):
+  *  - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  *    broadcast demotion — the knobs that survive a 100× scale-up.
+  *  - runtime bloom-filter join + partition pruning: the Spark analog of
+  *    the reference's sideways-information-passing join filters
+  *    (reference: src/optimizer/join_filter_pushdown_optimizer.cpp).
+  *  - shuffle partitions sized to the local core count; on a cluster this
+  *    is the one knob to re-derive from (executors × cores).
+  */
+object GraftSession {
+
+  /** Apply graft's tuned defaults to a builder. */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
+    // type — read as long and convert (µs truncation, same as the oracle).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    .config("spark.sql.ui.explainMode", "formatted")
+
+  /** Local session for tests / benchmarks. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md). */
+object Tables {
+  val relational: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val all: Seq[String] = relational ++ Seq("events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) in the footer, surfaced as nano-long
+    // (spark.sql.legacy.parquet.nanosAsLong); truncate to µs like DuckDB.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}
