@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, PositionalJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-type coverage — SURVEY.md §2.3.
+  *
+  * Join kinds in the reference enum
+  * (/root/reference/src/include/duckdb/common/enums/join_type.hpp:18-33):
+  * INNER (headline q3/q5), SEMI, ANTI, RIGHT, FULL OUTER, CROSS, MARK
+  * (IN-subquery), SINGLE (scalar subquery), ASOF, POSITIONAL, plus
+  * non-equi range joins (physical_piecewise_merge_join.cpp).
+  */
+object Joins {
+
+  private val sharedSqlQueries: Map[String, (Q.Fn, String)] = Map(
+    // MARK join: IN-subquery, planned by Catalyst as a semi join
+    "join_in_subquery" -> Q.sharedSql(Seq("orders", "customer"),
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // SINGLE join: uncorrelated scalar subquery
+    "join_scalar_subquery" -> Q.sharedSql(Seq("customer"),
+      """SELECT c_custkey, c_acctbal,
+        | (SELECT round(avg(c_acctbal),6) FROM customer) AS avg_bal
+        |FROM customer ORDER BY c_custkey LIMIT 50""".stripMargin),
+
+    // correlated scalar subquery → Catalyst decorrelation
+    // (reference: src/planner/subquery/flatten_dependent_join.cpp)
+    "join_correlated_subquery" -> Q.sharedSql(Seq("orders"),
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (SELECT 2*avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin)
+  )
+
+  val queries: Map[String, Q.Fn] = sharedSqlQueries.map { case (k, v) => k -> v._1 } ++ Map[String, Q.Fn](
+    "join_semi" -> { (s, d) =>
+      val big = Tables(s, d, "orders").filter(col("o_totalprice") > 400000)
+      Tables(s, d, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")).limit(100)
+    },
+
+    "join_anti" -> { (s, d) =>
+      val big = Tables(s, d, "orders").filter(col("o_totalprice") > 300000)
+      Tables(s, d, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")).limit(100)
+    },
+
+    "join_right_outer" -> { (s, d) =>
+      val parts = Tables(s, d, "part").filter(col("p_size") === 48)
+      Tables(s, d, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"), "right")
+        .groupBy(col("p_partkey"))
+        .agg(count(col("l_orderkey")).as("n_li"))
+        .orderBy(col("p_partkey")).limit(200)
+    },
+
+    "join_full_outer" -> { (s, d) =>
+      val p = Tables(s, d, "part").filter(col("p_size") > 47)
+        .select(col("p_partkey"), col("p_size"))
+      val l = Tables(s, d, "lineitem").filter(col("l_quantity") >= 49)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_li"))
+      p.join(l, col("p_partkey") === col("l_partkey"), "full_outer")
+        .select(coalesce(col("p_partkey"), col("l_partkey")).as("partkey"),
+          col("p_size"), col("n_li"))
+        .orderBy(col("partkey")).limit(300)
+    },
+
+    "join_cross" -> { (s, d) =>
+      Tables(s, d, "region").select(col("r_name"))
+        .crossJoin(Tables(s, d, "nation").select(col("n_name")))
+        .orderBy(col("r_name"), col("n_name")).limit(50)
+    },
+
+    // single range predicate pair → the reference plans a piecewise merge
+    // join (plan_comparison_join.cpp:41-103); Spark plans BNLJ — fine at
+    // this dimension×dimension size, broadcast keeps it shuffle-free.
+    "join_non_equi_range" -> { (s, d) =>
+      val sup = Tables(s, d, "supplier")
+      val cust = Tables(s, d, "customer")
+      sup.join(cust,
+          col("c_acctbal") > col("s_acctbal") - 10 && col("c_acctbal") <= col("s_acctbal"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("s_suppkey")).limit(100)
+    },
+
+    "join_asof" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("purchase_us"))
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_us"))
+        .select(col("event_id"), col("user_id"), col("purchase_us"))
+        .orderBy(col("event_id")).limit(500)
+    },
+
+    "join_positional" -> { (s, d) =>
+      val nat = Tables(s, d, "nation").orderBy(col("n_nationkey")).select(col("n_name"))
+      val reg = Tables(s, d, "region").orderBy(col("r_regionkey")).select(col("r_name"))
+      PositionalJoin(nat, reg)
+        .select(col("pos"), col("n_name"), col("r_name"))
+        .orderBy(col("pos"))
+    }
+  )
+
+  val oracle: Map[String, String] = sharedSqlQueries.map { case (k, v) => k -> v._2 } ++ Map(
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+
+    "join_right_outer" ->
+      """SELECT p_partkey, count(l_orderkey) AS n_li
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 48
+        |GROUP BY p_partkey ORDER BY p_partkey LIMIT 200""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT coalesce(p.p_partkey, l.l_partkey) AS partkey, p.p_size, l.n_li
+        |FROM (SELECT p_partkey, p_size FROM part WHERE p_size > 47) p
+        |FULL JOIN (SELECT l_partkey, count(*) AS n_li FROM lineitem
+        |           WHERE l_quantity >= 49 GROUP BY 1) l
+        |  ON p.p_partkey = l.l_partkey
+        |ORDER BY partkey LIMIT 300""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name LIMIT 50""".stripMargin,
+
+    "join_non_equi_range" ->
+      """SELECT s_suppkey, count(*) AS n_cust
+        |FROM supplier JOIN customer
+        |  ON c_acctbal > s_acctbal - 10 AND c_acctbal <= s_acctbal
+        |GROUP BY s_suppkey ORDER BY s_suppkey LIMIT 100""".stripMargin,
+
+    "join_asof" ->
+      """SELECT c.event_id, c.user_id, epoch_us(p.ts) AS purchase_us
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id LIMIT 500""".stripMargin,
+
+    "join_positional" ->
+      """SELECT coalesce(n.pos, r.pos) AS pos, n.n_name, r.r_name
+        |FROM (SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS pos FROM nation) n
+        |FULL JOIN (SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS pos FROM region) r
+        |  ON n.pos = r.pos
+        |ORDER BY pos""".stripMargin
+  )
+}

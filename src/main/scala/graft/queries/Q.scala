@@ -1,0 +1,20 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Helpers for building `SparkEntry.queries` entries. */
+object Q {
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** A query whose SQL text is dialect-identical between Spark SQL and
+    * DuckDB: register the named tables as temp views, run the same text
+    * through `spark.sql`, and reuse it verbatim as the oracle. Exercises
+    * the SQL entry point (SURVEY.md §3.1) on the Spark side.
+    */
+  def sharedSql(tables: Seq[String], text: String): (Fn, String) =
+    ({ (s, d) =>
+      tables.foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+      s.sql(text)
+    }, text)
+}

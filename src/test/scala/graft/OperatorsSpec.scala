@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.{AsOfJoin, PositionalJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level unit tests on micro-fixtures mirroring the reference's
+  * sqllogictest patterns (e.g. test/sql/join/asof/test_asof_join.test's
+  * trades/prices fixture).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("asof backward join matches nearest-predecessor semantics") {
+    import spark.implicits._
+    // prices: key, t, price — trades: key, t
+    val prices = Seq(("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0), ("B", 4L, 20.0))
+      .toDF("k", "t", "price")
+    val trades = Seq(("A", 0L), ("A", 1L), ("A", 6L), ("A", 100L), ("B", 3L), ("B", 4L))
+      .toDF("k", "t")
+    val got = AsOfJoin.backward(trades, prices, Seq("k"), "t", Seq("price"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      ("A", 0L, None),         // before first price
+      ("A", 1L, Some(10.0)),   // exact tie matches (>= semantics)
+      ("A", 6L, Some(11.0)),   // nearest predecessor
+      ("A", 100L, Some(12.0)), // last known
+      ("B", 3L, None),
+      ("B", 4L, Some(20.0))))
+  }
+
+  test("positional join pads the shorter side with nulls") {
+    import spark.implicits._
+    val l = Seq("a", "b", "c").toDF("x")
+    val r = Seq(1, 2).toDF("y")
+    val got = PositionalJoin(l, r).orderBy("pos")
+      .collect().map(r => (r.getLong(r.fieldIndex("pos")), r.getString(0), Option(r.get(1))))
+    assert(got.toSeq == Seq((1L, "a", Some(1)), (2L, "b", Some(2)), (3L, "c", None)))
+  }
+}
