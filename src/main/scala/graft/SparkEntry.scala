@@ -8,9 +8,11 @@ object SparkEntry {
     Headline.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Headline.queries ++ Joins.queries ++ Aggregates.queries ++ SetOps.queries
+    Headline.queries ++ Joins.queries ++ Aggregates.queries ++ SetOps.queries ++
+      Windows.queries ++ Functions.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Headline.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SetOps.oracle
+    Headline.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SetOps.oracle ++
+      Windows.oracle ++ Functions.oracle
 }

@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Strftime
+import org.apache.spark.sql.functions._
+
+/** Scalar-function parity — SURVEY.md §2.8 (~500 registered names in the
+  * reference; registries at /root/reference/src/function/function_list.cpp
+  * and /root/reference/extension/core_functions/function_list.cpp).
+  *
+  * Where the two SQL dialects agree (names, types after explicit CASTs),
+  * queries share one SQL text. Where they diverge (regexp_replace 'g'
+  * flag, list_* vs array_*, strftime vs date_format, json operators),
+  * the Spark side is DataFrame API with a hand-written DuckDB oracle.
+  */
+object Functions {
+
+  private val shared: Map[String, (Q.Fn, String)] = Map(
+    "fn_string" -> Q.sharedSql(Seq("part"),
+      """SELECT p_partkey,
+        | upper(p_name) AS up, lower(p_brand) AS lo, substring(p_name, 3, 8) AS sub,
+        | CAST(length(p_name) AS BIGINT) AS len, concat_ws('|', p_brand, p_type) AS cw,
+        | replace(p_type, 'a', '_') AS rep, reverse(p_brand) AS rev,
+        | repeat(left(p_brand, 2), 3) AS rep3, right(p_type, 4) AS rgt,
+        | lpad(p_brand, 12, '.') AS lp, rpad(p_brand, 12, '.') AS rp,
+        | trim(concat('  ', p_name, '  ')) AS tr, split_part(p_type, ' ', 1) AS sp,
+        | CAST(instr(p_name, 'a') AS BIGINT) AS pos_a, CAST(ascii(p_brand) AS BIGINT) AS asc1,
+        | md5(p_name) AS h, CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin),
+
+    "fn_math" -> Q.sharedSql(Seq("lineitem"),
+      """SELECT l_orderkey, l_linenumber,
+        | round(abs(0-l_extendedprice),2) AS ab, CAST(ceil(l_discount*100) AS DOUBLE) AS ce,
+        | CAST(floor(l_tax*100) AS DOUBLE) AS fl, round(sqrt(l_quantity),6) AS sq,
+        | round(exp(l_discount),6) AS ex, round(ln(l_extendedprice),6) AS ln_p,
+        | round(log10(l_extendedprice),6) AS l10, round(log2(l_quantity),6) AS l2,
+        | round(pow(l_quantity,2),2) AS p2, round(sin(l_discount),6) AS sn,
+        | round(cos(l_tax),6) AS cs, round(atan2(l_discount, l_tax+0.01),6) AS at2,
+        | CAST(sign(l_quantity-25) AS DOUBLE) AS sg, round(degrees(l_discount),6) AS dg,
+        | round(radians(l_quantity),6) AS rd,
+        | CAST(bit_count(CAST(l_linenumber AS INTEGER)) AS BIGINT) AS bc,
+        | round(cbrt(l_quantity),6) AS cb
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_discount, l_tax
+        |LIMIT 200""".stripMargin),
+
+    "fn_conditional" -> Q.sharedSql(Seq("part"),
+      """SELECT p_partkey, coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS cb,
+        | greatest(p_size, 25) AS g, least(p_size, 25) AS l,
+        | CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS sz,
+        | CAST(try_cast(p_type AS INTEGER) AS BIGINT) AS tc,
+        | CAST(try_cast(substring(p_brand, 7, 2) AS INTEGER) AS BIGINT) AS bnum
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin)
+  )
+
+  val queries: Map[String, Q.Fn] = shared.map { case (k, v) => k -> v._1 } ++ Map[String, Q.Fn](
+    // dialect gap: DuckDB regexp_replace is first-match unless 'g'
+    // (RE2 — /root/reference/third_party/re2); Spark is global (Java regex)
+    "fn_regex" -> { (s, d) =>
+      Tables(s, d, "part").select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("devowel"),
+          col("p_name").rlike("^[a-z]+ [a-z]+$").as("matches_2w"),
+          size(split(col("p_name"), "\\s+")).cast("long").as("n_tok"))
+        .orderBy(col("p_partkey")).limit(100)
+    },
+
+    "fn_datetime" -> { (s, d) =>
+      Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          expr("CAST(weekday(o_orderdate) + 1 AS BIGINT)").as("isodow"),
+          expr("CAST(date_part('hour', o_orderdate) AS BIGINT)").as("hr"),
+          expr("timestampadd(DAY, 5, o_orderdate)").as("plus5d"),
+          last_day(col("o_orderdate")).as("ld"),
+          // parquet writes these as TIMESTAMP_NTZ; unix_micros needs an
+          // instant — cast is exact under the session's UTC zone
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+          date_format(col("o_orderdate"), Strftime.toJava("%Y-%m-%d %H:%M:%S")).as("fmt"),
+          date_format(col("o_orderdate"), Strftime.toJava("%a %d %b %Y")).as("fmt2"),
+          expr("CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT)").as("dd"),
+          make_date(lit(2024), month(col("o_orderdate")), lit(1)).as("md"))
+        .orderBy(col("o_orderkey")).limit(100)
+    },
+
+    "fn_list" -> { (s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"), split(col("p_name"), " ").as("w"),
+          sequence(lit(1), col("p_size")).as("seq"))
+        .select(
+          col("p_partkey"),
+          size(col("w")).cast("long").as("n_words"),
+          element_at(col("w"), 1).as("first_word"),
+          array_join(slice(col("w"), 1, 2), "-").as("sl"),
+          array_contains(col("w"), "red").as("has_red"),
+          array_position(col("w"), "ring").as("pos_ring"),
+          array_join(array_sort(col("w")), ",").as("sorted_words"),
+          array_join(array_sort(array_distinct(col("w"))), ",").as("dw"),
+          aggregate(col("seq"), lit(0L), (acc, x) => acc + x).as("sum_seq"),
+          array_join(transform(col("w"), x => upper(x)), ",").as("upper_words"),
+          // nullif: DuckDB's array_to_string of an empty list yields NULL
+          nullif(array_join(filter(col("w"), x => length(x) > 4), ","), lit("")).as("long_words"),
+          array_max(col("seq")).cast("long").as("mx"),
+          size(flatten(array(col("w"), col("w")))).cast("long").as("n2"))
+        .orderBy(col("p_partkey")).limit(100)
+    },
+
+    "fn_struct_map" -> { (s, d) =>
+      Tables(s, d, "part").select(
+          col("p_partkey"),
+          expr("CAST(named_struct('brand', p_brand, 'size', p_size).size AS BIGINT)").as("s_size"),
+          expr("named_struct('brand', p_brand, 'size', p_size).brand").as("s_brand"),
+          expr("map('b', p_brand, 't', p_type)['t']").as("m_t"),
+          expr("CAST(size(map('b', p_brand, 't', p_type)) AS BIGINT)").as("m_n"),
+          expr("array_join(map_keys(map('b', p_brand, 't', p_type)), ',')").as("m_keys"))
+        .orderBy(col("p_partkey")).limit(100)
+    },
+
+    "fn_json" -> { (s, d) =>
+      Tables(s, d, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+          expr("from_json(props, 'k BIGINT').k").as("k_struct"),
+          expr("array_join(json_object_keys(props), ',')").as("ks"))
+        .orderBy(col("event_id")).limit(200)
+    },
+
+    "fn_hash" -> { (s, d) =>
+      Tables(s, d, "part").select(
+          col("p_partkey"),
+          md5(col("p_name")).as("h_md5"),
+          sha2(col("p_name").cast("binary"), 256).as("h_sha"),
+          lower(hex(col("p_name"))).as("h_hex"),
+          base64(col("p_name").cast("binary")).as("b64"))
+        .orderBy(col("p_partkey")).limit(100)
+    },
+
+    // time_bucket (reference: extension/core_functions/scalar/date/
+    // time_bucket.cpp) via integer epoch flooring — stays in codegen.
+    "events_time_bucket" -> { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(expr("timestamp_micros((unix_micros(ts) div 7200000000) * 7200000000)").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .orderBy(col("bucket"))
+    }
+  )
+
+  val oracle: Map[String, String] = shared.map { case (k, v) => k -> v._2 } ++ Map(
+    "fn_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num,
+        | regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel,
+        | regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS matches_2w,
+        | CAST(len(regexp_split_to_array(p_name, '\s+')) AS BIGINT) AS n_tok
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        | year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+        | isodow(o_orderdate) AS isodow,
+        | date_part('hour', o_orderdate) AS hr,
+        | o_orderdate + INTERVAL 5 DAY AS plus5d,
+        | last_day(o_orderdate) AS ld,
+        | epoch_us(o_orderdate) AS us,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
+        | strftime(o_orderdate, '%a %d %b %Y') AS fmt2,
+        | CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS dd,
+        | make_date(2024, CAST(month(o_orderdate) AS INTEGER), 1) AS md
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "fn_list" ->
+      """SELECT p_partkey,
+        | CAST(len(w) AS BIGINT) AS n_words,
+        | w[1] AS first_word,
+        | array_to_string(w[1:2], '-') AS sl,
+        | list_contains(w, 'red') AS has_red,
+        | CAST(coalesce(list_position(w, 'ring'), 0) AS BIGINT) AS pos_ring,
+        | array_to_string(list_sort(w), ',') AS sorted_words,
+        | array_to_string(list_sort(list_distinct(w)), ',') AS dw,
+        | CAST(list_sum(seq) AS BIGINT) AS sum_seq,
+        | array_to_string(list_transform(w, x -> upper(x)), ',') AS upper_words,
+        | nullif(array_to_string(list_filter(w, x -> length(x) > 4), ','), '') AS long_words,
+        | CAST(list_max(seq) AS BIGINT) AS mx,
+        | CAST(len(flatten([w, w])) AS BIGINT) AS n2
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w,
+        |       range(1, p_size+1) AS seq FROM part) t
+        |ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "fn_struct_map" ->
+      """SELECT p_partkey,
+        | CAST(struct_extract(struct_pack(brand := p_brand, size := p_size), 'size') AS BIGINT) AS s_size,
+        | struct_extract(struct_pack(brand := p_brand, size := p_size), 'brand') AS s_brand,
+        | (map(['b','t'], [p_brand, p_type])['t'])[1] AS m_t,
+        | CAST(cardinality(map(['b','t'], [p_brand, p_type])) AS BIGINT) AS m_n,
+        | array_to_string(map_keys(map(['b','t'], [p_brand, p_type])), ',') AS m_keys
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        | CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        | CAST(props->>'k' AS BIGINT) AS k_struct,
+        | array_to_string(json_keys(props), ',') AS ks
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha,
+        | lower(hex(p_name)) AS h_hex, base64(p_name::BLOB) AS b64
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "events_time_bucket" ->
+      """SELECT time_bucket(INTERVAL 2 HOUR, ts) AS bucket,
+        | count(*) AS n, round(sum(value),2) AS sv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function coverage — SURVEY.md §2.5.
+  *
+  * Reference: single PhysicalWindow operator
+  * (/root/reference/src/execution/operator/aggregate/physical_window.cpp),
+  * per-function executors under /root/reference/src/function/window/.
+  * Frames: ROWS and RANGE are Spark builtins; GROUPS mode (reference:
+  * src/include/duckdb/parser/expression/window_expression.hpp:16-28) is a
+  * Spark gap emulated below via dense_rank + RANGE.
+  */
+object Windows {
+
+  private val shared: Map[String, (Q.Fn, String)] = Map(
+    "window_lead_lag" -> Q.sharedSql(Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+        | round(lag(o_totalprice, 1, 0.0) OVER w, 2) AS prev_price,
+        | round(lead(o_totalprice, 1, -1.0) OVER w, 2) AS next_price,
+        | round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) AS delta
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin),
+
+    "window_rank_family" -> Q.sharedSql(Seq("orders"),
+      """SELECT o_orderkey, o_orderpriority,
+        | rank() OVER w AS rk, dense_rank() OVER w AS drk, ntile(4) OVER w AS nt,
+        | round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rk LIMIT 200""".stripMargin),
+
+    "window_range_frame" -> Q.sharedSql(Seq("orders"),
+      """SELECT o_orderkey,
+        | round(sum(o_totalprice) OVER (ORDER BY o_totalprice
+        |   RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW), 2) AS rsum,
+        | CAST(count(*) OVER (ORDER BY o_totalprice
+        |   RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS BIGINT) AS n_near
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin),
+
+    "window_first_last_nth" -> Q.sharedSql(Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+        | round(first_value(o_totalprice) OVER w, 2) AS fv,
+        | round(last_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS lv,
+        | round(nth_value(o_totalprice, 2) OVER w, 2) AS nv2
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin),
+
+    "window_moving_avg" -> Q.sharedSql(Seq("events"),
+      """SELECT event_id,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING), 6) AS mavg
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin)
+  )
+
+  val queries: Map[String, Q.Fn] = shared.map { case (k, v) => k -> v._1 } ++ Map[String, Q.Fn](
+    // GROUPS frame emulation: dense_rank() materializes the peer-group
+    // index, then a RANGE frame over that integer reproduces
+    // GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW.
+    "window_groups_frame" -> { (s, d) =>
+      val order = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderdate"))
+      Tables(s, d, "orders")
+        .withColumn("dr", dense_rank().over(order))
+        .withColumn("cnt_g",
+          count(lit(1)).over(
+            Window.partitionBy(col("o_orderpriority")).orderBy(col("dr"))
+              .rangeBetween(-1, 0)))
+        .select(col("o_orderkey"), col("cnt_g"))
+        .orderBy(col("o_orderkey")).limit(300)
+    }
+  )
+
+  val oracle: Map[String, String] = shared.map { case (k, v) => k -> v._2 } ++ Map(
+    // DuckDB 1.0 (oracle version) has not implemented GROUPS frames either,
+    // so the oracle uses the same dense_rank+RANGE arithmetic.
+    "window_groups_frame" ->
+      """SELECT o_orderkey,
+        | CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY dr
+        |   RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_g
+        |FROM (SELECT o_orderkey, o_orderpriority,
+        |       dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS dr
+        |      FROM orders) t
+        |ORDER BY o_orderkey LIMIT 300""".stripMargin
+  )
+}
