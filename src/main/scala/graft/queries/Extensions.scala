@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{GraftFunctions, StringFunctions, VectorFunctions}
+import graft.operators.StatsOps
+import org.apache.spark.sql.functions._
+
+/** Custom-function coverage: vector distance, string similarity, and the
+  * holistic aggregates Spark lacks (SURVEY.md §2.4/§2.8 gaps).
+  */
+object Extensions {
+
+  val queries: Map[String, Q.Fn] = Map[String, Q.Fn](
+    "vec_cosine_topk" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorFunctions.cosine_similarity(col("embedding"), col("qvec"))
+            .cast("double"), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(20)
+    },
+
+    "vec_inner_topk" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorFunctions.inner_product(col("embedding"), col("qvec"))
+            .cast("double"), 4).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id")).limit(20)
+    },
+
+    "vec_l2_topk" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorFunctions.l2_distance(col("embedding"), col("qvec"))
+            .cast("double"), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(20)
+    },
+
+    "fn_string_similarity" -> { (s, d) =>
+      Tables(s, d, "part").select(
+          col("p_partkey"),
+          round(StringFunctions.jaccard_sim(col("p_name"), lower(col("p_type"))), 6).as("jac"),
+          round(StringFunctions.jaro_winkler(col("p_name"), lower(col("p_type"))), 6).as("jw"),
+          StringFunctions.damerau_levenshtein(col("p_brand"), col("p_type")).as("dl"),
+          StringFunctions.hamming(substring(col("p_name"), 1, 3),
+            substring(lower(col("p_type")), 1, 3)).as("ham"))
+        .orderBy(col("p_partkey")).limit(200)
+    },
+
+    "agg_product" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(GraftFunctions.product(lit(1.0) + col("l_tax")), 6).as("prod_tax"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_orderkey")).limit(200)
+    },
+
+    "agg_mad" -> { (s, d) =>
+      val df = StatsOps.mad(Tables(s, d, "lineitem"), Seq("l_returnflag"),
+        Seq("l_quantity" -> "mad_qty", "l_discount" -> "mad_disc"))
+      df.select(col("l_returnflag"),
+          round(col("mad_qty"), 6).as("mad_qty"), round(col("mad_disc"), 6).as("mad_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "agg_entropy" -> { (s, d) =>
+      StatsOps.entropy(Tables(s, d, "lineitem"), Seq("l_returnflag"), "l_linenumber", "ent")
+        .select(col("l_returnflag"), round(col("ent"), 6).as("ent"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "agg_histogram" -> { (s, d) =>
+      StatsOps.histogramString(Tables(s, d, "lineitem"), Seq("l_returnflag"), "l_linenumber", "hist")
+        .orderBy(col("l_returnflag"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "vec_cosine_topk" ->
+      """SELECT e.vec_id,
+        | round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS cos_sim
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id=0) q
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+
+    "vec_inner_topk" ->
+      """SELECT e.vec_id,
+        | round(CAST(list_inner_product(e.embedding, q.embedding) AS DOUBLE), 4) AS ip
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id=0) q
+        |ORDER BY ip DESC, e.vec_id LIMIT 20""".stripMargin,
+
+    "vec_l2_topk" ->
+      """SELECT e.vec_id,
+        | round(CAST(list_distance(e.embedding, q.embedding) AS DOUBLE), 4) AS dist
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id=0) q
+        |ORDER BY dist, e.vec_id LIMIT 20""".stripMargin,
+
+    "fn_string_similarity" ->
+      """SELECT p_partkey,
+        | round(jaccard(p_name, lower(p_type)), 6) AS jac,
+        | round(jaro_winkler_similarity(p_name, lower(p_type)), 6) AS jw,
+        | damerau_levenshtein(p_brand, p_type) AS dl,
+        | hamming(substring(p_name, 1, 3), substring(lower(p_type), 1, 3)) AS ham
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
+
+    "agg_product" ->
+      """SELECT l_orderkey, round(product(1 + l_tax), 6) AS prod_tax, count(*) AS n
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 200""".stripMargin,
+
+    "agg_mad" ->
+      """SELECT l_returnflag, round(mad(l_quantity), 6) AS mad_qty,
+        | round(mad(l_discount), 6) AS mad_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_entropy" ->
+      """SELECT l_returnflag, round(entropy(l_linenumber), 6) AS ent
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT l_returnflag,
+        | array_to_string(list_transform(list_sort(list(struct_pack(k := k, c := c))),
+        |   x -> CAST(x.k AS VARCHAR) || ':' || CAST(x.c AS VARCHAR)), ',') AS hist
+        |FROM (SELECT l_returnflag, l_linenumber AS k, count(*) AS c
+        |      FROM lineitem GROUP BY 1, 2) t
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

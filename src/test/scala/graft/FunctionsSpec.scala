@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("vector expressions compute correct values (float path)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.inner_product($"a", $"b").as("ip"),
+      VectorFunctions.cosine_similarity($"a", $"b").as("cos"),
+      VectorFunctions.l2_distance($"a", $"b").as("l2")).head()
+    assert(r.getFloat(0) == 32.0f)
+    assert(math.abs(r.getFloat(1) - 0.9746318f) < 1e-6)
+    assert(math.abs(r.getFloat(2) - math.sqrt(27.0)) < 1e-5)
+  }
+
+  test("vector expressions survive whole-stage codegen over many rows") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (Array.fill(16)(i.toFloat), Array.fill(16)(1.0f))).toDF("a", "b")
+    val s = df.select(sum(VectorFunctions.inner_product($"a", $"b"))).head().getDouble(0)
+    assert(s == (1 to 1000).map(_ * 16.0).sum)
+  }
+
+  test("length-mismatched vectors yield null") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.inner_product($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("string similarity matches reference semantics") {
+    import spark.implicits._
+    val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("red anvil", "standard"))
+      .toDF("a", "b")
+    val got = df.select(StringFunctions.jaro_winkler($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(got(1) - 0.8133333333333332) < 1e-12)
+    assert(math.abs(got(2) - 0.4583333333333333) < 1e-12) // odd transposition count floors
+    val dl = Seq(("CA", "ABC"), ("abcd", "acbd")).toDF("a", "b")
+      .select(StringFunctions.damerau_levenshtein($"a", $"b")).collect().map(_.getLong(0))
+    assert(dl.toSeq == Seq(2L, 1L)) // true DL, not OSA (OSA would give 3)
+    val j = Seq(("abc", "abd")).toDF("a", "b")
+      .select(StringFunctions.jaccard_sim($"a", $"b"),
+        StringFunctions.hamming($"a", $"b")).head()
+    assert(j.getDouble(0) == 0.5 && j.getLong(1) == 1L)
+  }
+
+  test("functions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) c, " +
+        "jaro_winkler('MARTHA', 'MARHTA') j, product_agg(x) p FROM VALUES (2.0), (3.0) t(x)")
+      .head()
+    assert(r.getDouble(0) == 1.0)
+    assert(math.abs(r.getDouble(1) - 0.9611111111111111) < 1e-12)
+    assert(r.getDouble(2) == 6.0)
+  }
+}
