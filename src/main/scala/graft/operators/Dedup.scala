@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication primitives for training-data pipelines.
+  *
+  * Every path is expressed as keyed shuffles (explode → groupBy →
+  * equi-join on bucket keys) — never an n² cross join — so the same plans
+  * run at 100 TB: candidate generation is LSH-bucketed, and only
+  * candidate pairs pay the exact-similarity cost.
+  *
+  * Hash-permutation constants derive from a fixed seed, so results are
+  * deterministic across runs and cluster sizes.
+  */
+object Dedup {
+
+  /** MinHash modulus (prime > 2³²); `a` bounded to 2³¹ keeps a·h < 2⁶³. */
+  private val P = 4294967311L
+
+  private def perms(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Word n-gram shingles of a text column (n=1 → tokens). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, "\\s+")
+    if (n == 1) words
+    else when(size(words) < n, array(array_join(words, " ")))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + lit(1), lit(n)), " ")))
+  }
+
+  /** Exact content dedup: group by a content hash, keep the smallest id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+
+  /** MinHash signatures: one row per id with a k-long signature array.
+    * One explode + one hash-aggregate — shuffle keyed on id.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, shingleN: Int = 1): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("sh"))
+      .distinct()
+      .select(col(idCol), xxhash64(col("sh")).bitwiseAND(lit(0xffffffffL)).as("h"))
+    val aggs = perms(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"_m$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: signature → (band index, band key) rows; docs sharing a
+    * band key are candidate pairs. bandR = rows per band (k / bands).
+    */
+  def lshCandidates(sig: DataFrame, idCol: String, bands: Int, bandR: Int): DataFrame = {
+    val banded = sig.select(col(idCol), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            array_join(transform(slice(col("sig"), b * bandR + lit(1), lit(bandR)),
+              x => x.cast("string")), "_").as("key")))).as("bk"))
+      .select(col(idCol), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs with the MinHash similarity estimate (fraction of
+    * agreeing signature positions).
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 32, bands: Int = 16): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, k)
+    lshCandidates(sig, idCol, bands, k / bands)
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (u, v) => when(u === v, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast("double") / k).as("est_sim"))
+  }
+
+  /** 64-bit SimHash per id: token hash sign-votes per bit position. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("w"))
+      .select(col(idCol), xxhash64(col("w")).as("h"))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"_b$j")
+    }
+    tok.groupBy(col(idCol)).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j => when(col(s"_b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pigeonhole on 4×16-bit chunks (hamming
+    * ≤ 3 ⇒ at least one chunk equal), then exact bit-hamming filter.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val parts = (0 to 3).map { c =>
+      sh.select(col(idCol), col("simhash"), lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))
+    }.reduce(_ unionAll _)
+    val l = parts.select(col(idCol).as("id_a"), col("simhash").as("h_a"), col("chunk"), col("key"))
+    val r = parts.select(col(idCol).as("id_b"), col("simhash").as("h_b"), col("chunk"), col("key"))
+    l.join(r, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-set Jaccard over candidate pairs generated by shared-token
+    * blocking. For any threshold > 0 this equals the full n² result
+    * (jaccard > 0 ⇒ the pair shares a token ⇒ the block join emits it).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = df.select(col(idCol), array_distinct(split(col(textCol), "\\s+")).as("ws"))
+    val tokens = ws.select(col(idCol), explode(col("ws")).as("w"))
+    val cand = tokens.select(col(idCol).as("id_a"), col("w"))
+      .join(tokens.select(col(idCol).as("id_b"), col("w")), Seq("w"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(ws.select(col(idCol).as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+      .join(ws.select(col(idCol).as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+          size(array_union(col("ws_a"), col("ws_b")))).as("jac"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * token counting, language ID, and content fingerprinting. All pure
+  * column expressions — no UDFs, fully inside whole-stage codegen, no
+  * shuffle except the caller's own aggregations.
+  */
+object TextAnalysis {
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es" -> Seq("el", "los", "y", "es", "en", "por", "que", "una", "con", "para"),
+    "zh" -> Seq("的", "是", "不", "我", "了", "在", "人", "有", "他", "这"))
+
+  /** Quality metrics: alpha ratio, stopword ratio, average word length. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_m"),
+      size(words).cast("long").as("n_words"),
+      round(length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
+        length(col(textCol)), 6).as("alpha_ratio"),
+      round(size(filter(split(col(textCol), " "),
+        w => w.isin(stopwords("en"): _*))).cast("double") /
+        size(split(col(textCol), " ")), 6).as("stop_ratio"),
+      round(length(regexp_replace(col(textCol), " ", "")).cast("double") /
+        size(words), 6).as("avg_wlen"))
+  }
+
+  /** Whitespace token count + a BPE-ish regex token count
+    * (letter runs / single digits / punctuation marks).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(split(col(textCol), "\\s+")).cast("long").as("n_ws"),
+      size(regexp_extract_all(col(textCol),
+        lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
+
+  /** Stopword-vote language ID. Returns (score, lang) argmax — the
+    * `greatest` over (score, lang) structs compares score first, so ties
+    * break deterministically on the language code.
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(lower(col(textCol)), "\\s+")
+    val scored: Seq[Column] = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(size(filter(words, w => w.isin(sw: _*))).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    df.select(col(idCol),
+      best.getField("lang").as("predicted"),
+      best.getField("score").cast("long").as("votes"))
+  }
+
+  /** Content fingerprints: an exact normalized-content key plus a min-hash
+    * over word 3-gram shingles (stable under small edits).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    val shingles = when(size(words) < 3, array())
+      .otherwise(transform(sequence(lit(0), size(words) - 3),
+        i => array_join(slice(words, i + lit(1), lit(3)), " ")))
+    df.select(col(idCol),
+      md5(lower(regexp_replace(col(textCol), "\\s+", " "))).as("content_key"),
+      array_min(transform(shingles, s => md5(s))).as("min_shingle_md5"))
+  }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries: dedup, similarity search, text
+  * analysis, multimodal plumbing — the beyond-the-reference operator set,
+  * designed shuffle-first for 100 TB (see operator scaladocs).
+  *
+  * Oracle notes: approximate/sketch outputs (minhash, simhash, LSH-ANN)
+  * are engine-specific → rows-only checks; exact paths (content hash,
+  * blocked jaccard, label-blocked cosine, quality metrics, fingerprints)
+  * are value-matched against DuckDB.
+  */
+object Pipeline {
+
+  val queries: Map[String, Q.Fn] = Map[String, Q.Fn](
+    "dedup_exact" -> { (s, d) =>
+      Dedup.exact(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash")).limit(100)
+    },
+
+    "dedup_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashPairs(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("est_sim").desc, col("id_a"), col("id_b")).limit(50)
+    },
+
+    "dedup_simhash" -> { (s, d) =>
+      Dedup.simhashPairs(Tables(s, d, "documents"), "doc_id", "text", maxHamming = 16)
+        .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(50)
+    },
+
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables(s, d, "documents"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("jac").desc, col("id_a"), col("id_b")).limit(50)
+    },
+
+    "dedup_embedding" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("emb_b"))
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorFunctions.cosine_similarity(col("emb_a"), col("emb_b"))
+            .cast("double"), 4).as("cs"))
+        .orderBy(col("cs").desc, col("id_a"), col("id_b")).limit(50)
+    },
+
+    // ANN: random-hyperplane LSH buckets (deterministic planes), probe
+    // bucket join, exact cosine only on candidates — rows-only (approx).
+    "sim_ann_lsh" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val rnd = new scala.util.Random(7)
+      val planes = Seq.fill(2)(Seq.fill(4)(Array.fill(64)(rnd.nextGaussian().toFloat)))
+      def bucket(v: org.apache.spark.sql.Column, table: Int) =
+        planes(table).zipWithIndex.map { case (p, i) =>
+          when(VectorFunctions.inner_product(v, typedlit(p.toSeq)) > 0f,
+            shiftleft(lit(1), i)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val withB = (t: Int) => e.select(col("vec_id"), col("embedding"),
+        lit(t).as("tbl"), bucket(col("embedding"), t).as("bucket"))
+      val all = withB(0).unionAll(withB(1))
+      val q = all.filter(col("vec_id") === 0)
+        .select(col("tbl"), col("bucket"), col("embedding").as("qvec"))
+      all.join(broadcast(q), Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(VectorFunctions.cosine_similarity(col("embedding"), col("qvec"))
+            .cast("double"), 4).as("cos_sim"))
+        .distinct()
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+    },
+
+    "text_quality" -> { (s, d) =>
+      TextAnalysis.quality(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")).limit(200)
+    },
+
+    "text_tokens" -> { (s, d) =>
+      TextAnalysis.tokenCounts(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")).limit(200)
+    },
+
+    "text_langid" -> { (s, d) =>
+      TextAnalysis.languageId(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")).limit(500)
+    },
+
+    "text_fingerprint" -> { (s, d) =>
+      TextAnalysis.fingerprint(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")).limit(200)
+    },
+
+    // typed Dataset mapPartitions path (stubbed decode) — the oracle
+    // checks the byte-level outputs computed inside the partition mapper
+    "mm_binary_features" -> { (s, d) =>
+      Multimodal.extractFeatures(Multimodal.fromDocuments(s, d))
+        .select(col("doc_id"), col("n_bytes"), col("header_hex"))
+        .orderBy(col("doc_id")).limit(200)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY content_hash LIMIT 100""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |   / len(list_distinct(a.ws || b.ws)), 6) AS jac
+        |FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |ORDER BY jac DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY cs DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+        | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+        | round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |   / length(text), 6) AS alpha_ratio,
+        | round(CAST(len(list_filter(string_split(text, ' '),
+        |     w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], w))) AS DOUBLE)
+        |   / len(string_split(text, ' ')), 6) AS stop_ratio,
+        | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |   / len(regexp_split_to_array(text, '\s+')), 6) AS avg_wlen
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_key,
+        | list_min(list_transform(sh, x -> md5(x))) AS min_shingle_md5
+        |FROM (SELECT doc_id, text,
+        |       list_transform(range(0, len(w) - 2),
+        |         i -> array_to_string(w[i+1:i+3], ' ')) AS sh
+        |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) x) t
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "mm_binary_features" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | lower(hex(substring(text, 1, 4))) AS header_hex
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("exact dedup groups identical content") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "bye")).toDF("id", "text")
+    val got = Dedup.exact(df, "id", "text").orderBy("keeper").collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 1L), (1L, 3L)))
+  }
+
+  test("minhash estimate tracks true jaccard for near-identical docs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 36).map(i => s"w$i").mkString(" ") + " x1 x2 x3 x4"
+    val far = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)), "near-duplicate pair must be an LSH candidate")
+    assert(pairs((1L, 2L)) > 0.5)
+    assert(!pairs.contains((1L, 3L)), "disjoint docs should not collide")
+  }
+
+  test("simhash of identical docs is identical; near docs within hamming bound") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
+      .toDF("id", "text")
+    val h = Dedup.simhash(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 10)
+  }
+
+  test("language id picks the language with most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "le chat est dans la maison pour les amis")).toDF("id", "text")
+    val got = TextAnalysis.languageId(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
+  }
+
+  test("multimodal stub features are deterministic and shaped") {
+    val ds = Multimodal.fromDocuments(spark, sf)
+    val feats = Multimodal.extractFeatures(ds).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.feature.length == 8))
+    val again = Multimodal.extractFeatures(ds).collect()
+    assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    assert(byId.values.forall(f => f.n_bytes > 0 && f.header_hex.length == 8))
+  }
+}
