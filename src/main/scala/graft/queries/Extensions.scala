@@ -77,6 +77,31 @@ object Extensions {
     "agg_histogram" -> { (s, d) =>
       StatsOps.histogramString(Tables(s, d, "lineitem"), Seq("l_returnflag"), "l_linenumber", "hist")
         .orderBy(col("l_returnflag"))
+    },
+
+    // top-k most frequent values per group (reference: approx_top_k,
+    // holistic/approx_top_k.cpp) — exact count+window rewrite, so the
+    // oracle can verify it exactly
+    "agg_top_k" -> { (s, d) =>
+      val counts = Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c"))
+      counts.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("c").desc, col("l_linenumber"))))
+        .filter(col("rn") <= 3)
+        .select(col("l_returnflag"), col("rn"), col("l_linenumber").as("v"), col("c"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    },
+
+    // sketch-based quantiles — estimators differ across engines → rows-only
+    "agg_approx_quantile" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("q"))
+        .select(col("l_returnflag"), col("q")(0).as("p50"), col("q")(1).as("p90"),
+          col("q")(2).as("p99"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -119,6 +144,14 @@ object Extensions {
     "agg_entropy" ->
       """SELECT l_returnflag, round(entropy(l_linenumber), 6) AS ent
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_top_k" ->
+      """SELECT l_returnflag, rn, v, c FROM (
+        | SELECT l_returnflag, l_linenumber AS v, count(*) AS c,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY count(*) DESC, l_linenumber) AS rn
+        | FROM lineitem GROUP BY 1, 2) t
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
 
     "agg_histogram" ->
       """SELECT l_returnflag,

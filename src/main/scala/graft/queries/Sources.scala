@@ -1,0 +1,124 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Source/sink coverage — SURVEY.md §2.1: CSV (sniffer ≙ inferSchema),
+  * JSON read/write, COPY TO ... PARTITION_BY ≙ write.partitionBy with
+  * partition discovery + pruning on read, and series generation
+  * (reference: src/function/table/range.cpp).
+  *
+  * Round-trip queries write to a session temp dir, read back through the
+  * target format's reader (schema inference on), and aggregate — the
+  * oracle runs the equivalent aggregation on the original table, so a
+  * value match proves the write+read path is lossless.
+  */
+object Sources {
+
+  private lazy val tmpRoot: String =
+    Files.createTempDirectory("graft_sources").toString
+
+  private def roundtripDir(name: String): String = s"$tmpRoot/$name"
+
+  val queries: Map[String, Q.Fn] = Map[String, Q.Fn](
+    // CSV write → auto-sniffed read (dialect/header/type inference ≙
+    // reference csv_scanner sniffer) → aggregate
+    "src_csv_roundtrip" -> { (s, d) =>
+      val dir = roundtripDir("csv")
+      Tables(s, d, "supplier")
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true").option("inferSchema", "true").csv(dir)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // JSON-lines write → schema-inferred read → aggregate
+    "src_json_roundtrip" -> { (s, d) =>
+      val dir = roundtripDir("json")
+      Tables(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write.mode("overwrite").json(dir)
+      s.read.json(dir)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("price"))
+        .orderBy(col("p_brand")).limit(100)
+    },
+
+    // COPY TO ... PARTITION_BY ≙ partitionBy write; the read-back filter
+    // prunes to a single hive partition (verified in SourcesSpec)
+    "src_partitioned_write" -> { (s, d) =>
+      val dir = roundtripDir("part_by")
+      Tables(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"))
+    },
+
+    // generate_series over timestamps (reference: range.cpp:316)
+    "fn_generate_series" -> { (s, d) =>
+      s.range(1).select(explode(sequence(
+          lit("1995-01-01").cast("timestamp"),
+          lit("1995-03-01").cast("timestamp"),
+          expr("INTERVAL 1 DAY"))).as("ts"))
+        .select(col("ts"), dayofmonth(col("ts")).cast("long").as("dom"))
+        .orderBy(col("ts"))
+    },
+
+    // prepared-statement surface (reference §3.2) — named parameter
+    // binding via spark.sql(text, args)
+    "sql_parameterized" -> { (s, d) =>
+      Tables(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM orders WHERE o_totalprice > :threshold
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("threshold" -> 300000))
+    },
+
+    // SQL macro (reference: CREATE MACRO, macro_function.cpp) ≙ SQL UDF
+    "sql_macro_udf" -> { (s, d) =>
+      Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE) " +
+        "RETURNS DOUBLE RETURN p * (1 - d)")
+      s.sql(
+        """SELECT l_returnflag, round(sum(graft_disc_price(l_extendedprice, l_discount)), 2) AS rev
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "src_json_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS price
+        |FROM part GROUP BY p_brand ORDER BY p_brand LIMIT 100""".stripMargin,
+
+    "src_partitioned_write" ->
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        | round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "fn_generate_series" ->
+      """SELECT ts, CAST(day(ts) AS BIGINT) AS dom
+        |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-01',
+        |                     INTERVAL 1 DAY) t(ts)
+        |ORDER BY ts""".stripMargin,
+
+    "sql_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_totalprice > 300000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "sql_macro_udf" ->
+      """SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -57,6 +57,17 @@ object Windows {
   )
 
   val queries: Map[String, Q.Fn] = shared.map { case (k, v) => k -> v._1 } ++ Map[String, Q.Fn](
+    // EXCLUDE CURRENT ROW frame (Spark gap, SURVEY §2.5): frame-sum minus
+    // the current row's value — validated against DuckDB's native EXCLUDE
+    "window_exclude_current" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-2, 2)
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w) - col("o_totalprice"), 2).as("sum_excl"))
+        .orderBy(col("o_orderkey")).limit(200)
+    },
+
     // GROUPS frame emulation: dense_rank() materializes the peer-group
     // index, then a RANGE frame over that integer reproduces
     // GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW.
@@ -74,6 +85,13 @@ object Windows {
   )
 
   val oracle: Map[String, String] = shared.map { case (k, v) => k -> v._2 } ++ Map(
+    "window_exclude_current" ->
+      """SELECT o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 2) AS sum_excl
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
     // DuckDB 1.0 (oracle version) has not implemented GROUPS frames either,
     // so the oracle uses the same dense_rank+RANGE arithmetic.
     "window_groups_frame" ->

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make these queries scale —
+  * filter pushdown to the parquet scan, partition pruning, broadcast of
+  * dimension joins, whole-stage codegen over custom expressions. If a
+  * refactor regresses one of these, correctness tests won't notice but
+  * 100 TB behavior will — so they're pinned here.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def explain(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1 filter is pushed down to the parquet scan") {
+    val e = explain(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(e.contains("PushedFilters: ["), e)
+    assert(e.contains("l_shipdate"), e)
+    assert(e.matches("(?s).*PushedFilters: \\[[^]]*LessThanOrEqual\\(l_shipdate[^]]*].*"), e)
+  }
+
+  test("scan reads only referenced columns (projection pushdown)") {
+    val e = explain(Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity")).filter(col("l_quantity") > 10))
+    val readSchema = e.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q5 broadcasts every dimension join (no fact-table shuffle for dims)") {
+    val e = explain(SparkEntry.queries("q5_local_supplier")(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(e).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$e")
+  }
+
+  test("partitioned write is read back with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val e = explain(spark.read.parquet(dir).filter(col("l_returnflag") === "R"))
+    assert(e.contains("PartitionFilters"), e)
+    assert(e.matches("(?s).*PartitionFilters: \\[[^]]*l_returnflag[^]]*].*"), e)
+  }
+
+  test("vector expressions stay inside whole-stage codegen") {
+    val df = Tables(spark, sf, "embeddings")
+      .select(VectorFunctions.cosine_similarity(col("embedding"), col("embedding")).as("c"))
+      .filter(col("c") > 0.5)
+    val e = explain(df)
+    // formatted mode marks whole-stage-codegen operators with `[codegen id : N]`
+    assert(e.contains("[codegen id :"), e)
+    assert(e.linesIterator.exists(l => l.contains("Project") && l.trim.startsWith("*")), e)
+  }
+
+  test("aggregation plans are two-phase (partial before shuffle)") {
+    val e = explain(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(e.contains("partial_sum") || e.contains("HashAggregate"), e)
+    val hashAggs = "HashAggregate".r.findAllIn(e).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+  }
+}
