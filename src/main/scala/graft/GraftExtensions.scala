@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point — the deployment-grade way to make
+  * graft's parity functions available in every session (reference analog:
+  * extension load hooks, /root/reference/src/include/duckdb/main/
+  * extension.hpp):
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * Equivalent at runtime to `GraftFunctions.register(spark)`, but wired
+  * through the injected-function mechanism so it also applies to
+  * sessions created before user code runs (e.g. thrift server).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name), info(name), builder))
+    inject("cosine_similarity", a => CosineSimilarity(a(0), a(1)))
+    inject("inner_product", a => InnerProduct(a(0), a(1)))
+    inject("l2_distance", a => L2Distance(a(0), a(1)))
+    inject("jaccard_sim", a => JaccardSimilarity(a(0), a(1)))
+    inject("hamming", a => HammingDistance(a(0), a(1)))
+    inject("jaro_winkler", a => JaroWinklerSimilarity(a(0), a(1)))
+    inject("damerau_levenshtein", a => DamerauLevenshtein(a(0), a(1)))
+  }
+}
