@@ -36,6 +36,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hamming", e => HammingDistance(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler", e => JaroWinklerSimilarity(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("damerau_levenshtein", e => DamerauLevenshtein(e(0), e(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("even", e => EvenCeil(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("gcd", e => Gcd(e(0), e(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lcm", e => Lcm(e(0), e(1)), "scala_udf")
     spark.udf.register("product_agg", productUdaf)
   }
 }

@@ -28,21 +28,48 @@ object AsOfJoin {
     * @param payload  right-side columns to carry to matched left rows
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-               timeCol: String, payload: Seq[String]): DataFrame = {
+               timeCol: String, payload: Seq[String]): DataFrame =
+    join(left, right, keys, timeCol, payload, forward = false, toleranceMicros = None)
+
+  /** Forward variant: earliest right row with `right.time >= left.time`. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              timeCol: String, payload: Seq[String]): DataFrame =
+    join(left, right, keys, timeCol, payload, forward = true, toleranceMicros = None)
+
+  /** @param forward  false → nearest predecessor (right.time <= left.time);
+    *                 true → nearest successor (right.time >= left.time)
+    * @param toleranceMicros  when set, matches farther than this from the
+    *                 left row's time are nulled out (reference ASOF
+    *                 tolerance semantics); timeCol must be a timestamp
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String], timeCol: String,
+           payload: Seq[String], forward: Boolean, toleranceMicros: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val matchT = "_match_t"
     // side=0 sorts right rows before left rows at equal time, so an exact
-    // time tie matches (ASOF's `>=` semantics).
+    // time tie matches in either direction (>= / <= semantics).
     val l = left.withColumn("_side", lit(1))
-      .select((leftCols.map(col) :+ col("_side")) ++ payload.map(p => lit(null).as(p)): _*)
+      .select((leftCols.map(col) :+ col("_side") :+ lit(null).cast("long").as(matchT))
+        ++ payload.map(p => lit(null).as(p)): _*)
     val r = right.select(
-      (keys.map(col) :+ col(timeCol) :+ lit(0).as("_side")) ++ payload.map(col): _*)
+      (keys.map(col) :+ col(timeCol) :+ lit(0).as("_side")
+        :+ unix_micros(col(timeCol).cast("timestamp")).as(matchT)) ++ payload.map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    val ord = if (forward) col(timeCol).desc else col(timeCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").asc)
+      .orderBy(ord, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = payload.foldLeft(unioned) { (df, p) =>
+    val carried = (payload :+ matchT).foldLeft(unioned) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
-    matched.filter(col("_side") === 1).select((leftCols ++ payload).map(col): _*)
+    val inTol = toleranceMicros match {
+      case None => col(matchT).isNotNull
+      case Some(t) =>
+        abs(unix_micros(col(timeCol).cast("timestamp")) - col(matchT)) <= t
+    }
+    val masked = payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, when(inTol, col(p)))
+    }
+    masked.filter(col("_side") === 1).select((leftCols ++ payload).map(col): _*)
   }
 }

@@ -139,6 +139,34 @@ object Functions {
         .orderBy(col("p_partkey")).limit(100)
     },
 
+    // even/gcd/lcm/factorial — reference math surface Spark lacks
+    // (custom expressions in functions.MathExpressions)
+    "fn_math2" -> { (s, d) =>
+      import graft.functions.MathFunctions._
+      Tables(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          even(col("l_quantity") / 7.0).as("ev"),
+          gcd(col("l_partkey"), col("l_suppkey")).as("g"),
+          lcm(col("l_linenumber").cast("long"), lit(6L)).as("lc"),
+          expr("CAST(factorial(l_linenumber) AS BIGINT)").as("fact"),
+          isnan(lit("NaN").cast("double") * col("l_quantity")).as("nan_check"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .limit(200)
+    },
+
+    // DECIMAL arithmetic parity (SURVEY §7 hard part): exact decimal sums
+    // surfaced as doubles so both engines' differing result precisions
+    // compare equal
+    "fn_decimal" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("dec_sum"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE)").as("dec_qty"),
+          expr("CAST(min(CAST(l_discount AS DECIMAL(10,4))) AS DOUBLE)").as("dec_min"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // time_bucket (reference: extension/core_functions/scalar/date/
     // time_bucket.cpp) via integer epoch flooring — stays in codegen.
     "events_time_bucket" -> { (s, d) =>
@@ -211,6 +239,24 @@ object Functions {
       """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha,
         | lower(hex(p_name)) AS h_hex, base64(p_name::BLOB) AS b64
         |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "fn_math2" ->
+      """SELECT l_orderkey, l_linenumber,
+        | even(l_quantity / 7.0) AS ev,
+        | gcd(l_partkey, l_suppkey) AS g,
+        | lcm(l_linenumber, 6) AS lc,
+        | CAST(factorial(CAST(l_linenumber AS INTEGER)) AS BIGINT) AS fact,
+        | isnan(CAST('NaN' AS DOUBLE) * l_quantity) AS nan_check
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |LIMIT 200""".stripMargin,
+
+    "fn_decimal" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dec_sum,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS dec_qty,
+        | CAST(min(CAST(l_discount AS DECIMAL(10,4))) AS DOUBLE) AS dec_min
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "events_time_bucket" ->
       """SELECT time_bucket(INTERVAL 2 HOUR, ts) AS bucket,

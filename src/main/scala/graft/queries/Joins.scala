@@ -104,6 +104,17 @@ object Joins {
         .orderBy(col("event_id")).limit(500)
     },
 
+    "join_asof_forward" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("next_purchase_us"))
+      AsOfJoin.forward(clicks, purchases, Seq("user_id"), "ts", Seq("next_purchase_us"))
+        .select(col("event_id"), col("user_id"), col("next_purchase_us"))
+        .orderBy(col("event_id")).limit(500)
+    },
+
     "join_positional" -> { (s, d) =>
       val nat = Tables(s, d, "nation").orderBy(col("n_nationkey")).select(col("n_name"))
       val reg = Tables(s, d, "region").orderBy(col("r_regionkey")).select(col("r_name"))
@@ -155,6 +166,13 @@ object Joins {
         |FROM (SELECT * FROM events WHERE event_type='click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id LIMIT 500""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT c.event_id, c.user_id, epoch_us(p.ts) AS next_purchase_us
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id LIMIT 500""".stripMargin,
 
     "join_positional" ->

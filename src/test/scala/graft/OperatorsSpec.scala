@@ -30,6 +30,31 @@ class OperatorsSpec extends AnyFunSuite {
       ("B", 4L, Some(20.0))))
   }
 
+  test("asof forward join matches nearest-successor semantics") {
+    import spark.implicits._
+    val prices = Seq(("A", 5L, 11.0), ("A", 9L, 12.0)).toDF("k", "t", "price")
+    val trades = Seq(("A", 4L), ("A", 5L), ("A", 10L)).toDF("k", "t")
+    val got = AsOfJoin.forward(trades, prices, Seq("k"), "t", Seq("price"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (4L, Some(11.0)),  // next price at t=5
+      (5L, Some(11.0)),  // tie matches (<= semantics)
+      (10L, None)))      // nothing after
+  }
+
+  test("asof tolerance nulls out distant matches") {
+    import spark.implicits._
+    // timestamps: tolerance is measured in microseconds; mk takes millis
+    val mk = (ms: Long) => new java.sql.Timestamp(ms)
+    val prices = Seq(("A", mk(1000000), 10.0)).toDF("k", "t", "price")
+    val trades = Seq(("A", mk(1000500)), ("A", mk(90000000))).toDF("k", "t")
+    val got = AsOfJoin.join(trades, prices, Seq("k"), "t", Seq("price"),
+        forward = false, toleranceMicros = Some(1000L * 1000))
+      .orderBy("t").collect().map(r => Option(r.get(2)))
+    assert(got.toSeq == Seq(Some(10.0), None)) // 0.5s ok, 89s beyond 1s tolerance
+  }
+
   test("positional join pads the shorter side with nulls") {
     import spark.implicits._
     val l = Seq("a", "b", "c").toDF("x")
