@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("even", a => EvenCeil(a.head))
     inject("gcd", a => Gcd(a(0), a(1)))
     inject("lcm", a => Lcm(a(0), a(1)))
+    e.injectOptimizerRule(_ => graft.rules.SumRewrite)
   }
 }

@@ -118,10 +118,27 @@ object Dedup {
   /** Exact word-set Jaccard over candidate pairs generated by shared-token
     * blocking. For any threshold > 0 this equals the full n² result
     * (jaccard > 0 ⇒ the pair shares a token ⇒ the block join emits it).
+    *
+    * @param maxDocFrequency scale valve: tokens appearing in more than
+    *   this many documents are excluded from blocking (a token shared by
+    *   k docs emits k² candidate pairs — ubiquitous stop-words make the
+    *   candidate set quadratic). With a cap, a pair is only missed if
+    *   *every* shared token is ubiquitous, which also means its jaccard
+    *   is dominated by stop-words — acceptable for near-dup mining at
+    *   100 TB. Int.MaxValue (default) keeps the operator exact.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDocFrequency: Int = Int.MaxValue): DataFrame = {
     val ws = df.select(col(idCol), array_distinct(split(col(textCol), "\\s+")).as("ws"))
-    val tokens = ws.select(col(idCol), explode(col("ws")).as("w"))
+    val allTokens = ws.select(col(idCol), explode(col("ws")).as("w"))
+    val tokens =
+      if (maxDocFrequency == Int.MaxValue) allTokens
+      else {
+        val rare = allTokens.groupBy(col("w"))
+          .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDocFrequency)
+          .select(col("w"))
+        allTokens.join(broadcast(rare), Seq("w"))
+      }
     val cand = tokens.select(col(idCol).as("id_a"), col("w"))
       .join(tokens.select(col(idCol).as("id_b"), col("w")), Seq("w"))
       .filter(col("id_a") < col("id_b"))

@@ -167,6 +167,19 @@ object Functions {
         .orderBy(col("l_returnflag"))
     },
 
+    // ANSI-divergence surface: Spark 4 is ANSI by default (errors where
+    // the reference returns NULL); try_* restores NULL-on-error semantics
+    "fn_try" -> { (s, d) =>
+      Tables(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(expr("try_divide(l_extendedprice, l_quantity)"), 6).as("div_ok"),
+          expr("try_divide(l_quantity, l_quantity - l_quantity)").as("div_zero"),
+          expr("CAST(try_cast(l_returnflag AS INT) AS BIGINT)").as("tc_bad"),
+          expr("CAST(try_cast(CAST(l_linenumber AS STRING) AS INT) AS BIGINT)").as("tc_ok"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+        .limit(200)
+    },
+
     // time_bucket (reference: extension/core_functions/scalar/date/
     // time_bucket.cpp) via integer epoch flooring — stays in codegen.
     "events_time_bucket" -> { (s, d) =>
@@ -257,6 +270,17 @@ object Functions {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS dec_qty,
         | CAST(min(CAST(l_discount AS DECIMAL(10,4))) AS DOUBLE) AS dec_min
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB returns NULL on division by zero — matching try_divide
+    "fn_try" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice / l_quantity, 6) AS div_ok,
+        | l_quantity / (l_quantity - l_quantity) AS div_zero,
+        | CAST(try_cast(l_returnflag AS INTEGER) AS BIGINT) AS tc_bad,
+        | CAST(try_cast(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS BIGINT) AS tc_ok
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |LIMIT 200""".stripMargin,
 
     "events_time_bucket" ->
       """SELECT time_bucket(INTERVAL 2 HOUR, ts) AS bucket,
