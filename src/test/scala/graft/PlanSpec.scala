@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
     assert(e.linesIterator.exists(l => l.contains("Project") && l.trim.startsWith("*")), e)
   }
 
+  test("dedup candidate generation never plans a cartesian product") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents")
+    for (df <- Seq(
+        Dedup.minhashPairs(docs, "doc_id", "text"),
+        Dedup.simhashPairs(docs, "doc_id", "text"),
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text"))) {
+      val e = explain(df)
+      assert(!e.contains("CartesianProduct"), e.linesIterator.take(30).mkString("\n"))
+      assert(!e.contains("BroadcastNestedLoopJoin"), e.linesIterator.take(30).mkString("\n"))
+    }
+  }
+
   test("aggregation plans are two-phase (partial before shuffle)") {
     val e = explain(SparkEntry.queries("q1_pricing_summary")(spark, sf))
     assert(e.contains("partial_sum") || e.contains("HashAggregate"), e)
