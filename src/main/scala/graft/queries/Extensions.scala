@@ -94,6 +94,17 @@ object Extensions {
         .orderBy(col("l_returnflag"), col("rn"))
     },
 
+    // Space-Saving sketch via TypedImperativeAggregate; within capacity
+    // (distinct l_linenumber « 4k counters) the sketch is exact, so the
+    // oracle verifies the same top-3 string
+    "agg_approx_top_k" -> { (s, d) =>
+      import graft.functions.ApproxTopKSketch.approx_top_k
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_top_k(col("l_linenumber"), 3).as("topk"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // sketch-based quantiles — estimators differ across engines → rows-only
     "agg_approx_quantile" -> { (s, d) =>
       Tables(s, d, "lineitem")
@@ -144,6 +155,16 @@ object Extensions {
     "agg_entropy" ->
       """SELECT l_returnflag, round(entropy(l_linenumber), 6) AS ent
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_top_k" ->
+      """SELECT l_returnflag,
+        | string_agg(CAST(v AS VARCHAR) || ':' || CAST(c AS VARCHAR), ',' ORDER BY rn) AS topk
+        |FROM (
+        | SELECT l_returnflag, l_linenumber AS v, count(*) AS c,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY count(*) DESC, l_linenumber) AS rn
+        | FROM lineitem GROUP BY 1, 2) t
+        |WHERE rn <= 3 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_top_k" ->
       """SELECT l_returnflag, rn, v, c FROM (
