@@ -70,6 +70,17 @@ object Sources {
         .orderBy(col("ts"))
     },
 
+    // custom DataSource V2 table function (reference TableFunction
+    // protocol, SURVEY §2.9) with range-filter pushdown into the scan
+    "src_dsv2_series" -> { (s, d) =>
+      s.read.format("graft.sources.SeriesSource")
+        .option("start", 1).option("end", 100000)
+        .option("step", 1).option("numPartitions", 8).load()
+        .filter(col("value") >= 500 && col("value") <= 99500)
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+    },
+
     // prepared-statement surface (reference §3.2) — named parameter
     // binding via spark.sql(text, args)
     "sql_parameterized" -> { (s, d) =>
@@ -111,6 +122,12 @@ object Sources {
         |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-01',
         |                     INTERVAL 1 DAY) t(ts)
         |ORDER BY ts""".stripMargin,
+
+    "src_dsv2_series" ->
+      """SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        | min(v) AS lo, max(v) AS hi
+        |FROM generate_series(1, 100000) t(v)
+        |WHERE v >= 500 AND v <= 99500""".stripMargin,
 
     "sql_parameterized" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
