@@ -167,6 +167,22 @@ object Functions {
         .orderBy(col("l_returnflag"))
     },
 
+    // strip_accents / format_bytes / printf / path parsing — remaining
+    // reference string surface (custom expressions in StringExtra)
+    "fn_string2" -> { (s, d) =>
+      import graft.functions.StringExtraFunctions._
+      val path = concat(lit("/data/"), col("p_brand"), lit("/"), col("p_name"), lit(".txt"))
+      Tables(s, d, "part").select(
+          col("p_partkey"),
+          strip_accents(col("p_name")).as("sa"),
+          format_bytes((col("p_retailprice") * 1000).cast("long")).as("fb"),
+          format_bytes(col("p_size").cast("long")).as("fb_small"),
+          expr("printf('%d-%s', p_size, p_brand)").as("pf"),
+          element_at(split(path, "/"), -1).as("fname"),
+          array_join(slice(split(path, "/"), lit(1), size(split(path, "/")) - 1), "/").as("dirpath"))
+        .orderBy(col("p_partkey")).limit(200)
+    },
+
     // ANSI-divergence surface: Spark 4 is ANSI by default (errors where
     // the reference returns NULL); try_* restores NULL-on-error semantics
     "fn_try" -> { (s, d) =>
@@ -270,6 +286,16 @@ object Functions {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS dec_qty,
         | CAST(min(CAST(l_discount AS DECIMAL(10,4))) AS DOUBLE) AS dec_min
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "fn_string2" ->
+      """SELECT p_partkey,
+        | strip_accents(p_name) AS sa,
+        | format_bytes(CAST(p_retailprice * 1000 AS BIGINT)) AS fb,
+        | format_bytes(CAST(p_size AS BIGINT)) AS fb_small,
+        | printf('%d-%s', p_size, p_brand) AS pf,
+        | parse_filename('/data/' || p_brand || '/' || p_name || '.txt') AS fname,
+        | parse_dirpath('/data/' || p_brand || '/' || p_name || '.txt') AS dirpath
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
 
     // DuckDB returns NULL on division by zero — matching try_divide
     "fn_try" ->
