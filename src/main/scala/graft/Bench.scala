@@ -75,7 +75,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total_median","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // informational: the training-pipeline operators at the same SF
+    // (not part of the BASELINE comparison — no reference counterpart).
+    // minhash-LSH is excluded: on this synthetic corpus every document
+    // shares one tiny vocabulary, so near-dup candidates are genuinely
+    // quadratic — real corpora don't have jaccard≈0.5 between all pairs.
+    val pipeline = Seq("dedup_exact", "vec_cosine_topk",
+      "text_quality", "text_tokens", "sim_ann_lsh").map { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).collect() // warm
+      val times = (1 to 3).map { _ =>
+        val df = fn(spark, sfDir)
+        df.queryExecution.executedPlan
+        timeOne(df.collect())
+      }.sorted
+      name -> times(times.length / 2)
+    }
+    val ps = pipeline.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total_median","value":$total%.4f,"unit":"sec","queries":$qs,"pipeline":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

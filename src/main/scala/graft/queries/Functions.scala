@@ -109,6 +109,20 @@ object Functions {
         .orderBy(col("p_partkey")).limit(100)
     },
 
+    // UNION type emulation (SURVEY §1.2: tag + one field per member
+    // struct encoding; reference casts at src/function/cast/union_casts.cpp)
+    "fn_union" -> { (s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"), expr(
+          """named_struct(
+            | 'tag', CASE WHEN p_size % 2 = 0 THEN 'num' ELSE 'str' END,
+            | 'num', CASE WHEN p_size % 2 = 0 THEN p_size END,
+            | 'str', CASE WHEN p_size % 2 <> 0 THEN p_brand END)""".stripMargin).as("u"))
+        .select(col("p_partkey"), col("u.tag").as("tag"),
+          col("u.num").cast("long").as("num_val"), col("u.str").as("str_val"))
+        .orderBy(col("p_partkey")).limit(200)
+    },
+
     "fn_struct_map" -> { (s, d) =>
       Tables(s, d, "part").select(
           col("p_partkey"),
@@ -247,6 +261,17 @@ object Functions {
         |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w,
         |       range(1, p_size+1) AS seq FROM part) t
         |ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "fn_union" ->
+      """SELECT p_partkey, CAST(union_tag(u) AS VARCHAR) AS tag,
+        | CAST(union_extract(u, 'num') AS BIGINT) AS num_val,
+        | union_extract(u, 'str') AS str_val
+        |FROM (SELECT p_partkey,
+        |  CASE WHEN p_size % 2 = 0
+        |   THEN union_value(num := p_size)::UNION(num INTEGER, str VARCHAR)
+        |   ELSE union_value(str := p_brand)::UNION(num INTEGER, str VARCHAR) END AS u
+        | FROM part) t
+        |ORDER BY p_partkey LIMIT 200""".stripMargin,
 
     "fn_struct_map" ->
       """SELECT p_partkey,

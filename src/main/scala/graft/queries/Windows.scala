@@ -68,6 +68,23 @@ object Windows {
         .orderBy(col("o_orderkey")).limit(200)
     },
 
+    // EXCLUDE GROUP / EXCLUDE TIES emulation: frame-sum minus peer-sum
+    // (count-guarded so an all-peers frame yields NULL like the native
+    // implementation), plus-current for TIES
+    "window_exclude_group_ties" -> { (s, d) =>
+      val base = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      val frame = base.rangeBetween(-5000, 0)
+      val peers = base.rangeBetween(0, 0)
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(count(lit(1)).over(frame) > count(lit(1)).over(peers),
+            round(sum(col("o_totalprice")).over(frame) -
+              sum(col("o_totalprice")).over(peers), 2)).as("eg"),
+          round(sum(col("o_totalprice")).over(frame) -
+            sum(col("o_totalprice")).over(peers) + col("o_totalprice"), 2).as("et"))
+        .orderBy(col("o_orderkey")).limit(200)
+    },
+
     // GROUPS frame emulation: dense_rank() materializes the peer-group
     // index, then a RANGE frame over that integer reproduces
     // GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW.
@@ -90,6 +107,14 @@ object Windows {
         | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
         |   ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 2) AS sum_excl
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "window_exclude_group_ties" ->
+      """SELECT o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |   RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW EXCLUDE GROUP), 2) AS eg,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |   RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW EXCLUDE TIES), 2) AS et
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
     // DuckDB 1.0 (oracle version) has not implemented GROUPS frames either,
