@@ -109,6 +109,17 @@ object Functions {
         .orderBy(col("p_partkey")).limit(100)
     },
 
+    // Spark 4 collation support ≙ reference ICU collations (SURVEY §2.9:
+    // icu_extension.cpp sort keys); UTF8_LCASE order ≙ ORDER BY lower()
+    "fn_collation" -> { (s, d) =>
+      val mixed = when(col("p_size") % 2 === 0, upper(col("p_name"))).otherwise(col("p_name"))
+      Tables(s, d, "part")
+        .select(col("p_partkey"), mixed.as("v"),
+          (collate(mixed, "UTF8_LCASE") === lit("small ring")).as("is_small_ring"))
+        .orderBy(collate(col("v"), "UTF8_LCASE"), col("p_partkey"))
+        .limit(200)
+    },
+
     // UNION type emulation (SURVEY §1.2: tag + one field per member
     // struct encoding; reference casts at src/function/cast/union_casts.cpp)
     "fn_union" -> { (s, d) =>
@@ -261,6 +272,13 @@ object Functions {
         |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w,
         |       range(1, p_size+1) AS seq FROM part) t
         |ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "fn_collation" ->
+      """SELECT p_partkey, v, lower(v) = 'small ring' AS is_small_ring
+        |FROM (SELECT p_partkey,
+        |  CASE WHEN p_size % 2 = 0 THEN upper(p_name) ELSE p_name END AS v
+        | FROM part) t
+        |ORDER BY lower(v), p_partkey LIMIT 200""".stripMargin,
 
     "fn_union" ->
       """SELECT p_partkey, CAST(union_tag(u) AS VARCHAR) AS tag,

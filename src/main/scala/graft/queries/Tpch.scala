@@ -82,6 +82,30 @@ object Tpch {
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
         |ORDER BY s_suppkey""".stripMargin),
 
+    "q13_customer_distribution" -> Q.sharedSql(Seq("customer", "orders"),
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    "q17_small_quantity" -> Q.sharedSql(Seq("lineitem", "part"),
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3'
+        | AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                   FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin),
+
+    "q19_discounted_revenue" -> Q.sharedSql(Seq("lineitem", "part"),
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity >= 5 AND l_quantity <= 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity >= 10 AND l_quantity <= 50)""".stripMargin),
+
     "q18_large_volume" -> Q.sharedSql(Seq("customer", "orders", "lineitem"),
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
         | round(o_totalprice, 2) AS o_totalprice, round(sum(l_quantity), 2) AS sum_qty
