@@ -25,6 +25,12 @@ object Demo {
     println("sql l2 = " +
       spark.sql("SELECT l2_distance(array(3.0D,0.0D), array(0.0D,4.0D)) d").head.getDouble(0))
 
+    // merge-into snapshot semantics
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val upd = Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v")
+    println("merged = " + graft.operators.MergeInto.upsert(base, upd, Seq("k"))
+      .orderBy("k").collect().map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(","))
+
     // vector similarity over the embeddings table
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))

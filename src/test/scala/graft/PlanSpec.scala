@@ -59,6 +59,13 @@ class PlanSpec extends AnyFunSuite {
     assert(e.linesIterator.exists(l => l.contains("Project") && l.trim.startsWith("*")), e)
   }
 
+  test("QUALIFY rewrite benefits from WindowGroupLimit (rank filter pushed into window)") {
+    val plan = SparkEntry.queries("window_rank_running")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    // per-partition top-k without materializing full ranks — essential at scale
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("dedup candidate generation never plans a cartesian product") {
     import graft.operators.Dedup
     val docs = Tables(spark, sf, "documents")
