@@ -115,6 +115,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a similarity-pair edge list — the final
+    * dedup step (one keeper per near-duplicate cluster). Iterative
+    * min-label propagation: every node adopts the smallest label among
+    * itself and its neighbors until fixpoint; cluster id = smallest
+    * member id. Each iteration is one keyed shuffle join; iteration
+    * count is the graph diameter (near-dup clusters are shallow), and
+    * `localCheckpoint` truncates lineage like RecursiveCte.
+    *
+    * @param pairs edge list with columns (id_a, id_b)
+    * @param ids   all node ids (isolated nodes become singleton clusters)
+    * @return (id, cluster) with cluster = min id of the component
+    */
+  def clusters(pairs: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .unionAll(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+      .distinct().localCheckpoint(true)
+    var labels = ids.select(col(idCol).as("s"), col(idCol).as("cluster"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("s").as("d"), col("cluster").as("ncl")), Seq("d"))
+        .groupBy(col("s")).agg(min(col("ncl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("s"), "left")
+        .select(col("s"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), Seq("s"))
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("s").as(idCol), col("cluster"))
+  }
+
   /** Exact word-set Jaccard over candidate pairs generated by shared-token
     * blocking. For any threshold > 0 this equals the full n² result
     * (jaccard > 0 ⇒ the pair shares a token ⇒ the block join emits it).

@@ -38,6 +38,18 @@ object Pipeline {
         .orderBy(col("jac").desc, col("id_a"), col("id_b")).limit(50)
     },
 
+    // near-dup clustering: connected components over jaccard>=0.9 pairs;
+    // cluster id = min doc_id of the component (deterministic, so the
+    // oracle verifies it via a recursive-CTE transitive closure)
+    "dedup_clusters" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .filter(col("jac") >= 0.9).select(col("id_a"), col("id_b"))
+      Dedup.clusters(pairs, docs.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    },
+
     "dedup_embedding" -> { (s, d) =>
       val e = Tables(s, d, "embeddings")
       val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
@@ -115,6 +127,23 @@ object Pipeline {
         |   / len(list_distinct(a.ws || b.ws)), 6) AS jac
         |FROM w a JOIN w b ON a.doc_id < b.doc_id
         |ORDER BY jac DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        | SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |      FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |        / len(list_distinct(a.ws || b.ws)) >= 0.9),
+        |e AS (SELECT ia AS s, ib AS d FROM p UNION ALL SELECT ib, ia FROM p),
+        |reach(s, d) AS (
+        | SELECT s, d FROM e
+        | UNION
+        | SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+        |SELECT doc_id, least(doc_id, coalesce(mn, doc_id)) AS cluster
+        |FROM documents LEFT JOIN (SELECT s, min(d) AS mn FROM reach GROUP BY s) m
+        |  ON m.s = doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

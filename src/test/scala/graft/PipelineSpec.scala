@@ -47,6 +47,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
   }
 
+  test("connected components: chains, isolated nodes, min-label clusters") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {99} isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("id")
+    val got = Dedup.clusters(pairs, ids, "id")
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
   test("multimodal stub features are deterministic and shaped") {
     val ds = Multimodal.fromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(ds).collect()
