@@ -43,6 +43,8 @@ object GraftSession {
         .master(s"local[$cores]")
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.warehouse.dir",
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

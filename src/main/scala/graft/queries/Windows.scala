@@ -68,6 +68,18 @@ object Windows {
         .orderBy(col("o_orderkey")).limit(200)
     },
 
+    // IGNORE NULLS lag (reference: window_value_function.cpp); the oracle
+    // emulates it via max_by over the preceding frame (DuckDB 1.0 lacks
+    // the IGNORE NULLS syntax)
+    "window_ignore_nulls" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .withColumn("x", when(col("event_type") =!= "error", col("value")))
+        .select(col("event_id"),
+          round(lag(col("x"), 1, null, ignoreNulls = true).over(w), 6).as("prev_nn"))
+        .orderBy(col("event_id")).limit(300)
+    },
+
     // EXCLUDE GROUP / EXCLUDE TIES emulation: frame-sum minus peer-sum
     // (count-guarded so an all-peers frame yields NULL like the native
     // implementation), plus-current for TIES
@@ -108,6 +120,17 @@ object Windows {
         |   ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 2) AS sum_excl
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "window_ignore_nulls" ->
+      """SELECT event_id,
+        | round(max_by(x, CASE WHEN x IS NOT NULL THEN ord END) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6) AS prev_nn
+        |FROM (SELECT event_id, user_id, ts,
+        |       CASE WHEN event_type <> 'error' THEN value END AS x,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ord
+        |      FROM events) t
+        |ORDER BY event_id LIMIT 300""".stripMargin,
 
     "window_exclude_group_ties" ->
       """SELECT o_orderkey,
