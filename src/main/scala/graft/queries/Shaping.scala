@@ -71,6 +71,14 @@ object Shaping {
         .orderBy(col("n"))
     },
 
+    // SUMMARIZE ≙ df.summary() (reference: src/function/table/summary.cpp)
+    // — statistic names/format are engine-specific → rows-only check
+    "util_summary" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .summary("count", "mean", "stddev", "min", "25%", "50%", "75%", "max")
+    },
+
     // session_window batch aggregation ≙ lag-gap sessionization
     "events_session_window" -> { (s, d) =>
       val sess = StreamingFacade.sessionStats(Tables(s, d, "events"))

@@ -55,6 +55,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some(10.0), None)) // 0.5s ok, 89s beyond 1s tolerance
   }
 
+  test("asof backward matches a brute-force reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val prices = Seq.fill(300)((s"k${rnd.nextInt(20)}", rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .distinctBy(p => (p._1, p._2)) // unique (k,t) keeps the match unambiguous
+      .toDF("k", "t", "price")
+    val trades = Seq.fill(200)((s"k${rnd.nextInt(25)}", rnd.nextInt(1000).toLong)).distinct
+    val tradesDf = trades.toDF("k", "t")
+    val got = AsOfJoin.backward(tradesDf, prices, Seq("k"), "t", Seq("price"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // brute force: for each trade, the price row with max t' <= t (ties:
+    // the union+window picks the one latest in (t, insertion) order — with
+    // distinct (k,t) price rows the max t' is unique)
+    val priceRows = prices.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    trades.foreach { case (k, t) =>
+      val expected = priceRows.getOrElse(k, Array.empty)
+        .filter(_._2 <= t).sortBy(_._2).lastOption.map(_._3)
+      assert(got((k, t)) == expected, s"key=$k t=$t")
+    }
+  }
+
   test("positional join pads the shorter side with nulls") {
     import spark.implicits._
     val l = Seq("a", "b", "c").toDF("x")
