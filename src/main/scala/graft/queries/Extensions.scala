@@ -94,6 +94,18 @@ object Extensions {
         .orderBy(col("l_returnflag"), col("rn"))
     },
 
+    // bitstring_agg (reference: distributive/bitstring_agg.cpp): set bit
+    // at each seen value position — emulated as a presence-mask string
+    "agg_bitstring" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(collect_set(col("l_linenumber")).as("seen"))
+        .select(col("l_returnflag"),
+          concat_ws("", transform(sequence(lit(1), lit(10)),
+            p => when(array_contains(col("seen"), p), "1").otherwise("0"))).as("bits"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Space-Saving sketch via TypedImperativeAggregate; within capacity
     // (distinct l_linenumber « 4k counters) the sketch is exact, so the
     // oracle verifies the same top-3 string
@@ -154,6 +166,10 @@ object Extensions {
 
     "agg_entropy" ->
       """SELECT l_returnflag, round(entropy(l_linenumber), 6) AS ent
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_bitstring" ->
+      """SELECT l_returnflag, CAST(bitstring_agg(l_linenumber, 1, 10) AS VARCHAR) AS bits
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_approx_top_k" ->

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming façade over the events schema — an extension
   * beyond the reference, which is batch-only (SURVEY.md §2.10: no
@@ -21,6 +22,27 @@ object StreamingFacade {
     src.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("avg_value"))
+  }
+
+  case class UserCount(user_id: Long, events: Long, total_value: Double)
+
+  /** Custom keyed state via `mapGroupsWithState` (SURVEY §2.10 stateful
+    * path): a per-user running (count, value-sum) updated per micro-batch.
+    * Update output mode emits the refreshed row per key per batch.
+    */
+  def statefulUserCounts(events: DataFrame): Dataset[UserCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          UserCount(user, n, v)
+      }
   }
 
   /** Gap-based session aggregation via `session_window` (30-minute gap).

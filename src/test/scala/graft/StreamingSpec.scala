@@ -45,6 +45,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps running per-user state in update mode") {
+    val dir = eventsStreamDir()
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingFacade.statefulUserCounts(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_stateful").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_stateful")
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      val batch = Tables(spark, sf, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming session stats run with watermarked append state") {
     val dir = eventsStreamDir()
     val schema = StructType(Seq(
