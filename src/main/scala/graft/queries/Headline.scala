@@ -56,21 +56,23 @@ object Headline {
     },
 
     "q5_local_supplier" -> { (s, d) =>
-      // dimension chain region→nation is tiny: broadcast everything except
-      // the orders⋈lineitem fact-fact join.
+      // pre-join the dimension chain supplier⋈nation⋈region (tiny ⋈ tiny:
+      // resolves driver-side into ONE broadcast) so the fact table takes
+      // two broadcast joins instead of four — same join graph, fewer
+      // broadcast-build jobs per execution.
       val asia = Tables(s, d, "region").filter(col("r_name") === "ASIA")
-      val nat  = Tables(s, d, "nation")
-      val sup  = Tables(s, d, "supplier")
+      val asianSup = Tables(s, d, "supplier")
+        .join(Tables(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
       val cust = Tables(s, d, "customer")
       val ord = Tables(s, d, "orders")
         .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
       val li = Tables(s, d, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
+        .join(broadcast(asianSup),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
