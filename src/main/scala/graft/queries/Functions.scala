@@ -134,6 +134,22 @@ object Functions {
         .orderBy(col("p_partkey")).limit(200)
     },
 
+    // higher-order lambdas beyond transform/filter/aggregate: zip_with,
+    // exists, forall (reference: lambda_functions.cpp list_zip/
+    // list_has_any) + width_bucket (arithmetic-emulated oracle)
+    "fn_lambda" -> { (s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_size"), sequence(lit(1), col("p_size")).as("seq"))
+        .select(
+          col("p_partkey"),
+          aggregate(zip_with(col("seq"), col("seq"), (x, y) => x + y),
+            lit(0L), (acc, x) => acc + x).as("zw_sum"),
+          exists(col("seq"), x => x > 40).as("has_big"),
+          forall(col("seq"), x => x > 0).as("all_pos"),
+          expr("CAST(width_bucket(p_size, 0, 50, 5) AS BIGINT)").as("wb"))
+        .orderBy(col("p_partkey")).limit(200)
+    },
+
     "fn_struct_map" -> { (s, d) =>
       Tables(s, d, "part").select(
           col("p_partkey"),
@@ -272,6 +288,16 @@ object Functions {
         |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w,
         |       range(1, p_size+1) AS seq FROM part) t
         |ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "fn_lambda" ->
+      """SELECT p_partkey,
+        | CAST(2 * list_sum(seq) AS BIGINT) AS zw_sum,
+        | len(list_filter(seq, x -> x > 40)) > 0 AS has_big,
+        | len(list_filter(seq, x -> NOT (x > 0))) = 0 AS all_pos,
+        | CAST(CASE WHEN p_size < 0 THEN 0 WHEN p_size >= 50 THEN 6
+        |       ELSE floor(p_size / 10.0) + 1 END AS BIGINT) AS wb
+        |FROM (SELECT p_partkey, p_size, range(1, p_size + 1) AS seq FROM part) t
+        |ORDER BY p_partkey LIMIT 200""".stripMargin,
 
     "fn_collation" ->
       """SELECT p_partkey, v, lower(v) = 'small ring' AS is_small_ring
