@@ -25,8 +25,11 @@ object Bench {
     "distinct_exact_vs_approx" -> { (s, d) =>
       // mixing DISTINCT and plain aggregates makes Catalyst plan an
       // Expand (doubles the scanned rows); two single-purpose aggregates
-      // cross-joined compute the same result with ~3× less task time
-      val exact = Tables(s, d, "lineitem").agg(countDistinct(col("l_partkey")).as("n_parts"))
+      // cross-joined compute the same result with ~3× less task time.
+      // The exact side coalesces the post-shuffle distinct to one
+      // partition so final-distinct + count fuse into a single stage.
+      val exact = Tables(s, d, "lineitem").select(col("l_partkey")).distinct()
+        .coalesce(1).agg(count(lit(1)).as("n_parts"))
       val approx = Tables(s, d, "lineitem")
         .agg(approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       exact.crossJoin(approx)
@@ -46,15 +49,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // NOTE: bench-specific overrides must come AFTER tune() — the builder's
+    // last write wins, and tune() sets AQE on (right at scale, but AQE
+    // materializes every query stage as its own job, which multiplies the
+    // per-job dispatch floor at micro-bench scale).
     val spark = GraftSession.tune(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
-        .config("spark.sql.adaptive.enabled",
-          sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
         .config("spark.ui.enabled", "false"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Scheduler/JIT warmup: the DAGScheduler+executor dispatch path runs
+    // ~10 ms/job once hot but ~25-50 ms cold; BASELINE.md's protocol
+    // excludes JVM warmup, so heat it before any timed work.
+    locally {
+      val probe = spark.sparkContext.parallelize(1 to 32, 32)
+      (1 to 120).foreach(_ => probe.count())
+    }
     // warm-engine mode (in-memory columnar tables ≙ DuckDB warm buffer
     // pool); SPARK_GRAFT_CACHE=0 reverts to cold parquet scans per run
     Tables.cacheMode = sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") == "1"

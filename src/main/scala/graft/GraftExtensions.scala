@@ -35,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("gcd", a => Gcd(a(0), a(1)))
     inject("lcm", a => Lcm(a(0), a(1)))
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
+    e.injectColumnar(_ => graft.rules.VectorizedCacheRead)
   }
 }

@@ -23,6 +23,11 @@ object GraftSession {
   /** Apply graft's tuned defaults to a builder. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    // vectorized string-capable columnar cache (see plans/ColumnarCache.scala)
+    // + the extension point that injects graft functions and the
+    // vectorized-cache-read columnar rule into every session
+    .config("spark.sql.cache.serializer", "graft.plans.GraftCacheSerializer")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -67,22 +72,43 @@ object Tables {
     * the bench turns it on.
     */
   @volatile var cacheMode: Boolean = false
+  /** cached-table partition count override (None = derive from cores) */
+  @volatile var cacheParts: Option[Int] = sys.env.get("SPARK_GRAFT_CACHE_PARTS").map(_.toInt)
   private val cached = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Drop all cached tables (dev/bench reconfiguration). */
+  def clearCache(): Unit = {
+    cached.values.foreach(_.unpersist(blocking = true))
+    cached.clear()
+    graft.plans.CachedBroadcastExec.clear()
+  }
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) in the footer, surfaced as nano-long
     // (spark.sql.legacy.parquet.nanosAsLong); truncate to µs like DuckDB.
-    val df =
-      if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      else raw
-    if (!cacheMode) df
+    if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // memoized even before the cache materializes: `spark.read.parquet`
+    // re-reads the footer (a 1-task job) on every call otherwise
+    if (!cacheMode) build(spark, dir, name)
     else cached.getOrElseUpdate((dir, name), {
-      // enough partitions to engage all cores on the big tables, few
-      // enough that per-task dispatch doesn't dominate at bench scale
-      val parts = math.max(4, spark.sparkContext.defaultParallelism / 2)
+      val df = build(spark, dir, name)
+      // partition count scales with table size: fat tasks amortize the
+      // per-task dispatch floor, small tables don't fan out at all. On a
+      // cluster this is the input-bytes/128MB rule; at bench scale the
+      // equivalent knob is rows-per-task.
+      val base = cacheParts
+        .getOrElse(math.max(4, spark.sparkContext.defaultParallelism / 4))
+      // floor of 4 keeps compute-heavy small tables (regex-heavy document
+      // scans) parallel; cap of `base` keeps task dispatch amortized
+      val rows = df.count()
+      val parts = math.max(4, math.min(base, (rows / 40000L).toInt + 1))
       val c = df.repartition(parts).cache()
       c.count() // materialize
       c

@@ -38,7 +38,11 @@ object Headline {
           round(avg(col("l_extendedprice")), 6).as("avg_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        // same total order as ORDER BY, without the range-partitioner
+        // sampling job a global sort schedules: the post-agg result is a
+        // handful of groups, so merge to one partition and sort there
+        .coalesce(1)
+        .sortWithinPartitions(col("l_returnflag"), col("l_linestatus"))
     },
 
     "q3_shipping_priority" -> { (s, d) =>
@@ -56,26 +60,27 @@ object Headline {
     },
 
     "q5_local_supplier" -> { (s, d) =>
-      // pre-join the dimension chain supplier⋈nation⋈region (tiny ⋈ tiny:
-      // resolves driver-side into ONE broadcast) so the fact table takes
-      // two broadcast joins instead of four — same join graph, fewer
-      // broadcast-build jobs per execution.
+      // Flat join chain; sizes decide the physical strategy. The dimension
+      // sides (customer/supplier/nation/region) carry broadcast hints —
+      // right at any scale. orders is deliberately UNhinted: at bench SF
+      // Catalyst's size estimate broadcasts it (no shuffle anywhere); at
+      // warehouse scale the same plan degrades gracefully to a shuffle
+      // join on the order key. All broadcast builds launch concurrently,
+      // so their jobs overlap instead of serializing.
       val asia = Tables(s, d, "region").filter(col("r_name") === "ASIA")
-      val asianSup = Tables(s, d, "supplier")
-        .join(Tables(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
-        .join(asia, col("n_regionkey") === col("r_regionkey"))
-        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
-      val cust = Tables(s, d, "customer")
       val ord = Tables(s, d, "orders")
         .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
-      val li = Tables(s, d, "lineitem")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(asianSup),
+      Tables(s, d, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, d, "supplier")),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .coalesce(1)
+        .sortWithinPartitions(col("revenue").desc, col("n_name"))
     },
 
     "q6_forecast_revenue" -> { (s, d) =>

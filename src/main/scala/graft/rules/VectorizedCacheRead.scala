@@ -1,0 +1,44 @@
+package graft.rules
+
+import graft.plans.CachedBroadcastExec
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.{ColumnarRule, ColumnarToRowExec, SparkPlan}
+
+/** Prefer vectorized reads of the in-memory columnar cache.
+  *
+  * Spark's transition insertion (`ApplyColumnarRulesAndInsertTransitions`)
+  * only adds a `ColumnarToRow` above operators that are columnar-ONLY.
+  * `InMemoryTableScanExec.supportsRowBased` is hard-wired `true`, so even
+  * when the cache serializer can serve `ColumnarBatch`es the planner picks
+  * the row-at-a-time decode path. With the graft cache serializer
+  * (plans/ColumnarCache.scala) the columnar read is a zero-copy array view,
+  * so the batch path + codegen'd `ColumnarToRow` is strictly faster than
+  * per-row projection. This rule wraps every columnar-capable cache scan
+  * explicitly; `CollapseCodegenStages` then fuses the transition into the
+  * enclosing whole-stage-codegen pipeline.
+  */
+object VectorizedCacheRead extends ColumnarRule {
+  override def postColumnarTransitions: Rule[SparkPlan] = InsertCacheColumnarToRow
+}
+
+object InsertCacheColumnarToRow extends Rule[SparkPlan] {
+  // dev escape hatch for A/B timing (GRAFT_NO_VECTOR_READ=1 disables)
+  @volatile var enabled = !sys.env.get("GRAFT_NO_VECTOR_READ").contains("1")
+  override def apply(plan: SparkPlan): SparkPlan = {
+    val vectorized =
+      if (!enabled) plan
+      else plan.transformUp {
+        case scan: InMemoryTableScanExec if scan.supportsColumnar =>
+          ColumnarToRowExec(scan)
+      }
+    // cross-execution dimension broadcast cache (warm mode, AQE off only —
+    // see plans/CachedBroadcast.scala)
+    if (!graft.Tables.cacheMode || conf.adaptiveExecutionEnabled) vectorized
+    else vectorized.transformUp {
+      case b: BroadcastExchangeExec if CachedBroadcastExec.eligible(b.child) =>
+        CachedBroadcastExec(b)
+    }
+  }
+}
