@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, NumericType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Space-Saving heavy-hitters sketch (Metwally et al.) — the reference's
@@ -32,6 +32,19 @@ case class ApproxTopKSketch(
 
   private val capacity = 4 * k
 
+  /** Count ties break in the CHILD's type order (numeric children compare
+    * numerically — "10" sorts after "2"), matching the exact
+    * count+window rewrite the oracle runs; lexicographic order of the
+    * rendered value would diverge for multi-digit numbers.
+    */
+  private lazy val keyOrdering: Ordering[String] = child.dataType match {
+    case _: NumericType => Ordering.by((s: String) => BigDecimal(s))
+    case _ => Ordering.String
+  }
+  private lazy val entryOrdering: Ordering[(String, (Long, Long))] =
+    Ordering.by[(String, (Long, Long)), Long] { case (_, (c, _)) => -c }
+      .orElse(Ordering.by[(String, (Long, Long)), String](_._1)(keyOrdering))
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = StringType
@@ -47,7 +60,8 @@ case class ApproxTopKSketch(
       case None if buf.size < capacity => buf(key) = (count, err)
       case None =>
         // evict the minimum counter; new key inherits its count as error
-        val (mk, (mc, _)) = buf.minBy { case (kk, (c, _)) => (c, kk) }
+        val (mk, (mc, _)) = buf.minBy { case (kk, (c, _)) => (c, kk) }(
+          Ordering.Tuple2(Ordering.Long, keyOrdering))
         buf.remove(mk)
         buf(key) = (mc + count, mc + err)
     }
@@ -62,13 +76,13 @@ case class ApproxTopKSketch(
 
   override def merge(buf: mutable.HashMap[String, (Long, Long)],
                      other: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {
-    other.toSeq.sortBy { case (kk, (c, _)) => (-c, kk) }
+    other.toSeq.sorted(entryOrdering)
       .foreach { case (kk, (c, e)) => add(buf, kk, c, e) }
     buf
   }
 
   override def eval(buf: mutable.HashMap[String, (Long, Long)]): Any = {
-    val top = buf.toSeq.sortBy { case (kk, (c, _)) => (-c, kk) }.take(k)
+    val top = buf.toSeq.sorted(entryOrdering).take(k)
     UTF8String.fromString(top.map { case (kk, (c, _)) => s"$kk:$c" }.mkString(","))
   }
 

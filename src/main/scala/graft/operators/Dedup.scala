@@ -97,14 +97,26 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: pigeonhole on 4×16-bit chunks (hamming
-    * ≤ 3 ⇒ at least one chunk equal), then exact bit-hamming filter.
+  /** SimHash near-dup candidates: pigeonhole on `maxHamming + 1` chunks
+    * (hamming ≤ maxHamming ⇒ the differing bits miss at least one chunk,
+    * so that chunk's key matches exactly), then exact bit-hamming filter.
+    * The chunk count is DERIVED from `maxHamming` so the candidate set is
+    * complete for the requested radius — a fixed chunking would silently
+    * miss pairs whose differing bits touch every chunk. Wider radii mean
+    * narrower chunk keys and quadratically larger candidate buckets;
+    * keep maxHamming small (the near-dup regime) at scale.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nChunks = maxHamming + 1
     val sh = simhash(df, idCol, textCol)
-    val parts = (0 to 3).map { c =>
+    val parts = (0 until nChunks).map { c =>
+      val lo = c * 64 / nChunks
+      val width = (c + 1) * 64 / nChunks - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       sh.select(col(idCol), col("simhash"), lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
     }.reduce(_ unionAll _)
     val l = parts.select(col(idCol).as("id_a"), col("simhash").as("h_a"), col("chunk"), col("key"))
     val r = parts.select(col(idCol).as("id_b"), col("simhash").as("h_b"), col("chunk"), col("key"))
@@ -147,6 +159,12 @@ object Dedup {
       labels = next
       i += 1
     }
+    // mirror RecursiveCte.iterate: unconverged labels are WRONG cluster
+    // ids — fail loudly rather than return them (a component with
+    // diameter > 50 needs pointer-doubling, not silent truncation)
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge after $i iterations " +
+        "(component diameter exceeds the cap)")
     labels.select(col("s").as(idCol), col("cluster"))
   }
 
@@ -160,10 +178,13 @@ object Dedup {
     *   candidate set quadratic). With a cap, a pair is only missed if
     *   *every* shared token is ubiquitous, which also means its jaccard
     *   is dominated by stop-words — acceptable for near-dup mining at
-    *   100 TB. Int.MaxValue (default) keeps the operator exact.
+    *   100 TB. The valve is ON by default (1000) because the unvalved
+    *   path is the scale-killer posture on a web corpus; pass
+    *   Int.MaxValue explicitly to make the operator exact
+    *   (oracle-verifiable) on bounded inputs.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        maxDocFrequency: Int = Int.MaxValue): DataFrame = {
+                        maxDocFrequency: Int = 1000): DataFrame = {
     val ws = df.select(col(idCol), array_distinct(split(col(textCol), "\\s+")).as("ws"))
     val allTokens = ws.select(col(idCol), explode(col("ws")).as("w"))
     val tokens =

@@ -19,14 +19,23 @@ object MergeInto {
   /** WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *:
     * rows from `updates` win on key collision; unmatched base rows pass
     * through; unmatched update rows are inserted.
+    *
+    * A matched update row wins for EVERY column, including NULLs — an
+    * update can null out a field, per UPDATE SET * semantics. The match is
+    * detected via a non-null marker column on the updates side (a plain
+    * `coalesce` would silently keep the base value whenever an update
+    * carries NULL).
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val dataCols = base.columns.filterNot(keys.contains)
     val b = dataCols.foldLeft(base) { (df, c) => df.withColumnRenamed(c, s"_b_$c") }
     val u = dataCols.foldLeft(updates) { (df, c) => df.withColumnRenamed(c, s"_u_$c") }
+      .withColumn("_u_matched", lit(true))
     b.join(u, keys, "full_outer")
       .select(keys.map(col) ++
-        dataCols.map(c => coalesce(col(s"_u_$c"), col(s"_b_$c")).as(c)): _*)
+        dataCols.map(c =>
+          when(col("_u_matched").isNotNull, col(s"_u_$c"))
+            .otherwise(col(s"_b_$c")).as(c)): _*)
   }
 
   /** WHEN MATCHED THEN DELETE: anti-join the delete-set keys. */

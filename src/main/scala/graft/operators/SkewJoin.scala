@@ -19,6 +19,14 @@ object SkewJoin {
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched small-side row once per
+    // salt replica (buckets× duplicates); restrict to the types where
+    // replication is sound
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+    require(ok.contains(joinType.toLowerCase.replace("_", "")) ||
+      ok.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi join types, got $joinType " +
+        "(unmatched small-side rows would be duplicated once per salt bucket)")
     val salted = big.withColumn("_salt", (rand(42) * buckets).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))

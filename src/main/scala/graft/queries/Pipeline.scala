@@ -28,12 +28,17 @@ object Pipeline {
     },
 
     "dedup_simhash" -> { (s, d) =>
+      // radius 16: chunk count derives from the radius (17 chunks), so
+      // candidate recall is complete for hamming ≤ 16 — see simhashPairs
       Dedup.simhashPairs(Tables(s, d, "documents"), "doc_id", "text", maxHamming = 16)
         .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(50)
     },
 
     "dedup_ngram_jaccard" -> { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables(s, d, "documents"), "doc_id", "text")
+      // exact mode (valve off) — this entry is oracle-verified against a
+      // full n² DuckDB jaccard, so every pair must be present
+      Dedup.ngramJaccardPairs(Tables(s, d, "documents"), "doc_id", "text",
+          maxDocFrequency = Int.MaxValue)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy(col("jac").desc, col("id_a"), col("id_b")).limit(50)
     },
@@ -43,7 +48,8 @@ object Pipeline {
     // oracle verifies it via a recursive-CTE transitive closure)
     "dedup_clusters" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          maxDocFrequency = Int.MaxValue) // exact: oracle-verified closure
         .filter(col("jac") >= 0.9).select(col("id_a"), col("id_b"))
       Dedup.clusters(pairs, docs.select(col("doc_id")), "doc_id")
         .select(col("doc_id"), col("cluster"))

@@ -26,6 +26,16 @@ class ApproxTopKSpec extends AnyFunSuite {
     assert(top.take(2).toSet == Set("HOT", "WARM"), got)
   }
 
+  test("count ties on numeric children break in numeric order, not string order") {
+    import spark.implicits._
+    // counts tie at 1; lexicographic order of the rendered values would
+    // put "10" before "2" — the child is numeric, so 2 must sort first
+    val got = Seq(10, 2, 30).toDF("v")
+      .coalesce(1)
+      .agg(approx_top_k(col("v"), 3)).head().getString(0)
+    assert(got == "2:1,10:1,30:1", got)
+  }
+
   test("null inputs are skipped") {
     import spark.implicits._
     val got = Seq(Some("x"), None, Some("x"), Some("y"), None).toDF("v")

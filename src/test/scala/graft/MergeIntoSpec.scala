@@ -16,12 +16,15 @@ class MergeIntoSpec extends AnyFunSuite {
       (1L, "a", 10.0), (2L, "B2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
-  test("upsert keeps base values for columns the update left null") {
+  test("upsert lets a matched update row null out a column (UPDATE SET *)") {
     import spark.implicits._
-    val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
     val updates = Seq((1L, null.asInstanceOf[String], 11.0)).toDF("k", "name", "v")
-    val got = MergeInto.upsert(base, updates, Seq("k")).head()
-    assert(got.getString(1) == "a" && got.getDouble(2) == 11.0)
+    val rows = MergeInto.upsert(base, updates, Seq("k")).orderBy("k").collect()
+    // matched row: the update wins for every column, including its NULL
+    assert(rows(0).isNullAt(1) && rows(0).getDouble(2) == 11.0)
+    // unmatched base row passes through untouched
+    assert(rows(1).getString(1) == "b" && rows(1).getDouble(2) == 20.0)
   }
 
   test("delete removes exactly the keyed rows") {

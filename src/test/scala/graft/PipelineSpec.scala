@@ -47,6 +47,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
   }
 
+  test("doc-frequency valve prunes stop-word-only candidate pairs") {
+    import spark.implicits._
+    // "the" appears in every doc; each real near-dup pair also shares a
+    // rare token. With the valve at 2, the stop-word generates no
+    // candidates, so (1,2) and (3,4) survive but (1,3)/(1,4)/(2,3)/(2,4)
+    // — whose only shared token is "the" — are pruned.
+    val docs = Seq(
+      (1L, "the alpha beta"), (2L, "the alpha gamma"),
+      (3L, "the delta eps"), (4L, "the delta zeta")).toDF("id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "id", "text",
+      maxDocFrequency = Int.MaxValue).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val valved = Dedup.ngramJaccardPairs(docs, "id", "text", maxDocFrequency = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L), (3L, 4L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+    assert(valved == Set((1L, 2L), (3L, 4L)), valved.toString)
+  }
+
+  test("simhash radius beyond chunk coverage is rejected; derived chunks keep recall") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "id", "text", maxHamming = 64)
+    }
+    // identical docs: hamming 0 must be found at any radius
+    assert(Dedup.simhashPairs(docs, "id", "text", maxHamming = 7).count() == 1)
+  }
+
   test("connected components: chains, isolated nodes, min-label clusters") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, {99} isolated

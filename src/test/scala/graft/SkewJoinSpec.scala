@@ -28,6 +28,16 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("salted join rejects join types that would duplicate outer rows") {
+    import spark.implicits._
+    val big = Seq((1L, 1)).toDF("k", "v")
+    val small = Seq((1L, "d")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "k", joinType = "right_outer")
+    }
+    assert(e.getMessage.contains("saltedJoin"))
+  }
+
   test("GraftExtensions applies its injections cleanly") {
     // a fresh in-process session would either reuse the suite session
     // (getOrCreate ignores new config) or stop the shared SparkContext on
