@@ -16,6 +16,11 @@ object StatsOps {
 
   /** Median absolute deviation: median(|x - median(x)|) per group.
     * Two percentile passes; the per-group medians are broadcast back.
+    *
+    * MEMORY BOUND: Spark's exact `percentile` buffers every value of a
+    * group in its aggregation buffer — a hot group at warehouse scale
+    * OOMs the executor. This exact form exists for engine parity
+    * (oracle-verifiable); [[madApprox]] is the at-scale default.
     */
   def mad(df: DataFrame, keys: Seq[String], values: Seq[(String, String)]): DataFrame = {
     val medAgg = df.groupBy(keys.map(col): _*).agg(
@@ -27,6 +32,26 @@ object StatsOps {
         expr(s"percentile(abs(${values.head._1} - _med_${values.head._1}), 0.5)").as(values.head._2),
         values.tail.map(v =>
           expr(s"percentile(abs(${v._1} - _med_${v._1}), 0.5)").as(v._2)): _*)
+  }
+
+  /** At-scale MAD: same two-pass shape as [[mad]] but on
+    * `approx_percentile` (KLL-sketch-backed), whose state is O(accuracy)
+    * per group instead of O(group size). Relative rank error ≤
+    * 1/accuracy; results are estimator-specific (no cross-engine oracle).
+    */
+  def madApprox(df: DataFrame, keys: Seq[String], values: Seq[(String, String)],
+                accuracy: Int = 10000): DataFrame = {
+    val medAgg = df.groupBy(keys.map(col): _*).agg(
+      expr(s"approx_percentile(${values.head._1}, 0.5, $accuracy)").as(s"_med_${values.head._1}"),
+      values.tail.map(v =>
+        expr(s"approx_percentile(${v._1}, 0.5, $accuracy)").as(s"_med_${v._1}")): _*)
+    df.join(broadcast(medAgg), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        expr(s"approx_percentile(abs(${values.head._1} - _med_${values.head._1}), 0.5, $accuracy)")
+          .as(values.head._2),
+        values.tail.map(v =>
+          expr(s"approx_percentile(abs(${v._1} - _med_${v._1}), 0.5, $accuracy)").as(v._2)): _*)
   }
 
   /** Shannon entropy (log₂) of the value distribution per group:

@@ -68,6 +68,17 @@ object Extensions {
         .orderBy(col("l_returnflag"))
     },
 
+    // at-scale MAD on approx_percentile sketches (O(accuracy) state per
+    // group vs the exact path's O(group) buffer) — estimator-specific
+    // values → rows-only gate; PipelineSpec asserts closeness to exact
+    "agg_mad_approx" -> { (s, d) =>
+      val df = StatsOps.madApprox(Tables(s, d, "lineitem"), Seq("l_returnflag"),
+        Seq("l_quantity" -> "mad_qty", "l_discount" -> "mad_disc"))
+      df.select(col("l_returnflag"),
+          round(col("mad_qty"), 6).as("mad_qty"), round(col("mad_disc"), 6).as("mad_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "agg_entropy" -> { (s, d) =>
       StatsOps.entropy(Tables(s, d, "lineitem"), Seq("l_returnflag"), "l_linenumber", "ent")
         .select(col("l_returnflag"), round(col("ent"), 6).as("ent"))

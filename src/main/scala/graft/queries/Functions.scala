@@ -170,6 +170,64 @@ object Functions {
         .orderBy(col("event_id")).limit(200)
     },
 
+    // JSON surface pass 2 (reference extension/json/json_functions/):
+    // row→json (to_json ≙ DuckDB to_json of a struct), schema-directed
+    // parse (from_json ≙ json_transform), json_array_length, json_valid
+    "fn_json2" -> { (s, d) =>
+      Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          to_json(struct(col("o_orderkey"), col("o_orderpriority"))).as("js"),
+          expr("from_json(to_json(named_struct('o_orderkey', o_orderkey, 'o_orderpriority', o_orderpriority)), " +
+            "'o_orderkey BIGINT, o_orderpriority STRING').o_orderkey").as("t_key"),
+          expr("from_json(to_json(named_struct('o_orderkey', o_orderkey, 'o_orderpriority', o_orderpriority)), " +
+            "'o_orderkey BIGINT, o_orderpriority STRING').o_orderpriority").as("t_pri"),
+          to_json(array(col("o_orderkey"), col("o_orderkey") * 2)).as("arr"),
+          expr("CAST(json_array_length(to_json(array(o_orderkey, o_orderkey * 2))) AS BIGINT)").as("alen"),
+          get_json_object(to_json(struct(col("o_orderkey"))), "$").isNotNull.as("ok"),
+          get_json_object(lit("{not json"), "$").isNotNull.as("bad"))
+        .orderBy(col("o_orderkey")).limit(200)
+    },
+
+    // interval / timezone pass (reference extension/icu/): AT TIME ZONE
+    // conversion, INTERVAL month/day/minute arithmetic (month addition
+    // clamps at month end on both engines), and age() decomposed into
+    // calendar year/month/day components vs a fixed anchor
+    "fn_datetime2" -> { (s, d) =>
+      val anchor = "TIMESTAMP '1995-01-01'"
+      Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          expr("convert_timezone('UTC', 'America/New_York', o_orderdate)").as("nyc"),
+          expr("convert_timezone('UTC', 'Asia/Tokyo', o_orderdate)").as("tokyo"),
+          expr("o_orderdate + INTERVAL '1' MONTH").as("plus1mo"),
+          expr("o_orderdate - INTERVAL '45' DAY").as("minus45d"),
+          expr("o_orderdate + INTERVAL '90' MINUTE").as("plus90min"),
+          expr(s"CAST(floor(months_between(o_orderdate, $anchor)) DIV 12 AS BIGINT)").as("age_y"),
+          expr(s"CAST(floor(months_between(o_orderdate, $anchor)) % 12 AS BIGINT)").as("age_m"),
+          expr(s"CAST(datediff(CAST(o_orderdate AS DATE), " +
+            s"CAST(add_months($anchor, floor(months_between(o_orderdate, $anchor))) AS DATE)) AS BIGINT)").as("age_d"))
+        .orderBy(col("o_orderkey")).limit(200)
+    },
+
+    // bit functions (reference extension/core_functions/scalar/bit/):
+    // get_bit/set_bit/bit_position over the engine's '0'/'1' bitstring
+    // encoding (see functions.BitFunctions), plus bit_count
+    "fn_bit" -> { (s, d) =>
+      import graft.functions.BitFunctions
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          expr("lpad(bin(o_orderkey % 256), 8, '0')").as("bits"),
+          expr("CAST(o_orderkey % 8 AS INT)").as("pos"))
+        .select(col("o_orderkey"), col("bits"),
+          BitFunctions.get_bit(col("bits"), col("pos")).as("g"),
+          BitFunctions.set_bit(col("bits"), col("pos"), lit(1)).as("sb"),
+          // single-bit pattern: DuckDB's multi-bit bit_position misses
+          // matches at padding-dependent offsets (its BIT layout quirk);
+          // the 1-bit search agrees exactly on all 256 byte patterns
+          BitFunctions.bit_position(lit("1"), col("bits")).as("bp"),
+          expr("CAST(bit_count(o_orderkey % 256) AS BIGINT)").as("bc"))
+        .orderBy(col("o_orderkey")).limit(200)
+    },
+
     "fn_hash" -> { (s, d) =>
       Tables(s, d, "part").select(
           col("p_partkey"),
@@ -332,6 +390,40 @@ object Functions {
         | CAST(props->>'k' AS BIGINT) AS k_struct,
         | array_to_string(json_keys(props), ',') AS ks
         |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "fn_json2" ->
+      """SELECT o_orderkey,
+        | to_json({'o_orderkey': o_orderkey, 'o_orderpriority': o_orderpriority})::VARCHAR AS js,
+        | (json_transform(to_json({'o_orderkey': o_orderkey, 'o_orderpriority': o_orderpriority}),
+        |    '{"o_orderkey":"BIGINT","o_orderpriority":"VARCHAR"}')).o_orderkey AS t_key,
+        | (json_transform(to_json({'o_orderkey': o_orderkey, 'o_orderpriority': o_orderpriority}),
+        |    '{"o_orderkey":"BIGINT","o_orderpriority":"VARCHAR"}')).o_orderpriority AS t_pri,
+        | to_json([o_orderkey, o_orderkey*2])::VARCHAR AS arr,
+        | CAST(json_array_length(to_json([o_orderkey, o_orderkey*2])) AS BIGINT) AS alen,
+        | json_valid(to_json({'o_orderkey': o_orderkey})::VARCHAR) AS ok,
+        | json_valid('{not json') AS bad
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "fn_datetime2" ->
+      """SELECT o_orderkey,
+        | CAST(timezone('America/New_York', o_orderdate::TIMESTAMPTZ) AS TIMESTAMP) AS nyc,
+        | CAST(timezone('Asia/Tokyo', o_orderdate::TIMESTAMPTZ) AS TIMESTAMP) AS tokyo,
+        | o_orderdate + INTERVAL 1 MONTH AS plus1mo,
+        | o_orderdate - INTERVAL 45 DAY AS minus45d,
+        | o_orderdate + INTERVAL 90 MINUTE AS plus90min,
+        | CAST(date_part('year', age(o_orderdate, TIMESTAMP '1995-01-01')) AS BIGINT) AS age_y,
+        | CAST(date_part('month', age(o_orderdate, TIMESTAMP '1995-01-01')) AS BIGINT) AS age_m,
+        | CAST(date_part('day', age(o_orderdate, TIMESTAMP '1995-01-01')) AS BIGINT) AS age_d
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "fn_bit" ->
+      """SELECT o_orderkey,
+        | lpad(bin(o_orderkey % 256), 8, '0') AS bits,
+        | CAST(get_bit(lpad(bin(o_orderkey % 256), 8, '0')::BIT, CAST(o_orderkey % 8 AS INT)) AS BIGINT) AS g,
+        | set_bit(lpad(bin(o_orderkey % 256), 8, '0')::BIT, CAST(o_orderkey % 8 AS INT), 1)::VARCHAR AS sb,
+        | CAST(bit_position('1'::BIT, lpad(bin(o_orderkey % 256), 8, '0')::BIT) AS BIGINT) AS bp,
+        | CAST(bit_count(o_orderkey % 256) AS BIGINT) AS bc
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
     "fn_hash" ->
       """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha,

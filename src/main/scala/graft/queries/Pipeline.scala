@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, IvfAnn, Multimodal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline queries: dedup, similarity search, text
@@ -92,6 +92,20 @@ object Pipeline {
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
     },
 
+    // ANN: IVF inverted lists (coarse k-means quantizer, nprobe knob) —
+    // the at-scale complement to sim_ann_lsh; approx → rows-only, with a
+    // recall-vs-brute-force assertion in PipelineSpec
+    "sim_ann_ivf" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val idx = IvfAnn.build(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        k = 16, iters = 2)
+      IvfAnn.search(idx, probe, topK = 10, nprobe = 4)
+        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    },
+
     "text_quality" -> { (s, d) =>
       TextAnalysis.quality(Tables(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id")).limit(200)
@@ -117,6 +131,25 @@ object Pipeline {
     "mm_binary_features" -> { (s, d) =>
       Multimodal.extractFeatures(Multimodal.fromDocuments(s, d))
         .select(col("doc_id"), col("n_bytes"), col("header_hex"))
+        .orderBy(col("doc_id")).limit(200)
+    },
+
+    // REAL image decode: deterministic PNG test cards are encoded and
+    // then decoded with javax.imageio inside the partition mapper; the
+    // oracle recomputes the expected channel means analytically from the
+    // same pixel formula, so a value match proves the codec round-trip
+    "mm_image_decode" -> { (s, d) =>
+      import s.implicits._
+      val ids = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      val imgs = ids.mapPartitions(_.map(id =>
+        Multimodal.ImageRow(id, Multimodal.syntheticPng(id))))
+      Multimodal.decodeImages(imgs).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
         .orderBy(col("doc_id")).limit(200)
     }
   )
@@ -188,6 +221,15 @@ object Pipeline {
     "mm_binary_features" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         | lower(hex(substring(text, 1, 4))) AS header_hex
-        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "mm_image_decode" ->
+      """SELECT d.doc_id,
+        | CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        | round(avg(CAST((d.doc_id*7 + x.x*3 + y.y*5) % 256 AS DOUBLE)), 4) AS mean_r,
+        | round(avg(CAST((d.doc_id*11 + x.x) % 256 AS DOUBLE)), 4) AS mean_g,
+        | round(avg(CAST((d.doc_id*13 + y.y) % 256 AS DOUBLE)), 4) AS mean_b
+        |FROM documents d, generate_series(0, 15) x(x), generate_series(0, 15) y(y)
+        |GROUP BY d.doc_id ORDER BY d.doc_id LIMIT 200""".stripMargin
   )
 }

@@ -81,6 +81,33 @@ object Sources {
           min(col("value")).as("lo"), max(col("value")).as("hi"))
     },
 
+    // read_text + glob paths (reference: src/function/table/read_file.cpp,
+    // glob.cpp): line-oriented whole-file ingestion. Writes the documents
+    // corpus as text files, reads back through a glob over the part files,
+    // and aggregates — the oracle aggregates the original table, so a
+    // match proves the text write+glob-read path is lossless.
+    "src_read_text" -> { (s, d) =>
+      val dir = roundtripDir("text")
+      Tables(s, d, "documents").select(col("text"))
+        .write.mode("overwrite").text(dir)
+      s.read.option("pathGlobFilter", "part-*.txt").text(dir) // glob over the parts
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("n_chars"),
+          round(avg(length(col("value"))), 6).as("avg_len"))
+    },
+
+    // read_blob ≙ binaryFile source (whole files as binary + metadata);
+    // pathGlobFilter exercises the source-level glob option. Total bytes
+    // = sum(octet_length(text) + newline) proves content-length fidelity.
+    "src_read_blob" -> { (s, d) =>
+      val dir = roundtripDir("blob")
+      Tables(s, d, "documents").select(col("text"))
+        .write.mode("overwrite").text(dir)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(dir)
+        .agg(sum(col("length")).as("total_bytes"),
+          sum(length(col("content"))).as("content_bytes"))
+    },
+
     // prepared-statement surface (reference §3.2) — named parameter
     // binding via spark.sql(text, args)
     "sql_parameterized" -> { (s, d) =>
@@ -128,6 +155,16 @@ object Sources {
         | min(v) AS lo, max(v) AS hi
         |FROM generate_series(1, 100000) t(v)
         |WHERE v >= 500 AND v <= 99500""".stripMargin,
+
+    "src_read_text" ->
+      """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        | round(avg(length(text)), 6) AS avg_len
+        |FROM documents""".stripMargin,
+
+    "src_read_blob" ->
+      """SELECT CAST(sum(length(text) + 1) AS BIGINT) AS total_bytes,
+        | CAST(sum(length(text) + 1) AS BIGINT) AS content_bytes
+        |FROM documents""".stripMargin,
 
     "sql_parameterized" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total

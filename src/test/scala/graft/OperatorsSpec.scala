@@ -11,6 +11,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class OperatorsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("approx MAD tracks exact MAD within sketch error") {
+    import graft.operators.StatsOps
+    import spark.implicits._
+    val df = (1 to 2000).map(i => ("g" + (i % 2), (i % 97).toDouble)).toDF("k", "v")
+    val exact = StatsOps.mad(df, Seq("k"), Seq("v" -> "m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = StatsOps.madApprox(df, Seq("k"), Seq("v" -> "m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, m) =>
+      assert(math.abs(approx(k) - m) <= math.max(1.0, m * 0.05),
+        s"$k: approx=${approx(k)} exact=$m")
+    }
+  }
+
   test("asof backward join matches nearest-predecessor semantics") {
     import spark.implicits._
     // prices: key, t, price — trades: key, t

@@ -86,6 +86,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("IVF ANN recall >= 0.9 vs brute force on clustered vectors") {
+    import graft.operators.IvfAnn
+    import graft.functions.VectorFunctions
+    import spark.implicits._
+    // 4 well-separated clusters in 8-d; probe sits in cluster 0
+    val rnd = new scala.util.Random(11)
+    def pt(c: Int): Seq[Float] =
+      Seq.tabulate(8)(j => (if (j % 4 == c) 10f else 0f) + rnd.nextGaussian().toFloat * 0.3f)
+    val vecs = (0 until 200).map(i => (i.toLong, pt(i % 4))).toDF("vec_id", "embedding")
+    val probe = pt(0)
+    import org.apache.spark.sql.functions.{col, typedlit}
+    val brute = vecs
+      .select(col("vec_id"),
+        VectorFunctions.cosine_similarity(col("embedding"), typedlit(probe)).as("s"))
+      .orderBy(col("s").desc).limit(10).collect().map(_.getLong(0)).toSet
+    val idx = IvfAnn.build(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    val got = IvfAnn.search(idx, probe, topK = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(got).size / 10.0
+    assert(recall >= 0.9, s"recall $recall, brute=$brute got=$got")
+  }
+
+  test("PNG decode recovers the synthetic test-card means exactly") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val imgs = Seq(3L, 7L).toDF("id").as[Long]
+      .map(id => Multimodal.ImageRow(id, Multimodal.syntheticPng(id)))
+    val got = Multimodal.decodeImages(imgs).collect().sortBy(_.doc_id)
+    got.foreach { f =>
+      assert(f.width == 16 && f.height == 16)
+      val expR = (for (x <- 0 until 16; y <- 0 until 16)
+        yield ((f.doc_id * 7 + x * 3 + y * 5) % 256).toDouble).sum / 256
+      assert(math.abs(f.mean_r - expR) < 1e-9, s"doc ${f.doc_id}: ${f.mean_r} vs $expR")
+    }
+  }
+
   test("multimodal stub features are deterministic and shaped") {
     val ds = Multimodal.fromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(ds).collect()
