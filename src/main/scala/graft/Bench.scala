@@ -24,15 +24,17 @@ object Bench {
     "q5_local_supplier" -> Headline.queries("q5_local_supplier"),
     "distinct_exact_vs_approx" -> { (s, d) =>
       // mixing DISTINCT and plain aggregates makes Catalyst plan an
-      // Expand (doubles the scanned rows); two single-purpose aggregates
-      // cross-joined compute the same result with ~3× less task time.
-      // The exact side coalesces the post-shuffle distinct to one
-      // partition so final-distinct + count fuse into a single stage.
-      val exact = Tables(s, d, "lineitem").select(col("l_partkey")).distinct()
-        .coalesce(1).agg(count(lit(1)).as("n_parts"))
-      val approx = Tables(s, d, "lineitem")
-        .agg(approx_count_distinct(col("l_suppkey")).as("approx_supps"))
-      exact.crossJoin(approx)
+      // Expand (doubles the scanned rows). Instead: ONE pipeline — group
+      // by the exact-distinct key carrying a mergeable DataSketches HLL
+      // of the approx key per group, then count groups + union sketches
+      // globally. Exact count + approx estimate from a single scan and a
+      // single job; sketches merge, so both aggregation levels stay
+      // two-phase and the shape scales.
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(hll_sketch_agg(col("l_suppkey")).as("sk"))
+        .agg(count(lit(1)).as("n_parts"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_supps"))
     },
     "window_rank_running" -> Headline.queries("window_rank_running"),
     "topk_lineitem" -> Headline.queries("topk_lineitem"),
@@ -73,6 +75,11 @@ object Bench {
     // warm-engine mode (in-memory columnar tables ≙ DuckDB warm buffer
     // pool); SPARK_GRAFT_CACHE=0 reverts to cold parquet scans per run
     Tables.cacheMode = sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") == "1"
+
+    // suite-level warm pass: materializes every table cache and heats the
+    // shared codegen/agg/join paths before any query is timed (the first
+    // queries in the list otherwise pay the whole JIT ramp)
+    (1 to 2).foreach(_ => headline.foreach { case (_, fn) => fn(spark, sfDir).collect() })
 
     val results = headline.map { case (name, fn) =>
       (1 to 4).foreach(_ => fn(spark, sfDir).collect()) // warmup (JIT C2)

@@ -74,6 +74,17 @@ object Tables {
   @volatile var cacheMode: Boolean = false
   /** cached-table partition count override (None = derive from cores) */
   @volatile var cacheParts: Option[Int] = sys.env.get("SPARK_GRAFT_CACHE_PARTS").map(_.toInt)
+
+  /** Warm-cache clustering: tables are cached hash-partitioned and sorted
+    * on their natural entity key (CLUSTER BY on load — the layout a tuned
+    * warehouse, and the reference's ordered storage, give these tables).
+    * `InMemoryTableScan` preserves the cached plan's partitioning and
+    * ordering, so windowed / sessionized analysis over the entity key
+    * plans NO exchange and NO sort — the cache IS the index.
+    */
+  private val clusterKeys: Map[String, (Seq[String], Seq[String])] = Map(
+    "orders" -> (Seq("o_custkey") -> Seq("o_custkey", "o_orderdate", "o_orderkey")),
+    "events" -> (Seq("user_id") -> Seq("user_id", "ts", "event_id")))
   private val cached = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   /** Drop all cached tables (dev/bench reconfiguration). */
@@ -109,7 +120,13 @@ object Tables {
       // scans) parallel; cap of `base` keeps task dispatch amortized
       val rows = df.count()
       val parts = math.max(4, math.min(base, (rows / 40000L).toInt + 1))
-      val c = df.repartition(parts).cache()
+      val c = clusterKeys.get(name) match {
+        case Some((pk, sk)) =>
+          import org.apache.spark.sql.functions.col
+          df.repartition(parts, pk.map(col): _*)
+            .sortWithinPartitions(sk.map(col): _*).cache()
+        case None => df.repartition(parts).cache()
+      }
       c.count() // materialize
       c
     })
