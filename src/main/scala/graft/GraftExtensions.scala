@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("hamming", a => HammingDistance(a(0), a(1)))
     inject("jaro_winkler", a => JaroWinklerSimilarity(a(0), a(1)))
     inject("damerau_levenshtein", a => DamerauLevenshtein(a(0), a(1)))
+    inject("grapheme_length", a => GraphemeLength(a.head))
     inject("even", a => EvenCeil(a.head))
     inject("gcd", a => Gcd(a(0), a(1)))
     inject("lcm", a => Lcm(a(0), a(1)))

@@ -64,6 +64,30 @@ object StatsOps {
       .agg((log2(sum(col("_c"))) - sum(col("_c") * log2(col("_c"))) / sum(col("_c"))).as(out))
   }
 
+  /** Equi-width binned histogram (reference: equi-width bin variants of
+    * histogram, extension/core_functions/aggregate/nested/histogram.cpp):
+    * `[lo, hi)` split into `nbins` equal bins, out-of-range values clamp
+    * into the edge bins; output is a deterministic "binIndex:count,..."
+    * string per group. Pure two-phase hash aggregation — O(groups×bins)
+    * state, no per-group value buffering.
+    */
+  def histogramEquiWidth(df: DataFrame, keys: Seq[String], valueCol: String,
+                         lo: Double, hi: Double, nbins: Int, out: String): DataFrame = {
+    require(nbins > 0 && hi > lo)
+    val width = (hi - lo) / nbins
+    val bin = least(lit(nbins - 1),
+      greatest(lit(0), floor((col(valueCol) - lit(lo)) / lit(width)))).cast("int")
+    df.withColumn("_bin", bin)
+      .groupBy((keys.map(col) :+ col("_bin")): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(keys.map(col): _*)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_bin").as("k"), col("_c").as("c")))),
+          s => concat(s.getField("k").cast("string"), lit(":"), s.getField("c").cast("string"))),
+        ",").as(out))
+  }
+
   /** histogram(x) per group, encoded as a deterministic "k:c,..." string
     * sorted by key (map columns don't compare stably across engines).
     */

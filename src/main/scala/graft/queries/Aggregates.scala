@@ -81,6 +81,22 @@ object Aggregates {
   )
 
   val queries: Map[String, Q.Fn] = shared.map { case (k, v) => k -> v._1 } ++ Map[String, Q.Fn](
+    // arg_min/arg_max top-N variants (reference: arg_min(x, y, n) returns
+    // the x values of the n smallest y): sorted-struct slice — exact and
+    // deterministic with the (y, x, z) tie-break; arg_max negates the
+    // sort key so ties still break ascending like the oracle's ORDER BY
+    "agg_arg_minmax_topn" -> { (s, d) =>
+      val byMin = array_sort(collect_list(struct(
+        col("l_extendedprice").as("y"), col("l_orderkey").as("x"), col("l_linenumber").as("z"))))
+      val byMax = array_sort(collect_list(struct(
+        (-col("l_extendedprice")).as("y"), col("l_orderkey").as("x"), col("l_linenumber").as("z"))))
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          array_join(transform(slice(byMin, 1, 3), e => e.getField("x").cast("string")), ",").as("min3"),
+          array_join(transform(slice(byMax, 1, 3), e => e.getField("x").cast("string")), ",").as("max3"))
+        .orderBy(col("l_returnflag"))
+    },
     // DuckDB string_agg(x, sep ORDER BY y) ≙ sorted collect_list + join
     // (reference: src/function/aggregate/sorted_aggregate_function.cpp)
     "agg_string_agg" -> { (s, d) =>
@@ -115,6 +131,13 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = shared.map { case (k, v) => k -> v._2 } ++ Map(
+    "agg_arg_minmax_topn" ->
+      """SELECT l_returnflag,
+        | array_to_string(list(l_orderkey
+        |   ORDER BY l_extendedprice, l_orderkey, l_linenumber)[1:3], ',') AS min3,
+        | array_to_string(list(l_orderkey
+        |   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)[1:3], ',') AS max3
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_string_agg" ->
       """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names, count(*) AS n
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,

@@ -90,6 +90,14 @@ object Extensions {
         .orderBy(col("l_returnflag"))
     },
 
+    // equi-width binned histogram (reference's explicit-bin histogram):
+    // fixed [0, 120000) in 8 bins over l_extendedprice
+    "agg_histogram_binned" -> { (s, d) =>
+      StatsOps.histogramEquiWidth(Tables(s, d, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice", lo = 0.0, hi = 120000.0, nbins = 8, out = "hist")
+        .orderBy(col("l_returnflag"))
+    },
+
     // top-k most frequent values per group (reference: approx_top_k,
     // holistic/approx_top_k.cpp) — exact count+window rewrite, so the
     // oracle can verify it exactly
@@ -140,6 +148,16 @@ object Extensions {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram_binned" ->
+      """SELECT l_returnflag,
+        | string_agg(b || ':' || c, ',' ORDER BY b) AS hist
+        |FROM (
+        |  SELECT l_returnflag,
+        |   CAST(least(7, greatest(0, floor(l_extendedprice / 15000))) AS INT) AS b,
+        |   count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2) t
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "vec_cosine_topk" ->
       """SELECT e.vec_id,
         | round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS cos_sim

@@ -208,6 +208,21 @@ object Functions {
         .orderBy(col("o_orderkey")).limit(200)
     },
 
+    // grapheme-aware string length (reference length() counts grapheme
+    // clusters; Spark's counts code points — documented divergence, with
+    // grapheme_length as the explicit parity function). The accent
+    // column appends COMBINING ACUTE: 1 grapheme, 2 code points.
+    "fn_grapheme" -> { (s, d) =>
+      import graft.functions.GraphemeLength.grapheme_length
+      Tables(s, d, "part").select(
+          col("p_partkey"),
+          grapheme_length(col("p_name")).cast("long").as("g_plain"),
+          length(col("p_name")).cast("long").as("cp_plain"),
+          grapheme_length(concat(col("p_brand"), lit("e\u0301"))).cast("long").as("g_accent"),
+          length(concat(col("p_brand"), lit("e\u0301"))).cast("long").as("cp_accent"))
+        .orderBy(col("p_partkey")).limit(100)
+    },
+
     // bit functions (reference extension/core_functions/scalar/bit/):
     // get_bit/set_bit/bit_position over the engine's '0'/'1' bitstring
     // encoding (see functions.BitFunctions), plus bit_count
@@ -415,6 +430,14 @@ object Functions {
         | CAST(date_part('month', age(o_orderdate, TIMESTAMP '1995-01-01')) AS BIGINT) AS age_m,
         | CAST(date_part('day', age(o_orderdate, TIMESTAMP '1995-01-01')) AS BIGINT) AS age_d
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "fn_grapheme" ->
+      """SELECT p_partkey,
+        | CAST(length_grapheme(p_name) AS BIGINT) AS g_plain,
+        | CAST(length(p_name) AS BIGINT) AS cp_plain,
+        | CAST(length_grapheme(p_brand || 'e' || chr(769)) AS BIGINT) AS g_accent,
+        | CAST(length(p_brand || 'e' || chr(769)) AS BIGINT) AS cp_accent
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
 
     "fn_bit" ->
       """SELECT o_orderkey,

@@ -18,6 +18,32 @@ object Shaping {
   )
 
   val queries: Map[String, Q.Fn] = shared.map { case (k, v) => k -> v._1 } ++ Map[String, Q.Fn](
+    // LIMIT n PERCENT (reference: physical_limit_percent.cpp) — Spark has
+    // no percent limit; the mapping is an exact count then limit. The
+    // count is a metadata-cheap job; the limit itself stays distributed.
+    "limit_percent" -> { (s, d) =>
+      val ord = Tables(s, d, "orders")
+      val n = math.ceil(ord.count() * 0.01).toInt
+      ord.select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(n)
+    },
+
+    // repeat table function (reference: src/function/table/repeat.cpp):
+    // n copies of a constant row ≙ range + literal projection
+    "util_repeat" -> { (s, d) =>
+      s.range(500).select(lit("ab").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+    },
+
+    // catalog introspection (reference: duckdb_tables() system table) ≙
+    // spark.catalog / SHOW TABLES — engine-specific output → rows-only
+    "util_catalog" -> { (s, d) =>
+      Tables.relational.foreach(t => Tables(s, d, t).createOrReplaceTempView(s"cat_$t"))
+      s.sql("SHOW TABLES").filter(col("tableName").startsWith("cat_"))
+        .select(col("tableName"), col("isTemporary"))
+        .orderBy(col("tableName"))
+    },
+
     // UNNEST with ordinality (reference: physical_unnest.cpp)
     "unnest_words" -> { (s, d) =>
       Tables(s, d, "part")
@@ -91,6 +117,13 @@ object Shaping {
   )
 
   val oracle: Map[String, String] = shared.map { case (k, v) => k -> v._2 } ++ Map(
+    "limit_percent" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 1%""".stripMargin,
+
+    "util_repeat" ->
+      """SELECT v, count(*) AS n FROM repeat('ab', 500) t(v) GROUP BY v""".stripMargin,
+
     "unnest_words" ->
       """SELECT p_partkey, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos, unnest(w) AS word
         |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part) t

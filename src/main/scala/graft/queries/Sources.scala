@@ -119,6 +119,26 @@ object Sources {
         Map("threshold" -> 300000))
     },
 
+    // CTAS (reference: CREATE TABLE AS, physical_create_table_as) — a
+    // managed parquet table in the session warehouse, then queried back
+    "sql_ctas" -> { (s, d) =>
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS graft_ctas")
+      s.sql("CREATE TABLE graft_ctas USING PARQUET AS " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_src")
+      s.sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+              |FROM graft_ctas GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // registered scalar UDF surface (SURVEY §2.9) — the engine prefers
+    // native expressions everywhere; this exercises the registration API
+    "fn_udf" -> { (s, d) =>
+      s.udf.register("graft_taxed", (p: Double, t: Double) => p * (1.0 + t))
+      Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, round(sum(graft_taxed(l_extendedprice, l_tax)), 2) AS taxed
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // SQL macro (reference: CREATE MACRO, macro_function.cpp) ≙ SQL UDF
     "sql_macro_udf" -> { (s, d) =>
       Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
@@ -165,6 +185,14 @@ object Sources {
       """SELECT CAST(sum(length(text) + 1) AS BIGINT) AS total_bytes,
         | CAST(sum(length(text) + 1) AS BIGINT) AS content_bytes
         |FROM documents""".stripMargin,
+
+    "sql_ctas" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "fn_udf" ->
+      """SELECT l_returnflag, round(sum(l_extendedprice * (1 + l_tax)), 2) AS taxed
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "sql_parameterized" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
