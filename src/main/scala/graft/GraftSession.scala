@@ -83,6 +83,7 @@ object Tables {
     * plans NO exchange and NO sort — the cache IS the index.
     */
   private val clusterKeys: Map[String, (Seq[String], Seq[String])] = Map(
+    "lineitem" -> (Seq("l_orderkey") -> Seq("l_orderkey", "l_linenumber")),
     "orders" -> (Seq("o_custkey") -> Seq("o_custkey", "o_orderdate", "o_orderkey")),
     "events" -> (Seq("user_id") -> Seq("user_id", "ts", "event_id")))
   private val cached = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]

@@ -1,26 +1,40 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Positional join — align two DataFrames row-by-row, padding the shorter
   * side with NULLs (reference:
   * /root/reference/src/execution/operator/join/physical_positional_join.cpp).
   *
   * Spark has no row-identity across a shuffle, so position must be made
-  * explicit. `zipWithIndex` computes per-partition offsets with one tiny
-  * job (a count per partition — no global sort, no single-partition
-  * collapse), then the two sides equi-join on the index. Callers that
-  * need a *semantic* order (not file order) must sort first.
+  * explicit. `monotonically_increasing_id` encodes (partition id << 33 |
+  * offset-in-partition); one tiny aggregation job collects per-partition
+  * counts, and contiguous global positions are then pure column
+  * arithmetic — the data path stays inside Tungsten/whole-stage codegen
+  * (the previous `rdd.zipWithIndex` dropped every row through an
+  * InternalRow→Row→InternalRow round-trip). Callers that need a
+  * *semantic* order (not file order) must sort first.
   */
 object PositionalJoin {
 
+  private val LocalMask = (1L << 33) - 1
+
   private def indexed(df: DataFrame, idx: String): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema.add(idx, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
+    val withMid = df.withColumn("_mid", monotonically_increasing_id())
+    // per-partition row counts -> cumulative start offsets (k = #partitions
+    // values; the collect is the same metadata-sized job zipWithIndex runs)
+    val counts = withMid
+      .groupBy(shiftright(col("_mid"), 33).as("_pid"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val offsetExpr = typedlit(offsets)
+    withMid
+      .withColumn(idx,
+        element_at(offsetExpr, shiftright(col("_mid"), 33)) +
+          col("_mid").bitwiseAND(lit(LocalMask)))
+      .drop("_mid")
   }
 
   def apply(left: DataFrame, right: DataFrame): DataFrame = {

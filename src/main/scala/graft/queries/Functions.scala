@@ -142,7 +142,9 @@ object Functions {
         .select(col("p_partkey"), col("p_size"), sequence(lit(1), col("p_size")).as("seq"))
         .select(
           col("p_partkey"),
-          aggregate(zip_with(col("seq"), col("seq"), (x, y) => x + y),
+          // two DISTINCT inputs (seq and its reverse): a broken zip_with
+          // cannot masquerade as a working one on identical arrays
+          aggregate(zip_with(col("seq"), reverse(col("seq")), (x, y) => x * y),
             lit(0L), (acc, x) => acc + x).as("zw_sum"),
           exists(col("seq"), x => x > 40).as("has_big"),
           forall(col("seq"), x => x > 0).as("all_pos"),
@@ -364,7 +366,8 @@ object Functions {
 
     "fn_lambda" ->
       """SELECT p_partkey,
-        | CAST(2 * list_sum(seq) AS BIGINT) AS zw_sum,
+        | CAST(list_sum(list_transform(list_zip(seq, list_reverse(seq)),
+        |    s -> s[1] * s[2])) AS BIGINT) AS zw_sum,
         | len(list_filter(seq, x -> x > 40)) > 0 AS has_big,
         | len(list_filter(seq, x -> NOT (x > 0))) = 0 AS all_pos,
         | CAST(CASE WHEN p_size < 0 THEN 0 WHEN p_size >= 50 THEN 6

@@ -23,6 +23,11 @@ object Sources {
 
   private def roundtripDir(name: String): String = s"$tmpRoot/$name"
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
   val queries: Map[String, Q.Fn] = Map[String, Q.Fn](
     // CSV write → auto-sniffed read (dialect/header/type inference ≙
     // reference csv_scanner sniffer) → aggregate
@@ -119,12 +124,16 @@ object Sources {
         Map("threshold" -> 300000))
     },
 
-    // CTAS (reference: CREATE TABLE AS, physical_create_table_as) — a
-    // managed parquet table in the session warehouse, then queried back
+    // CTAS (reference: CREATE TABLE AS, physical_create_table_as) — an
+    // external parquet table at a session-scoped location, then queried
+    // back. Location is cleared first: a dropped table's files otherwise
+    // survive the catalog entry across JVMs and block re-creation.
     "sql_ctas" -> { (s, d) =>
       Tables(s, d, "nation").createOrReplaceTempView("nation_src")
       s.sql("DROP TABLE IF EXISTS graft_ctas")
-      s.sql("CREATE TABLE graft_ctas USING PARQUET AS " +
+      val loc = roundtripDir("ctas")
+      deleteRecursively(new java.io.File(loc))
+      s.sql(s"CREATE TABLE graft_ctas USING PARQUET LOCATION '$loc' AS " +
         "SELECT n_nationkey, n_name, n_regionkey FROM nation_src")
       s.sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
               |FROM graft_ctas GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
