@@ -124,6 +124,35 @@ object Sources {
         Map("threshold" -> 300000))
     },
 
+    // MERGE semantics (reference: INSERT ... ON CONFLICT,
+    // physical_insert.cpp) via the format-agnostic snapshot operator:
+    // WHEN MATCHED THEN UPDATE SET * (update wins, incl. NULLs) / WHEN
+    // NOT MATCHED THEN INSERT *. Oracle reconstructs the same semantics
+    // with a FULL OUTER JOIN.
+    "merge_upsert" -> { (s, d) =>
+      import graft.operators.MergeInto
+      val base = Tables(s, d, "orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val updates = Tables(s, d, "orders")
+        .filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2.0).as("o_totalprice"))  // *2: exact in binary, no half-ulp rounding skew
+      MergeInto.upsert(base, updates, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // WHEN MATCHED THEN DELETE ≙ left-anti join on the delete-set keys
+    "merge_delete" -> { (s, d) =>
+      import graft.operators.MergeInto
+      val base = Tables(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val deletes = base.filter(col("o_custkey") % 7 === 0)
+      MergeInto.delete(base, deletes, Seq("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+    },
+
     // CTAS (reference: CREATE TABLE AS, physical_create_table_as) — an
     // external parquet table at a session-scoped location, then queried
     // back. Location is cleared first: a dropped table's files otherwise
@@ -194,6 +223,22 @@ object Sources {
       """SELECT CAST(sum(length(text) + 1) AS BIGINT) AS total_bytes,
         | CAST(sum(length(text) + 1) AS BIGINT) AS content_bytes
         |FROM documents""".stripMargin,
+
+    "merge_upsert" ->
+      """SELECT o_orderkey,
+        | CASE WHEN u.uk IS NOT NULL THEN u.o_custkey ELSE b.o_custkey END AS o_custkey,
+        | round(CASE WHEN u.uk IS NOT NULL THEN u.o_totalprice ELSE b.o_totalprice END, 2)
+        |   AS o_totalprice
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey < 1000) b
+        |FULL OUTER JOIN (
+        |  SELECT o_orderkey, o_orderkey AS uk, o_custkey, o_totalprice * 2.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500) u
+        |USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "merge_delete" ->
+      """SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders WHERE o_orderkey < 2000 AND o_custkey % 7 <> 0""".stripMargin,
 
     "sql_ctas" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
