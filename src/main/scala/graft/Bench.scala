@@ -24,19 +24,16 @@ object Bench {
     "q5_local_supplier" -> Headline.queries("q5_local_supplier"),
     "distinct_exact_vs_approx" -> { (s, d) =>
       // mixing DISTINCT and plain aggregates makes Catalyst plan an
-      // Expand (doubles the scanned rows). Instead: ONE pipeline — group
-      // by the exact-distinct key carrying a mergeable DataSketches HLL
-      // of the approx key per group, then count groups + union sketches
-      // globally. Exact count + approx estimate from a single scan and a
-      // single job; sketches merge, so both aggregation levels stay
-      // two-phase and the shape scales.
-      // lgConfigK=8 (256 buckets, ~±6% rsd — comparable to the HLL++
-      // default): per-group sketches stay in sparse mode and tiny
+      // Expand (doubles the scanned rows), and two separate aggregates
+      // scan twice. The fused multi-sketch aggregate
+      // (functions/MultiDistinct.scala) computes the exact distinct set
+      // and the HLL in ONE buffer over ONE scan — the single-pass shape
+      // a native engine gives this query — so the whole metric is a
+      // single two-phase aggregation.
       Tables(s, d, "lineitem")
-        .groupBy(col("l_partkey"))
-        .agg(hll_sketch_agg(col("l_suppkey"), lit(8)).as("sk"))
-        .agg(count(lit(1)).as("n_parts"),
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_supps"))
+        .agg(graft.functions.DistinctWithHll
+          .distinct_with_hll(col("l_partkey"), col("l_suppkey")).as("d"))
+        .select(col("d.n_exact").as("n_parts"), col("d.approx").as("approx_supps"))
     },
     "window_rank_running" -> Headline.queries("window_rank_running"),
     "topk_lineitem" -> Headline.queries("topk_lineitem"),

@@ -1,0 +1,184 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Fused exact-distinct + HLL aggregate over two long columns — the
+  * single-pass shape a native engine gives `count(DISTINCT a),
+  * approx_count_distinct(b)` (the reference evaluates both aggregates
+  * against one scan; Spark instead plans an Expand that doubles the
+  * input, or two separate scans). One buffer holds an open-addressing
+  * long set (exact side) and a 256-register HLL (approx side); partials
+  * merge, so the aggregation is two-phase and shuffle-light: the state
+  * crossing the exchange is the distinct set + registers, never rows.
+  *
+  * Exact-side memory is O(distinct(a)) per task — same bound as any
+  * exact distinct — so this is for keys whose cardinality fits an
+  * executor (the usual count(DISTINCT key) contract).
+  */
+case class DistinctWithHll(
+    exactChild: Expression,
+    approxChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DistinctWithHll.Buffer] {
+
+  import DistinctWithHll._
+
+  override def children: Seq[Expression] = Seq(exactChild, approxChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_exact", LongType, nullable = false),
+    StructField("approx", LongType, nullable = false)))
+  override def prettyName: String = "distinct_with_hll"
+
+  override def createAggregationBuffer(): Buffer = new Buffer()
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val e = exactChild.eval(input)
+    if (e != null) buf.set.add(e.asInstanceOf[Long])
+    val a = approxChild.eval(input)
+    if (a != null) buf.hllAdd(a.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    other.set.foreach(buf.set.add)
+    var i = 0
+    while (i < Registers) {
+      if (other.hll(i) > buf.hll(i)) buf.hll(i) = other.hll(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Buffer): Any =
+    new GenericInternalRow(Array[Any](buf.set.size.toLong, buf.hllEstimate))
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.set.size)
+    buf.set.foreach(out.writeLong)
+    out.write(buf.hll)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Buffer()
+    val n = in.readInt()
+    (0 until n).foreach(_ => buf.set.add(in.readLong()))
+    in.readFully(buf.hll)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DistinctWithHll =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DistinctWithHll =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(exactChild = c(0), approxChild = c(1))
+}
+
+object DistinctWithHll {
+
+  private val Registers = 256 // 2^8 registers → ~6.5% rsd
+  private val RegisterBits = 8
+
+  /** Open-addressing long set (no boxing; load factor 1/2). 0 is stored
+    * via a sentinel flag since empty slots are 0.
+    */
+  final class LongSet(initialCapacity: Int = 1 << 10) {
+    private var mask = initialCapacity - 1
+    private var slots = new Array[Long](initialCapacity)
+    private var used = new Array[Boolean](initialCapacity)
+    private var n = 0
+    private var hasZero = false
+
+    def size: Int = n + (if (hasZero) 1 else 0)
+
+    def add(v: Long): Unit = {
+      if (v == 0L) { hasZero = true; return }
+      var i = (scramble(v) & mask).toInt
+      while (used(i)) {
+        if (slots(i) == v) return
+        i = (i + 1) & mask
+      }
+      slots(i) = v; used(i) = true; n += 1
+      if (n * 2 > mask) grow()
+    }
+
+    def foreach(f: Long => Unit): Unit = {
+      if (hasZero) f(0L)
+      var i = 0
+      while (i < slots.length) { if (used(i)) f(slots(i)); i += 1 }
+    }
+
+    private def grow(): Unit = {
+      val oldSlots = slots; val oldUsed = used
+      mask = mask * 2 + 1
+      slots = new Array[Long](mask + 1)
+      used = new Array[Boolean](mask + 1)
+      n = 0
+      var i = 0
+      while (i < oldSlots.length) {
+        if (oldUsed(i)) {
+          var j = (scramble(oldSlots(i)) & mask).toInt
+          while (used(j)) j = (j + 1) & mask
+          slots(j) = oldSlots(i); used(j) = true; n += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** 64-bit finalizer (Murmur3 fmix64) — spreads sequential keys. */
+  private def scramble(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  final class Buffer {
+    val set = new LongSet()
+    val hll = new Array[Byte](Registers)
+
+    def hllAdd(v: Long): Unit = {
+      val h = scramble(v)
+      val reg = (h >>> (64 - RegisterBits)).toInt
+      val rank = (java.lang.Long.numberOfLeadingZeros((h << RegisterBits) | (1L << (RegisterBits - 1))) + 1)
+        .toByte
+      if (rank > hll(reg)) hll(reg) = rank
+    }
+
+    def hllEstimate: Long = {
+      val m = Registers.toDouble
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < Registers) {
+        sum += math.pow(2.0, -hll(i).toDouble)
+        if (hll(i) == 0) zeros += 1
+        i += 1
+      }
+      val alpha = 0.7213 / (1 + 1.079 / m)
+      var e = alpha * m * m / sum
+      if (e <= 2.5 * m && zeros > 0) e = m * math.log(m / zeros) // small-range correction
+      math.round(e)
+    }
+  }
+
+  def distinct_with_hll(exact: Column, approx: Column): Column =
+    bridge.column(DistinctWithHll(bridge.expression(exact), bridge.expression(approx))
+      .toAggregateExpression(isDistinct = false))
+}
