@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("jaro_winkler", a => JaroWinklerSimilarity(a(0), a(1)))
     inject("damerau_levenshtein", a => DamerauLevenshtein(a(0), a(1)))
     inject("grapheme_length", a => GraphemeLength(a.head))
+    e.injectFunction((FunctionIdentifier("distinct_with_hll"),
+      info("distinct_with_hll"),
+      (args: Seq[Expression]) =>
+        DistinctWithHll(args(0), args(1)).toAggregateExpression(isDistinct = false)))
     inject("even", a => EvenCeil(a.head))
     inject("gcd", a => Gcd(a(0), a(1)))
     inject("lcm", a => Lcm(a(0), a(1)))

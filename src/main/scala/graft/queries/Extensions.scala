@@ -136,6 +136,19 @@ object Extensions {
         .orderBy(col("l_returnflag"))
     },
 
+    // fused exact-distinct + HLL single-pass aggregate (the multi-sketch
+    // buffer a native engine uses for count(DISTINCT a) + approx(b)) —
+    // the approx member is estimator-specific → rows-only
+    "agg_fused_distinct" -> { (s, d) =>
+      import graft.functions.DistinctWithHll.distinct_with_hll
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(distinct_with_hll(col("l_partkey"), col("l_suppkey")).as("d"))
+        .select(col("l_returnflag"), col("d.n_exact").as("n_parts"),
+          col("d.approx").as("approx_supps"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // sketch-based quantiles — estimators differ across engines → rows-only
     "agg_approx_quantile" -> { (s, d) =>
       Tables(s, d, "lineitem")
