@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("even", a => EvenCeil(a.head))
     inject("gcd", a => Gcd(a(0), a(1)))
     inject("lcm", a => Lcm(a(0), a(1)))
+    inject("gamma", a => Gamma(a.head))
+    inject("lgamma", a => LGamma(a.head))
+    inject("nextafter", a => NextAfter(a(0), a(1)))
+    inject("nfc_normalize", a => NfcNormalize(a.head))
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
     e.injectColumnar(_ => graft.rules.VectorizedCacheRead)
   }

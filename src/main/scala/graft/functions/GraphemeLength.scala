@@ -26,6 +26,30 @@ case class GraphemeLength(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Unicode NFC normalization (reference: utf8proc-backed nfc_normalize,
+  * extension/core_functions/scalar/string/ — both implement the same
+  * Unicode normalization form, so outputs match exactly).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.NfcNormalize.nfc($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object NfcNormalize {
+  /** Invoked from generated code. */
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  def nfc_normalize(c: Column): Column =
+    bridge.column(NfcNormalize(bridge.expression(c)))
+}
+
 object GraphemeLength {
   /** Invoked from generated code. */
   def count(s: UTF8String): Int = {

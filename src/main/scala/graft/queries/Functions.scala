@@ -210,6 +210,22 @@ object Functions {
         .orderBy(col("o_orderkey")).limit(200)
     },
 
+    // gamma/lgamma (Lanczos), IEEE nextafter, and NFC normalization —
+    // the remaining math/string gaps from the reference registry
+    "fn_math3" -> { (s, d) =>
+      import graft.functions.{MathFunctions, NfcNormalize}
+      Tables(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(MathFunctions.gamma(col("l_linenumber") + lit(0.5)), 6).as("gm"),
+          round(MathFunctions.lgamma(col("l_linenumber") * 3 + lit(0.25)), 6).as("lg"),
+          MathFunctions.nextafter(col("l_discount"), lit(1.0)).as("na"),
+          NfcNormalize.nfc_normalize(concat(col("l_returnflag"), lit("e\u0301"))).as("nfc"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures --
+        // break ties on the value columns like fn_math does
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("na"), col("nfc"))
+        .limit(200)
+    },
+
     // grapheme-aware string length (reference length() counts grapheme
     // clusters; Spark's counts code points — documented divergence, with
     // grapheme_length as the explicit parity function). The accent
@@ -433,6 +449,14 @@ object Functions {
         | CAST(date_part('month', age(o_orderdate, TIMESTAMP '1995-01-01')) AS BIGINT) AS age_m,
         | CAST(date_part('day', age(o_orderdate, TIMESTAMP '1995-01-01')) AS BIGINT) AS age_d
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "fn_math3" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(gamma(l_linenumber + 0.5), 6) AS gm,
+        | round(lgamma(l_linenumber * 3 + 0.25), 6) AS lg,
+        | nextafter(l_discount, 1.0) AS na,
+        | nfc_normalize(l_returnflag || 'e' || chr(769)) AS nfc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, na, nfc LIMIT 200""".stripMargin,
 
     "fn_grapheme" ->
       """SELECT p_partkey,
