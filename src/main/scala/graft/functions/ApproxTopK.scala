@@ -36,9 +36,15 @@ case class ApproxTopKSketch(
     * numerically — "10" sorts after "2"), matching the exact
     * count+window rewrite the oracle runs; lexicographic order of the
     * rendered value would diverge for multi-digit numbers.
+    *
+    * Double/Float children can render non-decimal strings ("NaN",
+    * "Infinity") that BigDecimal rejects; those fall back to string order
+    * (before all finite values) so the ordering is total and never throws.
     */
   private lazy val keyOrdering: Ordering[String] = child.dataType match {
-    case _: NumericType => Ordering.by((s: String) => BigDecimal(s))
+    case _: NumericType =>
+      Ordering.by { (s: String) => (scala.util.Try(BigDecimal(s)).toOption, s) }(
+        Ordering.Tuple2(Ordering.Option(Ordering.BigDecimal), Ordering.String))
     case _ => Ordering.String
   }
   private lazy val entryOrdering: Ordering[(String, (Long, Long))] =

@@ -178,13 +178,14 @@ object Dedup {
     *   candidate set quadratic). With a cap, a pair is only missed if
     *   *every* shared token is ubiquitous, which also means its jaccard
     *   is dominated by stop-words — acceptable for near-dup mining at
-    *   100 TB. The valve is ON by default (1000) because the unvalved
-    *   path is the scale-killer posture on a web corpus; pass
-    *   Int.MaxValue explicitly to make the operator exact
-    *   (oracle-verifiable) on bounded inputs.
+    *   100 TB. The parameter has NO default: every call site states its
+    *   posture explicitly — `Int.MaxValue` for the exact
+    *   (oracle-verifiable) pair set on bounded inputs, a finite cap
+    *   (1000 is a good web-corpus value) for the scale-safe valve — so
+    *   an approximate candidate set can never be selected silently.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        maxDocFrequency: Int = 1000): DataFrame = {
+                        maxDocFrequency: Int): DataFrame = {
     val ws = df.select(col(idCol), array_distinct(split(col(textCol), "\\s+")).as("ws"))
     val allTokens = ws.select(col(idCol), explode(col("ws")).as("w"))
     val tokens =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, ProjectExec, SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, LeafExecNode, ProjectExec, SparkPlan}
 
 /** Cross-execution broadcast relation cache for dimension scans.
   *
@@ -31,28 +31,64 @@ import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, ProjectExe
   * Enabled only in warm-engine mode ([[graft.Tables.cacheMode]]) with AQE
   * off — under AQE the exchange must stay a query-stage boundary.
   */
-case class CachedBroadcastExec(inner: BroadcastExchangeExec) extends UnaryExecNode {
-  override def child: SparkPlan = inner
+case class CachedBroadcastExec(inner: BroadcastExchangeExec) extends LeafExecNode {
+  // DELIBERATELY a leaf: `SparkPlan.prepare()` walks `children` and
+  // `BroadcastExchangeExec.doPrepare` eagerly materializes
+  // `relationFuture` — with `inner` as a child, every execution launched
+  // the build job and then discarded its result on a cache hit. Hiding
+  // the exchange from the prepare walk is what makes the hit path
+  // job-free; `innerChildren` keeps it visible in explain output.
   override def output: Seq[Attribute] = inner.output
   override def outputPartitioning: Partitioning = inner.outputPartitioning
+  override def innerChildren: Seq[SparkPlan] = Seq(inner)
 
   override protected def doExecute(): RDD[InternalRow] =
     throw new UnsupportedOperationException("broadcast-only node")
 
   override def doExecuteBroadcast[T](): Broadcast[T] =
-    CachedBroadcastExec.cache.getOrElseUpdate(inner.canonicalized, {
-      inner.executeBroadcast[Any]()
-    }).asInstanceOf[Broadcast[T]]
-
-  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
-    copy(inner = newChild.asInstanceOf[BroadcastExchangeExec])
+    CachedBroadcastExec.lookup(inner).asInstanceOf[Broadcast[T]]
 }
 
 object CachedBroadcastExec {
-  private[graft] val cache =
-    scala.collection.concurrent.TrieMap.empty[SparkPlan, Broadcast[Any]]
+  /** Key = canonicalized exchange plan (the identity `ReuseExchange` uses)
+    * + the identity of every cached-relation builder in the subtree. The
+    * builder identity gives data-version invalidation: re-caching a table
+    * through ANY path (`Tables.clearCache`, `spark.catalog.clearCache()`,
+    * unpersist + re-read) creates a new `CachedRDDBuilder`, so the stale
+    * broadcast can never be served for new data.
+    */
+  private type Key = (SparkPlan, Seq[Int])
 
-  def clear(): Unit = cache.clear()
+  /** Bounded LRU (access-order): entries beyond MaxEntries drop their
+    * Broadcast ref so ContextCleaner can reclaim the blocks — the cache
+    * cannot grow unboundedly across distinct filters.
+    */
+  private val MaxEntries = 64
+  private val cache = new java.util.LinkedHashMap[Key, Broadcast[Any]](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Key, Broadcast[Any]]): Boolean =
+      size() > MaxEntries
+  }
+
+  private def dataIdentity(plan: SparkPlan): Seq[Int] = plan.collect {
+    case s: InMemoryTableScanExec => System.identityHashCode(s.relation.cacheBuilder)
+  }
+
+  private[graft] def lookup(inner: BroadcastExchangeExec): Broadcast[Any] = {
+    val key = (inner.canonicalized, dataIdentity(inner))
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) hit
+    else {
+      // build outside the lock (a build is a Spark job); worst case two
+      // racing executions build the same broadcast once each, last wins
+      val built = inner.executeBroadcast[Any]()
+      cache.synchronized(cache.put(key, built))
+      built
+    }
+  }
+
+  def size: Int = cache.synchronized(cache.size())
+
+  def clear(): Unit = cache.synchronized(cache.clear())
 
   /** Only memoize broadcasts whose build is a pure re-scan: deterministic
     * Project/Filter over an in-memory table scan. Anything else (joins,

@@ -149,6 +149,18 @@ object Extensions {
         .orderBy(col("l_returnflag"))
     },
 
+    // the exact member of the fused aggregate, hard-gated on its own: the
+    // deterministic n_exact side must hash-match count(DISTINCT …) — the
+    // bench's centerpiece aggregate sits behind the oracle, not just a spec
+    "agg_fused_distinct_exact" -> { (s, d) =>
+      import graft.functions.DistinctWithHll.distinct_with_hll
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(distinct_with_hll(col("l_partkey"), col("l_suppkey")).as("d"))
+        .select(col("l_returnflag"), col("d.n_exact").as("n_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // sketch-based quantiles — estimators differ across engines → rows-only
     "agg_approx_quantile" -> { (s, d) =>
       Tables(s, d, "lineitem")
@@ -161,6 +173,10 @@ object Extensions {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_fused_distinct_exact" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "agg_histogram_binned" ->
       """SELECT l_returnflag,
         | string_agg(b || ':' || c, ',' ORDER BY b) AS hist

@@ -26,13 +26,22 @@ object VectorizedCacheRead extends ColumnarRule {
 object InsertCacheColumnarToRow extends Rule[SparkPlan] {
   // dev escape hatch for A/B timing (GRAFT_NO_VECTOR_READ=1 disables)
   @volatile var enabled = !sys.env.get("GRAFT_NO_VECTOR_READ").contains("1")
+  /** Wrap columnar-capable cache scans, skipping scans already under a
+    * ColumnarToRowExec (AQE stage re-preparation or a second application
+    * of this rule would otherwise double-wrap: the outer transition's
+    * child would no longer supportsColumnar and fail at runtime).
+    */
+  private def insertTransitions(p: SparkPlan): SparkPlan = p match {
+    case c @ ColumnarToRowExec(_: InMemoryTableScanExec) => c
+    case scan: InMemoryTableScanExec if scan.supportsColumnar =>
+      ColumnarToRowExec(scan)
+    case other => other.withNewChildren(other.children.map(insertTransitions))
+  }
+
   override def apply(plan: SparkPlan): SparkPlan = {
     val vectorized =
       if (!enabled) plan
-      else plan.transformUp {
-        case scan: InMemoryTableScanExec if scan.supportsColumnar =>
-          ColumnarToRowExec(scan)
-      }
+      else insertTransitions(plan)
     // cross-execution dimension broadcast cache (warm mode, AQE off only —
     // see plans/CachedBroadcast.scala)
     if (!graft.Tables.cacheMode || conf.adaptiveExecutionEnabled) vectorized

@@ -72,7 +72,7 @@ class PlanSpec extends AnyFunSuite {
     for (df <- Seq(
         Dedup.minhashPairs(docs, "doc_id", "text"),
         Dedup.simhashPairs(docs, "doc_id", "text"),
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text"))) {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDocFrequency = 1000))) {
       val e = explain(df)
       assert(!e.contains("CartesianProduct"), e.linesIterator.take(30).mkString("\n"))
       assert(!e.contains("BroadcastNestedLoopJoin"), e.linesIterator.take(30).mkString("\n"))
