@@ -58,7 +58,9 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.ui.enabled", "false"))
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+        // every headline exchange moves partial-agg output (bytes, not
+        // rows): 2 reduce tasks beat 8 idle ones at this scale (BenchGrid)
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "2"))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.locality.wait", "0")

@@ -27,7 +27,7 @@ object BenchGrid {
       df.collect()
       (System.nanoTime() - t0) / 1e6
     }
-    for (parts <- Seq(8, 16, 32); shuffle <- Seq(4, 8, 16)) {
+    for (parts <- Seq(4, 8, 16); shuffle <- Seq(1, 2, 4, 8)) {
       Tables.clearCache()
       Tables.cacheParts = Some(parts)
       spark.conf.set("spark.sql.shuffle.partitions", shuffle.toString)

@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("nextafter", a => NextAfter(a(0), a(1)))
     inject("nfc_normalize", a => NfcNormalize(a.head))
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
+    e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
+    e.injectPlanNormalizationRule(_ => graft.rules.RepairCachedOrdering)
+    e.injectOptimizerRule(_ => graft.rules.RepairCachedOrdering)
     e.injectColumnar(_ => graft.rules.VectorizedCacheRead)
   }
 }

@@ -74,6 +74,11 @@ object Tables {
   @volatile var cacheMode: Boolean = false
   /** cached-table partition count override (None = derive from cores) */
   @volatile var cacheParts: Option[Int] = sys.env.get("SPARK_GRAFT_CACHE_PARTS").map(_.toInt)
+  /** clustered tables at or under this row count cache as ONE sorted
+    * partition (~the rows a 128 MB columnar partition holds at these
+    * widths) — see the single-partition case in [[apply]] */
+  @volatile var singlePartMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_SINGLE_PART_ROWS").map(_.toLong).getOrElse(120000L)
 
   /** Warm-cache clustering: tables are cached hash-partitioned and sorted
     * on their natural entity key (CLUSTER BY on load — the layout a tuned
@@ -86,11 +91,14 @@ object Tables {
     "lineitem" -> (Seq("l_orderkey") -> Seq("l_orderkey", "l_linenumber")),
     "orders" -> (Seq("o_custkey") -> Seq("o_custkey", "o_orderdate", "o_orderkey")),
     "events" -> (Seq("user_id") -> Seq("user_id", "ts", "event_id")))
-  private val cached = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  // memoizes (the persisted DataFrame — the unpersist handle — and the
+  // relation-backed DataFrame handed to queries; see apply())
+  private val cached =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, DataFrame)]
 
   /** Drop all cached tables (dev/bench reconfiguration). */
   def clearCache(): Unit = {
-    cached.values.foreach(_.unpersist(blocking = true))
+    cached.values.foreach(_._1.unpersist(blocking = true))
     cached.clear()
     graft.plans.CachedBroadcastExec.clear()
   }
@@ -121,15 +129,27 @@ object Tables {
       // scans) parallel; cap of `base` keeps task dispatch amortized
       val rows = df.count()
       val parts = math.max(4, math.min(base, (rows / 40000L).toInt + 1))
+      import org.apache.spark.sql.functions.col
       val c = clusterKeys.get(name) match {
+        // a clustered table that fits ONE cache partition (the 128 MB-rule
+        // partition a cluster would give these bytes) stays a single
+        // globally-sorted partition: SinglePartition satisfies every
+        // required distribution, so ALL aggregations and windows over it
+        // plan exchange-free and sort-free — the cache is the index. At
+        // this size the exchange costs more than parallelism buys; past
+        // the threshold the hash-clustered layout below takes over.
+        case Some((_, sk)) if rows <= singlePartMaxRows =>
+          df.coalesce(1).sortWithinPartitions(sk.map(col): _*).cache()
         case Some((pk, sk)) =>
-          import org.apache.spark.sql.functions.col
           df.repartition(parts, pk.map(col): _*)
             .sortWithinPartitions(sk.map(col): _*).cache()
         case None => df.repartition(parts).cache()
       }
       c.count() // materialize
-      c
-    })
+      // serve queries a DataFrame whose plan IS the InMemoryRelation:
+      // analysis-time dedup + the normalization repair rule then handle
+      // multi-use of one cached table (see bridge.cachedRelationDf)
+      (c, org.apache.spark.sql.graft.bridge.cachedRelationDf(c).getOrElse(c))
+    })._2
   }
 }

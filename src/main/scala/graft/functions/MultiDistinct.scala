@@ -40,11 +40,34 @@ case class DistinctWithHll(
 
   override def createAggregationBuffer(): Buffer = new Buffer()
 
+  // once bound, long-typed children are BoundReferences: read the column
+  // with getLong instead of eval() — saves two Long boxings per input row
+  // on the hot update path (the generic eval stays as the fallback for
+  // computed children)
+  @transient private lazy val exactOrd: Int = exactChild match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+      if b.dataType == LongType => b.ordinal
+    case _ => -1
+  }
+  @transient private lazy val approxOrd: Int = approxChild match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+      if b.dataType == LongType => b.ordinal
+    case _ => -1
+  }
+
   override def update(buf: Buffer, input: InternalRow): Buffer = {
-    val e = exactChild.eval(input)
-    if (e != null) buf.set.add(e.asInstanceOf[Long])
-    val a = approxChild.eval(input)
-    if (a != null) buf.hllAdd(a.asInstanceOf[Long])
+    if (exactOrd >= 0) {
+      if (!input.isNullAt(exactOrd)) buf.set.add(input.getLong(exactOrd))
+    } else {
+      val e = exactChild.eval(input)
+      if (e != null) buf.set.add(e.asInstanceOf[Long])
+    }
+    if (approxOrd >= 0) {
+      if (!input.isNullAt(approxOrd)) buf.hllAdd(input.getLong(approxOrd))
+    } else {
+      val a = approxChild.eval(input)
+      if (a != null) buf.hllAdd(a.asInstanceOf[Long])
+    }
     buf
   }
 

@@ -185,10 +185,35 @@ object Sources {
       s.sql(
         """SELECT l_returnflag, round(sum(graft_disc_price(l_extendedprice, l_discount)), 2) AS rev
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // native Delta-log scan (reference: delta_scan.cpp) — a three-version
+    // table built from the sfDir nation (adds + a compacting remove);
+    // latest snapshot must equal the plain nation table per DuckDB
+    "src_delta_scan" -> { (s, d) =>
+      val path = graft.sources.DeltaFixture.nationTable(s, d)
+      graft.sources.DeltaScan.scan(s, path)
+        .orderBy(col("n_nationkey"))
+    },
+
+    // time travel (delta_scan's version pin): v0 holds only the first
+    // commit's rows, so the snapshot is oracle-expressible as a filter
+    "src_delta_time_travel" -> { (s, d) =>
+      val path = graft.sources.DeltaFixture.nationTable(s, d)
+      graft.sources.DeltaScan.scan(s, path, versionAsOf = Some(0L))
+        .orderBy(col("n_nationkey"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "src_delta_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "src_delta_time_travel" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey < 20 ORDER BY n_nationkey""".stripMargin,
+
     "src_csv_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,

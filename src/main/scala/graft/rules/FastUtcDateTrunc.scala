@@ -1,0 +1,47 @@
+package graft.rules
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fold sub-day `date_trunc` in a UTC session into pure micros arithmetic.
+  *
+  * Spark's `TruncTimestamp` goes through `DateTimeUtils.truncTimestamp`,
+  * which localizes every row through the zone rules (java.time lookups);
+  * for the units whose boundaries are zone-offset-independent *in UTC*
+  * (second/minute/hour/day), truncation is just flooring the epoch-micros
+  * to the unit — the arithmetic a native engine compiles this to
+  * (reference: date_trunc kernels in
+  * /root/reference/extension/core_functions/scalar/date/date_trunc.cpp
+  * specialize exactly these units to integer division). Week/month/year
+  * keep the built-in path (calendar-dependent).
+  *
+  * Rewrite: `micros - pmod(micros, unit)` — pmod (not %) so pre-epoch
+  * timestamps floor instead of truncating toward zero, matching
+  * `date_trunc` semantics for negative micros.
+  */
+object FastUtcDateTrunc extends Rule[LogicalPlan] {
+
+  private val unitMicros: Map[String, Long] = Map(
+    "second" -> 1000000L,
+    "minute" -> 60000000L,
+    "hour" -> 3600000000L,
+    "day" -> 86400000000L)
+
+  private val utcNames = Set("UTC", "Etc/UTC", "Z", "GMT", "+00:00")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!utcNames.contains(conf.sessionLocalTimeZone)) plan
+    else plan.transformAllExpressions {
+      case TruncTimestamp(Literal(fmt: UTF8String, StringType), ts, tz)
+          if ts.dataType == TimestampType &&
+            unitMicros.contains(fmt.toString.toLowerCase(java.util.Locale.ROOT)) &&
+            tz.forall(utcNames.contains) =>
+        val u = Literal(unitMicros(fmt.toString.toLowerCase(java.util.Locale.ROOT)))
+        val micros = UnixMicros(ts)
+        MicrosToTimestamp(Subtract(micros, Pmod(micros, u)))
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic Delta-table fixture writer (dev/test only — the engine's
+  * product surface is the READER in [[DeltaScan]]). Emits the public log
+  * format by hand: one parquet data file per commit plus the
+  * `_delta_log/<v>.json` action lines, so the reader is exercised against
+  * a table whose bytes this repo fully controls (no delta-spark needed).
+  */
+object DeltaFixture {
+
+  private def writeOneParquet(df: DataFrame, tableDir: Path, fileName: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_delta_part").resolve("out")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet written under $tmp"))
+    Files.createDirectories(tableDir.resolve(Paths.get(fileName)).getParent match {
+      case null => tableDir
+      case p => p
+    })
+    Files.move(part, tableDir.resolve(fileName))
+  }
+
+  private def commit(tableDir: Path, version: Long, lines: Seq[String]): Unit = {
+    val logDir = tableDir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$version%020d.json"), lines.asJava)
+  }
+
+  private def metaDataLine(df: DataFrame, partitionColumns: Seq[String]): String =
+    JsonMethods.compact(JsonMethods.render(
+      "metaData" -> (
+        ("id" -> "graft-fixture") ~
+        ("format" -> (("provider" -> "parquet") ~ ("options" -> Map.empty[String, String]))) ~
+        ("schemaString" -> df.schema.json) ~
+        ("partitionColumns" -> partitionColumns) ~
+        ("configuration" -> Map.empty[String, String]))))
+
+  private def protocolLine: String =
+    JsonMethods.compact(JsonMethods.render(
+      "protocol" -> (("minReaderVersion" -> 1) ~ ("minWriterVersion" -> 2))))
+
+  private def addLine(file: String, pv: Map[String, String]): String =
+    JsonMethods.compact(JsonMethods.render(
+      "add" -> (("path" -> file) ~ ("partitionValues" -> pv) ~ ("size" -> 1L) ~
+        ("modificationTime" -> 0L) ~ ("dataChange" -> true))))
+
+  private def removeLine(file: String): String =
+    JsonMethods.compact(JsonMethods.render(
+      "remove" -> (("path" -> file) ~ ("deletionTimestamp" -> 0L) ~ ("dataChange" -> true))))
+
+  /** Three-version unpartitioned table built from the sfDir `nation`:
+    * v0 adds nationkeys < 20, v1 adds the rest, v2 compacts (removes both
+    * and re-adds the full table as one file). Latest snapshot == the full
+    * nation table (DuckDB-oracle-checkable); v0/v1 exercise time travel,
+    * v2 exercises remove handling.
+    */
+  def nationTable(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_delta_nation")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val lo = nation.filter(col("n_nationkey") < 20).orderBy(col("n_nationkey"))
+    val hi = nation.filter(col("n_nationkey") >= 20).orderBy(col("n_nationkey"))
+    val full = nation.orderBy(col("n_nationkey"))
+
+    writeOneParquet(lo, dir, "part-v0-lo.parquet")
+    commit(dir, 0L, Seq(protocolLine, metaDataLine(nation, Nil),
+      addLine("part-v0-lo.parquet", Map.empty)))
+
+    writeOneParquet(hi, dir, "part-v1-hi.parquet")
+    commit(dir, 1L, Seq(addLine("part-v1-hi.parquet", Map.empty)))
+
+    writeOneParquet(full, dir, "part-v2-full.parquet")
+    commit(dir, 2L, Seq(removeLine("part-v0-lo.parquet"),
+      removeLine("part-v1-hi.parquet"), addLine("part-v2-full.parquet", Map.empty)))
+
+    dir.toString
+  }
+
+  /** Partitioned variant (partition column in the LOG only, not the data
+    * files): nation partitioned by n_regionkey — exercises partition-value
+    * attachment and log-level pruning.
+    */
+  def nationByRegion(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_delta_nation_part")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val regions = nation.selectExpr("cast(n_regionkey as string)").distinct()
+      .collect().map(_.getString(0)).sorted
+    commit(dir, 0L, Seq(protocolLine, metaDataLine(nation, Seq("n_regionkey"))))
+    val adds = regions.map { r =>
+      val file = s"part-r$r.parquet"
+      writeOneParquet(
+        nation.filter(col("n_regionkey").cast("string") === r).drop("n_regionkey")
+          .orderBy(col("n_nationkey")), dir, file)
+      addLine(file, Map("n_regionkey" -> r))
+    }
+    commit(dir, 1L, adds.toSeq)
+    dir.toString
+  }
+}
