@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
@@ -84,22 +82,30 @@ case class DistinctWithHll(
   override def eval(buf: Buffer): Any =
     new GenericInternalRow(Array[Any](buf.set.size.toLong, buf.hllEstimate))
 
+  // bulk ByteBuffer (not a DataOutputStream loop): at warehouse scale a
+  // partial set holds 10^5..10^6 keys and per-call stream overhead
+  // dominates the exchange (measured on the sf1 evidence set)
   override def serialize(buf: Buffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.set.size)
-    buf.set.foreach(out.writeLong)
-    out.write(buf.hll)
-    out.flush()
-    bos.toByteArray
+    val n = buf.set.size
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * n + Registers)
+    bb.putInt(n)
+    buf.set.foreach(v => bb.putLong(v))
+    bb.put(buf.hll)
+    bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Buffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new Buffer()
-    val n = in.readInt()
-    (0 until n).foreach(_ => buf.set.add(in.readLong()))
-    in.readFully(buf.hll)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n0 = bb.getInt(0)
+    // pre-size the set (load factor 1/2) — rebuilding a 10^5-key partial
+    // through 8 incremental grows costs ~2x the inserts
+    var cap = 1 << 10
+    while (cap < 2 * n0) cap <<= 1
+    val buf = new Buffer(cap)
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) { buf.set.add(bb.getLong()); i += 1 }
+    bb.get(buf.hll)
     buf
   }
 
@@ -176,8 +182,8 @@ object DistinctWithHll {
     h
   }
 
-  final class Buffer {
-    val set = new LongSet()
+  final class Buffer(initialSetCapacity: Int = 1 << 10) {
+    val set = new LongSet(initialSetCapacity)
     val hll = new Array[Byte](Registers)
 
     def hllAdd(v: Long): Unit = {

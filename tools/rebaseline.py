@@ -59,7 +59,13 @@ QUERIES = {
 
 con = duckdb.connect(":memory:")
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    # driver testdata is one file per table; Spark-written datasets (e.g.
+    # the ScaleData sf1 evidence set) are directories of part files
+    path = f"{SF_DIR}/{t}.parquet"
+    import os
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
 out = {}
 for name, q in QUERIES.items():
