@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("lgamma", a => LGamma(a.head))
     inject("nextafter", a => NextAfter(a(0), a(1)))
     inject("nfc_normalize", a => NfcNormalize(a.head))
+    inject("json_merge_patch", a => JsonMergePatch(a(0), a(1)))
+    inject("json_pretty", a => JsonPretty(a.head))
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectPlanNormalizationRule(_ => graft.rules.RepairCachedOrdering)

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable band (range-interval) join — the single-inequality-pair shape
+  * the reference executes with a piecewise merge join / IEJoin
+  * (/root/reference/src/execution/physical_plan/plan_comparison_join.cpp:41-103,
+  * physical_iejoin.cpp); Spark's only built-in plan for it is a
+  * (broadcast) nested-loop join, which is quadratic in the fact×fact
+  * case — the engine's last known scale-killer shape.
+  *
+  * Rewrite: for pairs with `right.key ∈ [left.key + lo, left.key + hi]`,
+  * quantize both sides into fixed-width value buckets of width
+  * `w = hi - lo` (the interval hull). A right row lands in exactly ONE
+  * bucket (`floor(key / w)`); a left row's interval spans exactly TWO
+  * consecutive buckets, so the left side explodes 2×, the sides
+  * EQUI-join on the bucket id, and the exact predicate filters the
+  * within-bucket candidates. Each matching pair is emitted exactly once
+  * (the right row's bucket is unique), so no distinct is needed.
+  *
+  * Scale: one hash shuffle per side on the bucket id — O(n) — with
+  * candidate count O(matches + rows·density) instead of O(n²); a skewed
+  * value window (many rows inside one w-wide span) is ordinary join skew,
+  * handled by AQE skew splitting / salting like any hot key. This is the
+  * DataFrame-algebra form of the range-bucket strategy SURVEY §2.3
+  * reserves; open/closed interval endpoints are enforced by the exact
+  * predicate, the buckets only need to cover the closed hull.
+  */
+object RangeJoin {
+
+  /** Candidate pairs before the exact predicate (exposed for the
+    * sub-quadratic candidate-count pin in RangeJoinSpec).
+    * Columns: left.* ++ right.*; both sides must share no column names.
+    */
+  private[graft] def bandCandidates(left: DataFrame, right: DataFrame,
+                                    leftKey: String, rightKey: String,
+                                    lo: Double, hi: Double): DataFrame = {
+    require(hi > lo, s"band interval must have positive width, got [$lo, $hi]")
+    val w = hi - lo
+    val lb = floor((col(leftKey) + lit(lo)) / lit(w)).cast("long")
+    val l = left.withColumn("__band_bucket", explode(array(lb, lb + lit(1L))))
+    val r = right.withColumn("__band_bucket", floor(col(rightKey) / lit(w)).cast("long"))
+    l.join(r, "__band_bucket").drop("__band_bucket")
+  }
+
+  /** Inner band join: pairs where `cond` holds, with candidate generation
+    * restricted to `right.key` within the closed hull
+    * `[left.key + lo, left.key + hi]`. `cond` is the EXACT predicate
+    * (may be any open/closed/compound refinement of the hull).
+    */
+  def band(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           lo: Double, hi: Double, cond: Column): DataFrame =
+    bandCandidates(left, right, leftKey, rightKey, lo, hi).filter(cond)
+}

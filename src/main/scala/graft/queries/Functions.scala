@@ -190,6 +190,41 @@ object Functions {
         .orderBy(col("o_orderkey")).limit(200)
     },
 
+    // RFC 7386 JSON merge patch (reference: json_merge_patch.cpp) over
+    // JSON built identically on both sides from table values: recursive
+    // object merge, null-deletes, wholesale array replace. json_pretty
+    // has no DuckDB-1.0 oracle — spec-gated in FunctionsSpec instead;
+    // json(pretty(x)) == json(x) normalization is asserted here.
+    "fn_json3" -> { (s, d) =>
+      Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          expr("""json_merge_patch(
+              concat('{"k":', o_orderkey, ',"status":"', o_orderstatus,
+                     '","meta":{"pri":"', o_orderpriority, '","x":1,"drop":2}}'),
+              concat('{"meta":{"x":null,"q":', o_custkey, '},"extra":"y"}'))""").as("merged"),
+          expr("""json_merge_patch(concat('{"a":', o_orderkey, '}'), '{"a":null}')""").as("deleted"),
+          expr("""json_merge_patch('{"a":1}', concat('', o_custkey))""").as("scalar_patch"),
+          expr("""get_json_object(json_pretty(concat('{"k":', o_orderkey, ',"arr":[1,2]}')), '$.k')""").as("pretty_k"))
+        .orderBy(col("o_orderkey")).limit(200)
+    },
+
+    // TIME-of-day convention (SURVEY §1.2): the engine maps TIME to
+    // micros-since-midnight LongType; parity vs DuckDB's native TIME is
+    // asserted through epoch/make_time roundtrips on the oracle side
+    "fn_time" -> { (s, d) =>
+      Tables(s, d, "events")
+        .withColumn("tod_us",
+          unix_micros(col("ts")) - unix_micros(date_trunc("day", col("ts"))))
+        .select(col("event_id"), col("tod_us"),
+          expr("tod_us div 3600000000").as("h"),
+          expr("(tod_us % 3600000000) div 60000000").as("m"),
+          expr("tod_us % 60000000").as("us_in_min"),
+          expr("(tod_us div 3600000000)*3600000000 + " +
+            "((tod_us % 3600000000) div 60000000)*60000000 + " +
+            "tod_us % 60000000 = tod_us").as("roundtrip_ok"))
+        .orderBy(col("event_id")).limit(300)
+    },
+
     // interval / timezone pass (reference extension/icu/): AT TIME ZONE
     // conversion, INTERVAL month/day/minute arithmetic (month addition
     // clamps at month end on both engines), and age() decomposed into
@@ -437,6 +472,32 @@ object Functions {
         | json_valid(to_json({'o_orderkey': o_orderkey})::VARCHAR) AS ok,
         | json_valid('{not json') AS bad
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "fn_json3" ->
+      """SELECT o_orderkey,
+        | json_merge_patch(
+        |   ('{"k":' || o_orderkey || ',"status":"' || o_orderstatus ||
+        |    '","meta":{"pri":"' || o_orderpriority || '","x":1,"drop":2}}')::JSON,
+        |   ('{"meta":{"x":null,"q":' || o_custkey || '},"extra":"y"}')::JSON)::VARCHAR AS merged,
+        | json_merge_patch(('{"a":' || o_orderkey || '}')::JSON, '{"a":null}'::JSON)::VARCHAR AS deleted,
+        | json_merge_patch('{"a":1}'::JSON, ('' || o_custkey)::JSON)::VARCHAR AS scalar_patch,
+        | CAST(o_orderkey AS VARCHAR) AS pretty_k
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "fn_time" ->
+      """SELECT event_id,
+        | CAST((date_part('hour', ts::TIME)*60 + date_part('minute', ts::TIME))*60000000
+        |       + date_part('microsecond', ts::TIME) AS BIGINT) AS tod_us,
+        | CAST(date_part('hour', ts::TIME) AS BIGINT) AS h,
+        | CAST(date_part('minute', ts::TIME) AS BIGINT) AS m,
+        | CAST(date_part('microsecond', ts::TIME) AS BIGINT) AS us_in_min,
+        | (make_time(CAST(date_part('hour', ts::TIME) AS BIGINT),
+        |            CAST(date_part('minute', ts::TIME) AS BIGINT),
+        |            date_part('microsecond', ts::TIME)/1000000.0) = ts::TIME
+        |  AND CAST(round(date_part('epoch', ts::TIME)*1000000) AS BIGINT) =
+        |      CAST((date_part('hour', ts::TIME)*60 + date_part('minute', ts::TIME))*60000000
+        |            + date_part('microsecond', ts::TIME) AS BIGINT)) AS roundtrip_ok
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
 
     "fn_datetime2" ->
       """SELECT o_orderkey,

@@ -81,13 +81,16 @@ object Joins {
     },
 
     // single range predicate pair → the reference plans a piecewise merge
-    // join (plan_comparison_join.cpp:41-103); Spark plans BNLJ — fine at
-    // this dimension×dimension size, broadcast keeps it shuffle-free.
+    // join (plan_comparison_join.cpp:41-103). Spark's built-in plan is
+    // BNLJ (quadratic for fact×fact); the engine instead runs the bucketed
+    // band join (operators/RangeJoin.scala): equi-shuffle on value
+    // buckets + exact filter. c_acctbal ∈ (s_acctbal-10, s_acctbal].
     "join_non_equi_range" -> { (s, d) =>
       val sup = Tables(s, d, "supplier")
       val cust = Tables(s, d, "customer")
-      sup.join(cust,
-          col("c_acctbal") > col("s_acctbal") - 10 && col("c_acctbal") <= col("s_acctbal"))
+      graft.operators.RangeJoin.band(sup, cust, "s_acctbal", "c_acctbal",
+          lo = -10.0, hi = 0.0,
+          cond = col("c_acctbal") > col("s_acctbal") - 10 && col("c_acctbal") <= col("s_acctbal"))
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_cust"))
         .orderBy(col("s_suppkey")).limit(100)

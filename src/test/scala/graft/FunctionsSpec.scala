@@ -49,6 +49,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(j.getDouble(0) == 0.5 && j.getLong(1) == 1L)
   }
 
+  test("json_merge_patch matches the oracle's probed edge semantics") {
+    def m(t: String, p: String): Any =
+      spark.sql(s"SELECT json_merge_patch($t, $p)").head().get(0)
+    // probes run against DuckDB 1.0 (see JsonExtra scaladoc)
+    assert(m("'{\"a\":1,\"b\":{\"c\":2,\"d\":3}}'", "'{\"b\":{\"c\":null,\"e\":9},\"f\":[1,2]}'")
+      == """{"a":1,"b":{"d":3,"e":9},"f":[1,2]}""")
+    assert(m("'{\"a\":1}'", "'2'") == "2")
+    assert(m("'{\"a\":1}'", "'null'") == "null")
+    assert(m("'{\"a\":1}'", "'{\"a\":null}'") == "{}")
+    assert(m("'[1,2]'", "'{\"a\":1}'") == """{"a":1}""")
+    assert(m("NULL", "'{\"a\":null,\"b\":1}'") == """{"a":null,"b":1}""") // verbatim
+    assert(m("'{\"a\":1}'", "NULL") == null)
+    assert(m("'{}'", "'{\"a\":{\"b\":null,\"c\":1}}'") == """{"a":{"c":1}}""")
+    assert(m("'{\"a\":1}'", "'{\"b\":[1,null,2]}'") == """{"a":1,"b":[1,null,2]}""")
+  }
+
+  test("json_pretty renders the reference's 4-space layout") {
+    def p(j: String): Any = spark.sql(s"SELECT json_pretty('$j')").head().get(0)
+    assert(p("""{"a":1,"b":[1,{"x":null}]}""") ==
+      "{\n    \"a\": 1,\n    \"b\": [\n        1,\n        {\n            \"x\": null\n        }\n    ]\n}")
+    assert(p("{}") == "{}")
+    assert(p("[]") == "[]")
+    assert(p("""{"a":{}}""") == "{\n    \"a\": {}\n}")
+    assert(p(""""s"""") == "\"s\"")
+  }
+
   test("functions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed band join: result parity with the naive nested-loop form,
+  * sub-quadratic candidate generation, and a plan pin that the quadratic
+  * operators (BNLJ / cartesian) are gone from the gated range query.
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("band join matches the naive non-equi join row-for-row") {
+    val sup = Tables(spark, sf, "supplier")
+    val cust = Tables(spark, sf, "customer")
+    val cond = col("c_acctbal") > col("s_acctbal") - 10 && col("c_acctbal") <= col("s_acctbal")
+    val naive = sup.join(cust, cond)
+      .select(col("s_suppkey"), col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val banded = RangeJoin.band(sup, cust, "s_acctbal", "c_acctbal", -10.0, 0.0, cond)
+      .select(col("s_suppkey"), col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(banded.length == naive.length)
+    assert(banded.toSeq == naive.toSeq)
+  }
+
+  test("negative keys and open/closed endpoints bucket correctly") {
+    import spark.implicits._
+    val l = Seq(-25.0, -10.0, 0.0, 3.5, 17.0).toDF("lv")
+    val r = Seq(-30.0, -25.0, -20.5, -10.0, -3.0, 0.0, 3.5, 9.9, 17.0, 40.0).toDF("rv")
+    val cond = col("rv") > col("lv") - 10 && col("rv") <= col("lv")
+    val naive = l.crossJoin(r).filter(cond)
+      .collect().map(x => (x.getDouble(0), x.getDouble(1))).sorted
+    val banded = RangeJoin.band(l, r, "lv", "rv", -10.0, 0.0, cond)
+      .collect().map(x => (x.getDouble(0), x.getDouble(1))).sorted
+    assert(banded.toSeq == naive.toSeq)
+  }
+
+  test("candidate count is sub-quadratic on a fact-sized self band join") {
+    // orders × orders on totalprice within ±50: n² would be 2.25e8 pairs
+    // at sf0.001 (15k×15k); the bucketed candidates must stay orders of
+    // magnitude below that
+    val ord = Tables(spark, sf, "orders").select(col("o_orderkey").as("a_key"),
+      col("o_totalprice").as("a_price"))
+    val ord2 = Tables(spark, sf, "orders").select(col("o_orderkey").as("b_key"),
+      col("o_totalprice").as("b_price"))
+    val n = ord.count()
+    val cands = RangeJoin.bandCandidates(ord, ord2, "a_price", "b_price", -50.0, 50.0).count()
+    assert(cands < n * n / 100,
+      s"candidates $cands not sub-quadratic vs n²=${n * n}")
+    // and the exact band result is what the naive predicate produces
+    val cond = col("b_price") >= col("a_price") - 50 && col("b_price") <= col("a_price") + 50
+    val banded = RangeJoin.band(ord, ord2, "a_price", "b_price", -50.0, 50.0, cond).count()
+    val naive = ord.join(ord2, cond).count()
+    assert(banded == naive)
+  }
+
+  test("gated range query plans no BNLJ and no cartesian product") {
+    val e = SparkEntry.queries("join_non_equi_range")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!e.contains("BroadcastNestedLoopJoin"), e.take(2000))
+    assert(!e.contains("CartesianProduct"), e.take(2000))
+    assert(e.contains("SortMergeJoin") || e.contains("ShuffledHashJoin")
+      || e.contains("BroadcastHashJoin"), e.take(2000))
+  }
+}
