@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed with the typed Dataset API per partition.
   *
-  * Two decode paths:
+  * Three decode paths:
   *  - `decodeStub` — clearly-marked STUB for codecs absent from this
-  *    container (audio/video): deterministic fake features from raw bytes.
+  *    container (video, compressed audio): deterministic fake features
+  *    from raw bytes.
   *  - `decodeImages` — REAL image decode via `javax.imageio` (PNG):
   *    parses actual PNG bytes into dimensions + per-channel means, oracle
   *    value-matched (`mm_image_decode`).
+  *  - `decodeAudio` — REAL audio decode via `javax.sound.sampled` (WAV
+  *    s16le PCM): parses the RIFF container, streams frames, extracts
+  *    rate/channels/sum/peak, oracle value-matched (`mm_audio_decode`).
   * Either way the Spark-side shape is identical — schema (binary payload
   * + metadata), partition-wise processing via `mapPartitions` (one
   * decoder instance per task), and columnar hand-off back to SQL.
@@ -86,6 +90,63 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  // --- real (non-stub) audio path: WAV/PCM via javax.sound, pure JVM ---
+
+  case class AudioRow(doc_id: Long, wav: Array[Byte])
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+                           n_samples: Long, sum_samples: Long, peak_abs: Long)
+
+  /** Deterministic 16-bit PCM mono WAV for `seed`: sample i is simple
+    * integer arithmetic in (seed, i), so the decoded sum/peak are
+    * closed-form — the oracle recomputes them in SQL while the engine
+    * goes through a REAL RIFF/WAVE encode→decode round-trip
+    * (javax.sound.sampled), proving the audio codec path end-to-end.
+    */
+  def syntheticWav(seed: Long, n: Int = 256, rate: Int = 8000): Array[Byte] = {
+    val data = new Array[Byte](n * 2) // little-endian s16le
+    var i = 0
+    while (i < n) {
+      val v = ((seed * 31 + i * 17) % 20001 - 10000).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: parse the WAV container with javax.sound (one decoder
+    * per task), stream the PCM frames, and extract rate/channels/
+    * sample-sum/peak — integer features, so the oracle match is exact.
+    */
+  def decodeAudio(ds: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"doc ${r.doc_id}: expected s16le PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        var (i, sum, peak, n) = (0, 0L, 0L, 0L)
+        while (i + 1 < bytes.length) {
+          val v = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+          sum += v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          n += 1
+          i += 2
+        }
+        AudioFeatures(r.doc_id, fmt.getSampleRate.toInt, fmt.getChannels, n, sum, peak)
+      }
+    }
   }
 
   /** REAL decode: parse the PNG bytes with javax.imageio (one reader per

@@ -151,6 +151,22 @@ object Pipeline {
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy(col("doc_id")).limit(200)
+    },
+
+    // REAL audio decode: WAV s16le PCM through javax.sound.sampled; the
+    // integer sample features make the oracle match exact (closed-form
+    // sample values recomputed in SQL)
+    "mm_audio_decode" -> { (s, d) =>
+      import s.implicits._
+      val ids = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      val wavs = ids.mapPartitions(_.map(id =>
+        Multimodal.AudioRow(id, Multimodal.syntheticWav(id))))
+      Multimodal.decodeAudio(wavs).toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_samples"), col("sum_samples"), col("peak_abs"))
+        .orderBy(col("doc_id")).limit(200)
     }
   )
 
@@ -230,6 +246,15 @@ object Pipeline {
         | round(avg(CAST((d.doc_id*11 + x.x) % 256 AS DOUBLE)), 4) AS mean_g,
         | round(avg(CAST((d.doc_id*13 + y.y) % 256 AS DOUBLE)), 4) AS mean_b
         |FROM documents d, generate_series(0, 15) x(x), generate_series(0, 15) y(y)
+        |GROUP BY d.doc_id ORDER BY d.doc_id LIMIT 200""".stripMargin,
+
+    "mm_audio_decode" ->
+      """SELECT d.doc_id,
+        | CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        | CAST(256 AS BIGINT) AS n_samples,
+        | CAST(sum((d.doc_id*31 + i.i*17) % 20001 - 10000) AS BIGINT) AS sum_samples,
+        | CAST(max(abs((d.doc_id*31 + i.i*17) % 20001 - 10000)) AS BIGINT) AS peak_abs
+        |FROM documents d, generate_series(0, 255) i(i)
         |GROUP BY d.doc_id ORDER BY d.doc_id LIMIT 200""".stripMargin
   )
 }
