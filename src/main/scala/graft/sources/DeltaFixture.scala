@@ -86,6 +86,49 @@ object DeltaFixture {
     dir.toString
   }
 
+  /** Append a plain JSON commit of removes + adds (test helper). */
+  def appendCommit(tablePath: String, version: Long,
+                   removes: Seq[String], adds: Seq[String]): Unit =
+    commit(Paths.get(tablePath), version,
+      removes.map(removeLine) ++ adds.map(addLine(_, Map.empty)))
+
+  // checkpoint action-row shapes (one non-null action per row)
+  private case class CpFormat(provider: String)
+  private case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private case class CpMeta(id: String, format: CpFormat, schemaString: String,
+                            partitionColumns: Seq[String])
+  private case class CpAdd(path: String, partitionValues: Map[String, String],
+                           size: Long, modificationTime: Long, dataChange: Boolean)
+  private case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
+                           add: Option[CpAdd])
+
+  /** Compact the table's current snapshot into a single-part parquet
+    * checkpoint at its latest version and (optionally) TRUNCATE the JSON
+    * commits it subsumes — the real-world state a long-lived Delta table
+    * is in, and the reason checkpoints exist.
+    */
+  def checkpoint(spark: SparkSession, tablePath: String, truncate: Boolean): Long = {
+    import spark.implicits._
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    val rows: Seq[CpRow] =
+      CpRow(Some(CpProtocol(1, 2)), None, None) +:
+      CpRow(None, Some(CpMeta("graft-fixture", CpFormat("parquet"),
+        snap.schema.json, snap.partitionColumns)), None) +:
+      snap.files.map(f => CpRow(None, None,
+        Some(CpAdd(f.path, f.partitionValues, 1L, 0L, dataChange = false))))
+    val logDir = Paths.get(tablePath, "_delta_log")
+    writeOneParquet(rows.toDF(), logDir, f"${snap.version}%020d.checkpoint.parquet")
+    Files.write(logDir.resolve("_last_checkpoint"),
+      java.util.Arrays.asList(
+        s"""{"version":${snap.version},"size":${rows.size}}"""))
+    if (truncate)
+      Files.list(logDir).iterator().asScala
+        .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+        .filter(_.getFileName.toString.stripSuffix(".json").toLong <= snap.version)
+        .foreach(Files.delete)
+    snap.version
+  }
+
   /** Partitioned variant (partition column in the LOG only, not the data
     * files): nation partitioned by n_regionkey — exercises partition-value
     * attachment and log-level pruning.

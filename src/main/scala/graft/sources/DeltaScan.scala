@@ -30,10 +30,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Scale posture: replay is driver-side METADATA work — O(files) tiny
   * structs, the same state-reconstruction shape delta-spark itself uses —
   * and the data path is ordinary distributed parquet scans, so pushdown /
-  * column pruning / AQE all apply unchanged. Deliberate limits, thrown
-  * loudly rather than mis-read: parquet checkpoints (log compactions,
-  * `_last_checkpoint`) and protocol minReaderVersion > 1 features
-  * (column mapping, deletion vectors) are unsupported.
+  * column pruning / AQE all apply unchanged. Single-part parquet
+  * checkpoints (log truncation) are supported — state folds from the
+  * checkpoint's action rows, later JSON commits replay on top.
+  * Deliberate limits, thrown loudly rather than mis-read: multi-part
+  * checkpoints and protocol minReaderVersion > 1 features (column
+  * mapping, deletion vectors).
   */
 object DeltaScan {
 
@@ -51,29 +53,86 @@ object DeltaScan {
   /** Replay the log into the active-file snapshot as of `versionAsOf`
     * (None = latest). Local filesystem paths (bench/test environment);
     * on a cluster the same replay runs over the object store's listing.
+    *
+    * Checkpoint handling (log truncation — old JSON commits are deleted
+    * once compacted into `<v>.checkpoint.parquet`): when `_last_checkpoint`
+    * exists and the target version is at or past it, state starts from
+    * the checkpoint's action rows and only the JSON commits AFTER it
+    * replay; time travel BEFORE the checkpoint still works iff the JSON
+    * commits survive, and throws a clear error when they are truncated.
+    * Multi-part checkpoints (`"parts"`) stay unsupported and throw.
     */
-  def snapshot(tablePath: String, versionAsOf: Option[Long] = None): Snapshot = {
+  def snapshot(spark: SparkSession, tablePath: String,
+               versionAsOf: Option[Long] = None): Snapshot = {
     val logDir = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(logDir), s"not a Delta table (no _delta_log): $tablePath")
-    if (Files.exists(logDir.resolve("_last_checkpoint")))
-      throw new UnsupportedOperationException(
-        "delta_scan: parquet checkpoints are not supported by the native log reader")
+
+    val checkpointVersion: Option[Long] = {
+      val lc = logDir.resolve("_last_checkpoint")
+      if (!Files.exists(lc)) None
+      else {
+        val j = JsonMethods.parse(String.join("\n", Files.readAllLines(lc)))
+        if ((j \ "parts") != JNothing) throw new UnsupportedOperationException(
+          "delta_scan: multi-part checkpoints are not supported")
+        Some((j \ "version").extract[Long])
+      }
+    }
 
     val versions = Files.list(logDir).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
       .toSeq.sorted
-    require(versions.nonEmpty, s"empty Delta log: $logDir")
-    val target = versionAsOf.getOrElse(versions.max)
-    require(versions.contains(target),
-      s"version $target not in Delta log (have ${versions.min}..${versions.max})")
+    val known = versions ++ checkpointVersion
+    require(known.nonEmpty, s"empty Delta log: $logDir")
+    val target = versionAsOf.getOrElse(known.max)
+    require(known.contains(target),
+      s"version $target not in Delta log (have ${known.min}..${known.max})")
 
     var schema: StructType = null
     var partitionColumns: Seq[String] = Nil
     // insertion-ordered so the scan reads files in commit order
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
-    for (v <- versions.takeWhile(_ <= target)) {
+    val fromCheckpoint = checkpointVersion.filter(_ <= target)
+    fromCheckpoint.foreach { cv =>
+      // checkpoint rows carry one non-null action column each; removes
+      // are tombstones for already-vacuumed files — not active state
+      val cp = spark.read.parquet(
+        logDir.resolve(f"$cv%020d.checkpoint.parquet").toString)
+      val cols = cp.columns.toSet
+      val rows = cp.select(
+        (if (cols.contains("protocol")) col("protocol.minReaderVersion") else lit(null))
+          .as("minReader"),
+        (if (cols.contains("metaData")) col("metaData.schemaString") else lit(null))
+          .as("schemaString"),
+        (if (cols.contains("metaData")) col("metaData.partitionColumns") else lit(null))
+          .cast("array<string>").as("partCols"),
+        (if (cols.contains("add")) col("add.path") else lit(null)).as("addPath"),
+        (if (cols.contains("add")) col("add.partitionValues") else lit(null))
+          .cast("map<string,string>").as("addPv")).collect()
+      rows.foreach { r =>
+        if (!r.isNullAt(0) && r.getInt(0) > 1) throw new UnsupportedOperationException(
+          s"delta_scan: protocol minReaderVersion=${r.getInt(0)} unsupported (reader is v1)")
+        if (!r.isNullAt(1)) {
+          schema = DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
+          partitionColumns = if (r.isNullAt(2)) Nil else r.getSeq[String](2)
+        }
+        if (!r.isNullAt(3)) {
+          val pv = if (r.isNullAt(4)) Map.empty[String, String]
+            else r.getMap[String, String](4).toMap
+          active(r.getString(3)) = AddFile(r.getString(3), pv)
+        }
+      }
+    }
+
+    val replayFrom = fromCheckpoint.map(_ + 1).getOrElse(0L)
+    val toReplay = versions.filter(v => v >= replayFrom && v <= target)
+    if (fromCheckpoint.isEmpty && versions.nonEmpty)
+      require(versions.min == 0L,
+        s"delta_scan: log is truncated before version ${versions.min} and version " +
+          s"$target precedes the checkpoint — cannot reconstruct")
+
+    for (v <- toReplay) {
       val lines = Files.readAllLines(logDir.resolve(f"$v%020d.json")).asScala
       for (line <- lines if line.trim.nonEmpty) {
         val j = JsonMethods.parse(line)
@@ -119,7 +178,7 @@ object DeltaScan {
   def scan(spark: SparkSession, tablePath: String,
            versionAsOf: Option[Long] = None,
            partitionPruner: Map[String, String] => Boolean = _ => true): DataFrame = {
-    val snap = snapshot(tablePath, versionAsOf)
+    val snap = snapshot(spark, tablePath, versionAsOf)
     val dataSchema = StructType(snap.schema.fields.filterNot(f =>
       snap.partitionColumns.contains(f.name)))
     val kept = snap.files.filter(f => partitionPruner(f.partitionValues))

@@ -21,7 +21,7 @@ class DeltaScanSpec extends AnyFunSuite {
     val got = DeltaScan.scan(spark, table).orderBy(col("n_nationkey"))
     assert(got.collect().toSeq == nation.collect().toSeq)
     // v2 removed the two v0/v1 files: exactly one active file remains
-    assert(DeltaScan.snapshot(table).files.map(_.path) == Seq("part-v2-full.parquet"))
+    assert(DeltaScan.snapshot(spark, table).files.map(_.path) == Seq("part-v2-full.parquet"))
   }
 
   test("time travel: v0 is the first commit's rows, v1 the union") {
@@ -52,17 +52,42 @@ class DeltaScanSpec extends AnyFunSuite {
       nation.filter(col("n_regionkey").cast("string") === "2").count())
   }
 
-  test("unsupported features fail loudly") {
+  test("checkpoint + truncated log: snapshot folds from the checkpoint") {
     val t = DeltaFixture.nationTable(spark, sf)
-    Files.write(Paths.get(t, "_delta_log", "_last_checkpoint"),
-      java.util.Arrays.asList("""{"version":1,"size":3}"""))
-    assertThrows[UnsupportedOperationException](DeltaScan.snapshot(t))
+    val cv = DeltaFixture.checkpoint(spark, t, truncate = true)
+    assert(cv == 2L)
+    // pre-checkpoint JSON commits are GONE — only the checkpoint can serve
+    assert(DeltaScan.scan(spark, t).orderBy(col("n_nationkey")).collect().toSeq
+      == nation.collect().toSeq)
+    // time travel before the checkpoint is now impossible — clear error
+    assertThrows[IllegalArgumentException](DeltaScan.snapshot(spark, t, Some(0L)))
+  }
 
+  test("checkpoint + later JSON commits replay on top") {
+    val t = DeltaFixture.nationTable(spark, sf)
+    DeltaFixture.checkpoint(spark, t, truncate = true) // cv = 2
+    // v3: remove the compacted file, re-add the low half only
+    java.nio.file.Files.copy(
+      Paths.get(t, "part-v2-full.parquet"), Paths.get(t, "part-v3-copy.parquet"))
+    DeltaFixture.appendCommit(t, 3L,
+      removes = Seq("part-v2-full.parquet"), adds = Seq("part-v3-copy.parquet"))
+    val snap = DeltaScan.snapshot(spark, t)
+    assert(snap.version == 3L)
+    assert(snap.files.map(_.path) == Seq("part-v3-copy.parquet"))
+    assert(DeltaScan.scan(spark, t).count() == nation.count())
+  }
+
+  test("unsupported features fail loudly") {
     val t2 = DeltaFixture.nationTable(spark, sf)
     Files.write(Paths.get(t2, "_delta_log", f"${3L}%020d.json"),
       java.util.Arrays.asList("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
-    assertThrows[UnsupportedOperationException](DeltaScan.snapshot(t2))
+    assertThrows[UnsupportedOperationException](DeltaScan.snapshot(spark, t2))
     // but time travel BELOW the breaking protocol version still works
     assert(DeltaScan.scan(spark, t2, versionAsOf = Some(2L)).count() == nation.count())
+
+    val t3 = DeltaFixture.nationTable(spark, sf)
+    Files.write(Paths.get(t3, "_delta_log", "_last_checkpoint"),
+      java.util.Arrays.asList("""{"version":1,"size":3,"parts":2}"""))
+    assertThrows[UnsupportedOperationException](DeltaScan.snapshot(spark, t3))
   }
 }
