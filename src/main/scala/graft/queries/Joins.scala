@@ -96,6 +96,31 @@ object Joins {
         .orderBy(col("s_suppkey")).limit(100)
     },
 
+    // manual key-salting (operators/SkewJoin): the salt only routes rows
+    // to reducers, so the joined RESULT is salt-invariant and the plain
+    // equi-join SQL is an exact oracle — upgrading the skew path from
+    // spec-only to value-gated
+    "join_skew_salted" -> { (s, d) =>
+      import graft.operators.SkewJoin
+      val big = Tables(s, d, "orders")
+      val small = Tables(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      SkewJoin.saltedJoin(big, small, "o_custkey", buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // salted two-phase aggregation: per-salt partials then merge
+    "agg_skew_salted" -> { (s, d) =>
+      import graft.operators.SkewJoin
+      SkewJoin.saltedSumCount(Tables(s, d, "lineitem"), "l_returnflag", "l_quantity",
+          buckets = 8)
+        .select(col("l_returnflag"), round(col("sum_l_quantity"), 2).as("sum_qty"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "join_asof" -> { (s, d) =>
       val ev = Tables(s, d, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -128,6 +153,15 @@ object Joins {
   )
 
   val oracle: Map[String, String] = sharedSqlQueries.map { case (k, v) => k -> v._2 } ++ Map(
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_skew_salted" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

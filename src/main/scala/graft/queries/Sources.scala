@@ -187,6 +187,31 @@ object Sources {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
+    // PARTITIONED_AGGREGATE surface: a bucketed+sorted warehouse table
+    // (the persisted form of the warm layer's clustering) aggregated on
+    // its bucket key — Catalyst plans the agg exchange-free off the
+    // bucketing (BucketedJoinSpec pins the plan shape); the oracle gates
+    // the VALUES through the bucketed write+read+agg path
+    "src_bucketed_agg" -> { (s, d) =>
+      s.sql("DROP TABLE IF EXISTS graft_bucketed")
+      // a managed table's directory survives the (per-JVM, in-memory)
+      // catalog entry: clear the location too, as sql_ctas does
+      locally {
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val whPath = try new java.io.File(new java.net.URI(wh)).getPath
+          catch { case _: Exception => wh }
+        deleteRecursively(new java.io.File(whPath, "graft_bucketed"))
+      }
+      Tables(s, d, "orders")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bucketed")
+      s.table("graft_bucketed")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_custkey")).limit(200)
+    },
+
     // native Delta-log scan (reference: delta_scan.cpp) — a three-version
     // table built from the sfDir nation (adds + a compacting remove);
     // latest snapshot must equal the plain nation table per DuckDB
@@ -206,6 +231,10 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "src_bucketed_agg" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 200""".stripMargin,
+
     "src_delta_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
