@@ -225,6 +225,24 @@ object Functions {
         .orderBy(col("event_id")).limit(300)
     },
 
+    // TIME_TZ convention (SURVEY §1.2): TIME WITH TIME ZONE ≙
+    // (micros-since-midnight LOCAL clock, offset seconds) pair. The
+    // oracle builds real TIMETZ values (offsets −6:30..+6:30 in 30-min
+    // steps) and extracts epoch/timezone parts; the engine derives the
+    // same pair + the UTC normalization from the convention's arithmetic
+    "fn_timetz" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .withColumn("h", col("o_orderkey") % 24)
+        .withColumn("m", col("o_custkey") % 60)
+        .withColumn("offm", (col("o_orderkey") % 27) * 30 - 390)
+        .select(col("o_orderkey"),
+          ((col("h") * 3600 + col("m") * 60) * 1000000L).as("local_us"),
+          (col("offm") * 60).as("off_sec"),
+          ((col("h") * 3600 + col("m") * 60) * 1000000L
+            - col("offm") * 60 * 1000000L).as("utc_us"))
+        .orderBy(col("o_orderkey")).limit(200)
+    },
+
     // interval / timezone pass (reference extension/icu/): AT TIME ZONE
     // conversion, INTERVAL month/day/minute arithmetic (month addition
     // clamps at month end on both engines), and age() decomposed into
@@ -498,6 +516,26 @@ object Functions {
         |      CAST((date_part('hour', ts::TIME)*60 + date_part('minute', ts::TIME))*60000000
         |            + date_part('microsecond', ts::TIME) AS BIGINT)) AS roundtrip_ok
         |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
+
+    "fn_timetz" ->
+      """WITH t AS (
+        | SELECT o_orderkey,
+        |  o_orderkey % 24 AS h, o_custkey % 60 AS m,
+        |  (o_orderkey % 27) * 30 - 390 AS offm
+        | FROM orders),
+        |tz AS (
+        | SELECT o_orderkey, offm,
+        |  (lpad(CAST(h AS VARCHAR), 2, '0') || ':' || lpad(CAST(m AS VARCHAR), 2, '0')
+        |   || ':00' || (CASE WHEN offm < 0 THEN '-' ELSE '+' END)
+        |   || lpad(CAST(abs(offm) // 60 AS VARCHAR), 2, '0') || ':'
+        |   || lpad(CAST(abs(offm) % 60 AS VARCHAR), 2, '0'))::TIMETZ AS v
+        | FROM t)
+        |SELECT o_orderkey,
+        | CAST(round(date_part('epoch', v) * 1000000) AS BIGINT) AS local_us,
+        | CAST(date_part('timezone', v) AS BIGINT) AS off_sec,
+        | CAST(round(date_part('epoch', v) * 1000000) AS BIGINT)
+        |   - CAST(date_part('timezone', v) AS BIGINT) * 1000000 AS utc_us
+        |FROM tz ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
     "fn_datetime2" ->
       """SELECT o_orderkey,
