@@ -26,6 +26,10 @@ object VectorizedCacheRead extends ColumnarRule {
 object InsertCacheColumnarToRow extends Rule[SparkPlan] {
   // dev escape hatch for A/B timing (GRAFT_NO_VECTOR_READ=1 disables)
   @volatile var enabled = !sys.env.get("GRAFT_NO_VECTOR_READ").contains("1")
+  // streaming lag-window specialization (plans/StreamingLagWindow.scala);
+  // GRAFT_NO_STREAM_WINDOW=1 reverts to WindowExec for A/B + differential specs
+  @volatile var streamWindowEnabled =
+    !sys.env.get("GRAFT_NO_STREAM_WINDOW").contains("1")
   /** Wrap columnar-capable cache scans, skipping scans already under a
     * ColumnarToRowExec (AQE stage re-preparation or a second application
     * of this rule would otherwise double-wrap: the outer transition's
@@ -39,9 +43,19 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
   }
 
   override def apply(plan: SparkPlan): SparkPlan = {
+    // lag-only windows evaluate streaming (runs after EnsureRequirements,
+    // so the child's clustering/ordering are already window-correct)
+    val windowed =
+      if (!streamWindowEnabled) plan
+      else plan.transformUp {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if graft.plans.StreamingLagWindowExec.supports(w) =>
+          graft.plans.StreamingLagWindowExec(
+            w.windowExpression, w.partitionSpec, w.orderSpec, w.child)
+      }
     val vectorized =
-      if (!enabled) plan
-      else insertTransitions(plan)
+      if (!enabled) windowed
+      else insertTransitions(windowed)
     // cross-execution dimension broadcast cache (warm mode, AQE off only —
     // see plans/CachedBroadcast.scala)
     if (!graft.Tables.cacheMode || conf.adaptiveExecutionEnabled) vectorized

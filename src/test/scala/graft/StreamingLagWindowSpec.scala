@@ -1,0 +1,85 @@
+package graft
+
+import graft.rules.InsertCacheColumnarToRow
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential gate for the streaming lag-window operator: identical
+  * results to Spark's WindowExec on random multi-partition data, for
+  * k=1..3 offsets, defaults, boundary users, and a no-partition window;
+  * plus a plan pin that the gated sessionize query actually uses it and
+  * that non-lag windows are left alone.
+  */
+class StreamingLagWindowSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def withRule[T](on: Boolean)(body: => T): T = {
+    val prev = InsertCacheColumnarToRow.streamWindowEnabled
+    InsertCacheColumnarToRow.streamWindowEnabled = on
+    try body finally InsertCacheColumnarToRow.streamWindowEnabled = prev
+  }
+
+  private lazy val df = {
+    import spark.implicits._
+    // deterministic "random": multiplicative hash; includes single-row
+    // users and a null-valued column
+    (1 to 5000).map { i =>
+      val u = (i * 2654435761L % 37).toInt
+      val v: java.lang.Long = if (i % 11 == 0) null else (i * 131L % 1000)
+      (u, i, v, s"s${i % 17}")
+    }.toDF("user", "seq", "v", "tag").repartition(7, col("user"))
+  }
+
+  test("streaming lag == WindowExec on multi-partition data (k=1..3, defaults)") {
+    val w = Window.partitionBy(col("user")).orderBy(col("seq"))
+    def run() = df.select(col("user"), col("seq"),
+        lag(col("v"), 1).over(w).as("l1"),
+        lag(col("v"), 2, -1).over(w).as("l2_def"),
+        lag(col("tag"), 3).over(w).as("l3s"))
+      .orderBy(col("user"), col("seq"))
+      .collect().map(_.toString).toSeq
+    val streaming = withRule(on = true)(run())
+    val builtin = withRule(on = false)(run())
+    assert(streaming == builtin)
+  }
+
+  test("streaming lag == WindowExec with empty partitionSpec (global window)") {
+    val w = Window.orderBy(col("seq"))
+    def run() = df.select(col("seq"), lag(col("v"), 1).over(w).as("l1"))
+      .orderBy(col("seq")).collect().map(_.toString).toSeq
+    assert(withRule(on = true)(run()) == withRule(on = false)(run()))
+  }
+
+  // the injected columnar rule runs per-stage under AQE, so plan pins
+  // inspect the non-adaptive plan (the execution path is identical)
+  private def withAqeOff[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("sessionize plans the streaming operator; rank windows keep WindowExec") {
+    val sessPlan = withAqeOff(withRule(on = true)(
+      SparkEntry.queries("events_sessionize_lag")(spark, sf).queryExecution.executedPlan))
+    assert(sessPlan.collect {
+      case s: graft.plans.StreamingLagWindowExec => s }.nonEmpty, sessPlan.toString.take(1500))
+
+    val rankPlan = withAqeOff(withRule(on = true)(
+      SparkEntry.queries("window_rank_running")(spark, sf).queryExecution.executedPlan))
+    assert(rankPlan.collect {
+      case s: graft.plans.StreamingLagWindowExec => s }.isEmpty, rankPlan.toString.take(1500))
+  }
+
+  test("lead and IGNORE NULLS lag stay on WindowExec") {
+    val w = Window.partitionBy(col("user")).orderBy(col("seq"))
+    val leadPlan = withAqeOff(withRule(on = true)(
+      df.select(lead(col("v"), 1).over(w)).queryExecution.executedPlan))
+    assert(leadPlan.collect {
+      case s: graft.plans.StreamingLagWindowExec => s }.isEmpty)
+    val inPlan = withAqeOff(withRule(on = true)(
+      df.select(lag(col("v"), 1, null, true).over(w)).queryExecution.executedPlan))
+    assert(inPlan.collect {
+      case s: graft.plans.StreamingLagWindowExec => s }.isEmpty)
+  }
+}
