@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Streaming evaluation of forward-only windows over pre-sorted input.
+  *
+  * Spark's `WindowExec` materializes every partition-key group into an
+  * `ExternalAppendOnlyUnsafeRowArray` (a row copy per input row) before
+  * evaluating any frame. That is necessary for frames that look AHEAD,
+  * and pure overhead for the forward-only shapes — which are exactly the
+  * window workhorses of entity analytics:
+  *
+  *  - `lag(e, k)`  — a k-deep ring of evaluated values suffices;
+  *  - `row_number()` — a counter;
+  *  - running aggregates over `ROWS UNBOUNDED PRECEDING .. CURRENT ROW`
+  *    (declarative sum/count/min/max/avg) — one aggregation buffer,
+  *    update-then-emit per row.
+  *
+  * When every window function in a node is one of these, this operator
+  * evaluates the whole node in ONE streaming pass: no group buffering,
+  * no row copies. The reference's window dispatch makes the same
+  * specialization (/root/reference/src/execution/operator/aggregate/
+  * physical_window.cpp:205-229 routes constant-offset LEAD/LAG and
+  * default-framed aggregates to its streaming path). Sessionization
+  * (`lag(ts) over user/time`) and ranked running totals are the shapes
+  * this exists for.
+  *
+  * Swapped in AFTER EnsureRequirements (via the injected columnar-rule
+  * pass), so the child's clustering + ordering are already exactly what
+  * `WindowExec` itself would have required — the streaming pass sees
+  * partition-contiguous, fully-sorted rows by construction. IGNORE
+  * NULLS, lead, rank/dense_rank (peer comparison) and bounded/range
+  * frames stay on `WindowExec`.
+  */
+case class StreamingWindowExec(
+    windowExpression: Seq[NamedExpression],
+    partitionSpec: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ windowExpression.map(_.toAttribute)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partitionSpec.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(partitionSpec) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partitionSpec.map(SortOrder(_, Ascending)) ++ orderSpec)
+
+  /** Per-window-expression streaming evaluator: `next(row)` is called
+    * exactly once per input row, in order, and returns the row's value.
+    */
+  private abstract class Eval { def reset(): Unit; def next(row: InternalRow): Any }
+
+  private def evaluator(ne: NamedExpression): Eval = ne match {
+    case Alias(WindowExpression(l: Lag, _), _) =>
+      val k = l.inputOffset.eval().asInstanceOf[Int]
+      val input = BindReferences.bindReference(l.input, child.output)
+      val default = BindReferences.bindReference(l.default, child.output)
+      new Eval {
+        private val ring = new Array[Any](math.max(1, k))
+        private var pos = 0L
+        override def reset(): Unit = pos = 0L
+        override def next(row: InternalRow): Any = {
+          if (k == 0) input.eval(row)
+          else {
+            val v = if (pos >= k) ring(((pos - k) % k).toInt) else default.eval(row)
+            ring((pos % k).toInt) = InternalRow.copyValue(input.eval(row))
+            pos += 1L
+            v
+          }
+        }
+      }
+
+    case Alias(WindowExpression(_: RowNumber, _), _) =>
+      new Eval {
+        private var n = 0L
+        override def reset(): Unit = n = 0L
+        override def next(row: InternalRow): Any = { n += 1L; n.toInt }
+      }
+
+    case Alias(WindowExpression(ae: AggregateExpression, _), _) =>
+      val f = ae.aggregateFunction.asInstanceOf[DeclarativeAggregate]
+      val bufferAttrs = f.aggBufferAttributes
+      val buffer = new SpecificInternalRow(bufferAttrs.map(_.dataType))
+      val init = f.initialValues
+      val update = MutableProjection.create(
+        f.updateExpressions.map(BindReferences.bindReference(_, bufferAttrs ++ child.output)))
+        .target(buffer)
+      val evalExpr = BindReferences.bindReference(f.evaluateExpression, bufferAttrs)
+      val joined = new JoinedRow
+      new Eval {
+        override def reset(): Unit = {
+          var i = 0
+          while (i < init.length) { buffer.update(i, init(i).eval(EmptyRow)); i += 1 }
+        }
+        override def next(row: InternalRow): Any = {
+          update(joined(buffer, row)) // running frame INCLUDES the current row
+          InternalRow.copyValue(evalExpr.eval(buffer))
+        }
+      }
+
+    case other => throw new IllegalStateException(s"unsupported streaming window: $other")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val n = windowExpression.length
+    child.execute().mapPartitions { it =>
+      val partProj = UnsafeProjection.create(partitionSpec, child.output)
+      val evals = windowExpression.map(evaluator).toArray
+
+      new Iterator[InternalRow] {
+        private var prevKey: UnsafeRow = null
+        private val joined = new JoinedRow
+        private val winRow = new GenericInternalRow(n)
+
+        override def hasNext: Boolean = it.hasNext
+
+        override def next(): InternalRow = {
+          val row = it.next()
+          val key = partProj(row)
+          if (prevKey == null || key != prevKey) { // partition boundary
+            prevKey = key.copy()
+            var j = 0
+            while (j < n) { evals(j).reset(); j += 1 }
+          }
+          var j = 0
+          while (j < n) { winRow.update(j, evals(j).next(row)); j += 1 }
+          joined(row, winRow)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+object StreamingWindowExec {
+
+  private def isRunningRowFrame(spec: WindowSpecDefinition): Boolean =
+    spec.frameSpecification match {
+      case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+      case _ => false
+    }
+
+  /** Every window function must be streamable forward-only: plain lag
+    * (non-negative foldable offset, no IGNORE NULLS), row_number, or a
+    * declarative complete-mode aggregate over the running row frame.
+    */
+  def supports(w: WindowExec): Boolean =
+    w.windowExpression.nonEmpty && w.windowExpression.forall {
+      case Alias(WindowExpression(l: Lag, _), _) =>
+        !l.ignoreNulls && l.inputOffset.foldable &&
+          (l.inputOffset.eval() match {
+            case k: java.lang.Integer => k >= 0
+            case _ => false
+          })
+      case Alias(WindowExpression(_: RowNumber, _), _) => true
+      case Alias(WindowExpression(ae: AggregateExpression, spec), _) =>
+        !ae.isDistinct && ae.filter.isEmpty && isRunningRowFrame(spec) &&
+          ae.aggregateFunction.isInstanceOf[DeclarativeAggregate]
+      case _ => false
+    }
+}

@@ -26,7 +26,7 @@ object VectorizedCacheRead extends ColumnarRule {
 object InsertCacheColumnarToRow extends Rule[SparkPlan] {
   // dev escape hatch for A/B timing (GRAFT_NO_VECTOR_READ=1 disables)
   @volatile var enabled = !sys.env.get("GRAFT_NO_VECTOR_READ").contains("1")
-  // streaming lag-window specialization (plans/StreamingLagWindow.scala);
+  // streaming lag-window specialization (plans/StreamingWindow.scala);
   // GRAFT_NO_STREAM_WINDOW=1 reverts to WindowExec for A/B + differential specs
   @volatile var streamWindowEnabled =
     !sys.env.get("GRAFT_NO_STREAM_WINDOW").contains("1")
@@ -49,8 +49,8 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
       if (!streamWindowEnabled) plan
       else plan.transformUp {
         case w: org.apache.spark.sql.execution.window.WindowExec
-            if graft.plans.StreamingLagWindowExec.supports(w) =>
-          graft.plans.StreamingLagWindowExec(
+            if graft.plans.StreamingWindowExec.supports(w) =>
+          graft.plans.StreamingWindowExec(
             w.windowExpression, w.partitionSpec, w.orderSpec, w.child)
       }
     val vectorized =

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * plus a plan pin that the gated sessionize query actually uses it and
   * that non-lag windows are left alone.
   */
-class StreamingLagWindowSpec extends AnyFunSuite {
+class StreamingWindowSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private def withRule[T](on: Boolean)(body: => T): T = {
@@ -59,16 +59,28 @@ class StreamingLagWindowSpec extends AnyFunSuite {
     try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("sessionize plans the streaming operator; rank windows keep WindowExec") {
-    val sessPlan = withAqeOff(withRule(on = true)(
-      SparkEntry.queries("events_sessionize_lag")(spark, sf).queryExecution.executedPlan))
-    assert(sessPlan.collect {
-      case s: graft.plans.StreamingLagWindowExec => s }.nonEmpty, sessPlan.toString.take(1500))
+  test("row_number + running sum + lag in one node == WindowExec") {
+    val w = Window.partitionBy(col("user")).orderBy(col("seq"))
+    def run() = df.select(col("user"), col("seq"),
+        row_number().over(w).as("rn"),
+        sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_sum"),
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_n"),
+        min(col("tag")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_min"),
+        lag(col("v"), 1).over(w).as("l1"))
+      .orderBy(col("user"), col("seq"))
+      .collect().map(_.toString).toSeq
+    val streaming = withRule(on = true)(run())
+    val builtin = withRule(on = false)(run())
+    assert(streaming == builtin)
+  }
 
-    val rankPlan = withAqeOff(withRule(on = true)(
-      SparkEntry.queries("window_rank_running")(spark, sf).queryExecution.executedPlan))
-    assert(rankPlan.collect {
-      case s: graft.plans.StreamingLagWindowExec => s }.isEmpty, rankPlan.toString.take(1500))
+  test("sessionize and rank/running-total queries plan the streaming operator") {
+    for (q <- Seq("events_sessionize_lag", "window_rank_running")) {
+      val plan = withAqeOff(withRule(on = true)(
+        SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan))
+      assert(plan.collect {
+        case s: graft.plans.StreamingWindowExec => s }.nonEmpty, s"$q: ${plan.toString.take(1500)}")
+    }
   }
 
   test("lead and IGNORE NULLS lag stay on WindowExec") {
@@ -76,10 +88,10 @@ class StreamingLagWindowSpec extends AnyFunSuite {
     val leadPlan = withAqeOff(withRule(on = true)(
       df.select(lead(col("v"), 1).over(w)).queryExecution.executedPlan))
     assert(leadPlan.collect {
-      case s: graft.plans.StreamingLagWindowExec => s }.isEmpty)
+      case s: graft.plans.StreamingWindowExec => s }.isEmpty)
     val inPlan = withAqeOff(withRule(on = true)(
       df.select(lag(col("v"), 1, null, true).over(w)).queryExecution.executedPlan))
     assert(inPlan.collect {
-      case s: graft.plans.StreamingLagWindowExec => s }.isEmpty)
+      case s: graft.plans.StreamingWindowExec => s }.isEmpty)
   }
 }
