@@ -37,6 +37,8 @@ object RangeJoin {
                                     leftKey: String, rightKey: String,
                                     lo: Double, hi: Double): DataFrame = {
     require(hi > lo, s"band interval must have positive width, got [$lo, $hi]")
+    require(!(left.columns ++ right.columns).contains("__band_bucket"),
+      "__band_bucket is reserved by RangeJoin")
     val w = hi - lo
     val lb = floor((col(leftKey) + lit(lo)) / lit(w)).cast("long")
     val l = left.withColumn("__band_bucket", explode(array(lb, lb + lit(1L))))

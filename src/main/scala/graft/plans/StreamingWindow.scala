@@ -53,67 +53,16 @@ case class StreamingWindowExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(partitionSpec.map(SortOrder(_, Ascending)) ++ orderSpec)
 
-  /** Per-window-expression streaming evaluator: `next(row)` is called
-    * exactly once per input row, in order, and returns the row's value.
-    */
-  private abstract class Eval { def reset(): Unit; def next(row: InternalRow): Any }
-
-  private def evaluator(ne: NamedExpression): Eval = ne match {
-    case Alias(WindowExpression(l: Lag, _), _) =>
-      val k = l.inputOffset.eval().asInstanceOf[Int]
-      val input = BindReferences.bindReference(l.input, child.output)
-      val default = BindReferences.bindReference(l.default, child.output)
-      new Eval {
-        private val ring = new Array[Any](math.max(1, k))
-        private var pos = 0L
-        override def reset(): Unit = pos = 0L
-        override def next(row: InternalRow): Any = {
-          if (k == 0) input.eval(row)
-          else {
-            val v = if (pos >= k) ring(((pos - k) % k).toInt) else default.eval(row)
-            ring((pos % k).toInt) = InternalRow.copyValue(input.eval(row))
-            pos += 1L
-            v
-          }
-        }
-      }
-
-    case Alias(WindowExpression(_: RowNumber, _), _) =>
-      new Eval {
-        private var n = 0L
-        override def reset(): Unit = n = 0L
-        override def next(row: InternalRow): Any = { n += 1L; n.toInt }
-      }
-
-    case Alias(WindowExpression(ae: AggregateExpression, _), _) =>
-      val f = ae.aggregateFunction.asInstanceOf[DeclarativeAggregate]
-      val bufferAttrs = f.aggBufferAttributes
-      val buffer = new SpecificInternalRow(bufferAttrs.map(_.dataType))
-      val init = f.initialValues
-      val update = MutableProjection.create(
-        f.updateExpressions.map(BindReferences.bindReference(_, bufferAttrs ++ child.output)))
-        .target(buffer)
-      val evalExpr = BindReferences.bindReference(f.evaluateExpression, bufferAttrs)
-      val joined = new JoinedRow
-      new Eval {
-        override def reset(): Unit = {
-          var i = 0
-          while (i < init.length) { buffer.update(i, init(i).eval(EmptyRow)); i += 1 }
-        }
-        override def next(row: InternalRow): Any = {
-          update(joined(buffer, row)) // running frame INCLUDES the current row
-          InternalRow.copyValue(evalExpr.eval(buffer))
-        }
-      }
-
-    case other => throw new IllegalStateException(s"unsupported streaming window: $other")
-  }
-
   override protected def doExecute(): RDD[InternalRow] = {
     val n = windowExpression.length
+    // hoist plan fields into locals: the task closure must not capture
+    // `this` (the whole plan subtree would ship with every task)
+    val wexprs = windowExpression
+    val pspec = partitionSpec
+    val childOutput = child.output
     child.execute().mapPartitions { it =>
-      val partProj = UnsafeProjection.create(partitionSpec, child.output)
-      val evals = windowExpression.map(evaluator).toArray
+      val partProj = UnsafeProjection.create(pspec, childOutput)
+      val evals = wexprs.map(StreamingWindowExec.evaluator(_, childOutput)).toArray
 
       new Iterator[InternalRow] {
         private var prevKey: UnsafeRow = null
@@ -143,6 +92,63 @@ case class StreamingWindowExec(
 }
 
 object StreamingWindowExec {
+
+  /** Per-window-expression streaming evaluator: `next(row)` is called
+    * exactly once per input row, in order, and returns the row's value.
+    */
+  private[plans] abstract class Eval { def reset(): Unit; def next(row: InternalRow): Any }
+
+  private[plans] def evaluator(ne: NamedExpression, childOutput: Seq[Attribute]): Eval = ne match {
+    case Alias(WindowExpression(l: Lag, _), _) =>
+      val k = l.inputOffset.eval().asInstanceOf[Int]
+      val input = BindReferences.bindReference(l.input, childOutput)
+      val default = BindReferences.bindReference(l.default, childOutput)
+      new Eval {
+        private val ring = new Array[Any](math.max(1, k))
+        private var pos = 0L
+        override def reset(): Unit = pos = 0L
+        override def next(row: InternalRow): Any = {
+          if (k == 0) input.eval(row)
+          else {
+            val v = if (pos >= k) ring(((pos - k) % k).toInt) else default.eval(row)
+            ring((pos % k).toInt) = InternalRow.copyValue(input.eval(row))
+            pos += 1L
+            v
+          }
+        }
+      }
+
+    case Alias(WindowExpression(_: RowNumber, _), _) =>
+      new Eval {
+        private var n = 0L
+        override def reset(): Unit = n = 0L
+        override def next(row: InternalRow): Any = { n += 1L; n.toInt }
+      }
+
+    case Alias(WindowExpression(ae: AggregateExpression, _), _) =>
+      val f = ae.aggregateFunction.asInstanceOf[DeclarativeAggregate]
+      val bufferAttrs = f.aggBufferAttributes
+      val buffer = new SpecificInternalRow(bufferAttrs.map(_.dataType))
+      val init = f.initialValues
+      val update = MutableProjection.create(
+        f.updateExpressions.map(BindReferences.bindReference(_, bufferAttrs ++ childOutput)))
+        .target(buffer)
+      val evalExpr = BindReferences.bindReference(f.evaluateExpression, bufferAttrs)
+      val joined = new JoinedRow
+      new Eval {
+        override def reset(): Unit = {
+          var i = 0
+          while (i < init.length) { buffer.update(i, init(i).eval(EmptyRow)); i += 1 }
+        }
+        override def next(row: InternalRow): Any = {
+          update(joined(buffer, row)) // running frame INCLUDES the current row
+          InternalRow.copyValue(evalExpr.eval(buffer))
+        }
+      }
+
+    case other => throw new IllegalStateException(s"unsupported streaming window: $other")
+  }
+
 
   private def isRunningRowFrame(spec: WindowSpecDefinition): Boolean =
     spec.frameSpecification match {
