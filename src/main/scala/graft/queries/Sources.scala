@@ -227,6 +227,17 @@ object Sources {
       val path = graft.sources.DeltaFixture.nationTable(s, d)
       graft.sources.DeltaScan.scan(s, path, versionAsOf = Some(0L))
         .orderBy(col("n_nationkey"))
+    },
+
+    // partitioned Delta table: the partition column exists only in the
+    // LOG (partitionValues), not the data files — the scan re-attaches
+    // it typed, and log-level pruning keeps a single region's files
+    "src_delta_partitioned" -> { (s, d) =>
+      val path = graft.sources.DeltaFixture.nationByRegion(s, d)
+      graft.sources.DeltaScan.scan(s, path,
+          partitionPruner = pv => pv.get("n_regionkey").exists(v => v == "1" || v == "3"))
+        .orderBy(col("n_nationkey"))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }
   )
 
@@ -242,6 +253,10 @@ object Sources {
     "src_delta_time_travel" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation WHERE n_nationkey < 20 ORDER BY n_nationkey""".stripMargin,
+
+    "src_delta_partitioned" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_regionkey IN (1, 3) ORDER BY n_nationkey""".stripMargin,
 
     "src_csv_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
