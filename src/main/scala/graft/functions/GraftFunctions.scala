@@ -36,6 +36,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hamming", e => HammingDistance(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler", e => JaroWinklerSimilarity(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("damerau_levenshtein", e => DamerauLevenshtein(e(0), e(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("bar", e => UnicodeBar.expr(e(0), e(1), e(2),
+      if (e.length > 3) e(3)
+      else org.apache.spark.sql.catalyst.expressions.Literal(80.0d)), "scala_udf")
     reg.createOrReplaceTempFunction("even", e => EvenCeil(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("gcd", e => Gcd(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lcm", e => Lcm(e(0), e(1)), "scala_udf")

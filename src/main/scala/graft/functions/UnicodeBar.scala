@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `bar(x, min, max[, width])` — Unicode block-character bar chart cell
+  * (reference: extension/core_functions/scalar/string/bar.cpp).
+  *
+  * Semantics follow the reference exactly:
+  *  - width must be finite and in [1, 1000], else the query errors;
+  *  - bar length 0 if any of x/min/max is NaN or `x <= min` (note: this
+  *    makes min >= max render empty, checked before the fraction), full
+  *    if `x >= max`, else `width * (x-min)/(max-min)`;
+  *  - the length is truncated to eighths; 1..7 leftover eighths render
+  *    the U+2589..U+258F partial block, full eighths the U+2588 block.
+  *
+  * Padding matches the DuckDB 1.0 oracle, which right-pads with spaces
+  * to `int(width)` BYTES (each block char is 3 UTF-8 bytes), so a
+  * non-empty bar is shorter than `width` characters. The reference fork
+  * later changed this to pad to `int(width)` characters (bar.cpp:58-61);
+  * the two agree on the bar itself and differ only in trailing spaces.
+  */
+case class UnicodeBar(x: Expression, min: Expression, max: Expression,
+                      width: Expression)
+    extends QuaternaryExpression {
+  override def prettyName: String = "bar"
+  override def dataType: DataType = StringType
+  override def first: Expression = x
+  override def second: Expression = min
+  override def third: Expression = max
+  override def fourth: Expression = width
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    UnicodeBar.render(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c, d) => s"graft.functions.UnicodeBar.render($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(x = f, min = s, max = t, width = q)
+}
+
+object UnicodeBar {
+  private final val FullBlock = '█'
+  // partial blocks by leftover eighths: 1 -> U+258F (1/8) .. 7 -> U+2589 (7/8)
+  private def partial(eighths: Int): Char = (0x2590 - eighths).toChar
+
+  /** Invoked from generated code. */
+  def render(x: Double, min: Double, max: Double, maxWidth: Double): UTF8String = {
+    if (maxWidth.isNaN || maxWidth.isInfinite)
+      throw new IllegalArgumentException("Max bar width must not be NaN or infinity")
+    if (maxWidth < 1)
+      throw new IllegalArgumentException("Max bar width must be >= 1")
+    if (maxWidth > 1000)
+      throw new IllegalArgumentException("Max bar width must be <= 1000")
+
+    val barWidth =
+      if (x.isNaN || min.isNaN || max.isNaN || x <= min) 0.0
+      else if (x >= max) maxWidth
+      else maxWidth * (x - min) / (max - min)
+    if (barWidth.isNaN || barWidth.isInfinite)
+      throw new IllegalArgumentException("Bar width must not be NaN or infinity")
+
+    // truncate to eighths (the reference's LossyNumericCast<uint32_t>;
+    // barWidth is in [0, 1000] here so the plain cast is exact)
+    val units = (barWidth * 8).toInt
+    val full = units / 8
+    val rem = units % 8
+    val used = full + (if (rem > 0) 1 else 0)
+    // oracle-matching byte padding: block chars are 3 UTF-8 bytes each
+    val pad = math.max(0, maxWidth.toInt - 3 * used)
+    val sb = new java.lang.StringBuilder(used + pad)
+    var i = 0
+    while (i < full) { sb.append(FullBlock); i += 1 }
+    if (rem > 0) sb.append(partial(rem))
+    i = 0
+    while (i < pad) { sb.append(' '); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Smart constructor: casts every child to double (the expression has
+    * no access to Spark's private implicit-cast machinery).
+    */
+  def expr(x: Expression, min: Expression, max: Expression,
+           width: Expression): Expression =
+    UnicodeBar(Cast(x, DoubleType), Cast(min, DoubleType),
+      Cast(max, DoubleType), Cast(width, DoubleType))
+
+  def bar(x: Column, min: Column, max: Column, width: Column): Column =
+    bridge.column(expr(bridge.expression(x), bridge.expression(min),
+      bridge.expression(max), bridge.expression(width)))
+}

@@ -294,6 +294,20 @@ object Functions {
         .orderBy(col("p_partkey")).limit(100)
     },
 
+    // bar(x, min, max[, width]) block-character chart cell (reference
+    // extension/core_functions/scalar/string/bar.cpp). Exercises the
+    // partial-eighth blocks, the x<=min/x>=max clamps (acctbal spans
+    // negatives), a fractional width, and the default width 80.
+    "fn_bar" -> { (s, d) =>
+      import graft.functions.UnicodeBar.bar
+      Tables(s, d, "supplier").select(
+          col("s_suppkey"),
+          bar(col("s_acctbal"), lit(0.0), lit(10000.0), lit(20.0)).as("b20"),
+          bar(col("s_acctbal"), lit(-1000.0), lit(10000.0), lit(80.0)).as("b80"),
+          bar(col("s_acctbal"), lit(0.0), lit(10000.0), lit(12.5)).as("bfrac"))
+        .orderBy(col("s_suppkey")).limit(200)
+    },
+
     // bit functions (reference extension/core_functions/scalar/bit/):
     // get_bit/set_bit/bit_position over the engine's '0'/'1' bitstring
     // encoding (see functions.BitFunctions), plus bit_count
@@ -564,6 +578,13 @@ object Functions {
         | CAST(length_grapheme(p_brand || 'e' || chr(769)) AS BIGINT) AS g_accent,
         | CAST(length(p_brand || 'e' || chr(769)) AS BIGINT) AS cp_accent
         |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "fn_bar" ->
+      """SELECT s_suppkey,
+        | bar(s_acctbal, 0, 10000, 20) AS b20,
+        | bar(s_acctbal, -1000, 10000) AS b80,
+        | bar(s_acctbal, 0, 10000, 12.5) AS bfrac
+        |FROM supplier ORDER BY s_suppkey LIMIT 200""".stripMargin,
 
     "fn_bit" ->
       """SELECT o_orderkey,

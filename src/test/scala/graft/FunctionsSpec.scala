@@ -85,4 +85,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 0.9611111111111111) < 1e-12)
     assert(r.getDouble(2) == 6.0)
   }
+
+  test("bar matches the oracle's rendering, clamps, and byte padding") {
+    import spark.implicits._
+    import UnicodeBar.bar
+    def b(x: Double, mn: Double, mx: Double, w: Double): String =
+      Seq(x).toDF("x").select(bar($"x", lit(mn), lit(mx), lit(w))).head().getString(0)
+    // values pinned against DuckDB 1.0 (the driver's oracle)
+    assert(b(0.4, 0, 10, 8) == "▎" + " " * 5)           // 2 eighths, 3-byte pad
+    assert(b(1.24, 0, 10, 80) == "█" * 9 + "▉" + " " * 50)
+    assert(b(0.390625, 0, 10, 8) == "▎" + " " * 5)      // 2.5 eighths truncates
+    assert(b(10, 0, 10, 8) == "█" * 8)                  // full: no padding fits
+    assert(b(-1, 0, 10, 8) == " " * 8)                       // x <= min
+    assert(b(11, 0, 10, 8) == "█" * 8)                  // x >= max
+    assert(b(5, 10, 0, 8) == " " * 8)                        // min >= max -> empty
+    assert(b(5, 5, 5, 8) == " " * 8)
+    assert(b(Double.NaN, 0, 10, 8) == " " * 8)
+    assert(b(5, 0, 10, 7.5) == "█" * 3 + "▊")      // fractional width
+    assert(b(5, 0, 10, 7.9) == "█" * 3 + "▉")
+    intercept[Exception](b(5, 0, 10, 0))
+    intercept[Exception](b(5, 0, 10, 1001))
+    // null propagation + SQL registration with default width 80
+    assert(Seq(Option.empty[java.lang.Double]).toDF("x")
+      .select(bar($"x", lit(0.0), lit(10.0), lit(8.0))).head().isNullAt(0))
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT bar(0.0, 0, 10)").head().getString(0) == " " * 80)
+    assert(spark.sql("SELECT bar(2.5, 0, 10, 8)").head().getString(0) == "██  ")
+  }
+
+  test("bar survives whole-stage codegen over many rows") {
+    import spark.implicits._
+    import UnicodeBar.bar
+    val n = spark.range(1000).toDF("i")
+      .select(length(bar($"i".cast("double"), lit(0.0), lit(1000.0), lit(10.0))).as("l"))
+      .agg(sum($"l")).head().getLong(0)
+    assert(n > 0) // every row rendered; exact per-row values pinned above
+  }
 }
