@@ -30,12 +30,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Scale posture: replay is driver-side METADATA work — O(files) tiny
   * structs, the same state-reconstruction shape delta-spark itself uses —
   * and the data path is ordinary distributed parquet scans, so pushdown /
-  * column pruning / AQE all apply unchanged. Single-part parquet
-  * checkpoints (log truncation) are supported — state folds from the
-  * checkpoint's action rows, later JSON commits replay on top.
-  * Deliberate limits, thrown loudly rather than mis-read: multi-part
-  * checkpoints and protocol minReaderVersion > 1 features (column
-  * mapping, deletion vectors).
+  * column pruning / AQE all apply unchanged. Parquet checkpoints (log
+  * truncation) are supported in both single- and multi-part form —
+  * state folds from the checkpoint's action rows (a multi-part
+  * checkpoint is the same row set split across
+  * `<v>.checkpoint.<i>.<n>.parquet` files, read together), later JSON
+  * commits replay on top. Deliberate limit, thrown loudly rather than
+  * mis-read: protocol minReaderVersion > 1 features (column mapping,
+  * deletion vectors).
   */
 object DeltaScan {
 
@@ -60,23 +62,24 @@ object DeltaScan {
     * the checkpoint's action rows and only the JSON commits AFTER it
     * replay; time travel BEFORE the checkpoint still works iff the JSON
     * commits survive, and throws a clear error when they are truncated.
-    * Multi-part checkpoints (`"parts"`) stay unsupported and throw.
+    * Multi-part checkpoints (`"parts"` in `_last_checkpoint`) read all
+    * `<v>.checkpoint.<i>.<n>.parquet` part files as one action set.
     */
   def snapshot(spark: SparkSession, tablePath: String,
                versionAsOf: Option[Long] = None): Snapshot = {
     val logDir = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(logDir), s"not a Delta table (no _delta_log): $tablePath")
 
-    val checkpointVersion: Option[Long] = {
+    // (version, parts): parts = None for a single-file checkpoint
+    val checkpointInfo: Option[(Long, Option[Int])] = {
       val lc = logDir.resolve("_last_checkpoint")
       if (!Files.exists(lc)) None
       else {
         val j = JsonMethods.parse(String.join("\n", Files.readAllLines(lc)))
-        if ((j \ "parts") != JNothing) throw new UnsupportedOperationException(
-          "delta_scan: multi-part checkpoints are not supported")
-        Some((j \ "version").extract[Long])
+        Some(((j \ "version").extract[Long], (j \ "parts").extractOpt[Int]))
       }
     }
+    val checkpointVersion = checkpointInfo.map(_._1)
 
     val versions = Files.list(logDir).iterator().asScala
       .map(_.getFileName.toString)
@@ -93,12 +96,20 @@ object DeltaScan {
     // insertion-ordered so the scan reads files in commit order
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
-    val fromCheckpoint = checkpointVersion.filter(_ <= target)
-    fromCheckpoint.foreach { cv =>
+    val fromCheckpoint = checkpointInfo.filter(_._1 <= target)
+    fromCheckpoint.foreach { case (cv, parts) =>
       // checkpoint rows carry one non-null action column each; removes
       // are tombstones for already-vacuumed files — not active state
-      val cp = spark.read.parquet(
-        logDir.resolve(f"$cv%020d.checkpoint.parquet").toString)
+      val cpPaths = parts match {
+        case None => Seq(logDir.resolve(f"$cv%020d.checkpoint.parquet").toString)
+        case Some(n) =>
+          require(n >= 1, s"delta_scan: _last_checkpoint has parts=$n")
+          (1 to n).map(i =>
+            logDir.resolve(f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
+      }
+      cpPaths.foreach(p => require(Files.exists(Paths.get(p)),
+        s"delta_scan: checkpoint part missing: $p"))
+      val cp = spark.read.parquet(cpPaths: _*)
       val cols = cp.columns.toSet
       val rows = cp.select(
         (if (cols.contains("protocol")) col("protocol.minReaderVersion") else lit(null))
@@ -125,7 +136,7 @@ object DeltaScan {
       }
     }
 
-    val replayFrom = fromCheckpoint.map(_ + 1).getOrElse(0L)
+    val replayFrom = fromCheckpoint.map(_._1 + 1).getOrElse(0L)
     val toReplay = versions.filter(v => v >= replayFrom && v <= target)
     if (fromCheckpoint.isEmpty && versions.nonEmpty)
       require(versions.min == 0L,
