@@ -60,9 +60,14 @@ case class StreamingWindowExec(
     val wexprs = windowExpression
     val pspec = partitionSpec
     val childOutput = child.output
+    val allOutput = output
     child.execute().mapPartitions { it =>
       val partProj = UnsafeProjection.create(pspec, childOutput)
       val evals = wexprs.map(StreamingWindowExec.evaluator(_, childOutput)).toArray
+      // WindowExec always emits UnsafeRow (its result projection); parents
+      // like SortExec and ShuffleExchangeExec cast on that contract, so the
+      // joined row must be projected before it leaves this operator.
+      val resultProj = UnsafeProjection.create(allOutput, allOutput)
 
       new Iterator[InternalRow] {
         private var prevKey: UnsafeRow = null
@@ -81,7 +86,7 @@ case class StreamingWindowExec(
           }
           var j = 0
           while (j < n) { winRow.update(j, evals(j).next(row)); j += 1 }
-          joined(row, winRow)
+          resultProj(joined(row, winRow))
         }
       }
     }
@@ -128,7 +133,14 @@ object StreamingWindowExec {
     case Alias(WindowExpression(ae: AggregateExpression, _), _) =>
       val f = ae.aggregateFunction.asInstanceOf[DeclarativeAggregate]
       val bufferAttrs = f.aggBufferAttributes
+      val bufferTypes = bufferAttrs.map(_.dataType).toArray
       val buffer = new SpecificInternalRow(bufferAttrs.map(_.dataType))
+      // Buffer slots that hold object values (UTF8String, arrays, …): the
+      // update projection stores them BY REFERENCE, and for a reused child
+      // row (ColumnarToRow, UnsafeRow iterators) that reference is silently
+      // overwritten by the next row — copy them out right after each update.
+      val objIdx = bufferTypes.indices.filter(i =>
+        StreamingWindowExec.holdsObjectRef(bufferTypes(i))).toArray
       val init = f.initialValues
       val update = MutableProjection.create(
         f.updateExpressions.map(BindReferences.bindReference(_, bufferAttrs ++ childOutput)))
@@ -142,6 +154,13 @@ object StreamingWindowExec {
         }
         override def next(row: InternalRow): Any = {
           update(joined(buffer, row)) // running frame INCLUDES the current row
+          var i = 0
+          while (i < objIdx.length) {
+            val j = objIdx(i)
+            if (!buffer.isNullAt(j))
+              buffer.update(j, InternalRow.copyValue(buffer.get(j, bufferTypes(j))))
+            i += 1
+          }
           InternalRow.copyValue(evalExpr.eval(buffer))
         }
       }
