@@ -18,14 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - the length is truncated to eighths; 1..7 leftover eighths render
   *    the U+2589..U+258F partial block, full eighths the U+2588 block.
   *
-  * Padding matches the DuckDB 1.0 oracle, which right-pads with spaces
-  * to `int(width)` BYTES (each block char is 3 UTF-8 bytes), so a
-  * non-empty bar is shorter than `width` characters. The reference fork
-  * later changed this to pad to `int(width)` characters (bar.cpp:58-61);
-  * the two agree on the bar itself and differ only in trailing spaces.
+  * Padding: by default matches the DuckDB 1.0 oracle, which right-pads
+  * with spaces to `int(width)` BYTES (each block char is 3 UTF-8 bytes),
+  * so a non-empty bar is shorter than `width` characters. The reference
+  * fork later changed this to pad to `int(width)` CHARACTERS
+  * (bar.cpp:58-61); set `charPad = true` (or use
+  * [[UnicodeBar.barReference]]) for that layout. The two modes agree on
+  * the bar itself and differ only in trailing spaces.
   */
 case class UnicodeBar(x: Expression, min: Expression, max: Expression,
-                      width: Expression)
+                      width: Expression, charPad: Boolean = false)
     extends QuaternaryExpression {
   override def prettyName: String = "bar"
   override def dataType: DataType = StringType
@@ -36,11 +38,11 @@ case class UnicodeBar(x: Expression, min: Expression, max: Expression,
 
   override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
     UnicodeBar.render(a.asInstanceOf[Double], b.asInstanceOf[Double],
-      c.asInstanceOf[Double], d.asInstanceOf[Double])
+      c.asInstanceOf[Double], d.asInstanceOf[Double], charPad)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b, c, d) => s"graft.functions.UnicodeBar.render($a, $b, $c, $d)")
+      (a, b, c, d) => s"graft.functions.UnicodeBar.render($a, $b, $c, $d, $charPad)")
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
@@ -52,8 +54,12 @@ object UnicodeBar {
   // partial blocks by leftover eighths: 1 -> U+258F (1/8) .. 7 -> U+2589 (7/8)
   private def partial(eighths: Int): Char = (0x2590 - eighths).toChar
 
-  /** Invoked from generated code. */
-  def render(x: Double, min: Double, max: Double, maxWidth: Double): UTF8String = {
+  /** Invoked from generated code. `charPad = false` pads the bar to
+    * `int(width)` bytes (DuckDB 1.0 / the driver's oracle); `true` pads
+    * to `int(width)` characters (the reference fork's bar.cpp:58-61).
+    */
+  def render(x: Double, min: Double, max: Double, maxWidth: Double,
+             charPad: Boolean = false): UTF8String = {
     if (maxWidth.isNaN || maxWidth.isInfinite)
       throw new IllegalArgumentException("Max bar width must not be NaN or infinity")
     if (maxWidth < 1)
@@ -74,8 +80,9 @@ object UnicodeBar {
     val full = units / 8
     val rem = units % 8
     val used = full + (if (rem > 0) 1 else 0)
-    // oracle-matching byte padding: block chars are 3 UTF-8 bytes each
-    val pad = math.max(0, maxWidth.toInt - 3 * used)
+    // byte padding (oracle): block chars are 3 UTF-8 bytes each;
+    // character padding (reference layout): one column per block
+    val pad = math.max(0, maxWidth.toInt - (if (charPad) used else 3 * used))
     val sb = new java.lang.StringBuilder(used + pad)
     var i = 0
     while (i < full) { sb.append(FullBlock); i += 1 }
@@ -96,4 +103,13 @@ object UnicodeBar {
   def bar(x: Column, min: Column, max: Column, width: Column): Column =
     bridge.column(expr(bridge.expression(x), bridge.expression(min),
       bridge.expression(max), bridge.expression(width)))
+
+  /** Reference-fork layout: identical bar, padded to `width` CHARACTERS
+    * (bar.cpp:58-61) instead of the oracle's `width` bytes.
+    */
+  def barReference(x: Column, min: Column, max: Column, width: Column): Column =
+    bridge.column(UnicodeBar(
+      Cast(bridge.expression(x), DoubleType), Cast(bridge.expression(min), DoubleType),
+      Cast(bridge.expression(max), DoubleType), Cast(bridge.expression(width), DoubleType),
+      charPad = true))
 }

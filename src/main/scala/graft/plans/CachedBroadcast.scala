@@ -55,9 +55,12 @@ object CachedBroadcastExec {
     * builder identity gives data-version invalidation: re-caching a table
     * through ANY path (`Tables.clearCache`, `spark.catalog.clearCache()`,
     * unpersist + re-read) creates a new `CachedRDDBuilder`, so the stale
-    * broadcast can never be served for new data.
+    * broadcast can never be served for new data. Builders are numbered
+    * from a monotonic counter (weakly keyed, so dropped builders don't
+    * leak) rather than `identityHashCode`, which can collide between an
+    * old and a re-created builder.
     */
-  private type Key = (SparkPlan, Seq[Int])
+  private type Key = (SparkPlan, Seq[Long])
 
   /** Bounded LRU (access-order): entries beyond MaxEntries drop their
     * Broadcast ref so ContextCleaner can reclaim the blocks — the cache
@@ -66,11 +69,22 @@ object CachedBroadcastExec {
   private val MaxEntries = 64
   private val cache = new java.util.LinkedHashMap[Key, Broadcast[Any]](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[Key, Broadcast[Any]]): Boolean =
-      size() > MaxEntries
+      this.size() > MaxEntries
   }
 
-  private def dataIdentity(plan: SparkPlan): Seq[Int] = plan.collect {
-    case s: InMemoryTableScanExec => System.identityHashCode(s.relation.cacheBuilder)
+  // keyed on AnyRef: CachedRDDBuilder is private[sql]; WeakHashMap keys
+  // on reference identity, which is exactly the builder identity we want
+  private val builderIds = new java.util.WeakHashMap[AnyRef, java.lang.Long]()
+  private val nextBuilderId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def builderId(b: AnyRef): Long =
+    builderIds.synchronized {
+      val existing = builderIds.get(b)
+      if (existing != null) existing.longValue()
+      else { val id = nextBuilderId.incrementAndGet(); builderIds.put(b, id); id }
+    }
+
+  private def dataIdentity(plan: SparkPlan): Seq[Long] = plan.collect {
+    case s: InMemoryTableScanExec => builderId(s.relation.cacheBuilder)
   }
 
   private[graft] def lookup(inner: BroadcastExchangeExec): Broadcast[Any] = {

@@ -103,6 +103,19 @@ object StreamingWindowExec {
     */
   private[plans] abstract class Eval { def reset(): Unit; def next(row: InternalRow): Any }
 
+  /** Types whose InternalRow accessors can return a view into the row's
+    * backing memory (UTF8String / UnsafeArrayData / UnsafeMapData /
+    * UnsafeRow slices) rather than a self-contained value. Buffer slots
+    * of these types must be defensively copied after each update when the
+    * child iterator reuses its row object.
+    */
+  private[plans] def holdsObjectRef(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType => true
+    case _: org.apache.spark.sql.types.ArrayType | _: org.apache.spark.sql.types.MapType |
+         _: org.apache.spark.sql.types.StructType => true
+    case _ => false
+  }
+
   private[plans] def evaluator(ne: NamedExpression, childOutput: Seq[Attribute]): Eval = ne match {
     case Alias(WindowExpression(l: Lag, _), _) =>
       val k = l.inputOffset.eval().asInstanceOf[Int]

@@ -85,9 +85,12 @@ class DeltaScanSpec extends AnyFunSuite {
     // but time travel BELOW the breaking protocol version still works
     assert(DeltaScan.scan(spark, t2, versionAsOf = Some(2L)).count() == nation.count())
 
+    // multi-part checkpoints are read part-by-part; a referenced part
+    // that is missing on disk must fail loudly, not scan a partial state
     val t3 = DeltaFixture.nationTable(spark, sf)
     Files.write(Paths.get(t3, "_delta_log", "_last_checkpoint"),
       java.util.Arrays.asList("""{"version":1,"size":3,"parts":2}"""))
-    assertThrows[UnsupportedOperationException](DeltaScan.snapshot(spark, t3))
+    val e = intercept[IllegalArgumentException](DeltaScan.snapshot(spark, t3))
+    assert(e.getMessage.contains("checkpoint part missing"))
   }
 }

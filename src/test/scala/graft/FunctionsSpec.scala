@@ -113,6 +113,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT bar(2.5, 0, 10, 8)").head().getString(0) == "██  ")
   }
 
+  test("bar reference layout pads to width characters") {
+    import spark.implicits._
+    import UnicodeBar.barReference
+    def b(x: Double, mn: Double, mx: Double, w: Double): String =
+      Seq(x).toDF("x").select(barReference($"x", lit(mn), lit(mx), lit(w)))
+        .head().getString(0)
+    assert(b(0.4, 0, 10, 8) == "▎" + " " * 7)   // 1 block char + 7 columns
+    assert(b(1.24, 0, 10, 80) == "█" * 9 + "▉" + " " * 70)
+    assert(b(10, 0, 10, 8) == "█" * 8)          // full bar: no padding
+    assert(b(-1, 0, 10, 8) == " " * 8)          // empty bar: width spaces
+    assert(b(5, 0, 10, 8) == "█" * 4 + " " * 4)
+  }
+
   test("bar survives whole-stage codegen over many rows") {
     import spark.implicits._
     import UnicodeBar.bar

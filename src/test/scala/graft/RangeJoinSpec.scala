@@ -57,6 +57,50 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(banded == naive)
   }
 
+  test("integral keys take the exact-arithmetic path and match the naive join") {
+    import spark.implicits._
+    // keys sitting ON bucket boundaries (multiples of w=10) — the shape
+    // where double floor-division could disagree between the two sides
+    val l = Seq(-30L, -20L, -10L, 0L, 10L, 20L, 25L).toDF("lv")
+    val r = Seq(-40L, -30L, -21L, -20L, -10L, -1L, 0L, 9L, 10L, 19L, 20L, 30L).toDF("rv")
+    val cond = col("rv") >= col("lv") - 10 && col("rv") <= col("lv")
+    val naive = l.crossJoin(r).filter(cond)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    val banded = RangeJoin.band(l, r, "lv", "rv", -10.0, 0.0, cond)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    assert(banded.toSeq == naive.toSeq)
+    // tight 2-bucket explode: candidates = 2 joins' worth, never 4
+    val cands = RangeJoin.bandCandidates(l, r, "lv", "rv", -10.0, 0.0)
+    assert(cands.count() <= 2L * l.count() * r.count())
+  }
+
+  test("double keys within ulps of bucket boundaries match the naive join") {
+    import spark.implicits._
+    // every key sits ON or within a few ulps of a bucket boundary (k·w)
+    // — the shape where the two sides' independent double divisions can
+    // floor across the boundary in opposite directions. The widened left
+    // explode must keep every genuine pair no matter which way each side
+    // rounds; the naive cross join is the oracle.
+    val w = 0.3 // not exactly representable: divisions actually round
+    def ulps(x: Double, n: Int): Double = {
+      var v = x; var i = 0
+      while (i < math.abs(n)) { v = if (n > 0) Math.nextUp(v) else Math.nextDown(v); i += 1 }
+      v
+    }
+    val vals = for {
+      k <- Seq(-7, -3, -1, 0, 1, 4, 9)
+      d <- Seq(-2, -1, 0, 1, 2)
+    } yield ulps(k * w, d)
+    val l = vals.toDF("lv")
+    val r = vals.toDF("rv")
+    val cond = col("rv") >= col("lv") - lit(w) && col("rv") <= col("lv")
+    val naive = l.crossJoin(r).filter(cond)
+      .collect().map(x => (x.getDouble(0), x.getDouble(1))).sorted
+    val banded = RangeJoin.band(l, r, "lv", "rv", -w, 0.0, cond)
+      .collect().map(x => (x.getDouble(0), x.getDouble(1))).sorted
+    assert(banded.toSeq == naive.toSeq)
+  }
+
   test("gated range query plans no BNLJ and no cartesian product") {
     val e = SparkEntry.queries("join_non_equi_range")(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -83,6 +83,55 @@ class StreamingWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("object-typed running aggregates are correct over reused cache rows") {
+    // regression: the aggregate buffer's update projection stores
+    // UTF8String values BY REFERENCE; over a ColumnarToRow child (row
+    // object reused per batch) the retained min/max was silently
+    // overwritten by later rows. A pre-clustered cached table satisfies
+    // the window's distribution+ordering, so no SortExec materializes
+    // rows in between — exactly the warm-path shape the bug needed.
+    val cached = df.repartition(7, col("user"))
+      .sortWithinPartitions(col("user"), col("seq")).persist()
+    try {
+      cached.count()
+      val w = Window.partitionBy(col("user")).orderBy(col("seq"))
+      def run() = cached.select(col("user"), col("seq"),
+          min(col("tag")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("rmin"),
+          max(col("tag")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("rmax"))
+        .orderBy(col("user"), col("seq"))
+        .collect().map(_.toString).toSeq
+      // pin the shape: streaming operator present, no sort under it
+      val plan = withAqeOff(withRule(on = true)(
+        cached.select(min(col("tag")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+          .queryExecution.executedPlan))
+      val sw = plan.collect { case s: graft.plans.StreamingWindowExec => s }
+      assert(sw.nonEmpty, plan.toString.take(1500))
+      assert(sw.head.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        plan.toString.take(1500))
+      assert(withRule(on = true)(run()) == withRule(on = false)(run()))
+    } finally cached.unpersist()
+  }
+
+  test("streaming window output survives a Sort/Exchange directly above it") {
+    // regression: the operator emitted raw JoinedRows; SortExec and
+    // ShuffleExchangeExec cast their input to UnsafeRow, so a second
+    // window spec with a different ordering (sort directly above the
+    // replaced node) threw ClassCastException at runtime.
+    val w1 = Window.partitionBy(col("user")).orderBy(col("seq"))
+    val w2 = Window.orderBy(col("seq"), col("user"))
+    def run() = df.select(col("user"), col("seq"),
+        sum(col("v")).over(w1.rowsBetween(Window.unboundedPreceding, 0)).as("rsum"),
+        min(col("tag")).over(w1.rowsBetween(Window.unboundedPreceding, 0)).as("rmin"))
+      .withColumn("rk", row_number().over(w2))
+      .orderBy(col("user"), col("seq"))
+      .collect().map(_.toString).toSeq
+    val streaming = withRule(on = true)(run())
+    val builtin = withRule(on = false)(run())
+    assert(streaming == builtin)
+  }
+
   test("lead and IGNORE NULLS lag stay on WindowExec") {
     val w = Window.partitionBy(col("user")).orderBy(col("seq"))
     val leadPlan = withAqeOff(withRule(on = true)(
