@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, IvfAnn, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, IvfAnn, Multimodal, TextAnalysis, VectorQuant}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline queries: dedup, similarity search, text
@@ -106,6 +107,42 @@ object Pipeline {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     },
 
+    // int8 scalar-quantized brute-force ANN (operators/VectorQuant.scala):
+    // 4× less index memory/scan volume; estimator output → rows-only,
+    // recall vs exact cosine pinned in PipelineSpec
+    "sim_ann_int8" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val q = VectorQuant.quantize(e.filter(col("vec_id") =!= 0), "vec_id", "embedding")
+      VectorQuant.searchCosine(q, "vec_id", probe, topK = 10)
+        .select(col("vec_id"), round(col("cos_sim_q"), 3).as("cos_sim_q"))
+        .orderBy(col("cos_sim_q").desc, col("vec_id"))
+    },
+
+    // END-TO-END corpus prep — the composed pipeline a training-data run
+    // actually executes: quality metrics -> language/quality gate ->
+    // exact dedup (keep lowest doc_id per content hash) -> per-language
+    // corpus stats. Every stage is the gated operator itself, and the
+    // whole chain is value-matched against a SQL reconstruction.
+    "pipeline_corpus_prep" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+      val keep = docs.join(q, "doc_id")
+        .filter(col("lang").isin("en", "de", "fr") &&
+          col("alpha_ratio") >= 0.55 && col("n_words") >= 10)
+      val deduped = keep
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          round(avg(col("alpha_ratio")), 6).as("avg_alpha"))
+        .orderBy(col("lang"))
+    },
+
     "text_quality" -> { (s, d) =>
       TextAnalysis.quality(Tables(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id")).limit(200)
@@ -174,6 +211,22 @@ object Pipeline {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY content_hash LIMIT 100""".stripMargin,
+
+    "pipeline_corpus_prep" ->
+      """WITH q AS (
+        | SELECT doc_id, lang, n_chars,
+        |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |    / length(text), 6) AS alpha_ratio,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_words,
+        |  md5(text) AS content_hash
+        | FROM documents),
+        |keep AS (
+        | SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        | FROM q
+        | WHERE lang IN ('en', 'de', 'fr') AND alpha_ratio >= 0.55 AND n_words >= 10)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | round(avg(alpha_ratio), 6) AS avg_alpha
+        |FROM keep WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)

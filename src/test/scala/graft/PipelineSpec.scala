@@ -108,6 +108,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall, brute=$brute got=$got")
   }
 
+  test("int8 quantization: recall@10 >= 0.9 vs exact cosine, codes bounded") {
+    import graft.operators.VectorQuant
+    import graft.functions.VectorFunctions
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{abs => sabs, col, typedlit, aggregate, lit, greatest, element_at}
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 300)
+      .map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val probe = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val brute = vecs.select(col("vec_id"),
+        VectorFunctions.cosine_similarity(col("embedding"), typedlit(probe)).as("s"))
+      .orderBy(col("s").desc).limit(10).collect().map(_.getLong(0)).toSet
+    val q = VectorQuant.quantize(vecs, "vec_id", "embedding")
+    // codes stay in [-127, 127]
+    val mx = q.select(aggregate(col("qvec").cast("array<int>"), lit(0),
+      (a, x) => greatest(a, sabs(x))).as("m"))
+      .agg(org.apache.spark.sql.functions.max(col("m"))).head().getInt(0)
+    assert(mx <= 127)
+    val got = VectorQuant.searchCosine(q, "vec_id", probe, topK = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(got).size / 10.0
+    assert(recall >= 0.9, s"recall $recall, brute=$brute got=$got")
+  }
+
+  test("int8 quantization round-trips within one quantization step") {
+    import graft.operators.VectorQuant
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq(
+      (1L, Seq(1.0f, -2.5f, 0.0f, 127.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 0, zero codes
+      (3L, Seq(-0.001f, 0.0005f, 0.00075f, -0.0002f))).toDF("vec_id", "embedding")
+    val q = VectorQuant.quantize(vecs, "vec_id", "embedding")
+      .join(vecs, "vec_id").orderBy("vec_id")
+      .select(col("vec_id"), col("qvec"), col("qscale"), col("embedding"))
+      .collect()
+    q.foreach { r =>
+      val codes = r.getSeq[Byte](1)
+      val scale = r.getFloat(2)
+      val orig = r.getSeq[Float](3)
+      codes.zip(orig).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-7,
+          s"vec ${r.getLong(0)}: code $c scale $scale orig $x")
+      }
+    }
+  }
+
   test("PNG decode recovers the synthetic test-card means exactly") {
     import graft.operators.Multimodal
     import spark.implicits._
