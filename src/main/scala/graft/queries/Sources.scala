@@ -238,6 +238,43 @@ object Sources {
           partitionPruner = pv => pv.get("n_regionkey").exists(v => v == "1" || v == "3"))
         .orderBy(col("n_nationkey"))
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    },
+
+    // native transactional Delta WRITE, MERGE leg: create a table from
+    // the low order keys, MERGE the doubled-price update set (file-pruned
+    // copy-on-write commit), read the committed snapshot back. Oracle =
+    // the same FULL OUTER reconstruction that gates merge_upsert — the
+    // commit protocol must not change the semantics layer's answer.
+    "src_delta_merge" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_delta_merge").toString + "/t"
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.DeltaWrite.create(s,
+        orders.filter(col("o_orderkey") < 1000), dir)
+      val updates = orders
+        .filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      graft.sources.DeltaWrite.merge(s, dir, updates, Seq("o_orderkey"))
+      graft.sources.DeltaScan.scan(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // DELETE WHERE leg: copy-on-write delete commit, aggregate the
+    // surviving snapshot (mirrors merge_delete's oracle)
+    "src_delta_delete" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_delta_del").toString + "/t"
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .filter(col("o_orderkey") < 2000)
+      graft.sources.DeltaWrite.create(s, orders, dir)
+      graft.sources.DeltaWrite.deleteWhere(s, dir, col("o_custkey") % 7 === 0)
+      graft.sources.DeltaScan.scan(s, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"))
     }
   )
 
@@ -257,6 +294,22 @@ object Sources {
     "src_delta_partitioned" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation WHERE n_regionkey IN (1, 3) ORDER BY n_nationkey""".stripMargin,
+
+    "src_delta_merge" ->
+      """SELECT o_orderkey,
+        | CASE WHEN u.uk IS NOT NULL THEN u.o_custkey ELSE b.o_custkey END AS o_custkey,
+        | round(CASE WHEN u.uk IS NOT NULL THEN u.o_totalprice ELSE b.o_totalprice END, 2)
+        |   AS o_totalprice
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey < 1000) b
+        |FULL OUTER JOIN (
+        |  SELECT o_orderkey, o_orderkey AS uk, o_custkey, o_totalprice * 2.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500) u
+        |USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "src_delta_delete" ->
+      """SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders WHERE o_orderkey < 2000 AND o_custkey % 7 <> 0""".stripMargin,
 
     "src_csv_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal

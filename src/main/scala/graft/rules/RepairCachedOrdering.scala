@@ -22,12 +22,17 @@ import org.apache.spark.sql.execution.columnar.InMemoryRelation
   * NAME (column names are unique within one cached table); a suffix that
   * cannot be rebound is dropped from the first failure on (a sort prefix
   * is only meaningful left-to-right). Injected TWICE: as a
-  * plan-normalization rule (repairs duplicates created by analysis-time
-  * `DeduplicateRelations` — warm `Tables` serves relation-backed
-  * DataFrames precisely so dedup happens at analysis) and as an optimizer
-  * rule (repairs duplicates `InlineCTE` creates mid-optimization, e.g.
-  * q15's twice-referenced revenue CTE — measured to run before the first
+  * plan-normalization rule and as an optimizer rule (duplicates
+  * `InlineCTE` creates mid-optimization run before the first
   * canonicalizing rule). Idempotent; a no-op on consistent relations.
+  *
+  * Scope note: graft's own warm tables serve relations with the logical
+  * `outputOrdering` already STRIPPED (see `bridge.cachedRelationDf` —
+  * canonicalization can also fire INSIDE the analyzer, e.g.
+  * `ResolveAggregateFunctions`' semanticEquals on a HAVING subquery,
+  * where no injectable rule can reach), so this rule now guards only
+  * relations cached OUTSIDE the Tables layer (a user's own sorted
+  * `.cache()` double-used in one query, duplicated post-analysis).
   */
 object RepairCachedOrdering extends Rule[LogicalPlan] {
 

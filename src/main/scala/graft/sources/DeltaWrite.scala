@@ -1,0 +1,293 @@
+package graft.sources
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native transactional Delta Lake WRITE path — the counterpart of
+  * [[DeltaScan]], completing the reference's Delta surface
+  * (/root/reference/extension/delta/src/functions/delta_scan.cpp is
+  * read-only; the write side maps the reference's INSERT ... ON CONFLICT,
+  * /root/reference/src/execution/operator/persistent/physical_insert.cpp,
+  * onto the public Delta commit protocol) without the delta-spark package.
+  *
+  * The commit protocol is the published one: stage immutable parquet data
+  * files into the table directory, then publish `_delta_log/<v>.json`
+  * with the add/remove actions via an ATOMIC rename — the filesystem
+  * rejects the rename if `<v>.json` already exists, which IS Delta's
+  * optimistic concurrency control (first writer wins, loser re-reads the
+  * snapshot and retries). Readers never see a partial commit: data files
+  * are invisible until the log entry lands.
+  *
+  * Scale posture: data writes are ordinary distributed
+  * `df.write.parquet` jobs (every executor writes its own part files —
+  * nothing is funneled through the driver); the driver handles only
+  * O(files-touched) action metadata, the same division of labor as
+  * delta-spark. MERGE and DELETE rewrite ONLY the data files that
+  * actually contain matched keys (log-pruned copy-on-write): at 100 TB a
+  * merge touching 0.1% of keys rewrites ~0.1% of files, and a base table
+  * clustered on the merge key tightens that bound further.
+  */
+object DeltaWrite {
+
+  // ---------------------------------------------------------------- commit
+
+  /** Publish one commit atomically. Throws [[java.nio.file.FileAlreadyExistsException]]
+    * if a concurrent writer claimed the version first (caller: re-read
+    * snapshot, re-stage against it, retry).
+    */
+  private[graft] def commit(tableDir: Path, version: Long, lines: Seq[String]): Unit = {
+    val logDir = tableDir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val tmp = logDir.resolve(s".${UUID.randomUUID()}.json.tmp")
+    Files.write(tmp, lines.asJava)
+    val target = logDir.resolve(f"$version%020d.json")
+    try Files.move(tmp, target) // same-dir rename; fails if target exists
+    catch { case e: FileAlreadyExistsException => Files.deleteIfExists(tmp); throw e }
+  }
+
+  private def metaDataLine(schema: StructType, partitionColumns: Seq[String]): String =
+    JsonMethods.compact(JsonMethods.render(
+      "metaData" -> (
+        ("id" -> UUID.randomUUID().toString) ~
+        ("format" -> (("provider" -> "parquet") ~ ("options" -> Map.empty[String, String]))) ~
+        ("schemaString" -> schema.json) ~
+        ("partitionColumns" -> partitionColumns) ~
+        ("configuration" -> Map.empty[String, String]))))
+
+  private def protocolLine: String =
+    JsonMethods.compact(JsonMethods.render(
+      "protocol" -> (("minReaderVersion" -> 1) ~ ("minWriterVersion" -> 2))))
+
+  private def addLine(file: String, pv: Map[String, String], size: Long): String =
+    JsonMethods.compact(JsonMethods.render(
+      "add" -> (("path" -> file) ~ ("partitionValues" -> pv) ~ ("size" -> size) ~
+        ("modificationTime" -> System.currentTimeMillis()) ~ ("dataChange" -> true))))
+
+  private def removeLine(file: String): String =
+    JsonMethods.compact(JsonMethods.render(
+      "remove" -> (("path" -> file) ~ ("deletionTimestamp" -> System.currentTimeMillis()) ~
+        ("dataChange" -> true))))
+
+  // ---------------------------------------------------------------- staging
+
+  /** Hive-style %-unescape for partition directory values (the writer —
+    * Spark's own partitioned write — escapes `/`, `=`, `%` etc. as %XX).
+    */
+  private def unescapePartitionValue(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Write `df` as parquet part files into a staging directory, move them
+    * into the table directory under fresh unique names (preserving the
+    * hive partition layout), and return the add actions.
+    *
+    * The data-file write is the distributed part; the move is a per-file
+    * same-volume rename on the driver (on an object store this is the
+    * commit-service copy step — still O(files) metadata).
+    */
+  private def stage(df: DataFrame, tableDir: Path,
+                    partitionBy: Seq[String]): Seq[(String, Map[String, String], Long)] = {
+    val staging = Files.createTempDirectory("graft_delta_stage").resolve("out")
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging.toString)
+
+    val parts = Files.walk(staging).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    parts.zipWithIndex.map { case (src, idx) =>
+      val rel = staging.relativize(src)
+      // partition dirs (k=v components) from the staged layout
+      val dirs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+      val pv = dirs.collect { case d if d.contains("=") =>
+        val Array(k, v) = d.split("=", 2)
+        k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else unescapePartitionValue(v))
+      }.toMap
+      val name = s"part-${UUID.randomUUID().toString.take(12)}-$idx.parquet"
+      val relPath = (dirs :+ name).mkString("/")
+      val target = tableDir.resolve(Paths.get(relPath))
+      Files.createDirectories(target.getParent)
+      Files.move(src, target)
+      (relPath, pv, Files.size(target))
+    }
+  }
+
+  // ------------------------------------------------------------- operations
+
+  /** CREATE TABLE AS: version 0 with protocol + metaData + the data. */
+  def create(spark: SparkSession, df: DataFrame, tablePath: String,
+             partitionBy: Seq[String] = Nil): Long = {
+    val tableDir = Paths.get(tablePath)
+    Files.createDirectories(tableDir)
+    require(!Files.isDirectory(tableDir.resolve("_delta_log")) ||
+      !Files.list(tableDir.resolve("_delta_log")).iterator().hasNext,
+      s"Delta table already exists at $tablePath")
+    val adds = stage(df, tableDir, partitionBy)
+    commit(tableDir, 0L,
+      Seq(protocolLine, metaDataLine(df.schema, partitionBy)) ++
+        adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
+    0L
+  }
+
+  /** INSERT INTO (append): a new version carrying only add actions. */
+  def append(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
+    val tableDir = Paths.get(tablePath)
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    val aligned = df.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val adds = stage(aligned, tableDir, snap.partitionColumns)
+    // OCC: commit at the version AFTER the snapshot we read — if another
+    // writer claimed it meanwhile, the rename fails and the caller retries
+    // against a fresh snapshot
+    val v = snap.version + 1
+    commit(tableDir, v, adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
+    v
+  }
+
+  /** Map each absolute scanned-file URI back to the snapshot's relative
+    * log path (input_file_name() returns `file:/...` URIs).
+    */
+  private def touchedRelPaths(snap: DeltaScan.Snapshot, absolute: Seq[String]): Seq[String] = {
+    val rels = snap.files.map(_.path)
+    absolute.flatMap { uri =>
+      rels.filter(r => uri.endsWith("/" + r) || uri == r)
+    }.distinct
+  }
+
+  /** MERGE INTO (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *) —
+    * copy-on-write rewriting ONLY the files that contain matched keys.
+    * Semantics layer = [[graft.operators.MergeInto.upsert]] (oracle-gated
+    * by `merge_upsert`); this method adds the file-pruned transactional
+    * application of it.
+    */
+  def merge(spark: SparkSession, tablePath: String, updates: DataFrame,
+            keys: Seq[String]): Long = {
+    val tableDir = Paths.get(tablePath)
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    val cols = snap.schema.fieldNames.toSeq
+    val base = DeltaScan.scan(spark, tablePath)
+    val u = updates.select(cols.map(col): _*)
+
+    // file pruning: which data files contain at least one matched key?
+    // (the collected list is file METADATA — O(files touched), not rows)
+    val keyCols = keys.map(col)
+    val touchedAbs = base.withColumn("_graft_file", input_file_name())
+      .join(u.select(keyCols: _*).distinct(), keys, "left_semi")
+      .select(col("_graft_file")).distinct().collect().map(_.getString(0)).toSeq
+    val touched = touchedRelPaths(snap, touchedAbs)
+
+    // updates that matched ANY base row rewrite in place; the rest insert.
+    // Every base row with a matched key lives in a touched file, so the
+    // rewrite set is closed under the match relation.
+    val matchedUpdates = u.join(base.select(keyCols: _*).distinct(), keys, "left_semi")
+    val inserts = u.join(base.select(keyCols: _*).distinct(), keys, "left_anti")
+
+    // same scan shape ⇒ input_file_name() yields the same URIs collected
+    // above, so a codegen'd isin over the O(files) list selects the
+    // touched rows without any UDF
+    val touchedRows =
+      if (touched.isEmpty) base.limit(0)
+      else base.withColumn("_graft_file", input_file_name())
+        .filter(col("_graft_file").isin(touchedAbs: _*)).drop("_graft_file")
+    val rewritten = graft.operators.MergeInto
+      .upsert(touchedRows, matchedUpdates, keys)
+      .select(cols.map(col): _*)
+    val newData = rewritten.unionAll(inserts)
+
+    val adds = stage(newData, tableDir, snap.partitionColumns)
+    val v = snap.version + 1
+    commit(tableDir, v,
+      touched.map(removeLine) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
+    v
+  }
+
+  /** DELETE WHERE — copy-on-write rewriting only the files that contain
+    * at least one row matching the predicate; untouched files survive
+    * the commit byte-identical.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String, predicate: Column): Long = {
+    val tableDir = Paths.get(tablePath)
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    val cols = snap.schema.fieldNames.toSeq
+    val base = DeltaScan.scan(spark, tablePath)
+
+    val touchedAbs = base.withColumn("_graft_file", input_file_name())
+      .filter(predicate)
+      .select(col("_graft_file")).distinct().collect().map(_.getString(0)).toSeq
+    val touched = touchedRelPaths(snap, touchedAbs)
+    if (touched.isEmpty) return snap.version
+
+    val survivors = base.withColumn("_graft_file", input_file_name())
+      .filter(col("_graft_file").isin(touchedAbs: _*)).drop("_graft_file")
+      .filter(!coalesce(predicate, lit(false)))
+      .select(cols.map(col): _*)
+
+    val adds = stage(survivors, tableDir, snap.partitionColumns)
+    val v = snap.version + 1
+    commit(tableDir, v,
+      touched.map(removeLine) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
+    v
+  }
+
+  /** Write a single-part parquet checkpoint of the CURRENT snapshot plus
+    * `_last_checkpoint`, enabling log truncation ([[DeltaScan]] already
+    * reads this form). Checkpoint rows carry one non-null action column
+    * each, per the public checkpoint schema.
+    */
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    val tableDir = Paths.get(tablePath)
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    val logDir = tableDir.resolve("_delta_log")
+
+    val protocolType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType), StructField("minWriterVersion", IntegerType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType), StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType), StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", protocolType), StructField("metaData", metaType),
+      StructField("add", addType)))
+
+    val rows: Seq[Row] =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row(UUID.randomUUID().toString, snap.schema.json, snap.partitionColumns), null) +:
+      snap.files.map(f => Row(null, null, Row(f.path, f.partitionValues, 1L, 0L, true)))
+
+    val tmp = Files.createTempDirectory("graft_delta_cp").resolve("out")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no checkpoint parquet written under $tmp"))
+    Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.write(logDir.resolve("_last_checkpoint"),
+      Seq(JsonMethods.compact(JsonMethods.render(
+        ("version" -> snap.version) ~ ("size" -> (rows.size.toLong))))).asJava)
+    snap.version
+  }
+}

@@ -14,18 +14,38 @@ object bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /** A DataFrame whose logical plan IS the cached `InMemoryRelation` of
-    * `df` (which must already be cached + materialized). Returning this
-    * from the warm-table layer means duplicate uses of one cached table
-    * inside a single query are deduplicated during ANALYSIS — where the
-    * plan-normalization repair rule can fix the stale `outputOrdering`
-    * `InMemoryRelation.newInstance()` leaves behind — instead of during
-    * cache substitution, which has no extension point before the
-    * optimizer canonicalizes (and crashes on) the broken relation.
+    * `df` (which must already be cached + materialized), with the LOGICAL
+    * `outputOrdering` field stripped.
+    *
+    * Stripping is the fix for a whole class of warm-mode crashes:
+    * `InMemoryRelation.newInstance()` (run by analysis-time
+    * `DeduplicateRelations` whenever one cached table appears twice in a
+    * query — CTE reuse, self-joins, HAVING subqueries like TPC-H q11)
+    * re-ids the output attributes but leaves `outputOrdering` pointing at
+    * the old ids; the next canonicalization of that relation (e.g.
+    * `semanticEquals` inside `ResolveAggregateFunctions`, still INSIDE the
+    * analyzer where no injectable rule can intervene) dies in
+    * `withOutput`'s AttributeMap lookup. The logical field is safe to
+    * drop because the PHYSICAL `InMemoryTableScanExec` derives both
+    * `outputPartitioning` and `outputOrdering` from the materialized
+    * `cachedPlan` rebased through `updateAttribute` (verified against the
+    * Spark 4.1 bytecode) — so sort-free/exchange-free warm plans are
+    * unchanged, which `WarmPlanSpec` pins.
     */
   def cachedRelationDf(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.sql.DataFrame] = {
     val classicDf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = classicDf.sparkSession
     spark.sharedState.cacheManager.lookupCachedData(classicDf)
-      .map(cd => org.apache.spark.sql.classic.Dataset.ofRows(spark, cd.cachedRepresentation))
+      .map { cd =>
+        val rel = cd.cachedRepresentation
+        val stripped =
+          if (rel.outputOrdering.isEmpty) rel
+          else {
+            val s = rel.copy(outputOrdering = Nil)
+            s.statsOfPlanToCache = rel.statsOfPlanToCache
+            s
+          }
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, stripped)
+      }
   }
 }

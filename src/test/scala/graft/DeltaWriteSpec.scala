@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{DeltaScan, DeltaWrite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native transactional Delta writer: create/append round trips, atomic
+  * commit conflicts, file-pruned (copy-on-write) MERGE and DELETE, the
+  * checkpoint writer, and time travel over writer-produced versions.
+  */
+class DeltaWriteSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_delta_write")
+    Files.delete(d) // create() makes it; we only want the unique name
+    d.toString
+  }
+
+  private lazy val nation =
+    spark.read.parquet(s"$sf/nation.parquet").orderBy(col("n_nationkey"))
+
+  test("create + append round-trip equals the source; versions travel") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)
+    val v1 = DeltaWrite.append(spark, nation.filter(col("n_nationkey") >= 12), path)
+    assert(v1 == 1L)
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.collect().toSeq)
+    assert(DeltaScan.scan(spark, path, versionAsOf = Some(0L))
+      .orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.filter(col("n_nationkey") < 12).collect().toSeq)
+  }
+
+  test("partitioned create: partition values land in the log and prune") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation, path, partitionBy = Seq("n_regionkey"))
+    val snap = DeltaScan.snapshot(spark, path)
+    assert(snap.partitionColumns == Seq("n_regionkey"))
+    assert(snap.files.forall(_.partitionValues.contains("n_regionkey")))
+    val pruned = DeltaScan.scan(spark, path,
+      partitionPruner = pv => pv.get("n_regionkey").contains("2"))
+    assert(pruned.orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.filter(col("n_regionkey") === 2)
+        .select(pruned.columns.map(col).toSeq: _*).collect().toSeq)
+  }
+
+  test("concurrent commit: second writer of the same version loses loudly") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation.limit(5), path)
+    val snapVersion = DeltaScan.snapshot(spark, path).version
+    // adversary claims version snap+1 between our read and our commit
+    Files.write(Paths.get(path, "_delta_log", f"${snapVersion + 1}%020d.json"),
+      Seq("").asJava)
+    intercept[FileAlreadyExistsException] {
+      DeltaWrite.commit(Paths.get(path), snapVersion + 1, Seq(""))
+    }
+    // a retry against the refreshed snapshot (version snap+2) succeeds
+    assert(DeltaWrite.append(spark, nation.limit(0), path) == snapVersion + 2)
+  }
+
+  test("merge rewrites only files containing matched keys") {
+    val path = freshDir()
+    val base = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWrite.create(spark, base.filter(col("n_nationkey") < 12), path)
+    DeltaWrite.append(spark, base.filter(col("n_nationkey") >= 12), path)
+    val untouchedBefore = DeltaScan.snapshot(spark, path).files.map(_.path).toSet
+
+    // updates touch only keys < 12 (the v0 file set) + one fresh insert
+    val updates = base.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", concat(col("n_name"), lit("_X")))
+      .unionAll(spark.createDataFrame(Seq((99, "NEWLAND", 1)))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    DeltaWrite.merge(spark, path, updates, Seq("n_nationkey"))
+
+    val after = DeltaScan.snapshot(spark, path).files.map(_.path).toSet
+    // the >=12 file(s) survived the commit untouched
+    val v1Files = untouchedBefore.filter(after.contains)
+    assert(v1Files.nonEmpty, s"expected some untouched files, got $after")
+
+    val got = DeltaScan.scan(spark, path).orderBy(col("n_nationkey"))
+    val expected = graft.operators.MergeInto
+      .upsert(base, updates, Seq("n_nationkey"))
+      .orderBy(col("n_nationkey"))
+    assert(got.collect().toSeq == expected.collect().toSeq)
+  }
+
+  test("deleteWhere rewrites only touched files; null predicate rows survive") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)
+    DeltaWrite.append(spark, nation.filter(col("n_nationkey") >= 12), path)
+    val before = DeltaScan.snapshot(spark, path).files.map(_.path).toSet
+
+    DeltaWrite.deleteWhere(spark, path, col("n_nationkey") < 3)
+    val after = DeltaScan.snapshot(spark, path).files.map(_.path).toSet
+    assert(before.intersect(after).nonEmpty, "untouched file should survive")
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.filter(col("n_nationkey") >= 3).collect().toSeq)
+
+    // no matching rows → no new version
+    val v = DeltaScan.snapshot(spark, path).version
+    assert(DeltaWrite.deleteWhere(spark, path, col("n_nationkey") < 0) == v)
+  }
+
+  test("checkpoint: log truncation before the checkpoint still reads") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)
+    DeltaWrite.append(spark, nation.filter(col("n_nationkey") >= 12), path)
+    val cpv = DeltaWrite.checkpoint(spark, path)
+    assert(cpv == 1L)
+    // truncate: delete all JSON commits at or before the checkpoint
+    val logDir = Paths.get(path, "_delta_log")
+    Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.foreach(Files.delete)
+    DeltaWrite.append(spark, nation.limit(0), path) // v2 on top of the checkpoint
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.collect().toSeq)
+  }
+}
