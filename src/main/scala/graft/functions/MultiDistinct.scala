@@ -33,7 +33,12 @@ case class DistinctWithHll(
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("n_exact", LongType, nullable = false),
-    StructField("approx", LongType, nullable = false)))
+    StructField("approx", LongType, nullable = false),
+    // raw registers, so a SECOND aggregation level can keep merging:
+    // the bucketed two-phase shape (see HllUnion) re-aggregates
+    // per-bucket partials instead of funneling one global merge
+    // through a single reducer
+    StructField("hll", BinaryType, nullable = false)))
   override def prettyName: String = "distinct_with_hll"
 
   override def createAggregationBuffer(): Buffer = new Buffer()
@@ -80,7 +85,8 @@ case class DistinctWithHll(
   }
 
   override def eval(buf: Buffer): Any =
-    new GenericInternalRow(Array[Any](buf.set.size.toLong, buf.hllEstimate))
+    new GenericInternalRow(Array[Any](buf.set.size.toLong, buf.hllEstimate,
+      buf.hll.clone()))
 
   // bulk ByteBuffer (not a DataOutputStream loop): at warehouse scale a
   // partial set holds 10^5..10^6 keys and per-call stream overhead
@@ -123,7 +129,7 @@ object DistinctWithHll {
   // baseline engine's approx_count_distinct (DuckDB's HLL also runs
   // p=14/16384 registers) — the bench's two arms do equivalent-accuracy
   // work. 16 KB per group buffer; merges stay register-wise max.
-  private val Registers = 16384
+  private[functions] val Registers = 16384
   private val RegisterBits = 14
 
   /** Open-addressing long set (no boxing; load factor 1/2). 0 is stored
@@ -194,24 +200,92 @@ object DistinctWithHll {
       if (rank > hll(reg)) hll(reg) = rank
     }
 
-    def hllEstimate: Long = {
-      val m = Registers.toDouble
-      var sum = 0.0
-      var zeros = 0
-      var i = 0
-      while (i < Registers) {
-        sum += math.pow(2.0, -hll(i).toDouble)
-        if (hll(i) == 0) zeros += 1
-        i += 1
-      }
-      val alpha = 0.7213 / (1 + 1.079 / m)
-      var e = alpha * m * m / sum
-      if (e <= 2.5 * m && zeros > 0) e = m * math.log(m / zeros) // small-range correction
-      math.round(e)
+    def hllEstimate: Long = estimateFrom(hll)
+  }
+
+  /** HLL estimate from a raw register array (shared by the fused
+    * aggregate and the second-level [[HllUnion]] merge).
+    */
+  def estimateFrom(regs: Array[Byte]): Long = {
+    val m = Registers.toDouble
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < Registers) {
+      sum += math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
     }
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    var e = alpha * m * m / sum
+    if (e <= 2.5 * m && zeros > 0) e = m * math.log(m / zeros) // small-range correction
+    math.round(e)
   }
 
   def distinct_with_hll(exact: Column, approx: Column): Column =
     bridge.column(DistinctWithHll(bridge.expression(exact), bridge.expression(approx))
       .toAggregateExpression(isDistinct = false))
+
+  def hll_union(regs: Column): Column =
+    bridge.column(HllUnion(bridge.expression(regs))
+      .toAggregateExpression(isDistinct = false))
+}
+
+/** Second-level HLL merge: max-combines raw register arrays produced by
+  * [[DistinctWithHll]]'s `hll` output field and evaluates the estimate.
+  * Register-wise max is associative and commutative, so bucketing rows by
+  * any key, running the fused aggregate per bucket, and union-merging the
+  * buckets yields BYTE-IDENTICAL registers to one global aggregation —
+  * that equivalence is what lets the exact+approx pair scale: per-bucket
+  * reducers each merge a DISJOINT slice of the key space in parallel
+  * (exact counts add; registers union) instead of one reducer absorbing
+  * every partial set.
+  */
+case class HllUnion(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  import DistinctWithHll.Registers
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_union"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Registers)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) maxInto(buf, v.asInstanceOf[Array[Byte]])
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    maxInto(buf, other)
+    buf
+  }
+
+  private def maxInto(buf: Array[Byte], other: Array[Byte]): Unit = {
+    require(other.length == Registers,
+      s"hll_union: expected $Registers registers, got ${other.length}")
+    var i = 0
+    while (i < Registers) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+  }
+
+  override def eval(buf: Array[Byte]): Any = DistinctWithHll.estimateFrom(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllUnion =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllUnion =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
 }

@@ -161,6 +161,20 @@ object Extensions {
         .orderBy(col("l_returnflag"))
     },
 
+    // the bucketed two-level fused-distinct shape — the 10^8+-key scale
+    // path: hash-bucket the exact key so each first-level reducer merges a
+    // DISJOINT slice of the key space in parallel (exact counts add,
+    // HLL registers union via HllUnion — byte-identical estimate, pinned
+    // in MultiDistinctSpec). Gated on the exact side; measured crossover
+    // vs the single-level shape recorded in PERF.md (BenchABDistinct)
+    "agg_fused_distinct_bucketed" -> { (s, d) =>
+      import graft.functions.DistinctWithHll.distinct_with_hll
+      Tables(s, d, "lineitem")
+        .groupBy(pmod(hash(col("l_partkey")), lit(32)).as("b"))
+        .agg(distinct_with_hll(col("l_partkey"), col("l_suppkey")).as("d"))
+        .agg(sum(col("d.n_exact")).as("n_parts"))
+    },
+
     // sketch-based quantiles — estimators differ across engines → rows-only
     "agg_approx_quantile" -> { (s, d) =>
       Tables(s, d, "lineitem")
@@ -176,6 +190,9 @@ object Extensions {
     "agg_fused_distinct_exact" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_fused_distinct_bucketed" ->
+      "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
 
     "agg_histogram_binned" ->
       """SELECT l_returnflag,

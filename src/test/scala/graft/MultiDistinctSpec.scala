@@ -21,6 +21,25 @@ class MultiDistinctSpec extends AnyFunSuite {
       s"approx ${got.getLong(1)} vs $trueB")
   }
 
+  test("bucketed two-level shape equals the global aggregation exactly") {
+    import graft.functions.DistinctWithHll.hll_union
+    import spark.implicits._
+    val df = (0 until 50000).map(i => ((i % 7919).toLong, (i % 433).toLong))
+      .toDF("a", "b").repartition(8)
+    val global = df.agg(distinct_with_hll(col("a"), col("b")).as("d"))
+      .select(col("d.n_exact"), col("d.approx")).head()
+    // hash-bucketing the EXACT key keeps bucket key-spaces disjoint, so
+    // exact counts add; HLL registers union register-wise — the estimate
+    // must be byte-identical, not merely close
+    val bucketed = df
+      .groupBy(pmod(hash(col("a")), lit(16)).as("bk"))
+      .agg(distinct_with_hll(col("a"), col("b")).as("d"))
+      .agg(sum(col("d.n_exact")).as("n"), hll_union(col("d.hll")).as("approx"))
+      .head()
+    assert(bucketed.getLong(0) == global.getLong(0))
+    assert(bucketed.getLong(1) == global.getLong(1))
+  }
+
   test("null inputs are ignored on both sides") {
     import spark.implicits._
     val df = Seq[(Option[Long], Option[Long])](
