@@ -55,4 +55,66 @@ object StreamingFacade {
     src.groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n"), min(col("ts")).as("start_ts"))
   }
+
+  case class ClosedSession(user_id: Long, start_micros: Long, end_micros: Long, n: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` + event-time
+    * timeout — the fully-general stateful path (arbitrary per-key state,
+    * the shape `session_window` can't express: custom close rules,
+    * session-local aggregates, side outputs). Emits a session when a
+    * later in-key event exceeds the gap, and closes the FINAL open
+    * session through the event-time timeout once the watermark passes
+    * `end + gap` — no sentinel input needed. Mirrors the batch lag-gap
+    * sessionization (`events_sessionize_lag`), which is its differential
+    * oracle in `StreamingSpec`.
+    */
+  def sessionizeWithState(events: DataFrame,
+                          gapMinutes: Long = 30): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    // the watermark-tagged TIMESTAMP column must reach the stateful
+    // operator itself (UnsupportedOperationChecker rejects event-time
+    // timeout otherwise) — carry ts as java.time.Instant (µs-exact) and
+    // convert inside the function
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts")).as[(Long, java.time.Instant)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        // state = (start, end, n) of the open session, a primitive tuple
+        // (tuple encoders stay inside codegen; a nested case class does not)
+        (user: Long, raw: Iterator[(Long, java.time.Instant)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end+gap: the open session can never extend
+            val (st, en, n) = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, st, en, n))
+          } else {
+            // micro-batch delivery order is not event-time order: sort the
+            // batch's rows per key (bounded by the batch, not the stream)
+            val ts = raw.map { case (_, i) =>
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }.toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption.orNull
+            ts.foreach { t =>
+              open match {
+                case null => open = (t, t, 1L)
+                case (st, en, n) if t - en > gapMicros =>
+                  closed += ClosedSession(user, st, en, n)
+                  open = (t, t, 1L)
+                case (st, en, n) => open = (st, math.max(en, t), n + 1L)
+              }
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp((open._2 + gapMicros) / 1000L + 1L)
+            }
+            closed.iterator
+          }
+      }
+  }
 }
