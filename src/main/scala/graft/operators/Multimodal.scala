@@ -175,4 +175,64 @@ object Multimodal {
       }
     }
   }
+
+  // --- video frame-sampling path: raw-gray container, seek-based ---
+
+  case class VideoRow(doc_id: Long, video: Array[Byte])
+  case class FrameSample(doc_id: Long, frame_idx: Int, n_frames: Int, mean_gray: Double)
+
+  /** Deterministic raw-grayscale "video" for `seed`: `GRV1` magic +
+    * big-endian (w, h, nFrames) header + nFrames uncompressed w×h frames
+    * with pixel(f, p) = (seed*7 + f*13 + p*3) mod 256 — closed-form, so
+    * the oracle recomputes the sampled-frame means in SQL while the
+    * engine arrives at them by parsing the actual container bytes.
+    * (A real codec — H.264 etc. — is absent from this JVM; this path
+    * proves the PLUMBING: container parse, frame seek, stride sampling.)
+    */
+  def syntheticVideo(seed: Long, w: Int = 8, h: Int = 8, nFrames: Int = 12): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + nFrames * w * h)
+    bb.put("GRV1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(w); bb.putInt(h); bb.putInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var p = 0
+      while (p < w * h) {
+        bb.put(((seed * 7 + f * 13 + p * 3) % 256).toByte)
+        p += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Sample every `every`-th frame and extract its mean gray level.
+    *
+    * The 100 TB posture is in the seek: frame offsets are computed from
+    * the header (`16 + f*w*h`), so UNSAMPLED frames are never read —
+    * decode cost scales with frames KEPT, not frames stored, exactly how
+    * a production frame sampler seeks between key frames. One parser per
+    * task (mapPartitions); rows stay columnar on the way back to SQL.
+    */
+  def sampleFrames(ds: Dataset[VideoRow], every: Int = 3): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    require(every >= 1, s"sampleFrames: every must be >= 1, got $every")
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val bb = java.nio.ByteBuffer.wrap(r.video)
+        val magic = new Array[Byte](4); bb.get(magic)
+        require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII) == "GRV1",
+          s"doc ${r.doc_id}: not a GRV1 container")
+        val w = bb.getInt(); val h = bb.getInt(); val n = bb.getInt()
+        val frameBytes = w * h
+        require(r.video.length == 16 + n * frameBytes,
+          s"doc ${r.doc_id}: truncated container")
+        (0 until n by every).iterator.map { f =>
+          val off = 16 + f * frameBytes // seek: skipped frames untouched
+          var s = 0L; var p = 0
+          while (p < frameBytes) { s += (r.video(off + p) & 0xff); p += 1 }
+          FrameSample(r.doc_id, f, n, s.toDouble / frameBytes)
+        }
+      }
+    }
+  }
 }

@@ -204,6 +204,23 @@ object Pipeline {
           col("channels").cast("long").as("channels"),
           col("n_samples"), col("sum_samples"), col("peak_abs"))
         .orderBy(col("doc_id")).limit(200)
+    },
+
+    // video frame-sampling plumbing: GRV1 raw-gray container parsed from
+    // actual bytes, every 3rd frame SAMPLED BY SEEK (skipped frames never
+    // read — decode cost scales with frames kept); the oracle recomputes
+    // the sampled means from the closed-form pixel formula
+    "mm_video_frames" -> { (s, d) =>
+      import s.implicits._
+      val ids = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      val vids = ids.mapPartitions(_.map(id =>
+        Multimodal.VideoRow(id, Multimodal.syntheticVideo(id))))
+      Multimodal.sampleFrames(vids, every = 3).toDF()
+        .select(col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          round(col("mean_gray"), 4).as("mean_gray"))
+        .orderBy(col("doc_id"), col("frame_idx")).limit(200)
     }
   )
 
@@ -308,6 +325,14 @@ object Pipeline {
         | CAST(sum((d.doc_id*31 + i.i*17) % 20001 - 10000) AS BIGINT) AS sum_samples,
         | CAST(max(abs((d.doc_id*31 + i.i*17) % 20001 - 10000)) AS BIGINT) AS peak_abs
         |FROM documents d, generate_series(0, 255) i(i)
-        |GROUP BY d.doc_id ORDER BY d.doc_id LIMIT 200""".stripMargin
+        |GROUP BY d.doc_id ORDER BY d.doc_id LIMIT 200""".stripMargin,
+
+    "mm_video_frames" ->
+      """SELECT d.doc_id,
+        | CAST(f.f AS BIGINT) AS frame_idx, CAST(12 AS BIGINT) AS n_frames,
+        | round(avg(CAST((d.doc_id*7 + f.f*13 + p.p*3) % 256 AS DOUBLE)), 4) AS mean_gray
+        |FROM documents d, generate_series(0, 11) f(f), generate_series(0, 63) p(p)
+        |WHERE f.f % 3 = 0
+        |GROUP BY d.doc_id, f.f ORDER BY d.doc_id, frame_idx LIMIT 200""".stripMargin
   )
 }

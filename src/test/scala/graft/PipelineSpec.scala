@@ -170,6 +170,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("video frame sampling: seeked means match the pixel formula; guards") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val vids = Seq(3L, 7L).toDF("id").as[Long]
+      .map(id => Multimodal.VideoRow(id, Multimodal.syntheticVideo(id)))
+    val got = Multimodal.sampleFrames(vids, every = 3).collect()
+      .sortBy(f => (f.doc_id, f.frame_idx))
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9, 0, 3, 6, 9))
+    got.foreach { f =>
+      assert(f.n_frames == 12)
+      val exp = (0 until 64).map(p =>
+        ((f.doc_id * 7 + f.frame_idx * 13 + p * 3) % 256).toDouble).sum / 64
+      assert(math.abs(f.mean_gray - exp) < 1e-9,
+        s"doc ${f.doc_id} frame ${f.frame_idx}: ${f.mean_gray} vs $exp")
+    }
+    // every=1 visits all frames; sampled set must be a subset of it
+    val all = Multimodal.sampleFrames(vids, every = 1).collect()
+      .map(f => (f.doc_id, f.frame_idx, f.mean_gray)).toSet
+    assert(got.forall(f => all.contains((f.doc_id, f.frame_idx, f.mean_gray))))
+    // truncated container throws loudly instead of mis-parsing
+    val bad = Seq(1L).toDF("id").as[Long]
+      .map(id => Multimodal.VideoRow(id, Multimodal.syntheticVideo(id).dropRight(5)))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(bad).collect()
+    }
+  }
+
   test("multimodal stub features are deterministic and shaped") {
     val ds = Multimodal.fromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(ds).collect()
