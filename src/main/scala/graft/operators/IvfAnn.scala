@@ -72,11 +72,18 @@ object IvfAnn {
     Index(cents, lists, idCol, vecCol)
   }
 
-  /** Top-k by cosine among the `nprobe` nearest inverted lists. */
-  def search(index: Index, probe: Seq[Float], topK: Int, nprobe: Int): DataFrame = {
-    val probeCids = index.centroids
+  /** The `nprobe` nearest inverted-list ids for a probe — driver-side
+    * arithmetic over the k×dim centroid state (tiny). Exposed so other
+    * index layouts (IVF+SQ8) can reuse the coarse-quantizer routing.
+    */
+  def probeCids(index: Index, probe: Seq[Float], nprobe: Int): Seq[Int] =
+    index.centroids
       .sortBy { case (cid, cv) => (-cosine(probe, cv), cid) }
       .take(nprobe).map(_._1)
+
+  /** Top-k by cosine among the `nprobe` nearest inverted lists. */
+  def search(index: Index, probe: Seq[Float], topK: Int, nprobe: Int): DataFrame = {
+    val probeCids = this.probeCids(index, probe, nprobe)
     index.lists
       .filter(col("cid").isin(probeCids: _*))
       .select(col(index.idCol),

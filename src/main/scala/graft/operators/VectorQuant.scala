@@ -28,14 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorQuant {
 
-  /** Adds `qvec` (array<tinyint>) and `qscale` (float) next to `idCol`.
-    * Zero vectors quantize to zeros with scale 0 (dequantizes to zero).
+  /** Replaces `vecCol` with `qvec` (array<tinyint>) + `qscale` (float);
+    * every OTHER column passes through untouched — that is what lets the
+    * quantizer compose with IvfAnn (the inverted lists' `cid` survives,
+    * giving the classic IVF+SQ8 layout). Zero vectors quantize to zeros
+    * with scale 0 (dequantizes to zero).
     */
   def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val maxAbs = aggregate(col(vecCol), lit(0.0f), (acc, x) => greatest(acc, abs(x)))
-    df.select(col(idCol), col(vecCol),
-        // div widens to double in Spark SQL; pin the storage type
-        (maxAbs / lit(127.0f)).cast("float").as("qscale"))
+    df
+      // div widens to double in Spark SQL; pin the storage type
+      .withColumn("qscale", (maxAbs / lit(127.0f)).cast("float"))
       .withColumn("qvec",
         when(col("qscale") === 0f,
           transform(col(vecCol), _ => lit(0).cast("tinyint")))

@@ -120,6 +120,24 @@ object Pipeline {
         .orderBy(col("cos_sim_q").desc, col("vec_id"))
     },
 
+    // the composed IVF+SQ8 layout: coarse-quantizer routing prunes the
+    // candidate LISTS (nprobe of 16), int8 codes shrink what survivors
+    // SCAN (4x) — both approximations compound, so recall vs brute force
+    // is pinned in PipelineSpec; estimator output → rows-only
+    "sim_ann_ivf_sq8" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val idx = IvfAnn.build(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        k = 16, iters = 2)
+      val qlists = VectorQuant.quantize(idx.lists, "vec_id", "embedding")
+      val cids = IvfAnn.probeCids(idx, probe, nprobe = 4)
+      VectorQuant.searchCosine(qlists.filter(col("cid").isin(cids: _*)),
+          "vec_id", probe, topK = 10)
+        .select(col("vec_id"), round(col("cos_sim_q"), 3).as("cos_sim_q"))
+        .orderBy(col("cos_sim_q").desc, col("vec_id"))
+    },
+
     // END-TO-END corpus prep — the composed pipeline a training-data run
     // actually executes: quality metrics -> language/quality gate ->
     // exact dedup (keep lowest doc_id per content hash) -> per-language

@@ -90,6 +90,32 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(got.collect().toSeq == expected.collect().toSeq)
   }
 
+  test("merge on a PARTITIONED table keeps the layout and the log's values") {
+    val path = freshDir()
+    val base = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWrite.create(spark, base, path, partitionBy = Seq("n_regionkey"))
+
+    val updates = base.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", concat(col("n_name"), lit("_M")))
+    DeltaWrite.merge(spark, path, updates, Seq("n_nationkey"))
+
+    val snap = DeltaScan.snapshot(spark, path)
+    assert(snap.partitionColumns == Seq("n_regionkey"))
+    assert(snap.files.forall(_.partitionValues.get("n_regionkey").exists(_ != null)),
+      "rewritten files must carry partition values in the log")
+    val got = DeltaScan.scan(spark, path).orderBy(col("n_nationkey"))
+    val expected = graft.operators.MergeInto
+      .upsert(base, updates, Seq("n_nationkey"))
+      .select(got.columns.map(col).toSeq: _*)
+      .orderBy(col("n_nationkey"))
+    assert(got.collect().toSeq == expected.collect().toSeq)
+    // pruning still works after the merge commit
+    val pruned = DeltaScan.scan(spark, path,
+      partitionPruner = pv => pv.get("n_regionkey").contains("2"))
+    assert(pruned.select(col("n_regionkey")).distinct().collect()
+      .map(_.get(0).toString).toSeq == Seq("2"))
+  }
+
   test("deleteWhere rewrites only touched files; null predicate rows survive") {
     val path = freshDir()
     DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)

@@ -133,6 +133,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall, brute=$brute got=$got")
   }
 
+  test("IVF+SQ8 composed layout: returned items are within quantization error of true top-10") {
+    import graft.operators.{IvfAnn, VectorQuant}
+    import graft.functions.VectorFunctions
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, typedlit}
+    // same 4-cluster generator as the IVF test; under near-ties ID-level
+    // recall is meaningless (any reordering within quantization error
+    // swaps ids), so the pinned property is SIMILARITY recall: every
+    // returned item's EXACT cosine is within tolerance of the true 10th
+    val rnd = new scala.util.Random(11)
+    def pt(c: Int): Seq[Float] =
+      Seq.tabulate(8)(j => (if (j % 4 == c) 10f else 0f) + rnd.nextGaussian().toFloat * 0.3f)
+    val vecs = (0 until 200).map(i => (i.toLong, pt(i % 4))).toDF("vec_id", "embedding")
+    val probe = pt(0)
+    val exactSims = vecs
+      .select(col("vec_id"),
+        VectorFunctions.cosine_similarity(col("embedding"), typedlit(probe))
+          .cast("double").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val tenthBest = exactSims.values.toSeq.sorted(Ordering[Double].reverse)(9)
+
+    val idx = IvfAnn.build(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    val qlists = VectorQuant.quantize(idx.lists, "vec_id", "embedding")
+    assert(qlists.columns.contains("cid"), "cid must survive quantization")
+    val cids = IvfAnn.probeCids(idx, probe, nprobe = 2)
+    val got = VectorQuant.searchCosine(qlists.filter(col("cid").isin(cids: _*)),
+        "vec_id", probe, topK = 10)
+      .collect().map(_.getLong(0))
+    assert(got.length == 10)
+    got.foreach { id =>
+      assert(exactSims(id) >= tenthBest - 0.02,
+        s"id $id exact sim ${exactSims(id)} below 10th-best $tenthBest - tol")
+    }
+  }
+
   test("int8 quantization round-trips within one quantization step") {
     import graft.operators.VectorQuant
     import spark.implicits._
