@@ -41,7 +41,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaScan {
 
-  final case class AddFile(path: String, partitionValues: Map[String, String])
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+                           size: Long = 0L)
+
+  /** Inverse of the protocol's percent-encoding of `path` (see
+    * [[DeltaWrite.encodePath]]); tolerates raw paths from writers that
+    * never encoded (the fixture's simple names decode to themselves).
+    */
+  private def decodePath(raw: String): String =
+    try new java.net.URI(raw).getPath catch { case _: Exception => raw }
 
   final case class Snapshot(
       version: Long,
@@ -120,7 +128,9 @@ object DeltaScan {
           .cast("array<string>").as("partCols"),
         (if (cols.contains("add")) col("add.path") else lit(null)).as("addPath"),
         (if (cols.contains("add")) col("add.partitionValues") else lit(null))
-          .cast("map<string,string>").as("addPv")).collect()
+          .cast("map<string,string>").as("addPv"),
+        (if (cols.contains("add")) col("add.size") else lit(null))
+          .cast("long").as("addSize")).collect()
       rows.foreach { r =>
         if (!r.isNullAt(0) && r.getInt(0) > 1) throw new UnsupportedOperationException(
           s"delta_scan: protocol minReaderVersion=${r.getInt(0)} unsupported (reader is v1)")
@@ -131,7 +141,9 @@ object DeltaScan {
         if (!r.isNullAt(3)) {
           val pv = if (r.isNullAt(4)) Map.empty[String, String]
             else r.getMap[String, String](4).toMap
-          active(r.getString(3)) = AddFile(r.getString(3), pv)
+          val path = decodePath(r.getString(3))
+          val size = if (r.isNullAt(5)) 0L else r.getLong(5)
+          active(path) = AddFile(path, pv, size)
         }
       }
     }
@@ -164,13 +176,14 @@ object DeltaScan {
         (j \ "add") match {
           case JNothing =>
           case a =>
-            val path = (a \ "path").extract[String]
+            val path = decodePath((a \ "path").extract[String])
             val pv = (a \ "partitionValues").extractOpt[Map[String, String]].getOrElse(Map.empty)
-            active(path) = AddFile(path, pv)
+            val size = (a \ "size").extractOpt[Long].getOrElse(0L)
+            active(path) = AddFile(path, pv, size)
         }
         (j \ "remove") match {
           case JNothing =>
-          case r => active.remove((r \ "path").extract[String])
+          case r => active.remove(decodePath((r \ "path").extract[String]))
         }
       }
     }

@@ -50,8 +50,12 @@ object DeltaWrite {
     val tmp = logDir.resolve(s".${UUID.randomUUID()}.json.tmp")
     Files.write(tmp, lines.asJava)
     val target = logDir.resolve(f"$version%020d.json")
-    try Files.move(tmp, target) // same-dir rename; fails if target exists
+    // hard link, not move: link(2) fails EEXIST ATOMICALLY, whereas
+    // Files.move is an exists-check followed by rename(2), which would
+    // silently REPLACE a concurrent writer's commit in the race window
+    try Files.createLink(target, tmp)
     catch { case e: FileAlreadyExistsException => Files.deleteIfExists(tmp); throw e }
+    Files.deleteIfExists(tmp)
   }
 
   private def metaDataLine(schema: StructType, partitionColumns: Seq[String]): String =
@@ -67,35 +71,31 @@ object DeltaWrite {
     JsonMethods.compact(JsonMethods.render(
       "protocol" -> (("minReaderVersion" -> 1) ~ ("minWriterVersion" -> 2))))
 
+  /** The protocol stores `path` PERCENT-ENCODED (delta-spark decodes on
+    * read); the URI constructor escapes spaces, '%', '=' and non-ASCII in
+    * each on-disk path segment, so hive-escaped partition dirs round-trip
+    * through standard readers. [[DeltaScan]] applies the inverse.
+    */
+  private[sources] def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).toASCIIString
+
   private def addLine(file: String, pv: Map[String, String], size: Long): String =
     JsonMethods.compact(JsonMethods.render(
-      "add" -> (("path" -> file) ~ ("partitionValues" -> pv) ~ ("size" -> size) ~
+      "add" -> (("path" -> encodePath(file)) ~ ("partitionValues" -> pv) ~ ("size" -> size) ~
         ("modificationTime" -> System.currentTimeMillis()) ~ ("dataChange" -> true))))
 
   private def removeLine(file: String): String =
     JsonMethods.compact(JsonMethods.render(
-      "remove" -> (("path" -> file) ~ ("deletionTimestamp" -> System.currentTimeMillis()) ~
-        ("dataChange" -> true))))
+      "remove" -> (("path" -> encodePath(file)) ~
+        ("deletionTimestamp" -> System.currentTimeMillis()) ~ ("dataChange" -> true))))
 
   // ---------------------------------------------------------------- staging
 
-  /** Hive-style %-unescape for partition directory values (the writer —
-    * Spark's own partitioned write — escapes `/`, `=`, `%` etc. as %XX).
+  /** Hive-style %XX-unescape for partition directory values — Spark's own
+    * canonical inverse of the escaping its partitioned writer applies.
     */
-  private def unescapePartitionValue(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapePartitionValue(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
   /** Write `df` as parquet part files into a staging directory, move them
     * into the table directory under fresh unique names (preserving the
@@ -112,9 +112,12 @@ object DeltaWrite {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(staging.toString)
 
-    val parts = Files.walk(staging).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.toString)
+    val walk = Files.walk(staging)
+    val parts =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally walk.close()
     parts.zipWithIndex.map { case (src, idx) =>
       val rel = staging.relativize(src)
       // partition dirs (k=v components) from the staged layout
@@ -132,6 +135,12 @@ object DeltaWrite {
     }
   }
 
+  /** NOTE (conflict semantics): data files are staged into the table
+    * BEFORE the commit rename, so an OCC loser leaves fully-written but
+    * never-referenced part files behind — the same contract delta-spark
+    * has, where VACUUM reclaims files no log version references.
+    */
+
   // ------------------------------------------------------------- operations
 
   /** CREATE TABLE AS: version 0 with protocol + metaData + the data. */
@@ -139,9 +148,12 @@ object DeltaWrite {
              partitionBy: Seq[String] = Nil): Long = {
     val tableDir = Paths.get(tablePath)
     Files.createDirectories(tableDir)
-    require(!Files.isDirectory(tableDir.resolve("_delta_log")) ||
-      !Files.list(tableDir.resolve("_delta_log")).iterator().hasNext,
-      s"Delta table already exists at $tablePath")
+    val logDir = tableDir.resolve("_delta_log")
+    val empty = !Files.isDirectory(logDir) || {
+      val l = Files.list(logDir)
+      try !l.iterator().hasNext finally l.close()
+    }
+    require(empty, s"Delta table already exists at $tablePath")
     val adds = stage(df, tableDir, partitionBy)
     commit(tableDir, 0L,
       Seq(protocolLine, metaDataLine(df.schema, partitionBy)) ++
@@ -164,12 +176,18 @@ object DeltaWrite {
   }
 
   /** Map each absolute scanned-file URI back to the snapshot's relative
-    * log path (input_file_name() returns `file:/...` URIs).
+    * log path. input_file_name() returns URL-ENCODED `file:/...` URIs
+    * (space→%20, the '%' of a hive-escaped dir→%25) while snapshot paths
+    * are the raw on-disk names — decode the URI first or every special
+    * character silently empties the touched set.
     */
   private def touchedRelPaths(snap: DeltaScan.Snapshot, absolute: Seq[String]): Seq[String] = {
     val rels = snap.files.map(_.path)
-    absolute.flatMap { uri =>
-      rels.filter(r => uri.endsWith("/" + r) || uri == r)
+    val decoded = absolute.map { uri =>
+      try new java.net.URI(uri).getPath catch { case _: Exception => uri }
+    }
+    decoded.flatMap { p =>
+      rels.filter(r => p.endsWith("/" + r) || p == r)
     }.distinct
   }
 
@@ -197,9 +215,13 @@ object DeltaWrite {
 
     // updates that matched ANY base row rewrite in place; the rest insert.
     // Every base row with a matched key lives in a touched file, so the
-    // rewrite set is closed under the match relation.
-    val matchedUpdates = u.join(base.select(keyCols: _*).distinct(), keys, "left_semi")
-    val inserts = u.join(base.select(keyCols: _*).distinct(), keys, "left_anti")
+    // rewrite set is closed under the match relation. One shared key
+    // projection feeds both joins (persist keeps this at one base scan
+    // for the pair instead of two).
+    val baseKeys = base.select(keyCols: _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matchedUpdates = u.join(baseKeys, keys, "left_semi")
+    val inserts = u.join(baseKeys, keys, "left_anti")
 
     // same scan shape ⇒ input_file_name() yields the same URIs collected
     // above, so a codegen'd isin over the O(files) list selects the
@@ -213,7 +235,9 @@ object DeltaWrite {
       .select(cols.map(col): _*)
     val newData = rewritten.unionAll(inserts)
 
-    val adds = stage(newData, tableDir, snap.partitionColumns)
+    val adds =
+      try stage(newData, tableDir, snap.partitionColumns)
+      finally baseKeys.unpersist(blocking = false)
     val v = snap.version + 1
     commit(tableDir, v,
       touched.map(removeLine) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
@@ -260,8 +284,13 @@ object DeltaWrite {
 
     val protocolType = StructType(Seq(
       StructField("minReaderVersion", IntegerType), StructField("minWriterVersion", IntegerType)))
+    val formatType = StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", MapType(StringType, StringType))))
     val metaType = StructType(Seq(
-      StructField("id", StringType), StructField("schemaString", StringType),
+      StructField("id", StringType),
+      StructField("format", formatType),
+      StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType))))
     val addType = StructType(Seq(
       StructField("path", StringType),
@@ -274,8 +303,12 @@ object DeltaWrite {
 
     val rows: Seq[Row] =
       Row(Row(1, 2), null, null) +:
-      Row(null, Row(UUID.randomUUID().toString, snap.schema.json, snap.partitionColumns), null) +:
-      snap.files.map(f => Row(null, null, Row(f.path, f.partitionValues, 1L, 0L, true)))
+      Row(null, Row(UUID.randomUUID().toString, Row("parquet", Map.empty[String, String]),
+        snap.schema.json, snap.partitionColumns), null) +:
+      // real per-file sizes (carried through Snapshot.AddFile) and encoded
+      // paths — external readers plan splits from checkpoint add.size
+      snap.files.map(f =>
+        Row(null, null, Row(encodePath(f.path), f.partitionValues, f.size, 0L, true)))
 
     val tmp = Files.createTempDirectory("graft_delta_cp").resolve("out")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)

@@ -106,7 +106,16 @@ object StreamingFacade {
                 case (st, en, n) if t - en > gapMicros =>
                   closed += ClosedSession(user, st, en, n)
                   open = (t, t, 1L)
-                case (st, en, n) => open = (st, math.max(en, t), n + 1L)
+                case (st, _, _) if st - t > gapMicros =>
+                  // an accepted out-of-order event more than a gap BEFORE
+                  // the open session is its own earlier session; emit it
+                  // eagerly (exact when stragglers stay within one gap of
+                  // the open session — the usual watermark<gap contract)
+                  closed += ClosedSession(user, t, t, 1L)
+                case (st, en, n) =>
+                  // a not-yet-late out-of-order event from a later batch can
+                  // precede the open session's start — extend BOTH boundaries
+                  open = (math.min(st, t), math.max(en, t), n + 1L)
               }
             }
             if (open != null) {

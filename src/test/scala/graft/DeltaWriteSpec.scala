@@ -133,6 +133,37 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(DeltaWrite.deleteWhere(spark, path, col("n_nationkey") < 0) == v)
   }
 
+  test("string partition values with spaces/'%'/'=' survive write, merge and delete") {
+    import spark.implicits._
+    val path = freshDir()
+    // values that stress hive escaping AND the log's percent-encoding:
+    // the on-disk dir for "a=b" is "k=a%3Db", whose literal '%' must
+    // re-encode as %25 in the log and in input_file_name() URIs
+    val base = Seq((1L, "a b", 10.0), (2L, "a=b", 20.0), (3L, "c%d", 30.0),
+        (4L, "plain", 40.0), (5L, "a b", 50.0))
+      .toDF("id", "k", "v")
+    DeltaWrite.create(spark, base, path, partitionBy = Seq("k"))
+    val snap0 = DeltaScan.snapshot(spark, path)
+    assert(snap0.files.map(_.partitionValues("k")).toSet ==
+      Set("a b", "a=b", "c%d", "plain"))
+    assert(DeltaScan.scan(spark, path).orderBy(col("id")).collect().toSeq ==
+      base.orderBy(col("id")).collect().toSeq)
+
+    // merge touching only the "a=b" partition must remove its old file
+    val updates = Seq((2L, "a=b", 99.0)).toDF("id", "k", "v")
+    DeltaWrite.merge(spark, path, updates, Seq("id"))
+    val afterMerge = DeltaScan.scan(spark, path).orderBy(col("id")).collect()
+    assert(afterMerge.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0), (5L, 50.0)),
+      s"merge corrupted rows: ${afterMerge.toSeq}")
+
+    // delete inside the "a b" partition: exactly one row goes
+    DeltaWrite.deleteWhere(spark, path, col("id") === 5L)
+    assert(DeltaScan.scan(spark, path).count() == 4)
+    // per-file sizes are real (carried into snapshots for the checkpoint)
+    assert(DeltaScan.snapshot(spark, path).files.forall(_.size > 100L))
+  }
+
   test("checkpoint: log truncation before the checkpoint still reads") {
     val path = freshDir()
     DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)

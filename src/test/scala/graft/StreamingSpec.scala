@@ -159,6 +159,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionizer absorbs an out-of-order event before the open start") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ooo").toString
+    val h = 3600000000L
+    def write(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "tsm")
+        .select(col("event_id"), timestamp_micros(col("tsm")).as("ts"),
+          col("user_id"), lit("a").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    // batch A: user 7 at 2:00 (watermark after A = 1:50)
+    write("a", Seq((1L, 7L, 2L * h)))
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val q = StreamingFacade.sessionizeWithState(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_ooo_sessions").start()
+    try {
+      q.processAllAvailable()
+      // batch B: user 7 at 1:52 — accepted (>= 1:50 watermark), BEFORE the
+      // open session's start, within the 30-min gap: must extend start
+      write("b", Seq((2L, 7L, 2L * h - 480000000L)))
+      q.processAllAvailable()
+      // advance the watermark far past end+gap so the session times out
+      write("c", Seq((3L, 9L, 9L * h)))
+      q.processAllAvailable()
+      write("d", Seq((4L, 9L, 11L * h)))
+      q.processAllAvailable()
+      val got = spark.table("graft_ooo_sessions")
+        .filter(col("user_id") === 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == Seq((7L, 2L * h - 480000000L, 2L * h, 2L)),
+        s"out-of-order start not absorbed: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming session stats run with watermarked append state") {
     val dir = eventsStreamDir()
     val schema = StructType(Seq(
