@@ -74,9 +74,12 @@ object DeltaScan {
     * `<v>.checkpoint.<i>.<n>.parquet` part files as one action set.
     */
   def snapshot(spark: SparkSession, tablePath: String,
-               versionAsOf: Option[Long] = None): Snapshot = {
+               versionAsOf: Option[Long] = None,
+               timestampAsOf: Option[Long] = None): Snapshot = {
     val logDir = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(logDir), s"not a Delta table (no _delta_log): $tablePath")
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "delta_scan: specify versionAsOf OR timestampAsOf, not both")
 
     // (version, parts): parts = None for a single-file checkpoint
     val checkpointInfo: Option[(Long, Option[Int])] = {
@@ -95,7 +98,27 @@ object DeltaScan {
       .toSeq.sorted
     val known = versions ++ checkpointVersion
     require(known.nonEmpty, s"empty Delta log: $logDir")
-    val target = versionAsOf.getOrElse(known.max)
+    // timestamp pin (delta_scan's TIMESTAMP option): resolve to the LAST
+    // version committed at or before the pin. The commit time comes from
+    // the version's commitInfo action when present (DeltaWrite records
+    // it), else the log file's mtime — delta's own fallback order.
+    val fromTimestamp: Option[Long] = timestampAsOf.map { ts =>
+      def commitMillis(v: Long): Long = {
+        val f = logDir.resolve(f"$v%020d.json")
+        val fromInfo = Files.readAllLines(f).asScala.iterator
+          .filter(_.trim.nonEmpty).map(JsonMethods.parse(_))
+          .map(j => (j \ "commitInfo" \ "timestamp").extractOpt[Long])
+          .collectFirst { case Some(t) => t }
+        fromInfo.getOrElse(Files.getLastModifiedTime(f).toMillis)
+      }
+      val dated = versions.map(v => v -> commitMillis(v))
+      val at = dated.filter(_._2 <= ts).map(_._1)
+      require(at.nonEmpty,
+        s"delta_scan: no commit at or before timestamp $ts " +
+          s"(earliest surviving commit: ${dated.headOption.map(_._2)})")
+      at.max
+    }
+    val target = versionAsOf.orElse(fromTimestamp).getOrElse(known.max)
     require(known.contains(target),
       s"version $target not in Delta log (have ${known.min}..${known.max})")
 
@@ -201,8 +224,9 @@ object DeltaScan {
     */
   def scan(spark: SparkSession, tablePath: String,
            versionAsOf: Option[Long] = None,
-           partitionPruner: Map[String, String] => Boolean = _ => true): DataFrame = {
-    val snap = snapshot(spark, tablePath, versionAsOf)
+           partitionPruner: Map[String, String] => Boolean = _ => true,
+           timestampAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, versionAsOf, timestampAsOf)
     val dataSchema = StructType(snap.schema.fields.filterNot(f =>
       snap.partitionColumns.contains(f.name)))
     val kept = snap.files.filter(f => partitionPruner(f.partitionValues))

@@ -44,11 +44,18 @@ object DeltaWrite {
     * if a concurrent writer claimed the version first (caller: re-read
     * snapshot, re-stage against it, retry).
     */
-  private[graft] def commit(tableDir: Path, version: Long, lines: Seq[String]): Unit = {
+  private[graft] def commit(tableDir: Path, version: Long, lines: Seq[String],
+                            operation: String = "WRITE"): Unit = {
     val logDir = tableDir.resolve("_delta_log")
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".${UUID.randomUUID()}.json.tmp")
-    Files.write(tmp, lines.asJava)
+    // commitInfo leads the commit: its timestamp is what timestamp-based
+    // time travel resolves against (DeltaScan falls back to file mtime
+    // for logs from writers that omit it)
+    val info = JsonMethods.compact(JsonMethods.render(
+      "commitInfo" -> (("timestamp" -> System.currentTimeMillis()) ~
+        ("operation" -> operation))))
+    Files.write(tmp, (info +: lines).asJava)
     val target = logDir.resolve(f"$version%020d.json")
     // hard link, not move: link(2) fails EEXIST ATOMICALLY, whereas
     // Files.move is an exists-check followed by rename(2), which would
@@ -157,7 +164,8 @@ object DeltaWrite {
     val adds = stage(df, tableDir, partitionBy)
     commit(tableDir, 0L,
       Seq(protocolLine, metaDataLine(df.schema, partitionBy)) ++
-        adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
+        adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
+      operation = "CREATE TABLE AS SELECT")
     0L
   }
 
@@ -240,7 +248,8 @@ object DeltaWrite {
       finally baseKeys.unpersist(blocking = false)
     val v = snap.version + 1
     commit(tableDir, v,
-      touched.map(removeLine) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
+      touched.map(removeLine) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
+      operation = "MERGE")
     v
   }
 
@@ -268,7 +277,8 @@ object DeltaWrite {
     val adds = stage(survivors, tableDir, snap.partitionColumns)
     val v = snap.version + 1
     commit(tableDir, v,
-      touched.map(removeLine) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
+      touched.map(removeLine) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
+      operation = "DELETE")
     v
   }
 

@@ -164,6 +164,40 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(DeltaScan.snapshot(spark, path).files.forall(_.size > 100L))
   }
 
+  test("timestamp time travel resolves to the last commit at or before the pin") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)
+    DeltaWrite.append(spark, nation.filter(col("n_nationkey") >= 12), path)
+    // pin the commit times deterministically: rewrite v0's commitInfo to
+    // sit 10s before v1's (wall-clock commits can share a millisecond)
+    val logDir = Paths.get(path, "_delta_log")
+    def readTs(v: Long): Long = {
+      import org.json4s._
+      implicit val fmts: Formats = DefaultFormats
+      Files.readAllLines(logDir.resolve(f"$v%020d.json")).asScala
+        .flatMap(l => (org.json4s.jackson.JsonMethods.parse(l) \ "commitInfo" \ "timestamp")
+          .extractOpt[Long]).head
+    }
+    val t1 = readTs(1L)
+    val v0File = logDir.resolve(f"${0L}%020d.json")
+    val rewritten = Files.readAllLines(v0File).asScala.map(
+      _.replaceFirst("\"timestamp\":\\d+", s""""timestamp":${t1 - 10000}"""))
+    Files.write(v0File, rewritten.asJava)
+
+    val atV0 = DeltaScan.scan(spark, path, timestampAsOf = Some(t1 - 5000))
+    assert(atV0.orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.filter(col("n_nationkey") < 12).collect().toSeq)
+    val atV1 = DeltaScan.scan(spark, path, timestampAsOf = Some(t1))
+    assert(atV1.count() == nation.count())
+    intercept[IllegalArgumentException] {
+      DeltaScan.snapshot(spark, path, timestampAsOf = Some(t1 - 20000))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaScan.snapshot(spark, path, versionAsOf = Some(0L),
+        timestampAsOf = Some(t1))
+    }
+  }
+
   test("checkpoint: log truncation before the checkpoint still reads") {
     val path = freshDir()
     DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)
