@@ -124,6 +124,19 @@ object Sources {
         Map("threshold" -> 300000))
     },
 
+    // json_serialize_sql family: the statement round-trips through its
+    // JSON envelope (real Catalyst AST + canonical text — see SqlSerde
+    // scaladoc for the execution-replays-text divergence) and the
+    // EXECUTED RESULT is what the oracle gates
+    "sql_serialize_roundtrip" -> { (s, d) =>
+      Tables(s, d, "orders").createOrReplaceTempView("orders")
+      val doc = graft.functions.SqlSerde.serialize(s,
+        """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM orders WHERE o_totalprice > 300000
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      graft.functions.SqlSerde.executeSerialized(s, doc)
+    },
+
     // MERGE semantics (reference: INSERT ... ON CONFLICT,
     // physical_insert.cpp) via the format-agnostic snapshot operator:
     // WHEN MATCHED THEN UPDATE SET * (update wins, incl. NULLs) / WHEN
@@ -371,6 +384,11 @@ object Sources {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "sql_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_totalprice > 300000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "sql_serialize_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_totalprice > 300000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

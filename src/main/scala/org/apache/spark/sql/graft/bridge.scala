@@ -13,6 +13,15 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Parse SQL text to its UNRESOLVED Catalyst logical plan (the AST the
+    * parser emits, before analysis binds catalogs) — `sessionState` is
+    * `private[sql]`, hence the bridge.
+    */
+  def parsePlan(spark: org.apache.spark.sql.SparkSession,
+                text: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(text)
+
   /** A DataFrame whose logical plan IS the cached `InMemoryRelation` of
     * `df` (which must already be cached + materialized), with the LOGICAL
     * `outputOrdering` field stripped.

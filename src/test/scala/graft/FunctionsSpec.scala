@@ -134,4 +134,27 @@ class FunctionsSpec extends AnyFunSuite {
       .agg(sum($"l")).head().getLong(0)
     assert(n > 0) // every row rendered; exact per-row values pinned above
   }
+
+  test("SqlSerde: envelope carries the real AST; execute validates and replays") {
+    import graft.functions.SqlSerde
+    val doc = SqlSerde.serialize(spark,
+      "SELECT x, count(*) AS n FROM t GROUP BY x ORDER BY x")
+    // real Catalyst AST: the serialized plan names the parser's nodes
+    assert(doc.contains("UnresolvedRelation"), doc.take(200))
+    assert(doc.contains("Aggregate") && doc.contains("Sort"), doc.take(200))
+    // valid JSON with both fields
+    val j = org.json4s.jackson.JsonMethods.parse(doc)
+    assert((j \ "sql") != org.json4s.JNothing && (j \ "ast") != org.json4s.JNothing)
+    // round-trip executes
+    import spark.implicits._
+    Seq((1, "a"), (1, "b"), (2, "c")).toDF("x", "y").createOrReplaceTempView("t")
+    val got = SqlSerde.executeSerialized(spark, doc).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((1, 2L), (2, 1L)))
+    // invalid SQL fails at serialize; a non-envelope fails at execute
+    intercept[Exception] { SqlSerde.serialize(spark, "SELEKT broken FROM") }
+    intercept[IllegalArgumentException] {
+      SqlSerde.executeSerialized(spark, """{"not":"an envelope"}""")
+    }
+  }
 }
