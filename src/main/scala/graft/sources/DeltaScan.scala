@@ -45,11 +45,18 @@ object DeltaScan {
                            size: Long = 0L)
 
   /** Inverse of the protocol's percent-encoding of `path` (see
-    * [[DeltaWrite.encodePath]]); tolerates raw paths from writers that
-    * never encoded (the fixture's simple names decode to themselves).
+    * [[DeltaWrite.encodePath]]). Percent-free raw paths (this repo's
+    * fixtures, simple external writers) decode to themselves; a raw path
+    * that CONTAINS literal %XX is indistinguishable from an encoded one
+    * and the protocol reading (encoded) wins. Paths the URI parser treats
+    * as opaque (':' in the first segment → getPath == null) fall back raw
+    * rather than dereferencing null.
     */
-  private def decodePath(raw: String): String =
-    try new java.net.URI(raw).getPath catch { case _: Exception => raw }
+  private[sources] def decodePath(raw: String): String =
+    try {
+      val p = new java.net.URI(raw).getPath
+      if (p == null) raw else p
+    } catch { case _: Exception => raw }
 
   final case class Snapshot(
       version: Long,
@@ -100,22 +107,37 @@ object DeltaScan {
     require(known.nonEmpty, s"empty Delta log: $logDir")
     // timestamp pin (delta_scan's TIMESTAMP option): resolve to the LAST
     // version committed at or before the pin. The commit time comes from
-    // the version's commitInfo action when present (DeltaWrite records
-    // it), else the log file's mtime — delta's own fallback order.
+    // the version's commitInfo action when present (DeltaWrite records it
+    // as the FIRST line, so only one line is read), else the log file's
+    // mtime — delta's own fallback order. A truncated log resolves
+    // against the checkpoint version too (mtime proxy), since its
+    // snapshot is still fully reconstructible.
     val fromTimestamp: Option[Long] = timestampAsOf.map { ts =>
       def commitMillis(v: Long): Long = {
         val f = logDir.resolve(f"$v%020d.json")
-        val fromInfo = Files.readAllLines(f).asScala.iterator
-          .filter(_.trim.nonEmpty).map(JsonMethods.parse(_))
-          .map(j => (j \ "commitInfo" \ "timestamp").extractOpt[Long])
-          .collectFirst { case Some(t) => t }
+        val reader = Files.newBufferedReader(f)
+        val first =
+          try Option(reader.readLine()).getOrElse("")
+          finally reader.close()
+        val fromInfo =
+          if (first.trim.isEmpty) None
+          else (JsonMethods.parse(first) \ "commitInfo" \ "timestamp").extractOpt[Long]
         fromInfo.getOrElse(Files.getLastModifiedTime(f).toMillis)
       }
-      val dated = versions.map(v => v -> commitMillis(v))
+      val dated = versions.map(v => v -> commitMillis(v)) ++
+        checkpointInfo.collect {
+          case (cv, parts) if !versions.contains(cv) =>
+            val cp = parts match {
+              case None => logDir.resolve(f"$cv%020d.checkpoint.parquet")
+              case Some(n) => logDir.resolve(f"$cv%020d.checkpoint.${1}%010d.$n%010d.parquet")
+            }
+            cv -> Files.getLastModifiedTime(cp).toMillis
+        }
       val at = dated.filter(_._2 <= ts).map(_._1)
       require(at.nonEmpty,
-        s"delta_scan: no commit at or before timestamp $ts " +
-          s"(earliest surviving commit: ${dated.headOption.map(_._2)})")
+        s"delta_scan: no commit at or before timestamp $ts — earliest surviving " +
+          s"version is ${dated.minByOption(_._2).map(d => s"v${d._1} (committed ${d._2})")
+            .getOrElse("<none>")}")
       at.max
     }
     val target = versionAsOf.orElse(fromTimestamp).getOrElse(known.max)

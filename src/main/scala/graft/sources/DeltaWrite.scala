@@ -61,7 +61,7 @@ object DeltaWrite {
     // Files.move is an exists-check followed by rename(2), which would
     // silently REPLACE a concurrent writer's commit in the race window
     try Files.createLink(target, tmp)
-    catch { case e: FileAlreadyExistsException => Files.deleteIfExists(tmp); throw e }
+    catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
     Files.deleteIfExists(tmp)
   }
 
@@ -158,7 +158,12 @@ object DeltaWrite {
     val logDir = tableDir.resolve("_delta_log")
     val empty = !Files.isDirectory(logDir) || {
       val l = Files.list(logDir)
-      try !l.iterator().hasNext finally l.close()
+      // only PUBLISHED log entries count — a crashed writer's leftover
+      // .tmp must not brick the path for create()
+      try !l.iterator().asScala.exists { f =>
+        val n = f.getFileName.toString
+        n.matches("\\d{20}\\.json") || n.contains("checkpoint") || n == "_last_checkpoint"
+      } finally l.close()
     }
     require(empty, s"Delta table already exists at $tablePath")
     val adds = stage(df, tableDir, partitionBy)
@@ -191,9 +196,7 @@ object DeltaWrite {
     */
   private def touchedRelPaths(snap: DeltaScan.Snapshot, absolute: Seq[String]): Seq[String] = {
     val rels = snap.files.map(_.path)
-    val decoded = absolute.map { uri =>
-      try new java.net.URI(uri).getPath catch { case _: Exception => uri }
-    }
+    val decoded = absolute.map(DeltaScan.decodePath)
     decoded.flatMap { p =>
       rels.filter(r => p.endsWith("/" + r) || p == r)
     }.distinct
@@ -317,8 +320,10 @@ object DeltaWrite {
         snap.schema.json, snap.partitionColumns), null) +:
       // real per-file sizes (carried through Snapshot.AddFile) and encoded
       // paths — external readers plan splits from checkpoint add.size
+      // dataChange=false: checkpoint actions reproduce state, they are
+      // not new data (incremental readers would re-process otherwise)
       snap.files.map(f =>
-        Row(null, null, Row(encodePath(f.path), f.partitionValues, f.size, 0L, true)))
+        Row(null, null, Row(encodePath(f.path), f.partitionValues, f.size, 0L, false)))
 
     val tmp = Files.createTempDirectory("graft_delta_cp").resolve("out")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)

@@ -93,32 +93,31 @@ object StreamingFacade {
             state.remove()
             Iterator.single(ClosedSession(user, st, en, n))
           } else {
-            // micro-batch delivery order is not event-time order: sort the
-            // batch's rows per key (bounded by the batch, not the stream)
-            val ts = raw.map { case (_, i) =>
-              i.getEpochSecond * 1000000L + i.getNano / 1000L
-            }.toArray.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var open = state.getOption.orNull
-            ts.foreach { t =>
-              open match {
-                case null => open = (t, t, 1L)
-                case (st, en, n) if t - en > gapMicros =>
-                  closed += ClosedSession(user, st, en, n)
-                  open = (t, t, 1L)
-                case (st, _, _) if st - t > gapMicros =>
-                  // an accepted out-of-order event more than a gap BEFORE
-                  // the open session is its own earlier session; emit it
-                  // eagerly (exact when stragglers stay within one gap of
-                  // the open session — the usual watermark<gap contract)
-                  closed += ClosedSession(user, t, t, 1L)
-                case (st, en, n) =>
-                  // a not-yet-late out-of-order event from a later batch can
-                  // precede the open session's start — extend BOTH boundaries
-                  open = (math.min(st, t), math.max(en, t), n + 1L)
+            // micro-batch delivery order is not event-time order: treat the
+            // open session plus every batch event as intervals, sort by
+            // start, and gap-merge. The LAST merged interval stays open;
+            // earlier ones close eagerly (exact when stragglers stay
+            // within one gap of the open session — the usual
+            // watermark<gap contract; later-batch stragglers older than
+            // an already-emitted session would re-open it, which append
+            // mode cannot express).
+            val intervals = (state.getOption.toSeq ++ raw.map { case (_, i) =>
+              val t = i.getEpochSecond * 1000000L + i.getNano / 1000L
+              (t, t, 1L)
+            }).sortBy(iv => (iv._1, iv._2))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            intervals.foreach { iv =>
+              merged.lastOption match {
+                case Some((st, en, n)) if iv._1 - en <= gapMicros =>
+                  merged(merged.length - 1) = (st, math.max(en, iv._2), n + iv._3)
+                case _ => merged += iv
               }
             }
-            if (open != null) {
+            val closed = merged.init.map { case (st, en, n) =>
+              ClosedSession(user, st, en, n)
+            }
+            if (merged.nonEmpty) {
+              val open = merged.last
               state.update(open)
               state.setTimeoutTimestamp((open._2 + gapMicros) / 1000L + 1L)
             }

@@ -198,6 +198,26 @@ class DeltaWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp time travel resolves against a checkpoint-only (truncated) log") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)
+    DeltaWrite.append(spark, nation.filter(col("n_nationkey") >= 12), path)
+    DeltaWrite.checkpoint(spark, path)
+    val logDir = Paths.get(path, "_delta_log")
+    Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.foreach(Files.delete)
+    // a pin after the checkpoint's mtime resolves to the checkpointed state
+    val got = DeltaScan.scan(spark, path,
+      timestampAsOf = Some(System.currentTimeMillis() + 60000))
+    assert(got.count() == nation.count())
+    // a pin before anything surviving fails with the versioned diagnostic
+    val e = intercept[IllegalArgumentException] {
+      DeltaScan.snapshot(spark, path, timestampAsOf = Some(1000L))
+    }
+    assert(e.getMessage.contains("earliest surviving version is v1"), e.getMessage)
+  }
+
   test("checkpoint: log truncation before the checkpoint still reads") {
     val path = freshDir()
     DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)

@@ -201,6 +201,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionizer merges multiple stragglers into ONE earlier session") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ooo2").toString
+    val h = 3600000000L
+    val m = 60000000L
+    def write(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "tsm")
+        .select(col("event_id"), timestamp_micros(col("tsm")).as("ts"),
+          col("user_id"), lit("a").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    // one batch, delivered out of event-time order: 2:00 plus two events
+    // at 0:30/0:31 — more than a gap earlier, 1 minute apart. They must
+    // close as ONE 2-event session, not two singletons. (Cross-batch
+    // stragglers this old are cut by Spark's late-row filter before the
+    // operator, so the within-batch delivery is the reachable case.)
+    write("a", Seq((1L, 7L, 2L * h), (2L, 7L, 30L * m), (3L, 7L, 31L * m)))
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val q = StreamingFacade.sessionizeWithState(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_ooo2_sessions").start()
+    try {
+      q.processAllAvailable()
+      write("c", Seq((4L, 9L, 9L * h)))
+      q.processAllAvailable()
+      write("d", Seq((5L, 9L, 11L * h)))
+      q.processAllAvailable()
+      val got = spark.table("graft_ooo2_sessions")
+        .filter(col("user_id") === 7L)
+        .orderBy("start_micros")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == Seq((30L * m, 31L * m, 2L), (2L * h, 2L * h, 1L)),
+        s"stragglers not merged: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming session stats run with watermarked append state") {
     val dir = eventsStreamDir()
     val schema = StructType(Seq(
