@@ -218,6 +218,50 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("earliest surviving version is v1"), e.getMessage)
   }
 
+  test("randomized op sequence: every committed version equals the DataFrame fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val path = freshDir()
+    val rnd = new scala.util.Random(42)
+    def mkRows(n: Int, keyLo: Long): DataFrame =
+      (0 until n).map(i => (keyLo + i, rnd.nextInt(100).toLong)).toDF("k", "v")
+
+    var expected: DataFrame = mkRows(20, 0)
+    DeltaWrite.create(spark, expected, path)
+    def rows(df: DataFrame): Seq[String] =
+      df.orderBy(col("k"), col("v")).collect().map(_.toString).toSeq
+    val byVersion = scala.collection.mutable.Map[Long, Seq[String]](0L -> rows(expected))
+
+    for (step <- 1 to 6) {
+      val vBefore = DeltaScan.snapshot(spark, path).version
+      rnd.nextInt(3) match {
+        case 0 =>
+          val df = mkRows(5, 1000L * step)
+          DeltaWrite.append(spark, df, path)
+          expected = expected.unionAll(df)
+        case 1 =>
+          // keys straddle the existing range: both updates and inserts
+          val ups = mkRows(8, rnd.nextInt(25).toLong)
+          DeltaWrite.merge(spark, path, ups, Seq("k"))
+          expected = graft.operators.MergeInto.upsert(expected, ups, Seq("k"))
+        case 2 =>
+          val thr = rnd.nextInt(40).toLong
+          DeltaWrite.deleteWhere(spark, path, col("v") < thr)
+          expected = expected.filter(col("v") >= thr)
+      }
+      val vAfter = DeltaScan.snapshot(spark, path).version
+      assert(vAfter == vBefore || vAfter == vBefore + 1)
+      byVersion(vAfter) = rows(expected)
+      assert(rows(DeltaScan.scan(spark, path)) == byVersion(vAfter),
+        s"step $step: snapshot diverged from the fold")
+    }
+    // version time travel reproduces every recorded fold state
+    byVersion.foreach { case (v, exp) =>
+      assert(rows(DeltaScan.scan(spark, path, versionAsOf = Some(v))) == exp,
+        s"versionAsOf=$v diverged")
+    }
+  }
+
   test("checkpoint: log truncation before the checkpoint still reads") {
     val path = freshDir()
     DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)
