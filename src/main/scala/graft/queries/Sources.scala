@@ -244,11 +244,12 @@ object Sources {
 
     // partitioned Delta table: the partition column exists only in the
     // LOG (partitionValues), not the data files — the scan re-attaches
-    // it typed, and log-level pruning keeps a single region's files
+    // it typed, and the PREDICATE itself drives log-level pruning
+    // (scanWhere, the reference's delta_scan shape — r4; the lambda
+    // pruner remains as the lower-level API)
     "src_delta_partitioned" -> { (s, d) =>
       val path = graft.sources.DeltaFixture.nationByRegion(s, d)
-      graft.sources.DeltaScan.scan(s, path,
-          partitionPruner = pv => pv.get("n_regionkey").exists(v => v == "1" || v == "3"))
+      graft.sources.DeltaScan.scanWhere(s, path, col("n_regionkey").isin(1, 3))
         .orderBy(col("n_nationkey"))
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     },

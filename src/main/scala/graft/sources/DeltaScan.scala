@@ -9,7 +9,7 @@ import org.json4s.jackson.JsonMethods
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
 /** Native read-only Delta Lake scan — the reference's `delta_scan`
   * (/root/reference/extension/delta/src/functions/delta_scan.cpp) without
@@ -276,6 +276,79 @@ object DeltaScan {
       kept.groupBy(_.partitionValues).map { case (pv, fs) => readGroup(fs, pv) }
         .map(_.select(orderedCols: _*))
         .reduce(_ unionAll _)
+    }
+  }
+
+  /** Scan with PREDICATE-driven log-level pruning — the reference's
+    * `delta_scan` shape: the caller passes an ordinary filter `Column`;
+    * its restriction to the partition columns prunes files from the LOG
+    * before any footer is opened, and the full predicate still applies
+    * to the surviving rows (residual filters push into the parquet scan
+    * as usual).
+    *
+    * Mechanics (driver-side, O(distinct partition tuples) — metadata):
+    * the snapshot's distinct partition tuples become a tiny local
+    * DataFrame, the predicate filters it, and only files whose tuple
+    * survives are read. A predicate referencing non-partition columns is
+    * handled by the conjunct semantics of `Column.filter` on that tiny
+    * frame being unevaluable — so only predicates expressible over the
+    * partition columns should be passed for pruning; anything else
+    * belongs in the normal `.filter` over the scan. The convenience
+    * overload below composes both.
+    */
+  def scanWhere(spark: SparkSession, tablePath: String, predicate: Column,
+                versionAsOf: Option[Long] = None,
+                timestampAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, versionAsOf, timestampAsOf)
+    val full = scan(spark, tablePath, versionAsOf,
+      partitionPruner = prunerFor(spark, snap, predicate),
+      timestampAsOf = timestampAsOf)
+    full.filter(predicate)
+  }
+
+  /** Derive a partition-value pruner from a predicate: keep exactly the
+    * partition tuples the predicate can accept. Tuples are evaluated
+    * TYPED (the log stores strings; they cast to the declared types
+    * first, same as the scan's value attachment). If the predicate
+    * references any non-partition column, pruning degrades to keep-all —
+    * never to wrong answers.
+    */
+  private def prunerFor(spark: SparkSession, snap: Snapshot,
+                        predicate: Column): Map[String, String] => Boolean = {
+    if (snap.partitionColumns.isEmpty) return _ => true
+    // the Column is UNRESOLVED here — its referenced names live in
+    // UnresolvedAttribute nodes, not in `references` (empty pre-analysis)
+    val refs = org.apache.spark.sql.graft.bridge.expression(predicate).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+    }.toSet
+    if (refs.isEmpty || !refs.subsetOf(snap.partitionColumns.toSet)) return _ => true
+
+    // carry the RAW log strings through the filter: the predicate sees
+    // typed columns, the survivor set keeps the exact strings the log
+    // uses, so the membership test below is byte-faithful
+    val tuples = snap.files.map(_.partitionValues).distinct
+    val pvSchema = StructType(snap.partitionColumns.map(c =>
+      org.apache.spark.sql.types.StructField(s"_graft_raw_$c", StringType)).toSeq)
+    val asRows = tuples.map(pv =>
+      org.apache.spark.sql.Row(snap.partitionColumns.map(c => pv.get(c).orNull): _*))
+    val typed = snap.partitionColumns.foldLeft(
+      spark.createDataFrame(spark.sparkContext.parallelize(asRows, 1), pvSchema)) {
+      (df, c) =>
+        df.withColumn(c, col(s"_graft_raw_$c").cast(snap.schema(c).dataType))
+    }
+    try {
+      val surviving = typed.filter(predicate)
+        .select(snap.partitionColumns.map(c => col(s"_graft_raw_$c")): _*)
+        .collect()
+        .map(r => snap.partitionColumns.zipWithIndex
+          .map { case (c, i) => c -> (if (r.isNullAt(i)) null else r.getString(i)) }.toMap)
+        .toSet
+      pv => surviving.contains(
+        snap.partitionColumns.map(c => c -> pv.get(c).orNull).toMap)
+    } catch {
+      // any analysis surprise degrades to keep-all, never to wrong answers
+      case _: org.apache.spark.sql.AnalysisException => _ => true
     }
   }
 }

@@ -42,6 +42,25 @@ class DeltaScanSpec extends AnyFunSuite {
       nation.select(got.columns.map(col).toSeq: _*).collect().toSeq)
   }
 
+  test("scanWhere: the predicate itself prunes files from the log") {
+    val part = DeltaFixture.nationByRegion(spark, sf)
+    val allFiles = DeltaScan.snapshot(spark, part).files.size
+    val pruned = DeltaScan.scanWhere(spark, part, col("n_regionkey") === 2)
+    assert(pruned.orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.filter(col("n_regionkey") === 2)
+        .select(pruned.columns.map(col).toSeq: _*).collect().toSeq)
+    // pruning is observable: fewer data files enter the scan
+    assert(pruned.inputFiles.length < allFiles,
+      s"expected < $allFiles files, scanned ${pruned.inputFiles.length}")
+    // a predicate over non-partition columns degrades to keep-all, never
+    // to wrong answers
+    val residual = DeltaScan.scanWhere(spark, part, col("n_nationkey") < 5)
+    assert(residual.orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.filter(col("n_nationkey") < 5)
+        .select(residual.columns.map(col).toSeq: _*).collect().toSeq)
+    assert(residual.inputFiles.length == allFiles)
+  }
+
   test("log-level partition pruning keeps only matching files") {
     val part = DeltaFixture.nationByRegion(spark, sf)
     val pruned = DeltaScan.scan(spark, part,
