@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.json4s._
+import org.json4s.{JNothing, JObject, JString}
 import org.json4s.jackson.JsonMethods
 
 /** SQL statement (de)serialization — the reference's `json_serialize_sql`
@@ -19,8 +19,6 @@ import org.json4s.jackson.JsonMethods
   * rehydrating the AST; the round-trip's RESULT is what the oracle gates.
   */
 object SqlSerde {
-
-  private implicit val formats: Formats = DefaultFormats
 
   /** JSON envelope: {"sql": <text>, "ast": <Catalyst plan JSON>}.
     * Throws ParseException on invalid SQL (the reference returns an

@@ -99,10 +99,27 @@ object DeltaScan {
     }
     val checkpointVersion = checkpointInfo.map(_._1)
 
-    val versions = Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
-      .toSeq.sorted
+    def checkpointPaths(cv: Long, parts: Option[Int]): Seq[java.nio.file.Path] = {
+      val ps = parts match {
+        case None => Seq(logDir.resolve(f"$cv%020d.checkpoint.parquet"))
+        case Some(n) =>
+          require(n >= 1, s"delta_scan: _last_checkpoint has parts=$n")
+          (1 to n).map(i =>
+            logDir.resolve(f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet"))
+      }
+      ps.foreach(p => require(Files.exists(p),
+        s"delta_scan: checkpoint part missing: $p"))
+      ps
+    }
+
+    val versions = {
+      val l = Files.list(logDir)
+      try l.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+        .toSeq.sorted
+      finally l.close()
+    }
     val known = versions ++ checkpointVersion
     require(known.nonEmpty, s"empty Delta log: $logDir")
     // timestamp pin (delta_scan's TIMESTAMP option): resolve to the LAST
@@ -121,17 +138,15 @@ object DeltaScan {
           finally reader.close()
         val fromInfo =
           if (first.trim.isEmpty) None
-          else (JsonMethods.parse(first) \ "commitInfo" \ "timestamp").extractOpt[Long]
+          else scala.util.Try(
+            (JsonMethods.parse(first) \ "commitInfo" \ "timestamp").extractOpt[Long]
+          ).toOption.flatten // unparseable first line -> mtime fallback
         fromInfo.getOrElse(Files.getLastModifiedTime(f).toMillis)
       }
       val dated = versions.map(v => v -> commitMillis(v)) ++
         checkpointInfo.collect {
           case (cv, parts) if !versions.contains(cv) =>
-            val cp = parts match {
-              case None => logDir.resolve(f"$cv%020d.checkpoint.parquet")
-              case Some(n) => logDir.resolve(f"$cv%020d.checkpoint.${1}%010d.$n%010d.parquet")
-            }
-            cv -> Files.getLastModifiedTime(cp).toMillis
+            cv -> Files.getLastModifiedTime(checkpointPaths(cv, parts).head).toMillis
         }
       val at = dated.filter(_._2 <= ts).map(_._1)
       require(at.nonEmpty,
@@ -153,15 +168,7 @@ object DeltaScan {
     fromCheckpoint.foreach { case (cv, parts) =>
       // checkpoint rows carry one non-null action column each; removes
       // are tombstones for already-vacuumed files — not active state
-      val cpPaths = parts match {
-        case None => Seq(logDir.resolve(f"$cv%020d.checkpoint.parquet").toString)
-        case Some(n) =>
-          require(n >= 1, s"delta_scan: _last_checkpoint has parts=$n")
-          (1 to n).map(i =>
-            logDir.resolve(f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
-      }
-      cpPaths.foreach(p => require(Files.exists(Paths.get(p)),
-        s"delta_scan: checkpoint part missing: $p"))
+      val cpPaths = checkpointPaths(cv, parts).map(_.toString)
       val cp = spark.read.parquet(cpPaths: _*)
       val cols = cp.columns.toSet
       val rows = cp.select(
@@ -247,8 +254,17 @@ object DeltaScan {
   def scan(spark: SparkSession, tablePath: String,
            versionAsOf: Option[Long] = None,
            partitionPruner: Map[String, String] => Boolean = _ => true,
-           timestampAsOf: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, tablePath, versionAsOf, timestampAsOf)
+           timestampAsOf: Option[Long] = None): DataFrame =
+    scanSnapshot(spark, snapshot(spark, tablePath, versionAsOf, timestampAsOf),
+      partitionPruner)
+
+  /** Scan a PREBUILT snapshot — one log replay serves both pruning and
+    * reading (scanWhere), and the file set is pinned: no concurrent
+    * commit can slip between deriving the pruner and reading.
+    */
+  def scanSnapshot(spark: SparkSession, snap: Snapshot,
+                   partitionPruner: Map[String, String] => Boolean = _ => true): DataFrame = {
+    val tablePath = snap.tablePath
     val dataSchema = StructType(snap.schema.fields.filterNot(f =>
       snap.partitionColumns.contains(f.name)))
     val kept = snap.files.filter(f => partitionPruner(f.partitionValues))
@@ -299,11 +315,11 @@ object DeltaScan {
   def scanWhere(spark: SparkSession, tablePath: String, predicate: Column,
                 versionAsOf: Option[Long] = None,
                 timestampAsOf: Option[Long] = None): DataFrame = {
+    // ONE snapshot serves pruner derivation AND the read — the file set
+    // is pinned against concurrent commits, and the log replays once
     val snap = snapshot(spark, tablePath, versionAsOf, timestampAsOf)
-    val full = scan(spark, tablePath, versionAsOf,
-      partitionPruner = prunerFor(spark, snap, predicate),
-      timestampAsOf = timestampAsOf)
-    full.filter(predicate)
+    scanSnapshot(spark, snap, prunerFor(spark, snap, predicate))
+      .filter(predicate)
   }
 
   /** Derive a partition-value pruner from a predicate: keep exactly the

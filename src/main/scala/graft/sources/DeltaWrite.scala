@@ -328,9 +328,12 @@ object DeltaWrite {
     val tmp = Files.createTempDirectory("graft_delta_cp").resolve("out")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(sys.error(s"no checkpoint parquet written under $tmp"))
+    val listing = Files.list(tmp)
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no checkpoint parquet written under $tmp"))
+      finally listing.close()
     Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Files.write(logDir.resolve("_last_checkpoint"),

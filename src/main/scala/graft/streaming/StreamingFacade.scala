@@ -113,7 +113,7 @@ object StreamingFacade {
                 case _ => merged += iv
               }
             }
-            val closed = merged.init.map { case (st, en, n) =>
+            val closed = merged.dropRight(1).map { case (st, en, n) =>
               ClosedSession(user, st, en, n)
             }
             if (merged.nonEmpty) {
