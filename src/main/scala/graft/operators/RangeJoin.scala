@@ -78,10 +78,22 @@ object RangeJoin {
       l.join(r, "__band_bucket").drop("__band_bucket")
     } else {
       val w = hi - lo
-      val lb = floor((col(leftKey) + lit(lo)) / lit(w)).cast("long")
+      // the lb-1..lb+2 explode absorbs ≤1 bucket of floor/rounding error
+      // per side; that bound only holds while the quotient stays below
+      // 2^51 (beyond it one ulp of key/w exceeds a whole bucket and a
+      // genuine match could silently fall outside the window). Guard
+      // loudly instead of returning an incomplete join.
+      def checkedQuotient(q: Column): Column =
+        when(abs(q) > lit(2251799813685248.0), // 2^51
+          raise_error(concat(lit("RangeJoin: |key/width| exceeds 2^51 ("),
+            q.cast("string"),
+            lit(") — double bucketing can drop matches; rescale the keys"))))
+          .otherwise(q)
+      val lb = floor(checkedQuotient((col(leftKey) + lit(lo)) / lit(w))).cast("long")
       val l = left.withColumn("__band_bucket",
         explode(array(lb - lit(1L), lb, lb + lit(1L), lb + lit(2L))))
-      val r = right.withColumn("__band_bucket", floor(col(rightKey) / lit(w)).cast("long"))
+      val r = right.withColumn("__band_bucket",
+        floor(checkedQuotient(col(rightKey) / lit(w))).cast("long"))
       l.join(r, "__band_bucket").drop("__band_bucket")
     }
   }

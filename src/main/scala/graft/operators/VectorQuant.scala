@@ -47,12 +47,20 @@ object VectorQuant {
       .drop(vecCol)
   }
 
-  /** Driver-side quantization of a probe vector (same formula). */
+  /** Driver-side quantization of a probe vector — BIT-IDENTICAL to
+    * [[quantize]]'s formula: Spark promotes float/float division to
+    * DOUBLE and its round() is HALF_UP (BigDecimal semantics, away from
+    * zero), while float division + math.round diverges both on the
+    * arithmetic (a float quotient can land exactly on a half step the
+    * double quotient misses) and on negative halves (-2.5 → -2 vs -3).
+    * A probe equal to a stored vector must get identical codes.
+    */
   def quantizeProbe(v: Seq[Float]): (Seq[Byte], Float) = {
     val maxAbs = v.foldLeft(0f)((a, x) => math.max(a, math.abs(x)))
     val scale = maxAbs / 127f
     if (scale == 0f) (v.map(_ => 0: Byte), 0f)
-    else (v.map(x => math.round(x / scale).toByte), scale)
+    else (v.map(x => BigDecimal(x.toDouble / scale.toDouble)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toByte), scale)
   }
 
   /** Quantized cosine similarity — scale-free, computed on the int8
@@ -73,8 +81,12 @@ object VectorQuant {
   def searchCosine(quantized: DataFrame, idCol: String,
                    probe: Seq[Float], topK: Int): DataFrame = {
     val (qp, _) = quantizeProbe(probe)
+    // a zero vector (or zero probe) makes cosine 0/0 = NaN, and Spark
+    // orders NaN as the LARGEST double — without the guard every zero
+    // row would outrank all genuine neighbors in the descending top-k
+    val sim = cosineQ(col("qvec"), typedlit(qp)).cast("double")
     quantized.select(col(idCol),
-        cosineQ(col("qvec"), typedlit(qp)).cast("double").as("cos_sim_q"))
+        when(isnan(sim), lit(Double.NegativeInfinity)).otherwise(sim).as("cos_sim_q"))
       .orderBy(col("cos_sim_q").desc, col(idCol)).limit(topK)
   }
 }

@@ -168,6 +168,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("probe and stored codes agree on negative half-step components; zero vectors rank last") {
+    import graft.operators.VectorQuant
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // near-half-step components (x/scale ≈ ±k.5): float arithmetic lands
+    // exactly on the half while Spark's double arithmetic does not, and
+    // the rounding modes differ on negative halves — the probe must
+    // reproduce Spark's codes bit-for-bit either way
+    val v = Seq(12.7f, -0.25f, 0.35f, 1.0f)
+    val stored = VectorQuant.quantize(Seq((1L, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .select(col("qvec")).head().getSeq[Byte](0)
+    val (probe, _) = VectorQuant.quantizeProbe(v)
+    assert(stored.toSeq == probe.toSeq,
+      s"stored=$stored probe=$probe — rounding modes diverged")
+
+    // a zero vector quantizes to zero codes → NaN cosine; it must sink to
+    // the bottom of the descending top-k, not float to rank 1
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorQuant.searchCosine(
+        VectorQuant.quantize(corpus, "vec_id", "embedding"),
+        "vec_id", Seq(1.0f, 0.0f), topK = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.head != 3L, s"zero vector ranked first: $got")
+    assert(got.last == 3L, s"zero vector should rank last: $got")
+  }
+
   test("int8 quantization round-trips within one quantization step") {
     import graft.operators.VectorQuant
     import spark.implicits._

@@ -101,6 +101,21 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(banded.toSeq == naive.toSeq)
   }
 
+  test("double path refuses quotients beyond 2^51 instead of dropping matches") {
+    import spark.implicits._
+    // |key/w| ~ 3e16 > 2^51: one ulp of the quotient exceeds a bucket, so
+    // the lb-1..lb+2 window can no longer absorb the rounding error —
+    // the join must fail loudly, not return an incomplete result
+    val l = Seq(1.0e16).toDF("a")
+    val r = Seq(1.0e16 + 0.1).toDF("b")
+    val e = intercept[Exception] {
+      RangeJoin.band(l, r, "a", "b", lo = -0.3, hi = 0.3,
+        cond = col("b") >= col("a") - 0.3 && col("b") <= col("a") + 0.3).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("2^51"),
+      s"expected the magnitude guard, got: ${e.getMessage}")
+  }
+
   test("gated range query plans no BNLJ and no cartesian product") {
     val e = SparkEntry.queries("join_non_equi_range")(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
