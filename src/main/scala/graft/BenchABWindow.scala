@@ -31,20 +31,27 @@ object BenchABWindow {
     for (name <- Seq("window_rank_running", "events_sessionize_lag")) {
       val fn = Bench.headline.find(_._1 == name).get._2
       val rule = graft.rules.InsertCacheColumnarToRow
+      val sw = graft.plans.StreamingWindowExec
       (1 to 4).foreach { _ =>
         rule.streamWindowEnabled = true; timed(fn)
         rule.streamWindowEnabled = false; timed(fn)
       }
       val a = scala.collection.mutable.ArrayBuffer.empty[Double]
       val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val c = scala.collection.mutable.ArrayBuffer.empty[Double]
       (1 to 11).foreach { _ =>
         rule.streamWindowEnabled = true; a += timed(fn)
         rule.streamWindowEnabled = false; b += timed(fn)
+        // r3 emulation: no result projection (the ADVICE bug) — isolates
+        // the projection cost the round-4 fix added
+        rule.streamWindowEnabled = true; sw.emitRawJoinedRow = true
+        c += timed(fn); sw.emitRawJoinedRow = false
       }
       rule.streamWindowEnabled = true
       println(f"$name%-24s stream=${a.sorted.apply(a.length / 2)}%6.1fms " +
         f"windowexec=${b.sorted.apply(b.length / 2)}%6.1fms " +
-        f"(min ${a.min}%6.1f vs ${b.min}%6.1f)")
+        f"rawjoin_r3=${c.sorted.apply(c.length / 2)}%6.1fms " +
+        f"(min ${a.min}%6.1f / ${b.min}%6.1f / ${c.min}%6.1f)")
     }
     spark.stop()
   }

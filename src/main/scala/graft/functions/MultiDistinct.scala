@@ -132,13 +132,15 @@ object DistinctWithHll {
   private[functions] val Registers = 16384
   private val RegisterBits = 14
 
-  /** Open-addressing long set (no boxing; load factor 1/2). 0 is stored
-    * via a sentinel flag since empty slots are 0.
+  /** Open-addressing long set (no boxing; load factor 1/2). Empty slots
+    * are 0L and the value 0 is carried by a sentinel flag — one array,
+    * one cache line touched per probe (a separate occupied[] bitmap
+    * doubles the memory traffic of every probe, measurable at 10^5+
+    * updates per task).
     */
   final class LongSet(initialCapacity: Int = 1 << 10) {
     private var mask = initialCapacity - 1
     private var slots = new Array[Long](initialCapacity)
-    private var used = new Array[Boolean](initialCapacity)
     private var n = 0
     private var hasZero = false
 
@@ -147,32 +149,33 @@ object DistinctWithHll {
     def add(v: Long): Unit = {
       if (v == 0L) { hasZero = true; return }
       var i = (scramble(v) & mask).toInt
-      while (used(i)) {
-        if (slots(i) == v) return
+      var s = slots(i)
+      while (s != 0L) {
+        if (s == v) return
         i = (i + 1) & mask
+        s = slots(i)
       }
-      slots(i) = v; used(i) = true; n += 1
+      slots(i) = v; n += 1
       if (n * 2 > mask) grow()
     }
 
     def foreach(f: Long => Unit): Unit = {
       if (hasZero) f(0L)
       var i = 0
-      while (i < slots.length) { if (used(i)) f(slots(i)); i += 1 }
+      while (i < slots.length) { if (slots(i) != 0L) f(slots(i)); i += 1 }
     }
 
     private def grow(): Unit = {
-      val oldSlots = slots; val oldUsed = used
+      val oldSlots = slots
       mask = mask * 2 + 1
       slots = new Array[Long](mask + 1)
-      used = new Array[Boolean](mask + 1)
-      n = 0
       var i = 0
       while (i < oldSlots.length) {
-        if (oldUsed(i)) {
-          var j = (scramble(oldSlots(i)) & mask).toInt
-          while (used(j)) j = (j + 1) & mask
-          slots(j) = oldSlots(i); used(j) = true; n += 1
+        val v = oldSlots(i)
+        if (v != 0L) {
+          var j = (scramble(v) & mask).toInt
+          while (slots(j) != 0L) j = (j + 1) & mask
+          slots(j) = v
         }
         i += 1
       }

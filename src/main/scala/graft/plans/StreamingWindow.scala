@@ -61,13 +61,26 @@ case class StreamingWindowExec(
     val pspec = partitionSpec
     val childOutput = child.output
     val allOutput = output
+    val childSchema = org.apache.spark.sql.types.StructType(
+      childOutput.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+    val winSchema = org.apache.spark.sql.types.StructType(
+      wexprs.map(e => org.apache.spark.sql.types.StructField(e.name, e.dataType, e.nullable)))
+    val rawJoin = StreamingWindowExec.emitRawJoinedRow // dev valve, see companion
     child.execute().mapPartitions { it =>
       val partProj = UnsafeProjection.create(pspec, childOutput)
       val evals = wexprs.map(StreamingWindowExec.evaluator(_, childOutput)).toArray
       // WindowExec always emits UnsafeRow (its result projection); parents
       // like SortExec and ShuffleExchangeExec cast on that contract, so the
-      // joined row must be projected before it leaves this operator.
-      val resultProj = UnsafeProjection.create(allOutput, allOutput)
+      // output must be UnsafeRow. The required child ordering forces a
+      // SortExec below, whose rows are already UnsafeRow — so the cheap
+      // path projects ONLY the n window values (a narrow row) and
+      // binary-concatenates with the child row (two memcpys), instead of
+      // re-projecting every child field through a JoinedRow. Non-Unsafe
+      // child rows (defensive: a future rule change) take the full
+      // projection fallback.
+      val winProj = UnsafeProjection.create(wexprs.map(_.dataType).toArray)
+      val joiner = codegen.GenerateUnsafeRowJoiner.create(childSchema, winSchema)
+      lazy val fullProj = UnsafeProjection.create(allOutput, allOutput)
 
       new Iterator[InternalRow] {
         private var prevKey: UnsafeRow = null
@@ -86,7 +99,11 @@ case class StreamingWindowExec(
           }
           var j = 0
           while (j < n) { winRow.update(j, evals(j).next(row)); j += 1 }
-          resultProj(joined(row, winRow))
+          if (rawJoin) joined(row, winRow)
+          else row match {
+            case u: UnsafeRow => joiner.join(u, winProj(winRow))
+            case _ => fullProj(joined(row, winRow))
+          }
         }
       }
     }
@@ -97,6 +114,14 @@ case class StreamingWindowExec(
 }
 
 object StreamingWindowExec {
+
+  /** DEV-ONLY measurement valve (BenchABWindow): emit the raw JoinedRow
+    * without the UnsafeRow result projection — the round-3 behavior whose
+    * missing projection was an ADVICE-confirmed bug (SortExec parents
+    * ClassCastException). Exists solely to quantify the projection's cost
+    * in an interleaved A/B; never set outside the harness.
+    */
+  @volatile private[graft] var emitRawJoinedRow = false
 
   /** Per-window-expression streaming evaluator: `next(row)` is called
     * exactly once per input row, in order, and returns the row's value.
@@ -121,6 +146,10 @@ object StreamingWindowExec {
       val k = l.inputOffset.eval().asInstanceOf[Int]
       val input = BindReferences.bindReference(l.input, childOutput)
       val default = BindReferences.bindReference(l.default, childOutput)
+      // ring slots must outlive the current row only for object-typed
+      // values (the child iterator reuses its row buffer); primitives are
+      // self-contained, so skip the per-row copyValue dispatch for them
+      val copyIn = holdsObjectRef(l.input.dataType)
       new Eval {
         private val ring = new Array[Any](math.max(1, k))
         private var pos = 0L
@@ -129,7 +158,8 @@ object StreamingWindowExec {
           if (k == 0) input.eval(row)
           else {
             val v = if (pos >= k) ring(((pos - k) % k).toInt) else default.eval(row)
-            ring((pos % k).toInt) = InternalRow.copyValue(input.eval(row))
+            val in = input.eval(row)
+            ring((pos % k).toInt) = if (copyIn) InternalRow.copyValue(in) else in
             pos += 1L
             v
           }
@@ -159,6 +189,10 @@ object StreamingWindowExec {
         f.updateExpressions.map(BindReferences.bindReference(_, bufferAttrs ++ childOutput)))
         .target(buffer)
       val evalExpr = BindReferences.bindReference(f.evaluateExpression, bufferAttrs)
+      // result values are consumed synchronously (projected into the
+      // output UnsafeRow within the same next() call), but object-typed
+      // results may view the mutable buffer — copy only those
+      val copyResult = StreamingWindowExec.holdsObjectRef(f.dataType)
       val joined = new JoinedRow
       new Eval {
         override def reset(): Unit = {
@@ -174,7 +208,8 @@ object StreamingWindowExec {
               buffer.update(j, InternalRow.copyValue(buffer.get(j, bufferTypes(j))))
             i += 1
           }
-          InternalRow.copyValue(evalExpr.eval(buffer))
+          val v = evalExpr.eval(buffer)
+          if (copyResult) InternalRow.copyValue(v) else v
         }
       }
 

@@ -88,13 +88,36 @@ object DeltaScan {
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "delta_scan: specify versionAsOf OR timestampAsOf, not both")
 
-    // (version, parts): parts = None for a single-file checkpoint
+    // (version, parts): parts = None for a single-file checkpoint.
+    // An empty/partial/corrupt _last_checkpoint (non-atomic external
+    // writer caught mid-write) must not fail the scan: fall back to
+    // discovering the latest complete checkpoint from the log listing —
+    // the same recovery delta-spark performs.
     val checkpointInfo: Option[(Long, Option[Int])] = {
       val lc = logDir.resolve("_last_checkpoint")
-      if (!Files.exists(lc)) None
-      else {
-        val j = JsonMethods.parse(String.join("\n", Files.readAllLines(lc)))
-        Some(((j \ "version").extract[Long], (j \ "parts").extractOpt[Int]))
+      val parsed: Option[(Long, Option[Int])] =
+        if (!Files.exists(lc)) None
+        else scala.util.Try {
+          val j = JsonMethods.parse(String.join("\n", Files.readAllLines(lc)))
+          ((j \ "version").extract[Long], (j \ "parts").extractOpt[Int])
+        }.toOption
+      parsed.orElse {
+        if (!Files.exists(lc)) None
+        else { // corrupt pointer: list for <v>.checkpoint.parquet / complete multi-part sets
+          val l = Files.list(logDir)
+          val names = try l.iterator().asScala.map(_.getFileName.toString).toSeq finally l.close()
+          val single = names.collect {
+            case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+              (n.take(20).toLong, None: Option[Int])
+          }
+          val MultiPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+          val multi = names.collect {
+            case MultiPart(v, _, n) => (v.toLong, n.toInt)
+          }.groupBy(identity).collect { // keep only COMPLETE part sets
+            case ((v, n), parts) if parts.size == n => (v, Some(n): Option[Int])
+          }
+          (single ++ multi).sortBy(_._1).lastOption
+        }
       }
     }
     val checkpointVersion = checkpointInfo.map(_._1)

@@ -104,6 +104,43 @@ object DeltaWrite {
   private def unescapePartitionValue(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
+  /** Align an incoming DataFrame to the table's DECLARED schema: same
+    * column set (any order), each column cast to the declared type.
+    * A name-compatible but type-incompatible input (e.g. a string where
+    * the table declares long) must fail HERE, at write time — committing
+    * it would poison the table for every later scan, which is where the
+    * damage would otherwise first surface. Mirrors delta-spark's write
+    * schema enforcement.
+    */
+  private[sources] def alignToSchema(df: DataFrame, schema: StructType): DataFrame = {
+    val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = schema.fieldNames.filterNot(incoming.contains)
+    require(missing.isEmpty,
+      s"delta write: input is missing declared column(s) ${missing.mkString(", ")}")
+    val cols = schema.fields.toSeq.map { f =>
+      val from = incoming(f.name)
+      // safe widening only (int→long, float→double, …): a lossy-but-castable
+      // input (string→long, long→int) is a caller bug, not an implicit cast —
+      // the same up-cast rule delta-spark's write enforcement applies
+      require(from == f.dataType ||
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, f.dataType),
+        s"delta write: column '${f.name}' has type $from, incompatible with declared ${f.dataType}")
+      col(f.name).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Recursively delete a staging temp tree; the staged payload has
+    * already been moved out, so only _SUCCESS/CRC droppings remain.
+    */
+  private def deleteRecursively(root: Path): Unit =
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+
   /** Write `df` as parquet part files into a staging directory, move them
     * into the table directory under fresh unique names (preserving the
     * hive partition layout), and return the add actions.
@@ -114,32 +151,35 @@ object DeltaWrite {
     */
   private def stage(df: DataFrame, tableDir: Path,
                     partitionBy: Seq[String]): Seq[(String, Map[String, String], Long)] = {
-    val staging = Files.createTempDirectory("graft_delta_stage").resolve("out")
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(staging.toString)
+    val stagingRoot = Files.createTempDirectory("graft_delta_stage")
+    val staging = stagingRoot.resolve("out")
+    try {
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(staging.toString)
 
-    val walk = Files.walk(staging)
-    val parts =
-      try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.toString)
-      finally walk.close()
-    parts.zipWithIndex.map { case (src, idx) =>
-      val rel = staging.relativize(src)
-      // partition dirs (k=v components) from the staged layout
-      val dirs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
-      val pv = dirs.collect { case d if d.contains("=") =>
-        val Array(k, v) = d.split("=", 2)
-        k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else unescapePartitionValue(v))
-      }.toMap
-      val name = s"part-${UUID.randomUUID().toString.take(12)}-$idx.parquet"
-      val relPath = (dirs :+ name).mkString("/")
-      val target = tableDir.resolve(Paths.get(relPath))
-      Files.createDirectories(target.getParent)
-      Files.move(src, target)
-      (relPath, pv, Files.size(target))
-    }
+      val walk = Files.walk(staging)
+      val parts =
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.toString)
+        finally walk.close()
+      parts.zipWithIndex.map { case (src, idx) =>
+        val rel = staging.relativize(src)
+        // partition dirs (k=v components) from the staged layout
+        val dirs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        val pv = dirs.collect { case d if d.contains("=") =>
+          val Array(k, v) = d.split("=", 2)
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else unescapePartitionValue(v))
+        }.toMap
+        val name = s"part-${UUID.randomUUID().toString.take(12)}-$idx.parquet"
+        val relPath = (dirs :+ name).mkString("/")
+        val target = tableDir.resolve(Paths.get(relPath))
+        Files.createDirectories(target.getParent)
+        Files.move(src, target)
+        (relPath, pv, Files.size(target))
+      }
+    } finally deleteRecursively(stagingRoot) // _SUCCESS/CRC droppings + dir tree
   }
 
   /** NOTE (conflict semantics): data files are staged into the table
@@ -178,7 +218,7 @@ object DeltaWrite {
   def append(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
-    val aligned = df.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val aligned = alignToSchema(df, snap.schema)
     val adds = stage(aligned, tableDir, snap.partitionColumns)
     // OCC: commit at the version AFTER the snapshot we read — if another
     // writer claimed it meanwhile, the rename fails and the caller retries
@@ -195,11 +235,19 @@ object DeltaWrite {
     * character silently empties the touched set.
     */
   private def touchedRelPaths(snap: DeltaScan.Snapshot, absolute: Seq[String]): Seq[String] = {
-    val rels = snap.files.map(_.path)
-    val decoded = absolute.map(DeltaScan.decodePath)
-    decoded.flatMap { p =>
-      rels.filter(r => p.endsWith("/" + r) || p == r)
-    }.distinct
+    // EXACT absolute-path equality, not suffix matching: resolve each
+    // snapshot relative path against the table dir first. A suffix match
+    // (`p.endsWith("/" + r)`) can mark an UNtouched file as touched when
+    // one active file's relative path is a path-suffix of another's
+    // absolute path (same basename at different partition depths, e.g.
+    // externally-written tables) — a spurious remove = data loss.
+    val tableAbs = Paths.get(snap.tablePath).toAbsolutePath.normalize
+    val absToRel = snap.files.map(f =>
+      tableAbs.resolve(f.path).normalize.toString -> f.path).toMap
+    absolute.map(DeltaScan.decodePath)
+      .map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+      .flatMap(absToRel.get)
+      .distinct
   }
 
   /** MERGE INTO (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *) —
@@ -213,8 +261,11 @@ object DeltaWrite {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
     val cols = snap.schema.fieldNames.toSeq
-    val base = DeltaScan.scan(spark, tablePath)
-    val u = updates.select(cols.map(col): _*)
+    // pin the read to the SAME snapshot the remove actions and version
+    // number derive from — a commit landing between two independent log
+    // replays would silently mix file sets
+    val base = DeltaScan.scanSnapshot(spark, snap)
+    val u = alignToSchema(updates, snap.schema)
 
     // file pruning: which data files contain at least one matched key?
     // (the collected list is file METADATA — O(files touched), not rows)
@@ -264,7 +315,7 @@ object DeltaWrite {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
     val cols = snap.schema.fieldNames.toSeq
-    val base = DeltaScan.scan(spark, tablePath)
+    val base = DeltaScan.scanSnapshot(spark, snap) // pinned: one replay, one file set
 
     val touchedAbs = base.withColumn("_graft_file", input_file_name())
       .filter(predicate)
@@ -325,20 +376,30 @@ object DeltaWrite {
       snap.files.map(f =>
         Row(null, null, Row(encodePath(f.path), f.partitionValues, f.size, 0L, false)))
 
-    val tmp = Files.createTempDirectory("graft_delta_cp").resolve("out")
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val listing = Files.list(tmp)
-    val part =
-      try listing.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no checkpoint parquet written under $tmp"))
-      finally listing.close()
-    Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.write(logDir.resolve("_last_checkpoint"),
-      Seq(JsonMethods.compact(JsonMethods.render(
-        ("version" -> snap.version) ~ ("size" -> (rows.size.toLong))))).asJava)
-    snap.version
+    val tmpRoot = Files.createTempDirectory("graft_delta_cp")
+    try {
+      val tmp = tmpRoot.resolve("out")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no checkpoint parquet written under $tmp"))
+        finally listing.close()
+      Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // _last_checkpoint must appear atomically: a truncate-then-write
+      // leaves a window where a concurrent snapshot() reads empty/partial
+      // JSON and fails the whole scan instead of falling back to replay
+      val lcTmp = logDir.resolve(s".${UUID.randomUUID()}._last_checkpoint.tmp")
+      Files.write(lcTmp,
+        Seq(JsonMethods.compact(JsonMethods.render(
+          ("version" -> snap.version) ~ ("size" -> (rows.size.toLong))))).asJava)
+      Files.move(lcTmp, logDir.resolve("_last_checkpoint"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      snap.version
+    } finally deleteRecursively(tmpRoot)
   }
 }

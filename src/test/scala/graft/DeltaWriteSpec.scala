@@ -262,6 +262,65 @@ class DeltaWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("append/merge enforce the declared schema: compatible types cast, incompatible fail fast") {
+    import spark.implicits._
+    val path = freshDir()
+    DeltaWrite.create(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path) // k: long, v: string
+    // int k casts up to the declared long; column order differs — both fine
+    DeltaWrite.append(spark, Seq(("c", 3)).toDF("v", "k"), path)
+    val got = DeltaScan.scan(spark, path).orderBy(col("k")).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // array where the table declares long: must fail AT WRITE TIME, not
+    // poison the table for later scans
+    val bad = Seq((Seq(1L), "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] { DeltaWrite.append(spark, bad, path) }
+    intercept[IllegalArgumentException] { DeltaWrite.merge(spark, path, bad, Seq("k")) }
+    // a missing declared column also fails fast
+    intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq(4L).toDF("k"), path)
+    }
+    // the failed writes committed nothing
+    assert(DeltaScan.snapshot(spark, path).version == 1L)
+  }
+
+  test("corrupt _last_checkpoint: scan falls back to checkpoint discovery") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)
+    DeltaWrite.append(spark, nation.filter(col("n_nationkey") >= 12), path)
+    DeltaWrite.checkpoint(spark, path)
+    val logDir = Paths.get(path, "_delta_log")
+    // truncate the log so ONLY the checkpoint can serve the snapshot,
+    // then corrupt the pointer the way a non-atomic writer would
+    Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.foreach(Files.delete)
+    Files.write(logDir.resolve("_last_checkpoint"), "".getBytes)
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.collect().toSeq)
+    Files.write(logDir.resolve("_last_checkpoint"), "{\"vers".getBytes) // partial JSON
+    assert(DeltaScan.scan(spark, path).count() == nation.count())
+  }
+
+  test("staging temp dirs are cleaned up after write and checkpoint") {
+    val path = freshDir()
+    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
+    def staged(): Set[String] = {
+      val l = Files.list(tmpRoot)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("graft_delta_stage") || n.startsWith("graft_delta_cp"))
+        .toSet
+      finally l.close()
+    }
+    val before = staged()
+    DeltaWrite.create(spark, nation, path)
+    DeltaWrite.append(spark, nation.limit(3), path)
+    DeltaWrite.deleteWhere(spark, path, col("n_nationkey") < 2)
+    DeltaWrite.checkpoint(spark, path)
+    assert(staged() == before, "delta staging dirs leaked under /tmp")
+  }
+
   test("checkpoint: log truncation before the checkpoint still reads") {
     val path = freshDir()
     DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)
