@@ -1,0 +1,482 @@
+package graft.queries
+
+/** A curated sqllogictest-style slice — the reference's primary test
+  * asset is 3,327 `.test` files under /root/reference/test/sql/; this
+  * family re-expresses the edge-semantics those files pin (NULL handling,
+  * empty inputs, overflow, frame edges, three-valued logic) as
+  * dialect-identical SQL gated against the DuckDB oracle, one query per
+  * edge cluster. Inline data comes from column-aliased CTEs (supported
+  * identically by Spark SQL and DuckDB), so the slice is self-contained
+  * and deterministic at every SF.
+  *
+  * Conventions: every nullable ORDER BY key carries an explicit NULLS
+  * FIRST/LAST (the engines' defaults differ); float aggregates are
+  * round()ed; every computed column is aliased (the driver compares by
+  * column name). Reference test files are cited per query.
+  */
+object SltSlice {
+
+  /** (name, sql) — every query is sharedSql over CTE-inline data; the
+    * table list is empty (nothing external is read).
+    */
+  private val q: Seq[(String, String)] = Seq(
+
+    // ---------------------------------------------------- aggregates
+    // test/sql/aggregate/aggregates/test_aggregate_types_scalar.test:
+    // aggregates over an EMPTY input: count()=0, the rest NULL
+    "slt_agg_empty_input" ->
+      """WITH t(i, s) AS (SELECT 1, 'a' UNION ALL SELECT 2, 'b')
+        |SELECT count(*) AS n, count(i) AS n_i,
+        |       CAST(sum(i) AS BIGINT) AS s_i, min(i) AS mn, max(s) AS mx,
+        |       avg(i) AS av
+        |FROM t WHERE i > 100""".stripMargin,
+
+    // test/sql/aggregate/aggregates/test_aggregate_types.test: a group
+    // whose aggregated column is all NULL: sum/min/max/avg NULL, count 0
+    "slt_agg_null_only_group" ->
+      """WITH t(g, v) AS (
+        |  SELECT 'a', 1 UNION ALL SELECT 'a', 2
+        |  UNION ALL SELECT 'b', CAST(NULL AS INT) UNION ALL SELECT 'b', CAST(NULL AS INT))
+        |SELECT g, count(*) AS n_rows, count(v) AS n_v,
+        |       CAST(sum(v) AS BIGINT) AS s, min(v) AS mn, max(v) AS mx, avg(v) AS av
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
+
+    // NULLs are skipped, not zeroed, by sum/avg/min/max
+    "slt_agg_null_mix" ->
+      """WITH t(v) AS (SELECT 10 UNION ALL SELECT CAST(NULL AS INT)
+        |  UNION ALL SELECT 30 UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT count(*) AS n_rows, count(v) AS n_v,
+        |       CAST(sum(v) AS BIGINT) AS s, avg(v) AS av, min(v) AS mn, max(v) AS mx
+        |FROM t""".stripMargin,
+
+    // test/sql/aggregate/distinct/test_distinct_aggr.test: DISTINCT
+    // aggregates ignore NULLs and collapse duplicates
+    "slt_agg_distinct_nulls" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 1 UNION ALL SELECT 2
+        |  UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT count(DISTINCT v) AS nd, CAST(sum(DISTINCT v) AS BIGINT) AS sd,
+        |       count(v) AS n_v, count(*) AS n_rows
+        |FROM t""".stripMargin,
+
+    // test/sql/aggregate/aggregates/test_bool_and_or.test shape:
+    // bool_and/bool_or skip NULLs; all-NULL input yields NULL
+    "slt_agg_bool_nulls" ->
+      """WITH t(g, b) AS (
+        |  SELECT 1, true UNION ALL SELECT 1, CAST(NULL AS BOOLEAN)
+        |  UNION ALL SELECT 2, false UNION ALL SELECT 2, true
+        |  UNION ALL SELECT 3, CAST(NULL AS BOOLEAN))
+        |SELECT g, bool_and(b) AS ba, bool_or(b) AS bo, count(b) AS n
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
+
+    // test/sql/aggregate/aggregates/test_aggr_string.test: min/max over
+    // strings (lexicographic, NULLs skipped; empty string sorts lowest)
+    "slt_agg_string_minmax" ->
+      """WITH t(s) AS (SELECT 'banana' UNION ALL SELECT '' UNION ALL
+        |  SELECT 'Apple' UNION ALL SELECT CAST(NULL AS STRING) UNION ALL SELECT 'apple')
+        |SELECT min(s) AS mn, max(s) AS mx, count(s) AS n FROM t""".stripMargin,
+
+    // test/sql/aggregate/group/test_group_by.test: NULL group keys form
+    // ONE group (grouping equality, not SQL equality)
+    "slt_agg_null_group_key" ->
+      """WITH t(k, v) AS (
+        |  SELECT CAST(NULL AS INT), 1 UNION ALL SELECT CAST(NULL AS INT), 2
+        |  UNION ALL SELECT 7, 3 UNION ALL SELECT 7, 4)
+        |SELECT k, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+        |FROM t GROUP BY k ORDER BY k NULLS FIRST""".stripMargin,
+
+    // test/sql/aggregate/having/test_having.test: HAVING filters on
+    // aggregate results incl. NULL-producing groups (NULL -> dropped)
+    "slt_agg_having_null" ->
+      """WITH t(g, v) AS (
+        |  SELECT 'a', 5 UNION ALL SELECT 'a', 6
+        |  UNION ALL SELECT 'b', CAST(NULL AS INT)
+        |  UNION ALL SELECT 'c', 1)
+        |SELECT g, CAST(sum(v) AS BIGINT) AS s
+        |FROM t GROUP BY g HAVING sum(v) > 3 ORDER BY g""".stripMargin,
+
+    // test/sql/aggregate/grouping_sets/grouping.test: GROUPING()
+    // distinguishes a rollup-NULL from a data-NULL key
+    "slt_grouping_null_vs_data" ->
+      """WITH t(k, v) AS (
+        |  SELECT CAST(NULL AS STRING), 1 UNION ALL SELECT 'x', 2 UNION ALL SELECT 'x', 3)
+        |SELECT k, CAST(grouping(k) AS INT) AS is_total,
+        |       CAST(sum(v) AS BIGINT) AS s
+        |FROM t GROUP BY ROLLUP(k)
+        |ORDER BY is_total, k NULLS FIRST""".stripMargin,
+
+    // test/sql/aggregate/aggregates/test_avg.test: avg of ints is exact
+    // double; single-row variance is NULL (sample) and 0 (population)
+    "slt_agg_stat_edges" ->
+      """WITH t(v) AS (SELECT 2 UNION ALL SELECT 4 UNION ALL SELECT 4 UNION ALL SELECT 6)
+        |SELECT avg(v) AS av,
+        |       round(stddev_pop(v), 6) AS sp,
+        |       round(stddev_samp(v), 6) AS ss,
+        |       (SELECT stddev_samp(x) FROM (SELECT 5 AS x) one) AS ss_one,
+        |       (SELECT var_pop(x) FROM (SELECT 5 AS x) one) AS vp_one
+        |FROM t""".stripMargin,
+
+    // ------------------------------------------------------ distinct
+    // test/sql/aggregate/distinct/test_distinct.test: SELECT DISTINCT
+    // treats NULLs as equal (one NULL row survives)
+    "slt_distinct_null_rows" ->
+      """WITH t(a, b) AS (
+        |  SELECT 1, CAST(NULL AS INT) UNION ALL SELECT 1, CAST(NULL AS INT)
+        |  UNION ALL SELECT 1, 2 UNION ALL SELECT CAST(NULL AS INT), CAST(NULL AS INT)
+        |  UNION ALL SELECT CAST(NULL AS INT), CAST(NULL AS INT))
+        |SELECT DISTINCT a, b FROM t
+        |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    // ------------------------------------------------------- windows
+    // test/sql/window/test_empty_frames.test: a frame holding zero rows:
+    // count()=0, value aggregates NULL
+    "slt_win_empty_frame" ->
+      """WITH t(id, ch) AS (
+        |  SELECT 1, 'A' UNION ALL SELECT 2, 'B' UNION ALL SELECT CAST(NULL AS INT), 'B')
+        |SELECT id, ch,
+        |  count(*) OVER w2 AS cnt_star,
+        |  count(id) OVER w2 AS cnt_id,
+        |  CAST(sum(id) OVER w2 AS BIGINT) AS s,
+        |  min(id) OVER w2 AS mn,
+        |  avg(id) OVER w2 AS av
+        |FROM t
+        |WINDOW w2 AS (PARTITION BY ch ORDER BY id NULLS FIRST
+        |              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)
+        |ORDER BY ch, id NULLS FIRST""".stripMargin,
+
+    // test/sql/window/test_lead_lag.test: offsets past the partition edge
+    // yield NULL or the explicit default; offset 0 is the row itself
+    "slt_win_lead_lag_edges" ->
+      """WITH t(p, i) AS (
+        |  SELECT 'a', 1 UNION ALL SELECT 'a', 2 UNION ALL SELECT 'a', 3
+        |  UNION ALL SELECT 'b', 10)
+        |SELECT p, i,
+        |  lag(i, 1) OVER w AS lag1,
+        |  lag(i, 2, -1) OVER w AS lag2_dflt,
+        |  lead(i, 1) OVER w AS lead1,
+        |  lead(i, 5, -99) OVER w AS lead5_dflt,
+        |  lag(i, 0) OVER w AS lag0
+        |FROM t WINDOW w AS (PARTITION BY p ORDER BY i)
+        |ORDER BY p, i""".stripMargin,
+
+    // test/sql/window/test_nthvalue.test: nth_value beyond the frame is
+    // NULL; first/last_value over the DEFAULT frame (peers included via
+    // RANGE ... CURRENT ROW) vs an explicit full frame
+    "slt_win_nth_first_last" ->
+      """WITH t(i, v) AS (
+        |  SELECT 1, 'a' UNION ALL SELECT 2, 'b' UNION ALL SELECT 3, 'c' UNION ALL SELECT 4, 'd')
+        |SELECT i,
+        |  first_value(v) OVER w AS fv,
+        |  last_value(v) OVER w AS lv_default,
+        |  last_value(v) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND UNBOUNDED FOLLOWING) AS lv_full,
+        |  nth_value(v, 2) OVER w AS nth2,
+        |  nth_value(v, 9) OVER w AS nth9
+        |FROM t WINDOW w AS (ORDER BY i)
+        |ORDER BY i""".stripMargin,
+
+    // test/sql/window/test_rank.test + test_rank_orderby.test: ties share
+    // rank/dense_rank/percent_rank; NULL order keys are peers of each other
+    "slt_win_rank_ties_nulls" ->
+      """WITH t(v) AS (
+        |  SELECT 10 UNION ALL SELECT 10 UNION ALL SELECT 20
+        |  UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT v,
+        |  rank() OVER w AS rk,
+        |  dense_rank() OVER w AS drk,
+        |  round(percent_rank() OVER w, 6) AS prk,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM t WINDOW w AS (ORDER BY v NULLS FIRST)
+        |ORDER BY v NULLS FIRST, rk""".stripMargin,
+
+    // test/sql/window/test_ntile.test: uneven buckets front-load the
+    // remainder; more buckets than rows degenerate to row_number
+    "slt_win_ntile" ->
+      """WITH t(i) AS (
+        |  SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5)
+        |SELECT i, CAST(ntile(2) OVER w AS INT) AS nt2,
+        |       CAST(ntile(3) OVER w AS INT) AS nt3,
+        |       CAST(ntile(9) OVER w AS INT) AS nt9
+        |FROM t WINDOW w AS (ORDER BY i)
+        |ORDER BY i""".stripMargin,
+
+    // test/sql/window/test_basic_window.test: RANGE frames include ALL
+    // peers of the boundary rows; ROWS frames do not
+    "slt_win_range_vs_rows_peers" ->
+      """WITH t(k, v) AS (
+        |  SELECT 1, 100 UNION ALL SELECT 1, 200 UNION ALL SELECT 2, 300 UNION ALL SELECT 3, 400)
+        |SELECT k, v,
+        |  CAST(sum(v) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+        |       AND CURRENT ROW) AS BIGINT) AS s_range,
+        |  CAST(sum(v) OVER (ORDER BY k, v ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND CURRENT ROW) AS BIGINT) AS s_rows
+        |FROM t ORDER BY k, v""".stripMargin,
+
+    // test/sql/window/test_boundary_expr.test: numeric RANGE offsets on
+    // the order key (value-based, not row-based)
+    "slt_win_range_numeric_bounds" ->
+      """WITH t(v) AS (
+        |  SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 4 UNION ALL SELECT 7 UNION ALL SELECT 8)
+        |SELECT v,
+        |  CAST(sum(v) OVER (ORDER BY v RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+        |    AS s_near,
+        |  count(*) OVER (ORDER BY v RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_back2
+        |FROM t ORDER BY v""".stripMargin,
+
+    // descending order with explicit NULL placement: frames follow the
+    // sort direction (test/sql/window/test_constant_orderby.test family)
+    "slt_win_desc_running" ->
+      """WITH t(v) AS (
+        |  SELECT 5 UNION ALL SELECT 3 UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT 1)
+        |SELECT v,
+        |  count(*) OVER (ORDER BY v DESC NULLS LAST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn_like,
+        |  CAST(sum(v) OVER (ORDER BY v DESC NULLS LAST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_s
+        |FROM t ORDER BY v DESC NULLS LAST""".stripMargin,
+
+    // --------------------------------------------------------- joins
+    // test/sql/join/inner/test_join.test: NULL keys never equal — inner
+    // join drops them, even NULL = NULL
+    "slt_join_null_keys_inner" ->
+      """WITH l(k, lv) AS (
+        |  SELECT 1, 'l1' UNION ALL SELECT CAST(NULL AS INT), 'ln' UNION ALL SELECT 2, 'l2'),
+        |r(k, rv) AS (
+        |  SELECT 1, 'r1' UNION ALL SELECT CAST(NULL AS INT), 'rn' UNION ALL SELECT 3, 'r3')
+        |SELECT l.k AS k, l.lv AS lv, r.rv AS rv
+        |FROM l JOIN r ON l.k = r.k
+        |ORDER BY k""".stripMargin,
+
+    // test/sql/join/left_outer/test_left_outer.test: unmatched left rows
+    // (incl. NULL keys) survive null-padded
+    "slt_join_null_keys_left" ->
+      """WITH l(k, lv) AS (
+        |  SELECT 1, 'l1' UNION ALL SELECT CAST(NULL AS INT), 'ln' UNION ALL SELECT 2, 'l2'),
+        |r(k, rv) AS (SELECT 1, 'r1')
+        |SELECT l.k AS k, l.lv AS lv, r.rv AS rv
+        |FROM l LEFT JOIN r ON l.k = r.k
+        |ORDER BY k NULLS FIRST, lv""".stripMargin,
+
+    // test/sql/join/full_outer/full_outer_join_cache.test: duplicate keys
+    // multiply (2x2=4 matched rows) and both dangling sides survive
+    "slt_join_full_dup_keys" ->
+      """WITH l(k, lv) AS (
+        |  SELECT 1, 'a' UNION ALL SELECT 1, 'b' UNION ALL SELECT 2, 'c'),
+        |r(k, rv) AS (
+        |  SELECT 1, 'x' UNION ALL SELECT 1, 'y' UNION ALL SELECT 3, 'z')
+        |SELECT l.k AS lk, l.lv AS lv, r.k AS rk, r.rv AS rv
+        |FROM l FULL JOIN r ON l.k = r.k
+        |ORDER BY lk NULLS FIRST, lv NULLS FIRST, rk NULLS FIRST, rv NULLS FIRST""".stripMargin,
+
+    // joins against an EMPTY side: inner/semi empty, left null-padded,
+    // anti passes everything (test/sql/join/test_empty_joins.test shape)
+    "slt_join_empty_side" ->
+      """WITH l(k) AS (SELECT 1 UNION ALL SELECT 2),
+        |e(k) AS (SELECT CAST(NULL AS INT) WHERE 1 = 0)
+        |SELECT
+        |  (SELECT count(*) FROM l JOIN e ON l.k = e.k) AS n_inner,
+        |  (SELECT count(*) FROM l LEFT JOIN e ON l.k = e.k) AS n_left,
+        |  (SELECT count(*) FROM l WHERE EXISTS (SELECT 1 FROM e WHERE e.k = l.k)) AS n_semi,
+        |  (SELECT count(*) FROM l WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.k = l.k)) AS n_anti,
+        |  (SELECT count(*) FROM l CROSS JOIN e) AS n_cross""".stripMargin,
+
+    // test/sql/subquery/any_all/test_correlated_any_all.test (NOT IN
+    // face): a NULL in the NOT IN list voids every row
+    "slt_join_not_in_null" ->
+      """WITH l(k) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |r(k) AS (SELECT 1 UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT
+        |  (SELECT count(*) FROM l WHERE l.k NOT IN (SELECT k FROM r)) AS n_not_in_with_null,
+        |  (SELECT count(*) FROM l WHERE l.k NOT IN (SELECT k FROM r WHERE k IS NOT NULL))
+        |    AS n_not_in_clean,
+        |  (SELECT count(*) FROM l WHERE l.k IN (SELECT k FROM r)) AS n_in""".stripMargin,
+
+    // non-equi join: NULL comparisons are UNKNOWN -> no match
+    // (test/sql/join/iejoin/test_iejoin.test family)
+    "slt_join_nonequi_null" ->
+      """WITH l(a) AS (SELECT 1 UNION ALL SELECT 5 UNION ALL SELECT CAST(NULL AS INT)),
+        |r(b) AS (SELECT 3 UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT l.a AS a, r.b AS b
+        |FROM l JOIN r ON l.a < r.b
+        |ORDER BY a, b""".stripMargin,
+
+    // ----------------------------------------------------- subqueries
+    // test/sql/subquery/scalar/test_scalar_subquery.test: a scalar
+    // subquery over zero rows is NULL (not an error, not zero)
+    "slt_sub_scalar_empty" ->
+      """WITH t(i) AS (SELECT 1 UNION ALL SELECT 2)
+        |SELECT
+        |  (SELECT i FROM t WHERE i > 100) AS empty_scalar,
+        |  (SELECT max(i) FROM t WHERE i > 100) AS empty_max,
+        |  (SELECT count(*) FROM t WHERE i > 100) AS empty_count""".stripMargin,
+
+    // test/sql/subquery/exists/test_correlated_exists.test: correlated
+    // existence per row (count-based form — dialect-identical; EXISTS in
+    // a projection is not portable Spark SQL)
+    "slt_sub_correlated_exists" ->
+      """WITH t1(i) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |t2(j) AS (SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 3)
+        |SELECT i,
+        |  (SELECT count(*) FROM t2 WHERE t2.j = t1.i) > 0 AS has_match,
+        |  (SELECT count(*) FROM t2 WHERE t2.j = t1.i) = 0 AS no_match
+        |FROM t1 ORDER BY i""".stripMargin,
+
+    // test/sql/subquery/test_neumann.test: correlated scalar aggregate —
+    // count over an empty correlation is 0, sum is NULL
+    "slt_sub_correlated_agg" ->
+      """WITH t1(i) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |t2(j) AS (SELECT 1 UNION ALL SELECT 1 UNION ALL SELECT 2)
+        |SELECT i,
+        |  (SELECT count(*) FROM t2 WHERE t2.j < t1.i) AS n_less,
+        |  (SELECT CAST(sum(j) AS BIGINT) FROM t2 WHERE t2.j < t1.i) AS s_less
+        |FROM t1 ORDER BY i""".stripMargin,
+
+    // IN over a literal list with NULLs: x IN (a, NULL) is NULL unless
+    // matched; NOT IN (a, NULL) passes nothing
+    // (test/sql/subquery/any_all/test_any_all.test NULL-semantics face)
+    "slt_sub_in_null_probe" ->
+      """WITH t(i) AS (SELECT 1 UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT 3)
+        |SELECT
+        |  (SELECT count(*) FROM t WHERE t.i IN (1, 2)) AS n_in_list,
+        |  (SELECT count(*) FROM t WHERE t.i IN (1, NULL)) AS n_in_null_list,
+        |  (SELECT count(*) FROM t WHERE t.i NOT IN (1, NULL)) AS n_not_in_null_list,
+        |  (SELECT count(*) FROM t WHERE t.i NOT IN (5, 6)) AS n_not_in_clean""".stripMargin,
+
+    // ------------------------------------------------------- set ops
+    // test/sql/setops/test_union.test: UNION dedups across NULLs; UNION
+    // ALL keeps multiplicity
+    "slt_setop_union_nulls" ->
+      """WITH a(v) AS (SELECT 1 UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT 1),
+        |b(v) AS (SELECT CAST(NULL AS INT) UNION ALL SELECT 2)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT v FROM a UNION SELECT v FROM b) u) AS n_union,
+        |  (SELECT count(*) FROM (SELECT v FROM a UNION ALL SELECT v FROM b) ua) AS n_union_all""".stripMargin,
+
+    // test/sql/setops/test_intersect.test + test_except.test: bag
+    // semantics of INTERSECT ALL / EXCEPT ALL, NULLs compare equal
+    "slt_setop_bag_semantics" ->
+      """WITH a(v) AS (SELECT 1 UNION ALL SELECT 1 UNION ALL SELECT 1
+        |  UNION ALL SELECT 2 UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT CAST(NULL AS INT)),
+        |b(v) AS (SELECT 1 UNION ALL SELECT 1 UNION ALL SELECT 3 UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT v FROM a INTERSECT ALL SELECT v FROM b) i) AS n_int_all,
+        |  (SELECT count(*) FROM (SELECT v FROM a EXCEPT ALL SELECT v FROM b) e) AS n_exc_all,
+        |  (SELECT count(*) FROM (SELECT v FROM a INTERSECT SELECT v FROM b) i2) AS n_int,
+        |  (SELECT count(*) FROM (SELECT v FROM a EXCEPT SELECT v FROM b) e2) AS n_exc""".stripMargin,
+
+    // ---------------------------------------------------- types/casts
+    // test/sql/cast/test_try_cast.test: TRY_CAST turns malformed and
+    // out-of-range inputs into NULL instead of raising
+    "slt_cast_try_edges" ->
+      """WITH t(s) AS (SELECT '123' UNION ALL SELECT 'abc' UNION ALL
+        |  SELECT '99999999999999999999' UNION ALL SELECT CAST(NULL AS STRING))
+        |SELECT s,
+        |  TRY_CAST(s AS INT) AS as_int,
+        |  TRY_CAST(s AS BIGINT) AS as_big,
+        |  TRY_CAST(s AS DOUBLE) AS as_dbl
+        |FROM t ORDER BY s NULLS FIRST""".stripMargin,
+
+    // smallint/int overflow boundaries through TRY_CAST
+    "slt_cast_overflow_bounds" ->
+      """WITH t(v) AS (SELECT 32767 UNION ALL SELECT 32768
+        |  UNION ALL SELECT -32768 UNION ALL SELECT -32769)
+        |SELECT v,
+        |  CAST(TRY_CAST(v AS SMALLINT) AS INT) AS as_small,
+        |  TRY_CAST(v AS INT) AS as_int
+        |FROM t ORDER BY v""".stripMargin,
+
+    // NaN casts and equality: NaN = NaN is true in both engines' total
+    // order for grouping/distinct (test/sql/types/float/nan_cast.test)
+    "slt_float_nan" ->
+      """WITH t(s) AS (SELECT 'NaN' UNION ALL SELECT '1.5' UNION ALL SELECT 'junk')
+        |SELECT s, TRY_CAST(s AS DOUBLE) AS d,
+        |  isnan(coalesce(TRY_CAST(s AS DOUBLE), 0.0)) AS is_nan
+        |FROM t ORDER BY s""".stripMargin,
+
+    // test/sql/function/generic/test_least_greatest.test: NULLs are
+    // skipped; all-NULL yields NULL
+    "slt_least_greatest_nulls" ->
+      """WITH t(a, b) AS (
+        |  SELECT 1, 9 UNION ALL SELECT CAST(NULL AS INT), 5
+        |  UNION ALL SELECT CAST(NULL AS INT), CAST(NULL AS INT))
+        |SELECT a, b,
+        |  least(a, b) AS lo, greatest(a, b) AS hi
+        |FROM t ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    // NULLIF / COALESCE / two-arg fallbacks (test/sql/function/generic)
+    "slt_nullif_coalesce" ->
+      """WITH t(v) AS (SELECT 0 UNION ALL SELECT 5 UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT v,
+        |  nullif(v, 0) AS nz,
+        |  coalesce(v, -1) AS co,
+        |  coalesce(nullif(v, 0), -1) AS co_nz,
+        |  round(CAST(10 AS DOUBLE) / nullif(v, 0), 6) AS safe_div
+        |FROM t ORDER BY v NULLS FIRST""".stripMargin,
+
+    // searched CASE: NULL conditions fall through; no ELSE -> NULL
+    // (test/sql/function/generic/test_case.test)
+    "slt_case_null_fallthrough" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT 10)
+        |SELECT v,
+        |  CASE WHEN v > 5 THEN 'big' WHEN v <= 5 THEN 'small' END AS c_no_else,
+        |  CASE WHEN v > 5 THEN 'big' ELSE 'other' END AS c_else,
+        |  CASE WHEN v IS NULL THEN 'null' WHEN v > 5 THEN 'big' ELSE 'small' END AS c_guard
+        |FROM t ORDER BY v NULLS FIRST""".stripMargin,
+
+    // string || NULL is NULL in both dialects
+    "slt_string_concat_null" ->
+      """WITH t(s) AS (SELECT 'a' UNION ALL SELECT CAST(NULL AS STRING))
+        |SELECT s, s || '_x' AS with_suffix, 'pre_' || s || '_post' AS wrapped
+        |FROM t ORDER BY s NULLS FIRST""".stripMargin,
+
+    // -------------------------------------------- three-valued logic
+    // test/sql/conjunction/test_conjunction.test: UNKNOWN short-circuit:
+    // (true OR NULL) is true, (false AND NULL) is false, NOT NULL is NULL
+    "slt_threevalued_logic" ->
+      """WITH t(a, b) AS (
+        |  SELECT true, CAST(NULL AS BOOLEAN) UNION ALL
+        |  SELECT false, CAST(NULL AS BOOLEAN) UNION ALL
+        |  SELECT CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN))
+        |SELECT a, b,
+        |  (a OR b) AS a_or_b,
+        |  (a AND b) AS a_and_b,
+        |  (NOT a) AS not_a
+        |FROM t ORDER BY a NULLS FIRST""".stripMargin,
+
+    // WHERE drops UNKNOWN rows: x > NULL never passes; IS DISTINCT FROM
+    // is the null-safe comparison (test/sql/filter/test_nulls.test)
+    "slt_where_unknown_drops" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT 3)
+        |SELECT
+        |  (SELECT count(*) FROM t WHERE v > 0) AS n_gt,
+        |  (SELECT count(*) FROM t WHERE NOT (v > 0)) AS n_not_gt,
+        |  (SELECT count(*) FROM t WHERE v IS DISTINCT FROM 1) AS n_distinct_from,
+        |  (SELECT count(*) FROM t WHERE v IS NOT DISTINCT FROM NULL) AS n_is_null_safe""".stripMargin,
+
+    // ---------------------------------------------------- order/limit
+    // test/sql/order/test_order_by.test: explicit NULLS FIRST/LAST in
+    // both directions (defaults differ between the engines — pin them)
+    "slt_order_nulls_explicit" ->
+      """WITH t(v) AS (SELECT 2 UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT 1)
+        |SELECT
+        |  (SELECT coalesce(v, -1) FROM t ORDER BY v ASC NULLS FIRST LIMIT 1) AS h_asc_nf,
+        |  (SELECT coalesce(v, -1) FROM t ORDER BY v ASC NULLS LAST LIMIT 1) AS h_asc_nl,
+        |  (SELECT coalesce(v, -1) FROM t ORDER BY v DESC NULLS FIRST LIMIT 1) AS h_desc_nf,
+        |  (SELECT coalesce(v, -1) FROM t ORDER BY v DESC NULLS LAST LIMIT 1) AS h_desc_nl""".stripMargin,
+
+    // test/sql/limit/test_limit.test: LIMIT 0, OFFSET past the end, and
+    // LIMIT larger than the input
+    "slt_limit_offset_edges" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT v FROM t ORDER BY v LIMIT 0) a) AS n_limit0,
+        |  (SELECT count(*) FROM (SELECT v FROM t ORDER BY v LIMIT 10) b) AS n_limit_big,
+        |  (SELECT count(*) FROM (SELECT v FROM t ORDER BY v LIMIT 2 OFFSET 5) c) AS n_off_past,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM (SELECT v FROM t ORDER BY v LIMIT 2 OFFSET 1) d)
+        |    AS s_off1""".stripMargin
+  )
+
+  val queries: Map[String, Q.Fn] =
+    q.map { case (name, sql) => name -> Q.sharedSql(Nil, sql)._1 }.toMap
+
+  val oracle: Map[String, String] = q.toMap
+}
