@@ -122,13 +122,23 @@ object Tables {
       // partition count scales with table size: fat tasks amortize the
       // per-task dispatch floor, small tables don't fan out at all. On a
       // cluster this is the input-bytes/128MB rule; at bench scale the
-      // equivalent knob is rows-per-task.
+      // equivalent knob is rows-per-task, in two regimes:
+      //  - small tables (dispatch-floor regime): a handful of fat
+      //    partitions — scheduling 32 tasks over 600k rows costs more
+      //    than the parallelism buys (grid-swept at sf0.1);
+      //  - big tables (CPU-bound regime, >800k rows): fan out to the
+      //    full core count — at sf1 the update loops dominate and 8
+      //    partitions would idle 3/4 of the machine (measured: the
+      //    distinct/tumbling sf1 outliers were parallelism-starved).
       val base = cacheParts
         .getOrElse(math.max(4, spark.sparkContext.defaultParallelism / 4))
       // floor of 4 keeps compute-heavy small tables (regex-heavy document
       // scans) parallel; cap of `base` keeps task dispatch amortized
       val rows = df.count()
-      val parts = math.max(4, math.min(base, (rows / 40000L).toInt + 1))
+      val want = (rows / 40000L).toInt + 1
+      val parts =
+        if (rows > 800000L) math.min(spark.sparkContext.defaultParallelism, want)
+        else math.max(4, math.min(base, want))
       import org.apache.spark.sql.functions.col
       val c = clusterKeys.get(name) match {
         // a clustered table that fits ONE cache partition (the 128 MB-rule
