@@ -50,17 +50,58 @@ object BenchABDistinct {
       (System.nanoTime() - t0) / 1e6
     }
 
+    // component probes: where does the fused wall-clock go?
+    def floor(): DataFrame = // scan + ungrouped codegen agg, no sketch
+      Tables(spark, sfDir, "lineitem").agg(count(lit(1)).as("n"))
+    def hllOnly(): DataFrame = // Spark's codegen HLL++, same scan
+      Tables(spark, sfDir, "lineitem")
+        .agg(approx_count_distinct(col("l_suppkey"), 0.0040625).as("a"))
+    def exactOnly(): DataFrame = // Catalyst 2-phase distinct aggregate
+      Tables(spark, sfDir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("n"))
+
     // equality check first: the bucketed shape must produce identical output
     val a = fused().collect().head
     val b = bucketed().collect().head
     println(s"fused=(${a.getLong(0)},${a.getLong(1)}) bucketed=(${b.getLong(0)},${b.getLong(1)})" +
       s" equal=${a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1)}")
 
-    (1 to 3).foreach { _ => time(fused); time(bucketed) } // warm both
-    val pairs = (1 to 9).map { _ => (time(fused), time(bucketed)) }
-    val fs = pairs.map(_._1).sorted
-    val bs = pairs.map(_._2).sorted
-    println(f"sf=$sfDir fused_median=${fs(fs.length / 2)}%.1fms bucketed_median=${bs(bs.length / 2)}%.1fms")
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "fused" -> (() => fused()), "bucketed" -> (() => bucketed()),
+      "floor_count" -> (() => floor()), "hll_only" -> (() => hllOnly()),
+      "exact_only" -> (() => exactOnly()))
+    (1 to 3).foreach { _ => variants.foreach { case (_, f) => time(f) } } // warm
+    val times = (1 to 9).map { _ => variants.map { case (n, f) => n -> time(f) } }
+    val medians = variants.map { case (n, _) =>
+      val ts = times.map(_.find(_._1 == n).get._2).sorted
+      f"${n}=${ts(ts.length / 2)}%.1fms"
+    }
+    println(s"sf=$sfDir ${medians.mkString(" ")}")
+
+    // stage-level attribution for the two fused shapes: where does the
+    // wall-clock sit — map-side update loop, exchange, or final merge?
+    val stageInfo = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageInfo.synchronized {
+          stageInfo += ((s.stageInfo.stageId, s.stageInfo.numTasks,
+            s.stageInfo.taskMetrics.executorRunTime,
+            s.stageInfo.completionTime.getOrElse(0L) -
+              s.stageInfo.submissionTime.getOrElse(0L)))
+        }
+    })
+    Seq("fused" -> (() => fused()), "bucketed" -> (() => bucketed())).foreach {
+      case (n, f) =>
+        stageInfo.synchronized(stageInfo.clear())
+        val df = f(); df.queryExecution.executedPlan
+        df.collect()
+        Thread.sleep(400)
+        val lines = stageInfo.synchronized(stageInfo.toList).map {
+          case (id, nt, run, wall) => s"stage$id tasks=$nt cpuSum=${run}ms wall=${wall}ms"
+        }
+        println(s"$n stages: ${lines.mkString(" | ")}")
+    }
     spark.stop()
   }
 }

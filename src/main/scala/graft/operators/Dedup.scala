@@ -168,6 +168,40 @@ object Dedup {
     labels.select(col("s").as(idCol), col("cluster"))
   }
 
+  /** Embedding near-dup candidates: exact cosine within label blocks.
+    * Pair generation is an equi-join on the block key — quadratic only
+    * WITHIN a block, so the one scale hazard is a hot block.
+    *
+    * @param maxBlockSize scale valve mirroring [[ngramJaccardPairs]]'s
+    *   doc-frequency cap: blocks with more than this many members are
+    *   EXCLUDED from all-pairs generation (a block of k rows emits k²/2
+    *   pairs — one hot label would be a quadratic cell at 100 TB; route
+    *   oversized blocks through the LSH/IVF candidate prefilter instead,
+    *   see Pipeline's sim_ann_* paths). No default: every call site
+    *   states its posture — `Int.MaxValue` for the exact
+    *   (oracle-verifiable) pair set on bounded inputs, a finite cap
+    *   (10⁴ is a reasonable corpus value) for the scale-safe valve — so
+    *   an incomplete pair set can never be selected silently.
+    */
+  def blockedCosinePairs(df: DataFrame, idCol: String, blockCol: String,
+                         vecCol: String, maxBlockSize: Int): DataFrame = {
+    require(maxBlockSize > 0, s"maxBlockSize must be positive, got $maxBlockSize")
+    val base = df.select(col(idCol), col(blockCol).as("_blk"), col(vecCol).as("_v"))
+    val in =
+      if (maxBlockSize == Int.MaxValue) base
+      else {
+        val ok = base.groupBy(col("_blk")).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBlockSize).select(col("_blk"))
+        base.join(broadcast(ok), Seq("_blk"))
+      }
+    val a = in.select(col(idCol).as("id_a"), col("_blk"), col("_v").as("emb_a"))
+    val b = in.select(col(idCol).as("id_b"), col("_blk"), col("_v").as("emb_b"))
+    a.join(b, Seq("_blk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine_similarity(col("emb_a"), col("emb_b"))
+          .as("cos_sim"))
+  }
+
   /** Exact word-set Jaccard over candidate pairs generated by shared-token
     * blocking. For any threshold > 0 this equals the full n² result
     * (jaccard > 0 ⇒ the pair shares a token ⇒ the block join emits it).

@@ -59,12 +59,12 @@ object Pipeline {
 
     "dedup_embedding" -> { (s, d) =>
       val e = Tables(s, d, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("emb_b"))
-      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      // valve off (Int.MaxValue): the oracle needs the exact pair set on
+      // this bounded fixture; scale callers pass a finite maxBlockSize
+      Dedup.blockedCosinePairs(e, "vec_id", "label", "embedding",
+          maxBlockSize = Int.MaxValue)
         .select(col("id_a"), col("id_b"),
-          round(VectorFunctions.cosine_similarity(col("emb_a"), col("emb_b"))
-            .cast("double"), 4).as("cs"))
+          round(col("cos_sim").cast("double"), 4).as("cs"))
         .orderBy(col("cs").desc, col("id_a"), col("id_b")).limit(50)
     },
 

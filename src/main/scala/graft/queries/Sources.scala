@@ -28,6 +28,34 @@ object Sources {
     f.delete()
   }
 
+  /** Malformed-CSV fixture at a FIXED path so the DuckDB oracle can read
+    * the same bytes. 7 good rows; 3 malformed in ways BOTH engines
+    * reject: non-numeric int, non-numeric double, extra column. (Short
+    * rows are deliberately absent — Spark null-pads them while DuckDB
+    * without null_padding rejects them, a documented dialect divergence.)
+    * No quotes and no '|' anywhere: the oracle's raw-line count reads
+    * the file with delim='|', quote disabled.
+    */
+  private[queries] def csvRejectsFixture(): String = {
+    val path = java.nio.file.Paths.get("/tmp/graft_csv_rejects.csv")
+    val content =
+      """k,name,v
+        |1,alpha,1.5
+        |2,beta,2.25
+        |x,gamma,3.5
+        |4,delta,oops
+        |5,epsilon,5.5,extra
+        |6,zeta,6.75
+        |7,eta,7.5
+        |8,theta,8.25
+        |9,iota,9.5
+        |10,kappa,10.75
+        |""".stripMargin
+    java.nio.file.Files.write(path,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    path.toString
+  }
+
   val queries: Map[String, Q.Fn] = Map[String, Q.Fn](
     // CSV write → auto-sniffed read (dialect/header/type inference ≙
     // reference csv_scanner sniffer) → aggregate
@@ -111,6 +139,43 @@ object Sources {
       s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(dir)
         .agg(sum(col("length")).as("total_bytes"),
           sum(length(col("content"))).as("content_bytes"))
+    },
+
+    // glob() as a file-LISTING relation (reference:
+    // src/function/table/glob.cpp — matched paths as rows, not a read).
+    // The corpus is written as exactly 4 text part-files; the listing's
+    // (count, total size) must equal the corpus's (4, chars+newlines) —
+    // proving the matcher enumerates precisely the part files (no
+    // _SUCCESS, no misses) with true sizes.
+    "src_glob_list" -> { (s, d) =>
+      val dir = roundtripDir("glob_list")
+      Tables(s, d, "documents").select(col("text"))
+        .repartition(4).write.mode("overwrite").text(dir)
+      graft.sources.GlobList.files(s, s"$dir/part-*.txt")
+        .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"))
+    },
+
+    // CSV rejects-table parity (reference: csv_scanner sniffer's rejects
+    // table, src/execution/operator/csv_scanner/**): a deliberately
+    // malformed fixture read under PERMISSIVE with
+    // columnNameOfCorruptRecord ≙ store_rejects. Good rows aggregate;
+    // corrupt rows are counted — the DuckDB oracle recomputes both sides
+    // from the SAME file (ignore_errors read vs raw line count), so the
+    // two engines must agree on WHICH rows are malformed.
+    "src_csv_rejects" -> { (s, d) =>
+      val path = csvRejectsFixture()
+      val schema = "k INT, name STRING, v DOUBLE, _corrupt STRING"
+      val rows = s.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache() // Spark disallows filtering on the corrupt column of an un-materialized CSV scan
+      rows.agg(
+        count(when(col("_corrupt").isNull, 1)).as("n_good"),
+        count(col("_corrupt")).as("n_rejects"),
+        sum(when(col("_corrupt").isNull, col("k"))).cast("long").as("sum_k"),
+        round(sum(when(col("_corrupt").isNull, col("v"))), 2).as("sum_v"))
     },
 
     // prepared-statement surface (reference §3.2) — named parameter
@@ -276,6 +341,16 @@ object Sources {
         .orderBy(col("o_orderkey"))
     },
 
+    // protocol v3 deletionVectors read (reference: delta-kernel DV scan
+    // in extension/delta delta_scan.cpp): rows marked deleted by the
+    // sidecar (storageType u) and inline (i) roaring bitmaps must be
+    // skipped; the oracle re-expresses the DVs as NOT IN over the keys
+    "src_delta_dv" -> { (s, d) =>
+      val path = graft.sources.DeltaFixture.nationWithDv(s, d)
+      graft.sources.DeltaScan.scan(s, path)
+        .orderBy(col("n_nationkey"))
+    },
+
     // DELETE WHERE leg: copy-on-write delete commit, aggregate the
     // surviving snapshot (mirrors merge_delete's oracle)
     "src_delta_delete" -> { (s, d) =>
@@ -325,6 +400,11 @@ object Sources {
       """SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders WHERE o_orderkey < 2000 AND o_custkey % 7 <> 0""".stripMargin,
 
+    "src_delta_dv" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey NOT IN (1, 5, 9, 14, 20)
+        |ORDER BY n_nationkey""".stripMargin,
+
     "src_csv_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
@@ -349,6 +429,29 @@ object Sources {
         | min(v) AS lo, max(v) AS hi
         |FROM generate_series(1, 100000) t(v)
         |WHERE v >= 500 AND v <= 99500""".stripMargin,
+
+    "src_glob_list" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files,
+        | CAST(sum(length(text) + 1) AS BIGINT) AS total_bytes
+        |FROM documents""".stripMargin,
+
+    "src_csv_rejects" ->
+      """WITH good AS (
+        |  SELECT * FROM read_csv('/tmp/graft_csv_rejects.csv', header=true,
+        |    columns={'k': 'INTEGER', 'name': 'VARCHAR', 'v': 'DOUBLE'},
+        |    ignore_errors=true)
+        |), raw AS (
+        |  SELECT * FROM read_csv('/tmp/graft_csv_rejects.csv', header=false,
+        |    columns={'line': 'VARCHAR'}, delim='|', quote='')
+        |)
+        |-- one SELECT over `good` aggregating EVERY typed column: DuckDB's
+        |-- projection pushdown only surfaces cast errors for columns the
+        |-- scan actually reads, so a count(*)-only probe would miss them
+        |SELECT count(*) AS n_good,
+        |       (SELECT count(*) FROM raw) - 1 - count(*) AS n_rejects,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       round(sum(v), 2) AS sum_v
+        |FROM good""".stripMargin,
 
     "src_read_text" ->
       """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS n_chars,

@@ -121,12 +121,16 @@ object TpcdsShapes {
     ("qds_rank_within_brand", Seq("lineitem", "part"),
       """WITH pr AS (
         |  SELECT p_brand AS brand, l_partkey AS pk,
-        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |         -- the RANKING key must be an exact decimal: a double sum
+        |         -- varies in the last ulp with partitioning (warm vs cold
+        |         -- cache, cluster size), which can flip rank order at ties
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             CAST(1 - l_discount AS DECIMAL(18,4))) AS xrev
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, l_partkey)
-        |SELECT brand, pk, rev, CAST(rk AS INT) AS rk FROM (
-        |  SELECT brand, pk, rev,
-        |         rank() OVER (PARTITION BY brand ORDER BY rev DESC, pk) AS rk
+        |SELECT brand, pk, round(CAST(xrev AS DOUBLE), 2) AS rev, CAST(rk AS INT) AS rk FROM (
+        |  SELECT brand, pk, xrev,
+        |         rank() OVER (PARTITION BY brand ORDER BY xrev DESC, pk) AS rk
         |  FROM pr) t
         |WHERE rk <= 3
         |ORDER BY brand, rk, pk""".stripMargin),

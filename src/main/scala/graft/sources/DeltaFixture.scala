@@ -86,6 +86,54 @@ object DeltaFixture {
     dir.toString
   }
 
+  private def protocolV3DvLine: String =
+    JsonMethods.compact(JsonMethods.render(
+      "protocol" -> (("minReaderVersion" -> 3) ~ ("minWriterVersion" -> 7) ~
+        ("readerFeatures" -> Seq("deletionVectors")) ~
+        ("writerFeatures" -> Seq("deletionVectors")))))
+
+  private def addDvLine(file: String, d: DeletionVectors.Descriptor): String =
+    JsonMethods.compact(JsonMethods.render(
+      "add" -> (("path" -> file) ~ ("partitionValues" -> Map.empty[String, String]) ~
+        ("size" -> 1L) ~ ("modificationTime" -> 0L) ~ ("dataChange" -> false) ~
+        ("deletionVector" -> (
+          ("storageType" -> d.storageType) ~
+          ("pathOrInlineDv" -> d.pathOrInlineDv) ~
+          ("offset" -> d.offset) ~
+          ("sizeInBytes" -> d.sizeInBytes) ~
+          ("cardinality" -> d.cardinality))))))
+
+  /** Protocol-v3 deletionVectors table from the sfDir `nation`:
+    * v0 adds two sorted files (keys < 13 / ≥ 13); v1 re-adds both with
+    * DVs — the low file's through a UUID SIDECAR (storageType `u`), the
+    * high file's INLINE (storageType `i`) — deleting keys {1,5,9} and
+    * {14,20} by physical row position. Files are written sorted with one
+    * row group, so key k sits at row index k (low) / k-13 (high); the
+    * snapshot is oracle-expressible as `n_nationkey NOT IN (…)`.
+    */
+  def nationWithDv(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_delta_dv")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val lo = nation.filter(col("n_nationkey") < 13).orderBy(col("n_nationkey"))
+    val hi = nation.filter(col("n_nationkey") >= 13).orderBy(col("n_nationkey"))
+    writeOneParquet(lo, dir, "part-dv-lo.parquet")
+    writeOneParquet(hi, dir, "part-dv-hi.parquet")
+    commit(dir, 0L, Seq(protocolV3DvLine, metaDataLine(nation, Nil),
+      addLine("part-dv-lo.parquet", Map.empty),
+      addLine("part-dv-hi.parquet", Map.empty)))
+
+    val sidecar = DeletionVectors.writeSidecar(dir.toString,
+      Array(1L, 5L, 9L), new java.util.UUID(0x67726166746e6f77L, 0x1122334455667788L))
+    val inline = DeletionVectors.inlineDescriptor(Array(1L, 7L)) // keys 14, 20
+    commit(dir, 1L, Seq(
+      removeLine("part-dv-lo.parquet"),
+      addDvLine("part-dv-lo.parquet", sidecar),
+      removeLine("part-dv-hi.parquet"),
+      addDvLine("part-dv-hi.parquet", inline)))
+    dir.toString
+  }
+
   /** Append a plain JSON commit of removes + adds (test helper). */
   def appendCommit(tablePath: String, version: Long,
                    removes: Seq[String], adds: Seq[String]): Unit =

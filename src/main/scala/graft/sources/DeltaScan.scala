@@ -35,14 +35,33 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   * state folds from the checkpoint's action rows (a multi-part
   * checkpoint is the same row set split across
   * `<v>.checkpoint.<i>.<n>.parquet` files, read together), later JSON
-  * commits replay on top. Deliberate limit, thrown loudly rather than
-  * mis-read: protocol minReaderVersion > 1 features (column mapping,
-  * deletion vectors).
+  * commits replay on top. Protocol v3 tables are readable when their
+  * readerFeatures are implemented — today `deletionVectors` (see
+  * [[DeletionVectors]]); any other feature (columnMapping, …) throws
+  * loudly rather than mis-reading.
   */
 object DeltaScan {
 
   final case class AddFile(path: String, partitionValues: Map[String, String],
-                           size: Long = 0L)
+                           size: Long = 0L,
+                           dv: Option[DeletionVectors.Descriptor] = None)
+
+  /** Reader features this scan implements beyond protocol v1. Protocol
+    * v3 tables list required features explicitly; any OTHER feature
+    * (columnMapping, v2Checkpoint, …) still throws loudly.
+    */
+  private val SupportedReaderFeatures = Set("deletionVectors")
+
+  private def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+    if (minReader == 3) {
+      val unsupported = readerFeatures.toSet -- SupportedReaderFeatures
+      if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+        s"delta_scan: readerFeatures ${unsupported.mkString(", ")} unsupported " +
+          s"(reader supports ${SupportedReaderFeatures.mkString(", ")})")
+    } else if (minReader > 1) throw new UnsupportedOperationException(
+      s"delta_scan: protocol minReaderVersion=$minReader unsupported " +
+        "(reader is v1 + v3 feature tables)")
+  }
 
   /** Inverse of the protocol's percent-encoding of `path` (see
     * [[DeltaWrite.encodePath]]). Percent-free raw paths (this repo's
@@ -194,9 +213,13 @@ object DeltaScan {
       val cpPaths = checkpointPaths(cv, parts).map(_.toString)
       val cp = spark.read.parquet(cpPaths: _*)
       val cols = cp.columns.toSet
+      def structHas(c: String, f: String): Boolean = cols.contains(c) &&
+        cp.schema(c).dataType.asInstanceOf[StructType].fieldNames.contains(f)
       val rows = cp.select(
         (if (cols.contains("protocol")) col("protocol.minReaderVersion") else lit(null))
           .as("minReader"),
+        (if (structHas("protocol", "readerFeatures")) col("protocol.readerFeatures")
+          else lit(null)).cast("array<string>").as("readerFeatures"),
         (if (cols.contains("metaData")) col("metaData.schemaString") else lit(null))
           .as("schemaString"),
         (if (cols.contains("metaData")) col("metaData.partitionColumns") else lit(null))
@@ -205,20 +228,30 @@ object DeltaScan {
         (if (cols.contains("add")) col("add.partitionValues") else lit(null))
           .cast("map<string,string>").as("addPv"),
         (if (cols.contains("add")) col("add.size") else lit(null))
-          .cast("long").as("addSize")).collect()
+          .cast("long").as("addSize"),
+        (if (structHas("add", "deletionVector")) col("add.deletionVector")
+          else lit(null)).as("addDv")).collect()
       rows.foreach { r =>
-        if (!r.isNullAt(0) && r.getInt(0) > 1) throw new UnsupportedOperationException(
-          s"delta_scan: protocol minReaderVersion=${r.getInt(0)} unsupported (reader is v1)")
-        if (!r.isNullAt(1)) {
-          schema = DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
-          partitionColumns = if (r.isNullAt(2)) Nil else r.getSeq[String](2)
+        if (!r.isNullAt(0)) checkProtocol(r.getInt(0),
+          if (r.isNullAt(1)) Nil else r.getSeq[String](1))
+        if (!r.isNullAt(2)) {
+          schema = DataType.fromJson(r.getString(2)).asInstanceOf[StructType]
+          partitionColumns = if (r.isNullAt(3)) Nil else r.getSeq[String](3)
         }
-        if (!r.isNullAt(3)) {
-          val pv = if (r.isNullAt(4)) Map.empty[String, String]
-            else r.getMap[String, String](4).toMap
-          val path = decodePath(r.getString(3))
-          val size = if (r.isNullAt(5)) 0L else r.getLong(5)
-          active(path) = AddFile(path, pv, size)
+        if (!r.isNullAt(4)) {
+          val pv = if (r.isNullAt(5)) Map.empty[String, String]
+            else r.getMap[String, String](5).toMap
+          val path = decodePath(r.getString(4))
+          val size = if (r.isNullAt(6)) 0L else r.getLong(6)
+          val dv = if (r.isNullAt(7)) None else {
+            val d = r.getStruct(7)
+            Some(DeletionVectors.Descriptor(
+              d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+              Option(d.getAs[Number]("offset")).map(_.longValue),
+              d.getAs[Number]("sizeInBytes").longValue,
+              d.getAs[Number]("cardinality").longValue))
+          }
+          active(path) = AddFile(path, pv, size, dv)
         }
       }
     }
@@ -237,9 +270,8 @@ object DeltaScan {
         (j \ "protocol") match {
           case JNothing =>
           case p =>
-            val minReader = (p \ "minReaderVersion").extractOpt[Int].getOrElse(1)
-            if (minReader > 1) throw new UnsupportedOperationException(
-              s"delta_scan: protocol minReaderVersion=$minReader unsupported (reader is v1)")
+            checkProtocol((p \ "minReaderVersion").extractOpt[Int].getOrElse(1),
+              (p \ "readerFeatures").extractOpt[Seq[String]].getOrElse(Nil))
         }
         (j \ "metaData") match {
           case JNothing =>
@@ -254,7 +286,16 @@ object DeltaScan {
             val path = decodePath((a \ "path").extract[String])
             val pv = (a \ "partitionValues").extractOpt[Map[String, String]].getOrElse(Map.empty)
             val size = (a \ "size").extractOpt[Long].getOrElse(0L)
-            active(path) = AddFile(path, pv, size)
+            val dv = (a \ "deletionVector") match {
+              case JNothing | JNull => None
+              case d => Some(DeletionVectors.Descriptor(
+                (d \ "storageType").extract[String],
+                (d \ "pathOrInlineDv").extract[String],
+                (d \ "offset").extractOpt[Long],
+                (d \ "sizeInBytes").extract[Long],
+                (d \ "cardinality").extract[Long]))
+            }
+            active(path) = AddFile(path, pv, size, dv)
         }
         (j \ "remove") match {
           case JNothing =>
@@ -294,8 +335,31 @@ object DeltaScan {
     val orderedCols: Seq[Column] = snap.schema.fields.toSeq.map(f => col(f.name))
 
     def readGroup(files: Seq[AddFile], pv: Map[String, String]): DataFrame = {
-      val paths = files.map(f => s"$tablePath/${f.path}")
-      val base = spark.read.schema(dataSchema).parquet(paths: _*)
+      // files carrying a deletion vector read INDIVIDUALLY: the file's
+      // physical row positions (`_metadata.row_index`) anti-join the
+      // decoded DV indexes (broadcast — a DV is bounded by one file's
+      // row count). Plain files read together as before. Matching per
+      // file by construction — no path/name suffix heuristics.
+      val (withDv, plain) = files.partition(_.dv.isDefined)
+      val parts: Seq[DataFrame] =
+        (if (plain.nonEmpty)
+          Seq(spark.read.schema(dataSchema)
+            .parquet(plain.map(f => s"$tablePath/${f.path}"): _*))
+        else Nil) ++
+        withDv.map { f =>
+          val deleted = DeletionVectors.read(tablePath, f.dv.get)
+          val dvDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              deleted.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+            StructType(Seq(org.apache.spark.sql.types.StructField(
+              "_graft_del_ri", org.apache.spark.sql.types.LongType, nullable = false))))
+          val read = spark.read.schema(dataSchema).parquet(s"$tablePath/${f.path}")
+            .withColumn("_graft_ri", col("_metadata.row_index"))
+          read.join(org.apache.spark.sql.functions.broadcast(dvDf),
+              read("_graft_ri") === dvDf("_graft_del_ri"), "left_anti")
+            .drop("_graft_ri")
+        }
+      val base = parts.reduce(_ unionAll _)
       // partition values live in the LOG, not the files: attach them as
       // literals cast to the declared type (Delta serializes them as strings)
       snap.partitionColumns.foldLeft(base) { (df, c) =>

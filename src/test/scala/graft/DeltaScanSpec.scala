@@ -2,7 +2,9 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.sources.{DeltaFixture, DeltaScan}
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{DeletionVectors, DeltaFixture, DeltaScan}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -94,6 +96,62 @@ class DeltaScanSpec extends AnyFunSuite {
     assert(snap.version == 3L)
     assert(snap.files.map(_.path) == Seq("part-v3-copy.parquet"))
     assert(DeltaScan.scan(spark, t).count() == nation.count())
+  }
+
+  test("z85 codec matches the public ZeroMQ test vector and round-trips") {
+    // rfc.zeromq.org/spec/32: 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B <-> "HelloWorld"
+    val v = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(DeletionVectors.z85Encode(v) == "HelloWorld")
+    assert(DeletionVectors.z85Decode("HelloWorld").sameElements(v))
+    val rnd = new scala.util.Random(3)
+    val bytes = Array.fill(64)(rnd.nextInt().toByte)
+    assert(DeletionVectors.z85Decode(DeletionVectors.z85Encode(bytes)).sameElements(bytes))
+  }
+
+  test("roaring DV payload round-trips across container types and 32-bit boundaries") {
+    // array container + bitmap container (>4096 dense values) + a second
+    // 16-bit key chunk + indexes past 2^32 (second bitmap in the array)
+    val idx = (Array(1L, 5L, 9L) ++
+      (10000L until 15000L) ++ // bitmap container in chunk 0
+      Array(70000L, 70001L) ++ // chunk 1
+      Array(1L << 32 | 42L, 1L << 32 | 43L) // bitmap index 1
+      ).sorted
+    val got = DeletionVectors.deserialize(DeletionVectors.serialize(idx))
+    assert(got.sameElements(idx))
+    // wire shape: little-endian magic, 2 bitmaps
+    val bytes = DeletionVectors.serialize(idx)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt == 1681511377)
+    assert(bb.getLong == 2L)
+  }
+
+  test("deletion vectors: sidecar + inline DVs mask rows; cardinality and crc are honored") {
+    val t = DeltaFixture.nationWithDv(spark, sf)
+    val got = DeltaScan.scan(spark, t)
+      .select("n_nationkey").collect().map(_.getAs[Number](0).longValue).sorted
+    val want = (0L until 25L).filterNot(Set(1L, 5L, 9L, 14L, 20L))
+    assert(got.toSeq == want)
+    // v0 (pre-DV) still reads the full table — DVs attach to the v1 adds
+    assert(DeltaScan.scan(spark, t, versionAsOf = Some(0L)).count() == 25L)
+    // a corrupted sidecar byte must fail the checksum, not mis-read
+    val dvFile = java.nio.file.Files.list(Paths.get(t)).iterator()
+      .asScala.find(_.getFileName.toString.startsWith("deletion_vector_")).get
+    val raw = java.nio.file.Files.readAllBytes(dvFile)
+    raw(raw.length - 6) = (raw(raw.length - 6) ^ 0x01).toByte // inside payload
+    java.nio.file.Files.write(dvFile, raw)
+    val e = intercept[Exception](DeltaScan.scan(spark, t).count())
+    assert(e.getMessage.contains("checksum") || e.getMessage.contains("magic"),
+      s"expected integrity failure, got: ${e.getMessage}")
+  }
+
+  test("protocol v3 gate: deletionVectors readable, unknown reader features throw") {
+    val t = DeltaFixture.nationTable(spark, sf)
+    Files.write(Paths.get(t, "_delta_log", f"${3L}%020d.json"),
+      java.util.Arrays.asList("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","columnMapping"]}}"""))
+    val e = intercept[UnsupportedOperationException](DeltaScan.snapshot(spark, t))
+    // only the genuinely-unimplemented feature is named as unsupported
+    assert(e.getMessage.contains("readerFeatures columnMapping unsupported"))
   }
 
   test("unsupported features fail loudly") {

@@ -66,6 +66,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(valved == Set((1L, 2L), (3L, 4L)), valved.toString)
   }
 
+  test("embedding block valve excludes oversized blocks; valve-off equals naive all-pairs") {
+    import spark.implicits._
+    // block "hot" has 3 members (3 pairs), block "cold" has 2 (1 pair)
+    val e = Seq(
+      (1L, "hot", Array(1f, 0f)), (2L, "hot", Array(1f, 0f)), (3L, "hot", Array(0f, 1f)),
+      (4L, "cold", Array(1f, 1f)), (5L, "cold", Array(1f, 1f)))
+      .toDF("id", "blk", "emb")
+    def pairs(cap: Int) =
+      Dedup.blockedCosinePairs(e, "id", "blk", "emb", maxBlockSize = cap)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Int.MaxValue) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)), "valve off = exact pair set")
+    assert(pairs(2) == Set((4L, 5L)),
+      "cap 2 must drop the 3-member hot block entirely, keep the cold block")
+    intercept[IllegalArgumentException] {
+      Dedup.blockedCosinePairs(e, "id", "blk", "emb", maxBlockSize = 0)
+    }
+  }
+
   test("simhash radius beyond chunk coverage is rejected; derived chunks keep recall") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("id", "text")
