@@ -25,15 +25,18 @@ object Bench {
     "distinct_exact_vs_approx" -> { (s, d) =>
       // mixing DISTINCT and plain aggregates makes Catalyst plan an
       // Expand (doubles the scanned rows), and two separate aggregates
-      // scan twice. The fused multi-sketch aggregate
-      // (functions/MultiDistinct.scala) computes the exact distinct set
-      // and the HLL in ONE buffer over ONE scan — the single-pass shape
-      // a native engine gives this query — so the whole metric is a
-      // single two-phase aggregation.
-      Tables(s, d, "lineitem")
-        .agg(graft.functions.DistinctWithHll
-          .distinct_with_hll(col("l_partkey"), col("l_suppkey")).as("d"))
-        .select(col("d.n_exact").as("n_parts"), col("d.approx").as("approx_supps"))
+      // scan twice. exactWithHll picks its shape by input size the way
+      // a native engine picks a merge strategy by cardinality: small
+      // input → the single-pass fused TypedImperativeAggregate (2
+      // stages, update loop already at the raw floor); large input →
+      // the columnar operator (plans/FusedDistinct.scala) that
+      // batch-updates off the cache's long arrays and merges disjoint
+      // key-hash buckets IN PARALLEL — A/B'd at 2.1x the single-reducer
+      // shape at sf1 (PERF.md), identical output (spec-pinned, HLL
+      // registers byte-identical).
+      graft.functions.DistinctWithHll.exactWithHll(
+          Tables(s, d, "lineitem"), "l_partkey", "l_suppkey", 32)
+        .select(col("n_exact").as("n_parts"), col("approx").as("approx_supps"))
     },
     "window_rank_running" -> Headline.queries("window_rank_running"),
     "topk_lineitem" -> Headline.queries("topk_lineitem"),

@@ -50,6 +50,32 @@ object BenchABDistinct {
       (System.nanoTime() - t0) / 1e6
     }
 
+
+    // raw per-row floor: the same set+HLL updates over the cache's rows
+    // via mapPartitions, partials merged driver-side — no aggregate
+    // framework, no exchange. Isolates framework overhead per row.
+    def rawLoop(): Long = {
+      import graft.functions.DistinctWithHll
+      val rdd = Tables(spark, sfDir, "lineitem")
+        .select(col("l_partkey").cast("long"), col("l_suppkey").cast("long"))
+        .queryExecution.toRdd
+      val partials = rdd.mapPartitions { it =>
+        val buf = new DistinctWithHll.Buffer(1 << 16)
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.isNullAt(0)) buf.set.add(r.getLong(0))
+          if (!r.isNullAt(1)) buf.hllAdd(r.getLong(1))
+        }
+        val out = new Array[Long](buf.set.size)
+        var i = 0
+        buf.set.foreach { v => out(i) = v; i += 1 }
+        Iterator((out, buf.hll))
+      }.collect()
+      val all = new DistinctWithHll.LongSet(1 << 20)
+      partials.foreach(_._1.foreach(all.add))
+      all.size.toLong
+    }
+
     // component probes: where does the fused wall-clock go?
     def floor(): DataFrame = // scan + ungrouped codegen agg, no sketch
       Tables(spark, sfDir, "lineitem").agg(count(lit(1)).as("n"))
@@ -60,16 +86,51 @@ object BenchABDistinct {
       Tables(spark, sfDir, "lineitem")
         .agg(countDistinct(col("l_partkey")).as("n"))
 
-    // equality check first: the bucketed shape must produce identical output
+    // columnar partial + parallel disjoint merge (plans/FusedDistinct)
+    def columnar(): DataFrame =
+      graft.functions.DistinctWithHll.exactWithHll(
+        Tables(spark, sfDir, "lineitem"), "l_partkey", "l_suppkey", 32,
+        mode = "columnar")
+
+    // equality check first: every shape must produce identical output
     val a = fused().collect().head
     val b = bucketed().collect().head
+    val c = columnar().collect().head
     println(s"fused=(${a.getLong(0)},${a.getLong(1)}) bucketed=(${b.getLong(0)},${b.getLong(1)})" +
-      s" equal=${a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1)}")
+      s" columnar=(${c.getLong(0)},${c.getLong(1)})" +
+      s" equal=${a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) &&
+        a.getLong(0) == c.getLong(0) && a.getLong(1) == c.getLong(1)}")
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "fused" -> (() => fused()), "bucketed" -> (() => bucketed()),
+      "columnar" -> (() => columnar()),
       "floor_count" -> (() => floor()), "hll_only" -> (() => hllOnly()),
       "exact_only" -> (() => exactOnly()))
+
+    locally { // raw-loop floor, timed separately (returns a count, not a DF)
+      (1 to 2).foreach(_ => rawLoop())
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); rawLoop(); (System.nanoTime() - t0) / 1e6
+      }.sorted
+      println(f"raw_maploop_median=${ts(ts.length / 2)}%.1fms (n=${rawLoop()})")
+    }
+
+    // shuffle.partitions is read at PLANNING time: re-time the exchange
+    // variants with 32 reducers to size the parallel-merge win
+    locally {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val vs: Seq[(String, () => DataFrame)] = Seq(
+        "bucketed_32red" -> (() => bucketed()), "exact_only_32red" -> (() => exactOnly()))
+      (1 to 3).foreach { _ => vs.foreach { case (_, f) => time(f) } }
+      val ts = (1 to 9).map { _ => vs.map { case (n, f) => n -> time(f) } }
+      val ms = vs.map { case (n, _) =>
+        val s = ts.map(_.find(_._1 == n).get._2).sorted
+        f"${n}=${s(s.length / 2)}%.1fms"
+      }
+      println(s"sf=$sfDir ${ms.mkString(" ")}")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "2"))
+    }
     (1 to 3).foreach { _ => variants.foreach { case (_, f) => time(f) } } // warm
     val times = (1 to 9).map { _ => variants.map { case (n, f) => n -> time(f) } }
     val medians = variants.map { case (n, _) =>

@@ -25,7 +25,11 @@ object BenchABEvents {
 
     val raw = {
       val r = spark.read.parquet(s"$sfDir/events.parquet")
-      r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // original testdata stores ts as TIMESTAMP(NANOS) read as long
+      // (nanosAsLong); ScaleData's sf1 replica writes a real timestamp
+      if (r.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else r
     }
     val ev1 = raw.coalesce(1)
       .sortWithinPartitions(col("user_id"), col("ts"), col("event_id")).cache()

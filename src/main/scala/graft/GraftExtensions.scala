@@ -45,6 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("nfc_normalize", a => NfcNormalize(a.head))
     inject("json_merge_patch", a => JsonMergePatch(a(0), a(1)))
     inject("json_pretty", a => JsonPretty(a.head))
+    e.injectPlannerStrategy(_ => graft.plans.FusedDistinctStrategy)
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectPlanNormalizationRule(_ => graft.rules.RepairCachedOrdering)

@@ -40,6 +40,17 @@ object GraftSession {
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.sql.ui.explainMode", "formatted")
+    // Shuffle/spill scratch on tmpfs when available: every ShuffleMapTask
+    // commits a data+index file pair, and on a virtio/ext4 /tmp those
+    // metadata commits cost 5-15 ms PER TASK — measured as a per-task
+    // floor that scales with task count (jstack: task threads parked in
+    // LocalDiskShuffleMapOutputWriter.commitAllPartitions). A warehouse
+    // node gives shuffle its fastest local device (NVMe); tmpfs is this
+    // box's equivalent. Correctness-neutral: spill files behave the same.
+    .config("spark.local.dir",
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft-spark-local"
+      else System.getProperty("java.io.tmpdir"))
 
   /** Local session for tests / benchmarks. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
@@ -136,9 +147,11 @@ object Tables {
       // scans) parallel; cap of `base` keeps task dispatch amortized
       val rows = df.count()
       val want = (rows / 40000L).toInt + 1
-      val parts =
+      // an EXPLICIT cacheParts override wins in both regimes (dev A/B knob)
+      val parts = cacheParts.map(p => math.max(1, math.min(p, want))).getOrElse {
         if (rows > 800000L) math.min(spark.sparkContext.defaultParallelism, want)
         else math.max(4, math.min(base, want))
+      }
       import org.apache.spark.sql.functions.col
       val c = clusterKeys.get(name) match {
         // a clustered table that fits ONE cache partition (the 128 MB-rule

@@ -182,8 +182,10 @@ object DistinctWithHll {
     }
   }
 
-  /** 64-bit finalizer (Murmur3 fmix64) — spreads sequential keys. */
-  private def scramble(v: Long): Long = {
+  /** 64-bit finalizer (Murmur3 fmix64) — spreads sequential keys. Shared
+    * with the columnar partial stage's bucket split (plans/FusedDistinct).
+    */
+  private[graft] def scramble(v: Long): Long = {
     var h = v
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
     h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
@@ -232,6 +234,200 @@ object DistinctWithHll {
   def hll_union(regs: Column): Column =
     bridge.column(HllUnion(bridge.expression(regs))
       .toAggregateExpression(isDistinct = false))
+
+  def set_blob_count(blob: Column): Column =
+    bridge.column(SetBlobCount(bridge.expression(blob))
+      .toAggregateExpression(isDistinct = false))
+
+  def hll_union_regs(regs: Column): Column =
+    bridge.column(HllUnionRegs(bridge.expression(regs))
+      .toAggregateExpression(isDistinct = false))
+
+  /** Pruned-projection size above which the columnar bucketed shape wins
+    * (16 bytes/row → 32 MB ≈ 2M input rows). Measured crossover
+    * (BenchABDistinct, PERF.md): at 600k rows the single-level fused
+    * aggregate already sits ON the raw update-loop floor and the bucket
+    * merge's extra stage only adds dispatch (~59 vs 87 ms); at 6M rows
+    * the per-row update and single-reducer merge dominate and the
+    * columnar shape is 2.1× faster (194 vs 414 ms).
+    */
+  val ColumnarThresholdBytes: Long = 32L << 20
+
+  /** `count(DISTINCT exact), approx_count_distinct(approx)` in one result
+    * row, shape chosen by input size the way a native engine picks its
+    * merge strategy by cardinality:
+    *
+    *  - small inputs → the single-pass fused TypedImperativeAggregate
+    *    ([[DistinctWithHll]]) — 2 stages, no repartition;
+    *  - large inputs (or `mode = "columnar"`) → the columnar partial
+    *    stage ([[graft.plans.FusedDistinctPartialExec]]) splits each
+    *    partition's exact set into `buckets` disjoint key-hash blobs,
+    *    the merge level unions each bucket's blobs IN PARALLEL (disjoint
+    *    slices — counts add), and a tiny top level sums counts and
+    *    max-unions HLL registers.
+    *
+    * Identical results on every path (spec-pinned, HLL registers
+    * byte-identical). `mode`: "auto" (stats-driven), "columnar", "fused".
+    */
+  def exactWithHll(df: org.apache.spark.sql.DataFrame, exactCol: String,
+                   approxCol: String, buckets: Int = 32,
+                   mode: String = "auto"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String) = analyzed.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    // projecting to exactly the two key columns lets the planner push the
+    // pruning into the cache/parquet scan (InMemoryScans folds a pure
+    // attribute projection into the scan node)
+    val pruned = org.apache.spark.sql.catalyst.plans.logical.Project(
+      Seq(attr(exactCol), attr(approxCol)), analyzed)
+    val columnar = mode match {
+      case "columnar" => true
+      case "fused"    => false
+      case "auto" =>
+        bridge.ofRows(df.sparkSession, pruned)
+          .queryExecution.optimizedPlan.stats.sizeInBytes > ColumnarThresholdBytes
+      case other => throw new IllegalArgumentException(
+        s"exactWithHll mode must be auto|columnar|fused, got $other")
+    }
+    if (!columnar) {
+      df.agg(distinct_with_hll(col(exactCol), col(approxCol)).as("d"))
+        .select(col("d.n_exact").as("n_exact"), col("d.approx").as("approx"))
+    } else {
+      val partial = bridge.ofRows(df.sparkSession,
+        graft.plans.FusedDistinctPartial(attr(exactCol), attr(approxCol), buckets, pruned))
+      partial
+        .repartition(buckets, col("bucket"))
+        .groupBy(col("bucket"))
+        .agg(set_blob_count(col("set_blob")).as("n"),
+          hll_union_regs(col("hll")).as("hr"))
+        .agg(sum(col("n")).cast("long").as("n_exact"),
+          hll_union(col("hr")).as("approx"))
+    }
+  }
+}
+
+/** Parallel merge level for the bucketed fused-distinct shape: unions
+  * 8-byte-packed key blobs emitted by [[graft.plans.FusedDistinctPartialExec]]
+  * and counts the union. Within one group the blobs cover a disjoint
+  * key-hash slice, so per-group counts add exactly.
+  */
+case class SetBlobCount(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DistinctWithHll.LongSet] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "set_blob_count"
+
+  override def createAggregationBuffer(): DistinctWithHll.LongSet =
+    new DistinctWithHll.LongSet(1 << 12)
+
+  override def update(buf: DistinctWithHll.LongSet, input: InternalRow)
+      : DistinctWithHll.LongSet = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      val n = bytes.length / 8
+      while (i < n) { buf.add(bb.getLong(8 * i)); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: DistinctWithHll.LongSet, other: DistinctWithHll.LongSet)
+      : DistinctWithHll.LongSet = {
+    other.foreach(buf.add)
+    buf
+  }
+
+  override def eval(buf: DistinctWithHll.LongSet): Any = buf.size.toLong
+
+  override def serialize(buf: DistinctWithHll.LongSet): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.foreach(v => bb.putLong(v))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): DistinctWithHll.LongSet = {
+    val n = bytes.length / 8
+    var cap = 1 << 10
+    while (cap < 2 * n) cap <<= 1
+    val buf = new DistinctWithHll.LongSet(cap)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { buf.add(bb.getLong(8 * i)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SetBlobCount =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SetBlobCount =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+/** [[HllUnion]] with the RAW REGISTERS as output instead of the estimate —
+  * the mid level of a two-level merge keeps registers mergeable; only the
+  * top level evaluates. Null inputs (non-bucket-0 rows) are skipped.
+  */
+case class HllUnionRegs(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  import DistinctWithHll.Registers
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_union_regs"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Registers)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val other = v.asInstanceOf[Array[Byte]]
+      require(other.length == Registers,
+        s"hll_union_regs: expected $Registers registers, got ${other.length}")
+      var i = 0
+      while (i < Registers) {
+        if (other(i) > buf(i)) buf(i) = other(i)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < Registers) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllUnionRegs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllUnionRegs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
 }
 
 /** Second-level HLL merge: max-combines raw register arrays produced by

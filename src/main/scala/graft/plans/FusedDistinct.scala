@@ -1,0 +1,168 @@
+package graft.plans
+
+import graft.functions.DistinctWithHll
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types._
+
+/** Columnar partial stage of the fused exact-distinct + HLL aggregation.
+  *
+  * The TypedImperativeAggregate path ([[graft.functions.DistinctWithHll]])
+  * pays two structural costs at scale, both measured on the sf1 evidence
+  * set (PERF.md):
+  *
+  *  1. per-ROW update dispatch: the aggregate sees one `InternalRow` at a
+  *     time through the object-agg iterator (~150 ns/row vs ~30 ns for a
+  *     batch loop over the columnar cache's long arrays);
+  *  2. single-reducer merge: an ungrouped aggregate funnels every
+  *     partial set through ONE final buffer (3.9M inserts at sf1 — wall
+  *     time ~150 ms on one core while 31 idle).
+  *
+  * This operator fixes both with the shape a native engine uses
+  * (reference: radix-partitioned distinct aggregation,
+  * /root/reference/src/execution/operator/aggregate/
+  * physical_hash_aggregate.cpp): the partial stage consumes COLUMNAR
+  * BATCHES directly (zero-copy long-array reads from the cache) and
+  * emits its per-partition set SPLIT BY KEY HASH into `buckets` disjoint
+  * blobs. Downstream, an ordinary `groupBy(bucket)` merge is
+  * embarrassingly parallel — each reducer unions blobs of a DISJOINT key
+  * slice — and exact counts then ADD. HLL registers ride on the
+  * bucket-0 row and max-union associatively. Same two-phase,
+  * shuffle-light contract as the fused aggregate (state crosses the
+  * exchange, never rows), but with a parallel merge and a vectorized
+  * update loop.
+  *
+  * The row-fallback path (uncached input, non-columnar child) computes
+  * identical results through bound-reference `getLong`s; a spec pins
+  * byte-identical registers and equal counts across the three paths
+  * (columnar, row, TypedImperativeAggregate).
+  */
+final case class FusedDistinctPartial(
+    exact: Expression,
+    approx: Expression,
+    buckets: Int,
+    child: LogicalPlan,
+    // output ids must be STABLE across plan copies (transformations call
+    // withNewChildInternal; regenerating exprIds would orphan parent
+    // references) — so the attributes are a constructor field
+    output: Seq[Attribute] = FusedDistinctPartial.freshOutput()) extends UnaryNode {
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+  // the output attributes are GENERATED here, not references to the child
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  override protected def withNewChildInternal(c: LogicalPlan): FusedDistinctPartial =
+    copy(child = c)
+}
+
+object FusedDistinctPartial {
+  def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("bucket", IntegerType, nullable = false)(),
+    AttributeReference("set_blob", BinaryType, nullable = false)(),
+    AttributeReference("hll", BinaryType, nullable = true)())
+}
+
+object FusedDistinctStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: FusedDistinctPartial =>
+      FusedDistinctPartialExec(p.exact, p.approx, p.buckets, p.output,
+        planLater(p.child), columnarChild = false) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class FusedDistinctPartialExec(
+    exact: Expression,
+    approx: Expression,
+    buckets: Int,
+    output: Seq[Attribute],
+    child: SparkPlan,
+    columnarChild: Boolean) extends UnaryExecNode {
+
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  override protected def withNewChildInternal(c: SparkPlan): FusedDistinctPartialExec =
+    copy(child = c)
+
+  /** Split the per-partition buffer into bucket rows. Bucket choice uses
+    * the same 64-bit finalizer as the set's own probe hash — any
+    * deterministic function works; what matters is that a key lands in
+    * exactly one bucket on every partition.
+    */
+  private def emit(buf: DistinctWithHll.Buffer): Iterator[InternalRow] = {
+    val counts = new Array[Int](buckets)
+    buf.set.foreach(v =>
+      counts(math.floorMod(DistinctWithHll.scramble(v), buckets).toInt) += 1)
+    val blobs = counts.map(n => java.nio.ByteBuffer.allocate(8 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+    buf.set.foreach { v =>
+      blobs(math.floorMod(DistinctWithHll.scramble(v), buckets).toInt).putLong(v)
+    }
+    val proj = UnsafeProjection.create(Array[DataType](
+      IntegerType, BinaryType, BinaryType))
+    val row = new GenericInternalRow(3)
+    (0 until buckets).iterator.map { b =>
+      row.update(0, b)
+      row.update(1, blobs(b).array())
+      row.update(2, if (b == 0) buf.hll else null)
+      proj(row).copy()
+    }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // widen-to-long is the only supported key domain (int32/int64 cover
+    // every TPC-H-ish key); fail at PLAN time, not per row
+    def widens(dt: DataType): Boolean = dt == LongType || dt == IntegerType
+    require(widens(exact.dataType) && widens(approx.dataType),
+      s"fused distinct keys must be int/long, got ${exact.dataType}/${approx.dataType}")
+    val eLong = exact.dataType == LongType
+    val aLong = approx.dataType == LongType
+    if (columnarChild) {
+      val eOrd = exact match {
+        case a: Attribute => child.output.indexWhere(_.exprId == a.exprId)
+        case _ => -1
+      }
+      val aOrd = approx match {
+        case a: Attribute => child.output.indexWhere(_.exprId == a.exprId)
+        case _ => -1
+      }
+      require(eOrd >= 0 && aOrd >= 0,
+        "columnar fused distinct requires direct column children")
+      child.executeColumnar().mapPartitions { batches =>
+        val buf = new DistinctWithHll.Buffer(1 << 16)
+        batches.foreach { batch =>
+          val ve = batch.column(eOrd)
+          val va = batch.column(aOrd)
+          val n = batch.numRows()
+          var i = 0
+          while (i < n) {
+            if (!ve.isNullAt(i))
+              buf.set.add(if (eLong) ve.getLong(i) else ve.getInt(i).toLong)
+            if (!va.isNullAt(i))
+              buf.hllAdd(if (aLong) va.getLong(i) else va.getInt(i).toLong)
+            i += 1
+          }
+        }
+        emit(buf)
+      }
+    } else {
+      val boundE = BindReferences.bindReference(exact, child.output)
+      val boundA = BindReferences.bindReference(approx, child.output)
+      child.execute().mapPartitions { rows =>
+        val buf = new DistinctWithHll.Buffer(1 << 16)
+        rows.foreach { r =>
+          val e = boundE.eval(r)
+          if (e != null) buf.set.add(e match {
+            case l: java.lang.Long => l.longValue(); case i: java.lang.Integer => i.longValue()
+          })
+          val a = boundA.eval(r)
+          if (a != null) buf.hllAdd(a match {
+            case l: java.lang.Long => l.longValue(); case i: java.lang.Integer => i.longValue()
+          })
+        }
+        emit(buf)
+      }
+    }
+  }
+}

@@ -175,6 +175,18 @@ object Extensions {
         .agg(sum(col("d.n_exact")).as("n_parts"))
     },
 
+    // the COLUMNAR fused-distinct operator (plans/FusedDistinct.scala):
+    // batch-vectorized set+HLL updates straight off columnar batches, the
+    // per-partition set split into disjoint key-hash bucket blobs, bucket
+    // merge in parallel. The bench's distinct metric runs this shape;
+    // its deterministic exact side is hash-gated here
+    "agg_fused_distinct_columnar" -> { (s, d) =>
+      graft.functions.DistinctWithHll
+        .exactWithHll(Tables(s, d, "lineitem"), "l_partkey", "l_suppkey", 32,
+          mode = "columnar") // always the operator path — that's what's gated
+        .select(col("n_exact").cast("long").as("n_parts"))
+    },
+
     // sketch-based quantiles — estimators differ across engines → rows-only
     "agg_approx_quantile" -> { (s, d) =>
       Tables(s, d, "lineitem")
@@ -192,6 +204,9 @@ object Extensions {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_fused_distinct_bucketed" ->
+      "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
+
+    "agg_fused_distinct_columnar" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
 
     "agg_histogram_binned" ->

@@ -56,10 +56,18 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
     val vectorized =
       if (!enabled) windowed
       else insertTransitions(windowed)
+    // fused-distinct partial stage consumes the cache's batches directly:
+    // peel the just-inserted ColumnarToRow so the update loop runs over
+    // long arrays instead of materialized rows (plans/FusedDistinct.scala)
+    val fusedColumnar = vectorized.transformUp {
+      case f @ graft.plans.FusedDistinctPartialExec(
+            _, _, _, _, ColumnarToRowExec(c), false) if c.supportsColumnar =>
+        f.copy(child = c, columnarChild = true)
+    }
     // cross-execution dimension broadcast cache (warm mode, AQE off only —
     // see plans/CachedBroadcast.scala)
-    if (!graft.Tables.cacheMode || conf.adaptiveExecutionEnabled) vectorized
-    else vectorized.transformUp {
+    if (!graft.Tables.cacheMode || conf.adaptiveExecutionEnabled) fusedColumnar
+    else fusedColumnar.transformUp {
       case b: BroadcastExchangeExec if CachedBroadcastExec.eligible(b.child) =>
         CachedBroadcastExec(b)
     }

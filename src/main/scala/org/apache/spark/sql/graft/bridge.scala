@@ -13,6 +13,15 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an arbitrary (resolved) logical plan —
+    * `classic.Dataset.ofRows` is `private[sql]`, hence the bridge.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Parse SQL text to its UNRESOLVED Catalyst logical plan (the AST the
     * parser emits, before analysis binds catalogs) — `sessionState` is
     * `private[sql]`, hence the bridge.
