@@ -137,10 +137,14 @@ object Tables {
       //  - small tables (dispatch-floor regime): a handful of fat
       //    partitions — scheduling 32 tasks over 600k rows costs more
       //    than the parallelism buys (grid-swept at sf0.1);
-      //  - big tables (CPU-bound regime, >800k rows): fan out to the
-      //    full core count — at sf1 the update loops dominate and 8
-      //    partitions would idle 3/4 of the machine (measured: the
-      //    distinct/tumbling sf1 outliers were parallelism-starved).
+      //  - big tables (>800k rows): ~250k rows/task, floored at 8 —
+      //    post-tmpfs the per-task wall cost is ~1.5-2 ms, so wall ≈
+      //    dispatch·k + compute/k and the optimum sits at tens-of-MB
+      //    partitions, not the 40k-row slivers the pre-tmpfs numbers
+      //    favored (within-JVM sweep: events sf1 tumbling 26→8 parts
+      //    -25%, lineitem sf1 flat 12..32 with p24 narrowly best). The
+      //    floor keeps compute-heavy scans parallel; the same constant
+      //    is the bytes/128MB rule at warehouse widths.
       val base = cacheParts
         .getOrElse(math.max(4, spark.sparkContext.defaultParallelism / 4))
       // floor of 4 keeps compute-heavy small tables (regex-heavy document
@@ -149,7 +153,9 @@ object Tables {
       val want = (rows / 40000L).toInt + 1
       // an EXPLICIT cacheParts override wins in both regimes (dev A/B knob)
       val parts = cacheParts.map(p => math.max(1, math.min(p, want))).getOrElse {
-        if (rows > 800000L) math.min(spark.sparkContext.defaultParallelism, want)
+        if (rows > 800000L)
+          math.max(8, math.min(spark.sparkContext.defaultParallelism,
+            (rows / 250000L).toInt + 1))
         else math.max(4, math.min(base, want))
       }
       import org.apache.spark.sql.functions.col
