@@ -351,6 +351,18 @@ object Sources {
         .orderBy(col("n_nationkey"))
     },
 
+    // column-mapping (protocol 2/5, mode name) read: parquet files carry
+    // physical names, the log's schemaString maps them to logical ones
+    // (reference reads these via delta-kernel in extension/delta's
+    // delta_scan.cpp); the scan must surface LOGICAL names and pull the
+    // physically-keyed partition values from the log
+    "src_delta_column_mapping" -> { (s, d) =>
+      val path = graft.sources.DeltaFixture.nationWithColumnMapping(s, d)
+      graft.sources.DeltaScan.scan(s, path)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+
     // DELETE WHERE leg: copy-on-write delete commit, aggregate the
     // surviving snapshot (mirrors merge_delete's oracle)
     "src_delta_delete" -> { (s, d) =>
@@ -383,6 +395,10 @@ object Sources {
     "src_delta_partitioned" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation WHERE n_regionkey IN (1, 3) ORDER BY n_nationkey""".stripMargin,
+
+    "src_delta_column_mapping" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "src_delta_merge" ->
       """SELECT o_orderkey,

@@ -134,6 +134,54 @@ object DeltaFixture {
     dir.toString
   }
 
+  /** Column-mapping (mode `name`) table from the sfDir `nation`,
+    * partitioned on `n_regionkey`: data files carry PHYSICAL column
+    * names (`pn-…`, like delta-spark's `col-<uuid>`), the logical schema
+    * carries `delta.columnMapping.{id,physicalName}` field metadata, and
+    * `add.partitionValues` are keyed by the PHYSICAL partition-column
+    * name — exactly the byte layout a delta-spark writer with
+    * `delta.columnMapping.mode=name` produces (protocol 2/5). Latest
+    * snapshot == the full nation table (DuckDB-oracle-checkable).
+    */
+  def nationWithColumnMapping(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val dir = Files.createTempDirectory("graft_delta_cm")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    // physical name = "pn-" + logical minus the n_ prefix (shaped like
+    // delta-spark's col-<uuid>: no relation to the logical name needed)
+    val phys: Map[String, String] = nation.schema.fieldNames
+      .map(n => n -> s"pn-${n.stripPrefix("n_")}").toMap
+    require(phys.contains("n_regionkey"), "fixture expects nation.n_regionkey")
+    val logical = StructType(nation.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", phys(f.name)).build())
+    })
+    val metaLine = JsonMethods.compact(JsonMethods.render(
+      "metaData" -> (
+        ("id" -> "graft-fixture-cm") ~
+        ("format" -> (("provider" -> "parquet") ~ ("options" -> Map.empty[String, String]))) ~
+        ("schemaString" -> logical.json) ~
+        ("partitionColumns" -> Seq("n_regionkey")) ~
+        ("configuration" -> Map("delta.columnMapping.mode" -> "name")))))
+    val protoLine = JsonMethods.compact(JsonMethods.render(
+      "protocol" -> (("minReaderVersion" -> 2) ~ ("minWriterVersion" -> 5))))
+    val regions = nation.select(col("n_regionkey")).distinct()
+      .collect().map(_.get(0).toString).sorted
+    val adds = regions.toSeq.map { r =>
+      val slice = nation.filter(col("n_regionkey") === r.toInt)
+        .orderBy(col("n_nationkey"))
+        .select(nation.schema.fieldNames.filterNot(_ == "n_regionkey")
+          .map(n => col(n).as(phys(n))).toSeq: _*)
+      val fn = s"pn-regionkey=$r/part-cm-$r.parquet"
+      writeOneParquet(slice, dir, fn)
+      addLine(fn, Map(phys("n_regionkey") -> r))
+    }
+    commit(dir, 0L, Seq(protoLine, metaLine) ++ adds)
+    dir.toString
+  }
+
   /** Append a plain JSON commit of removes + adds (test helper). */
   def appendCommit(tablePath: String, version: Long,
                    removes: Seq[String], adds: Seq[String]): Unit =

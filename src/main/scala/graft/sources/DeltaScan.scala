@@ -48,9 +48,12 @@ object DeltaScan {
 
   /** Reader features this scan implements beyond protocol v1. Protocol
     * v3 tables list required features explicitly; any OTHER feature
-    * (columnMapping, v2Checkpoint, …) still throws loudly.
+    * (v2Checkpoint, timestampNtz, …) still throws loudly.
+    * minReaderVersion=2 (legacy column-mapping tables) is accepted: the
+    * only v2 reader requirement IS column mapping, which [[scanSnapshot]]
+    * implements via physicalName resolution.
     */
-  private val SupportedReaderFeatures = Set("deletionVectors")
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
   private def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
     if (minReader == 3) {
@@ -58,9 +61,9 @@ object DeltaScan {
       if (unsupported.nonEmpty) throw new UnsupportedOperationException(
         s"delta_scan: readerFeatures ${unsupported.mkString(", ")} unsupported " +
           s"(reader supports ${SupportedReaderFeatures.mkString(", ")})")
-    } else if (minReader > 1) throw new UnsupportedOperationException(
+    } else if (minReader > 3) throw new UnsupportedOperationException(
       s"delta_scan: protocol minReaderVersion=$minReader unsupported " +
-        "(reader is v1 + v3 feature tables)")
+        "(reader is v1/v2 + v3 feature tables)")
   }
 
   /** Inverse of the protocol's percent-encoding of `path` (see
@@ -82,7 +85,21 @@ object DeltaScan {
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[AddFile],
-      tablePath: String)
+      tablePath: String,
+      columnMappingMode: String = "none") {
+    /** Parquet-side name of a logical field under column mapping (the
+      * `delta.columnMapping.physicalName` field metadata the spec
+      * requires in both `name` and `id` modes).
+      */
+    def physicalName(f: org.apache.spark.sql.types.StructField): String =
+      if (columnMappingMode == "none") f.name
+      else {
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"delta_scan: columnMapping.mode=$columnMappingMode but field " +
+            s"${f.name} carries no physicalName metadata")
+        f.metadata.getString("delta.columnMapping.physicalName")
+      }
+  }
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -203,6 +220,7 @@ object DeltaScan {
 
     var schema: StructType = null
     var partitionColumns: Seq[String] = Nil
+    var columnMappingMode: String = "none"
     // insertion-ordered so the scan reads files in commit order
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
@@ -224,6 +242,8 @@ object DeltaScan {
           .as("schemaString"),
         (if (cols.contains("metaData")) col("metaData.partitionColumns") else lit(null))
           .cast("array<string>").as("partCols"),
+        (if (structHas("metaData", "configuration")) col("metaData.configuration")
+          else lit(null)).cast("map<string,string>").as("tblConf"),
         (if (cols.contains("add")) col("add.path") else lit(null)).as("addPath"),
         (if (cols.contains("add")) col("add.partitionValues") else lit(null))
           .cast("map<string,string>").as("addPv"),
@@ -237,14 +257,17 @@ object DeltaScan {
         if (!r.isNullAt(2)) {
           schema = DataType.fromJson(r.getString(2)).asInstanceOf[StructType]
           partitionColumns = if (r.isNullAt(3)) Nil else r.getSeq[String](3)
+          columnMappingMode =
+            if (r.isNullAt(4)) "none"
+            else r.getMap[String, String](4).getOrElse("delta.columnMapping.mode", "none")
         }
-        if (!r.isNullAt(4)) {
-          val pv = if (r.isNullAt(5)) Map.empty[String, String]
-            else r.getMap[String, String](5).toMap
-          val path = decodePath(r.getString(4))
-          val size = if (r.isNullAt(6)) 0L else r.getLong(6)
-          val dv = if (r.isNullAt(7)) None else {
-            val d = r.getStruct(7)
+        if (!r.isNullAt(5)) {
+          val pv = if (r.isNullAt(6)) Map.empty[String, String]
+            else r.getMap[String, String](6).toMap
+          val path = decodePath(r.getString(5))
+          val size = if (r.isNullAt(7)) 0L else r.getLong(7)
+          val dv = if (r.isNullAt(8)) None else {
+            val d = r.getStruct(8)
             Some(DeletionVectors.Descriptor(
               d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
               Option(d.getAs[Number]("offset")).map(_.longValue),
@@ -279,6 +302,9 @@ object DeltaScan {
             schema = DataType.fromJson((m \ "schemaString").extract[String])
               .asInstanceOf[StructType]
             partitionColumns = (m \ "partitionColumns").extract[Seq[String]]
+            columnMappingMode = (m \ "configuration")
+              .extractOpt[Map[String, String]]
+              .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
         }
         (j \ "add") match {
           case JNothing =>
@@ -304,7 +330,11 @@ object DeltaScan {
       }
     }
     require(schema != null, s"Delta log has no metaData action up to version $target")
-    Snapshot(target, schema, partitionColumns, active.values.toSeq, tablePath)
+    require(columnMappingMode == "none" || columnMappingMode == "name" ||
+        columnMappingMode == "id",
+      s"delta_scan: unknown columnMapping.mode $columnMappingMode")
+    Snapshot(target, schema, partitionColumns, active.values.toSeq, tablePath,
+      columnMappingMode)
   }
 
   /** Scan a Delta table as a DataFrame.
@@ -329,9 +359,30 @@ object DeltaScan {
   def scanSnapshot(spark: SparkSession, snap: Snapshot,
                    partitionPruner: Map[String, String] => Boolean = _ => true): DataFrame = {
     val tablePath = snap.tablePath
-    val dataSchema = StructType(snap.schema.fields.filterNot(f =>
-      snap.partitionColumns.contains(f.name)))
-    val kept = snap.files.filter(f => partitionPruner(f.partitionValues))
+    // under columnMapping (mode name/id) the parquet files carry PHYSICAL
+    // column names (spec: delta.columnMapping.physicalName, present in
+    // both modes): read with the physical schema, rename back to logical
+    // after the scan. Nested fields rename recursively; the logical cast
+    // below restores inner names positionally.
+    def toPhysical(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(name = snap.physicalName(f), dataType = toPhysical(f.dataType))))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = toPhysical(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+      case other => other
+    }
+    val dataFields = snap.schema.fields.filterNot(f =>
+      snap.partitionColumns.contains(f.name))
+    val dataSchema = toPhysical(StructType(dataFields)).asInstanceOf[StructType]
+    // the pruner speaks LOGICAL names; log partitionValues are keyed
+    // physically under column mapping — translate before pruning
+    val physToLogical: Map[String, String] = snap.partitionColumns
+      .map(c => snap.physicalName(snap.schema(c)) -> c).toMap
+    val kept = snap.files.filter(f => partitionPruner(
+      if (snap.columnMappingMode == "none") f.partitionValues
+      else f.partitionValues.map { case (k, v) => (physToLogical.getOrElse(k, k), v) }))
     val orderedCols: Seq[Column] = snap.schema.fields.toSeq.map(f => col(f.name))
 
     def readGroup(files: Seq[AddFile], pv: Map[String, String]): DataFrame = {
@@ -359,13 +410,20 @@ object DeltaScan {
               read("_graft_ri") === dvDf("_graft_del_ri"), "left_anti")
             .drop("_graft_ri")
         }
-      val base = parts.reduce(_ unionAll _)
-      // partition values live in the LOG, not the files: attach them as
-      // literals cast to the declared type (Delta serializes them as strings)
+      val read = parts.reduce(_ unionAll _)
+      // physical → logical rename (no-op without column mapping); the
+      // cast restores logical NESTED field names positionally
+      val base =
+        if (snap.columnMappingMode == "none") read
+        else read.select(dataFields.toSeq.map(f =>
+          col(snap.physicalName(f)).cast(f.dataType).as(f.name)): _*)
+      // partition values live in the LOG, not the files, keyed by the
+      // PHYSICAL column name: attach them as literals cast to the
+      // declared type (Delta serializes them as strings)
       snap.partitionColumns.foldLeft(base) { (df, c) =>
-        val dt = snap.schema(c).dataType
-        val v = pv.get(c).orNull
-        df.withColumn(c, (if (v == null) lit(null) else lit(v)).cast(dt))
+        val f = snap.schema(c)
+        val v = pv.get(snap.physicalName(f)).orNull
+        df.withColumn(c, (if (v == null) lit(null) else lit(v)).cast(f.dataType))
       }
     }
 

@@ -215,9 +215,20 @@ object DeltaWrite {
   }
 
   /** INSERT INTO (append): a new version carrying only add actions. */
+  /** The writer aligns and stages by LOGICAL column name; a column-mapped
+    * table stores PHYSICAL names in its data files, so writing through
+    * this path would commit files the mapping cannot resolve. Refuse
+    * loudly (the READER supports these tables — see DeltaScan).
+    */
+  private def requireWritable(snap: DeltaScan.Snapshot): Unit =
+    if (snap.columnMappingMode != "none") throw new UnsupportedOperationException(
+      s"delta write: columnMapping.mode=${snap.columnMappingMode} tables are " +
+        "read-only through this writer (data files carry physical names)")
+
   def append(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
+    requireWritable(snap)
     val aligned = alignToSchema(df, snap.schema)
     val adds = stage(aligned, tableDir, snap.partitionColumns)
     // OCC: commit at the version AFTER the snapshot we read — if another
@@ -260,6 +271,7 @@ object DeltaWrite {
             keys: Seq[String]): Long = {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
+    requireWritable(snap)
     val cols = snap.schema.fieldNames.toSeq
     // pin the read to the SAME snapshot the remove actions and version
     // number derive from — a commit landing between two independent log
@@ -314,6 +326,7 @@ object DeltaWrite {
   def deleteWhere(spark: SparkSession, tablePath: String, predicate: Column): Long = {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
+    requireWritable(snap)
     val cols = snap.schema.fieldNames.toSeq
     val base = DeltaScan.scanSnapshot(spark, snap) // pinned: one replay, one file set
 
@@ -344,6 +357,9 @@ object DeltaWrite {
   def checkpoint(spark: SparkSession, tablePath: String): Long = {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
+    // the checkpoint meta row does not carry `configuration` yet — writing
+    // one for a column-mapped table would DROP the mapping mode
+    requireWritable(snap)
     val logDir = tableDir.resolve("_delta_log")
 
     val protocolType = StructType(Seq(

@@ -144,23 +144,51 @@ class DeltaScanSpec extends AnyFunSuite {
       s"expected integrity failure, got: ${e.getMessage}")
   }
 
-  test("protocol v3 gate: deletionVectors readable, unknown reader features throw") {
+  test("protocol v3 gate: deletionVectors+columnMapping readable, unknown features throw") {
     val t = DeltaFixture.nationTable(spark, sf)
     Files.write(Paths.get(t, "_delta_log", f"${3L}%020d.json"),
       java.util.Arrays.asList("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors","columnMapping"]}}"""))
+        """"readerFeatures":["deletionVectors","columnMapping","v2Checkpoint"]}}"""))
     val e = intercept[UnsupportedOperationException](DeltaScan.snapshot(spark, t))
     // only the genuinely-unimplemented feature is named as unsupported
-    assert(e.getMessage.contains("readerFeatures columnMapping unsupported"))
+    assert(e.getMessage.contains("readerFeatures v2Checkpoint unsupported"))
+  }
+
+  test("column mapping (name mode): logical names, physical files, keyed partition values") {
+    val t = DeltaFixture.nationWithColumnMapping(spark, sf)
+    val snap = DeltaScan.snapshot(spark, t)
+    assert(snap.columnMappingMode == "name")
+    // partitionValues in the log are keyed by the PHYSICAL name
+    assert(snap.files.forall(_.partitionValues.keySet == Set("pn-regionkey")))
+    val got = DeltaScan.scan(spark, t)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+    val want = nation
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // log-level pruning speaks LOGICAL names even though the log is physical
+    val pruned = DeltaScan.scan(spark, t,
+      partitionPruner = pv => pv.get("n_regionkey").contains("2"))
+    assert(pruned.select(col("n_regionkey")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSeq == Seq(2L))
+    assert(pruned.count() ==
+      nation.filter(col("n_regionkey") === 2).count())
   }
 
   test("unsupported features fail loudly") {
     val t2 = DeltaFixture.nationTable(spark, sf)
     Files.write(Paths.get(t2, "_delta_log", f"${3L}%020d.json"),
-      java.util.Arrays.asList("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
+      java.util.Arrays.asList("""{"protocol":{"minReaderVersion":4,"minWriterVersion":9}}"""))
     assertThrows[UnsupportedOperationException](DeltaScan.snapshot(spark, t2))
     // but time travel BELOW the breaking protocol version still works
     assert(DeltaScan.scan(spark, t2, versionAsOf = Some(2L)).count() == nation.count())
+    // legacy minReaderVersion=2 (column-mapping era) is READABLE now —
+    // without a mapping config it reads as a plain table
+    val t2b = DeltaFixture.nationTable(spark, sf)
+    Files.write(Paths.get(t2b, "_delta_log", f"${3L}%020d.json"),
+      java.util.Arrays.asList("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
+    assert(DeltaScan.scan(spark, t2b).count() == nation.count())
 
     // multi-part checkpoints are read part-by-part; a referenced part
     // that is missing on disk must fail loudly, not scan a partial state
