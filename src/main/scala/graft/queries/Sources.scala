@@ -363,6 +363,24 @@ object Sources {
         .orderBy(col("n_nationkey"))
     },
 
+    // the WRITE side of column mapping: merge + delete stage data files
+    // under PHYSICAL names with physically-keyed partitionValues, then a
+    // full-fidelity checkpoint (configuration + protocol preserved) and
+    // the scan reads the result back through the mapping
+    "src_delta_cm_merge" -> { (s, d) =>
+      val path = graft.sources.DeltaFixture.nationWithColumnMapping(s, d)
+      val plain = s.read.parquet(s"$d/nation.parquet")
+      val updates = plain
+        .filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+        .withColumn("n_name", upper(col("n_name")))
+      graft.sources.DeltaWrite.merge(s, path, updates, Seq("n_nationkey"))
+      graft.sources.DeltaWrite.deleteWhere(s, path, col("n_nationkey") % 3 === 0)
+      graft.sources.DeltaWrite.checkpoint(s, path)
+      graft.sources.DeltaScan.scan(s, path)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+
     // DELETE WHERE leg: copy-on-write delete commit, aggregate the
     // surviving snapshot (mirrors merge_delete's oracle)
     "src_delta_delete" -> { (s, d) =>
@@ -399,6 +417,15 @@ object Sources {
     "src_delta_column_mapping" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "src_delta_cm_merge" ->
+      """SELECT n_nationkey,
+        | CASE WHEN n_nationkey >= 10 AND n_nationkey < 20
+        |   THEN upper(n_name) ELSE n_name END AS n_name,
+        | n_regionkey
+        |FROM nation
+        |WHERE n_nationkey % 3 <> 0
+        |ORDER BY n_nationkey""".stripMargin,
 
     "src_delta_merge" ->
       """SELECT o_orderkey,

@@ -182,6 +182,23 @@ object DeltaFixture {
     dir.toString
   }
 
+  /** Append a commit that re-declares metaData with `config` (schema and
+    * partitioning unchanged) — the protocol's mechanism for ALTER TABLE
+    * SET TBLPROPERTIES (test helper).
+    */
+  def setTableConfig(spark: SparkSession, tablePath: String,
+                     config: Map[String, String]): Unit = {
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    val metaLine = JsonMethods.compact(JsonMethods.render(
+      "metaData" -> (
+        ("id" -> "graft-fixture-reconf") ~
+        ("format" -> (("provider" -> "parquet") ~ ("options" -> Map.empty[String, String]))) ~
+        ("schemaString" -> snap.schema.json) ~
+        ("partitionColumns" -> snap.partitionColumns) ~
+        ("configuration" -> config))))
+    DeltaWrite.commit(Paths.get(tablePath), snap.version + 1, Seq(metaLine))
+  }
+
   /** Append a plain JSON commit of removes + adds (test helper). */
   def appendCommit(tablePath: String, version: Long,
                    removes: Seq[String], adds: Seq[String]): Unit =

@@ -80,13 +80,27 @@ object DeltaScan {
       if (p == null) raw else p
     } catch { case _: Exception => raw }
 
+  /** The table's exact protocol action, preserved so checkpoints rewrite
+    * it with full fidelity (feature lists included) instead of
+    * downgrading to the writer's own defaults.
+    */
+  final case class Protocol(minReader: Int, minWriter: Int,
+                            readerFeatures: Seq[String] = Nil,
+                            writerFeatures: Seq[String] = Nil)
+
   final case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[AddFile],
       tablePath: String,
-      columnMappingMode: String = "none") {
+      configuration: Map[String, String] = Map.empty,
+      protocol: Protocol = Protocol(1, 2)) {
+
+    /** `delta.columnMapping.mode` table property: none | name | id. */
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+
     /** Parquet-side name of a logical field under column mapping (the
       * `delta.columnMapping.physicalName` field metadata the spec
       * requires in both `name` and `id` modes).
@@ -99,6 +113,20 @@ object DeltaScan {
             s"${f.name} carries no physicalName metadata")
         f.metadata.getString("delta.columnMapping.physicalName")
       }
+
+    /** Recursively rewrite a logical data type to its parquet-side shape:
+      * nested struct fields take their physical names. Identity when the
+      * table is unmapped.
+      */
+    def physicalType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = physicalType(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = physicalType(m.keyType), valueType = physicalType(m.valueType))
+      case other => other
+    }
   }
 
   private implicit val formats: Formats = DefaultFormats
@@ -220,7 +248,8 @@ object DeltaScan {
 
     var schema: StructType = null
     var partitionColumns: Seq[String] = Nil
-    var columnMappingMode: String = "none"
+    var configuration: Map[String, String] = Map.empty
+    var protocol: Protocol = Protocol(1, 2)
     // insertion-ordered so the scan reads files in commit order
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
@@ -238,6 +267,10 @@ object DeltaScan {
           .as("minReader"),
         (if (structHas("protocol", "readerFeatures")) col("protocol.readerFeatures")
           else lit(null)).cast("array<string>").as("readerFeatures"),
+        (if (cols.contains("protocol")) col("protocol.minWriterVersion") else lit(null))
+          .cast("int").as("minWriter"),
+        (if (structHas("protocol", "writerFeatures")) col("protocol.writerFeatures")
+          else lit(null)).cast("array<string>").as("writerFeatures"),
         (if (cols.contains("metaData")) col("metaData.schemaString") else lit(null))
           .as("schemaString"),
         (if (cols.contains("metaData")) col("metaData.partitionColumns") else lit(null))
@@ -252,22 +285,26 @@ object DeltaScan {
         (if (structHas("add", "deletionVector")) col("add.deletionVector")
           else lit(null)).as("addDv")).collect()
       rows.foreach { r =>
-        if (!r.isNullAt(0)) checkProtocol(r.getInt(0),
-          if (r.isNullAt(1)) Nil else r.getSeq[String](1))
-        if (!r.isNullAt(2)) {
-          schema = DataType.fromJson(r.getString(2)).asInstanceOf[StructType]
-          partitionColumns = if (r.isNullAt(3)) Nil else r.getSeq[String](3)
-          columnMappingMode =
-            if (r.isNullAt(4)) "none"
-            else r.getMap[String, String](4).getOrElse("delta.columnMapping.mode", "none")
+        if (!r.isNullAt(0)) {
+          val rf = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+          checkProtocol(r.getInt(0), rf)
+          protocol = Protocol(r.getInt(0),
+            if (r.isNullAt(2)) 2 else r.getInt(2), rf,
+            if (r.isNullAt(3)) Nil else r.getSeq[String](3))
         }
-        if (!r.isNullAt(5)) {
-          val pv = if (r.isNullAt(6)) Map.empty[String, String]
+        if (!r.isNullAt(4)) {
+          schema = DataType.fromJson(r.getString(4)).asInstanceOf[StructType]
+          partitionColumns = if (r.isNullAt(5)) Nil else r.getSeq[String](5)
+          configuration = if (r.isNullAt(6)) Map.empty
             else r.getMap[String, String](6).toMap
-          val path = decodePath(r.getString(5))
-          val size = if (r.isNullAt(7)) 0L else r.getLong(7)
-          val dv = if (r.isNullAt(8)) None else {
-            val d = r.getStruct(8)
+        }
+        if (!r.isNullAt(7)) {
+          val pv = if (r.isNullAt(8)) Map.empty[String, String]
+            else r.getMap[String, String](8).toMap
+          val path = decodePath(r.getString(7))
+          val size = if (r.isNullAt(9)) 0L else r.getLong(9)
+          val dv = if (r.isNullAt(10)) None else {
+            val d = r.getStruct(10)
             Some(DeletionVectors.Descriptor(
               d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
               Option(d.getAs[Number]("offset")).map(_.longValue),
@@ -293,8 +330,12 @@ object DeltaScan {
         (j \ "protocol") match {
           case JNothing =>
           case p =>
-            checkProtocol((p \ "minReaderVersion").extractOpt[Int].getOrElse(1),
-              (p \ "readerFeatures").extractOpt[Seq[String]].getOrElse(Nil))
+            val minReader = (p \ "minReaderVersion").extractOpt[Int].getOrElse(1)
+            val rf = (p \ "readerFeatures").extractOpt[Seq[String]].getOrElse(Nil)
+            checkProtocol(minReader, rf)
+            protocol = Protocol(minReader,
+              (p \ "minWriterVersion").extractOpt[Int].getOrElse(2), rf,
+              (p \ "writerFeatures").extractOpt[Seq[String]].getOrElse(Nil))
         }
         (j \ "metaData") match {
           case JNothing =>
@@ -302,9 +343,8 @@ object DeltaScan {
             schema = DataType.fromJson((m \ "schemaString").extract[String])
               .asInstanceOf[StructType]
             partitionColumns = (m \ "partitionColumns").extract[Seq[String]]
-            columnMappingMode = (m \ "configuration")
-              .extractOpt[Map[String, String]]
-              .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+            configuration = (m \ "configuration")
+              .extractOpt[Map[String, String]].getOrElse(Map.empty)
         }
         (j \ "add") match {
           case JNothing =>
@@ -330,11 +370,11 @@ object DeltaScan {
       }
     }
     require(schema != null, s"Delta log has no metaData action up to version $target")
-    require(columnMappingMode == "none" || columnMappingMode == "name" ||
-        columnMappingMode == "id",
-      s"delta_scan: unknown columnMapping.mode $columnMappingMode")
+    val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
+      s"delta_scan: unknown columnMapping.mode $cmMode")
     Snapshot(target, schema, partitionColumns, active.values.toSeq, tablePath,
-      columnMappingMode)
+      configuration, protocol)
   }
 
   /** Scan a Delta table as a DataFrame.
@@ -364,18 +404,9 @@ object DeltaScan {
     // both modes): read with the physical schema, rename back to logical
     // after the scan. Nested fields rename recursively; the logical cast
     // below restores inner names positionally.
-    def toPhysical(dt: DataType): DataType = dt match {
-      case s: StructType => StructType(s.fields.map(f =>
-        f.copy(name = snap.physicalName(f), dataType = toPhysical(f.dataType))))
-      case a: org.apache.spark.sql.types.ArrayType =>
-        a.copy(elementType = toPhysical(a.elementType))
-      case m: org.apache.spark.sql.types.MapType =>
-        m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
-      case other => other
-    }
     val dataFields = snap.schema.fields.filterNot(f =>
       snap.partitionColumns.contains(f.name))
-    val dataSchema = toPhysical(StructType(dataFields)).asInstanceOf[StructType]
+    val dataSchema = snap.physicalType(StructType(dataFields)).asInstanceOf[StructType]
     // the pruner speaks LOGICAL names; log partitionValues are keyed
     // physically under column mapping — translate before pruning
     val physToLogical: Map[String, String] = snap.partitionColumns

@@ -214,23 +214,62 @@ object DeltaWrite {
     0L
   }
 
-  /** INSERT INTO (append): a new version carrying only add actions. */
-  /** The writer aligns and stages by LOGICAL column name; a column-mapped
-    * table stores PHYSICAL names in its data files, so writing through
-    * this path would commit files the mapping cannot resolve. Refuse
-    * loudly (the READER supports these tables — see DeltaScan).
+  /** Writer features/properties this writer honors. Everything it cannot
+    * honor must refuse BEFORE staging: committing through an unhonored
+    * writer feature (e.g. generated columns we would not populate)
+    * silently breaks the table's contract for every other writer.
     */
-  private def requireWritable(snap: DeltaScan.Snapshot): Unit =
-    if (snap.columnMappingMode != "none") throw new UnsupportedOperationException(
-      s"delta write: columnMapping.mode=${snap.columnMappingMode} tables are " +
-        "read-only through this writer (data files carry physical names)")
+  private val SupportedWriterFeatures =
+    Set("appendOnly", "invariants", "columnMapping", "deletionVectors")
 
+  private def checkWriteProtocol(snap: DeltaScan.Snapshot,
+                                 removesFiles: Boolean): Unit = {
+    val p = snap.protocol
+    if (p.minWriter == 7) {
+      val unsupported = p.writerFeatures.toSet -- SupportedWriterFeatures
+      if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+        s"delta write: writerFeatures ${unsupported.mkString(", ")} unsupported " +
+          s"(writer supports ${SupportedWriterFeatures.mkString(", ")})")
+    } else if (p.minWriter > 7) throw new UnsupportedOperationException(
+      s"delta write: protocol minWriterVersion=${p.minWriter} unsupported")
+    // invariants (minWriter>=2 era or the v7 feature) are honored
+    // vacuously only when the schema declares none
+    val withInvariant = snap.schema.fields
+      .filter(_.metadata.contains("delta.invariants")).map(_.name)
+    if (withInvariant.nonEmpty) throw new UnsupportedOperationException(
+      s"delta write: column invariants on ${withInvariant.mkString(", ")} are " +
+        "not enforced by this writer")
+    if (removesFiles && snap.configuration.get("delta.appendOnly").contains("true"))
+      throw new UnsupportedOperationException(
+        "delta write: table is delta.appendOnly=true — MERGE/DELETE forbidden")
+  }
+
+  /** Logical→physical projection for staging into a column-mapped table:
+    * the data files must carry the PHYSICAL column names, nested fields
+    * included (the struct cast renames inner fields positionally — the
+    * exact inverse of [[DeltaScan.scanSnapshot]]'s read-side rename).
+    * Identity for unmapped tables.
+    */
+  private def toPhysical(df: DataFrame, snap: DeltaScan.Snapshot): DataFrame =
+    if (snap.columnMappingMode == "none") df
+    else df.select(snap.schema.fields.toSeq.map { f =>
+      col(f.name).cast(snap.physicalType(f.dataType)).as(snap.physicalName(f))
+    }: _*)
+
+  /** Partition columns as they appear in staged data (and therefore in
+    * the log's `partitionValues` keys — physical under column mapping,
+    * per the spec).
+    */
+  private def physPartitionCols(snap: DeltaScan.Snapshot): Seq[String] =
+    snap.partitionColumns.map(c => snap.physicalName(snap.schema(c)))
+
+  /** INSERT INTO (append): a new version carrying only add actions. */
   def append(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
-    requireWritable(snap)
+    checkWriteProtocol(snap, removesFiles = false)
     val aligned = alignToSchema(df, snap.schema)
-    val adds = stage(aligned, tableDir, snap.partitionColumns)
+    val adds = stage(toPhysical(aligned, snap), tableDir, physPartitionCols(snap))
     // OCC: commit at the version AFTER the snapshot we read — if another
     // writer claimed it meanwhile, the rename fails and the caller retries
     // against a fresh snapshot
@@ -271,7 +310,7 @@ object DeltaWrite {
             keys: Seq[String]): Long = {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
-    requireWritable(snap)
+    checkWriteProtocol(snap, removesFiles = true)
     val cols = snap.schema.fieldNames.toSeq
     // pin the read to the SAME snapshot the remove actions and version
     // number derive from — a commit landing between two independent log
@@ -310,7 +349,7 @@ object DeltaWrite {
     val newData = rewritten.unionAll(inserts)
 
     val adds =
-      try stage(newData, tableDir, snap.partitionColumns)
+      try stage(toPhysical(newData, snap), tableDir, physPartitionCols(snap))
       finally baseKeys.unpersist(blocking = false)
     val v = snap.version + 1
     commit(tableDir, v,
@@ -326,7 +365,7 @@ object DeltaWrite {
   def deleteWhere(spark: SparkSession, tablePath: String, predicate: Column): Long = {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
-    requireWritable(snap)
+    checkWriteProtocol(snap, removesFiles = true)
     val cols = snap.schema.fieldNames.toSeq
     val base = DeltaScan.scanSnapshot(spark, snap) // pinned: one replay, one file set
 
@@ -341,7 +380,7 @@ object DeltaWrite {
       .filter(!coalesce(predicate, lit(false)))
       .select(cols.map(col): _*)
 
-    val adds = stage(survivors, tableDir, snap.partitionColumns)
+    val adds = stage(toPhysical(survivors, snap), tableDir, physPartitionCols(snap))
     val v = snap.version + 1
     commit(tableDir, v,
       touched.map(removeLine) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
@@ -353,17 +392,23 @@ object DeltaWrite {
     * `_last_checkpoint`, enabling log truncation ([[DeltaScan]] already
     * reads this form). Checkpoint rows carry one non-null action column
     * each, per the public checkpoint schema.
+    *
+    * Fidelity is exact: the protocol action is reproduced verbatim
+    * (feature lists included — a DV or column-mapped table must not be
+    * DOWNGRADED by its own checkpoint), metaData keeps `configuration`
+    * (dropping it would erase the column-mapping mode), and add rows
+    * keep their `deletionVector` descriptors (dropping one would
+    * RESURRECT the deleted rows once the JSON log is truncated).
     */
   def checkpoint(spark: SparkSession, tablePath: String): Long = {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
-    // the checkpoint meta row does not carry `configuration` yet — writing
-    // one for a column-mapped table would DROP the mapping mode
-    requireWritable(snap)
     val logDir = tableDir.resolve("_delta_log")
 
     val protocolType = StructType(Seq(
-      StructField("minReaderVersion", IntegerType), StructField("minWriterVersion", IntegerType)))
+      StructField("minReaderVersion", IntegerType), StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val formatType = StructType(Seq(
       StructField("provider", StringType),
       StructField("options", MapType(StringType, StringType))))
@@ -371,26 +416,40 @@ object DeltaWrite {
       StructField("id", StringType),
       StructField("format", formatType),
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType))))
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType), StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvType)))
     val cpSchema = StructType(Seq(
       StructField("protocol", protocolType), StructField("metaData", metaType),
       StructField("add", addType)))
 
+    val p = snap.protocol
     val rows: Seq[Row] =
-      Row(Row(1, 2), null, null) +:
+      Row(Row(p.minReader, p.minWriter,
+        // feature lists exist only in the v3/v7 protocol shape
+        if (p.minReader >= 3) p.readerFeatures else null,
+        if (p.minWriter >= 7) p.writerFeatures else null), null, null) +:
       Row(null, Row(UUID.randomUUID().toString, Row("parquet", Map.empty[String, String]),
-        snap.schema.json, snap.partitionColumns), null) +:
+        snap.schema.json, snap.partitionColumns, snap.configuration), null) +:
       // real per-file sizes (carried through Snapshot.AddFile) and encoded
       // paths — external readers plan splits from checkpoint add.size
       // dataChange=false: checkpoint actions reproduce state, they are
       // not new data (incremental readers would re-process otherwise)
       snap.files.map(f =>
-        Row(null, null, Row(encodePath(f.path), f.partitionValues, f.size, 0L, false)))
+        Row(null, null, Row(encodePath(f.path), f.partitionValues, f.size, 0L, false,
+          f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Long.box).orNull, d.sizeInBytes, d.cardinality)).orNull)))
 
     val tmpRoot = Files.createTempDirectory("graft_delta_cp")
     try {

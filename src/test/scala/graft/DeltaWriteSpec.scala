@@ -336,4 +336,93 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
       nation.collect().toSeq)
   }
+
+  private def truncateJsonLog(path: String): Unit = {
+    val logDir = Paths.get(path, "_delta_log")
+    Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.foreach(Files.delete)
+  }
+
+  test("column-mapped table: writes stage physical files, reads stay logical") {
+    val path = graft.sources.DeltaFixture.nationWithColumnMapping(spark, sf)
+    val plain = spark.read.parquet(s"$sf/nation.parquet")
+
+    // MERGE by logical key: uppercase names for a key band
+    val updates = plain
+      .filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+      .withColumn("n_name", upper(col("n_name")))
+    DeltaWrite.merge(spark, path, updates, Seq("n_nationkey"))
+    // DELETE by a logical non-partition predicate
+    DeltaWrite.deleteWhere(spark, path, col("n_nationkey") % 3 === 0)
+
+    val expected = plain
+      .withColumn("n_name",
+        when(col("n_nationkey") >= 10 && col("n_nationkey") < 20,
+          upper(col("n_name"))).otherwise(col("n_name")))
+      .filter(!(col("n_nationkey") % 3 === 0))
+      .orderBy(col("n_nationkey"))
+    val got = DeltaScan.scan(spark, path).orderBy(col("n_nationkey"))
+    assert(got.columns.toSeq == plain.columns.toSeq) // logical names surface
+    assert(got.collect().toSeq ==
+      expected.select(got.columns.map(col).toSeq: _*).collect().toSeq)
+
+    val snap = DeltaScan.snapshot(spark, path)
+    // every add action is keyed by the PHYSICAL partition column name
+    assert(snap.files.forall(_.partitionValues.keySet == Set("pn-regionkey")))
+    // and the staged data files carry PHYSICAL column names on disk
+    val newest = snap.files.map(f => s"$path/${f.path}")
+      .find(_.contains("part-")).getOrElse(fail("no staged file"))
+    val onDisk = spark.read.parquet(newest).schema.fieldNames.toSet
+    assert(onDisk.forall(_.startsWith("pn-")), s"physical names expected, got $onDisk")
+  }
+
+  test("checkpoint fidelity: configuration and protocol survive truncation (column mapping)") {
+    val path = graft.sources.DeltaFixture.nationWithColumnMapping(spark, sf)
+    DeltaWrite.checkpoint(spark, path)
+    truncateJsonLog(path)
+    val snap = DeltaScan.snapshot(spark, path)
+    assert(snap.columnMappingMode == "name") // configuration survived
+    assert(snap.protocol == DeltaScan.Protocol(2, 5)) // not downgraded to 1/2
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.collect().toSeq)
+  }
+
+  test("checkpoint fidelity: deletion vectors survive truncation") {
+    val path = graft.sources.DeltaFixture.nationWithDv(spark, sf)
+    val before = DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq
+    DeltaWrite.checkpoint(spark, path)
+    truncateJsonLog(path)
+    val snap = DeltaScan.snapshot(spark, path)
+    assert(snap.protocol ==
+      DeltaScan.Protocol(3, 7, Seq("deletionVectors"), Seq("deletionVectors")))
+    assert(snap.files.exists(_.dv.nonEmpty), "DV descriptors dropped by checkpoint")
+    // deleted rows must NOT resurrect once only the checkpoint remains
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      before)
+  }
+
+  test("writer protocol guards: appendOnly and unknown writerFeatures refuse") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation, path)
+    graft.sources.DeltaFixture.setTableConfig(spark, path,
+      Map("delta.appendOnly" -> "true"))
+    // appends still fine; removes forbidden
+    DeltaWrite.append(spark, nation.limit(1), path)
+    val e = intercept[UnsupportedOperationException](
+      DeltaWrite.deleteWhere(spark, path, col("n_nationkey") === 0))
+    assert(e.getMessage.contains("appendOnly"))
+
+    val path2 = freshDir()
+    DeltaWrite.create(spark, nation, path2)
+    Files.write(Paths.get(path2, "_delta_log", f"${1L}%020d.json"),
+      java.util.Arrays.asList(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["generatedColumns"]}}"""))
+    val e2 = intercept[UnsupportedOperationException](
+      DeltaWrite.append(spark, nation.limit(1), path2))
+    assert(e2.getMessage.contains("generatedColumns"))
+    // the table remains READABLE — only the write path refuses
+    assert(DeltaScan.scan(spark, path2).count() == nation.count())
+  }
 }
