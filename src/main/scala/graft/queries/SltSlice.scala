@@ -472,7 +472,144 @@ object SltSlice {
         |  (SELECT count(*) FROM (SELECT v FROM t ORDER BY v LIMIT 10) b) AS n_limit_big,
         |  (SELECT count(*) FROM (SELECT v FROM t ORDER BY v LIMIT 2 OFFSET 5) c) AS n_off_past,
         |  (SELECT CAST(sum(v) AS BIGINT) FROM (SELECT v FROM t ORDER BY v LIMIT 2 OFFSET 1) d)
-        |    AS s_off1""".stripMargin
+        |    AS s_off1""".stripMargin,
+
+    // ---------------------------------------------------- dates/times
+    // test/sql/types/date/date_arithmetic shape: adding months CLAMPS to
+    // the last day of the target month (leap years included)
+    "slt_date_month_clamp" ->
+      """WITH t(d) AS (SELECT DATE '2024-01-31' UNION ALL SELECT DATE '2024-01-29'
+        |  UNION ALL SELECT DATE '2023-01-31' UNION ALL SELECT DATE '2024-02-29')
+        |SELECT d, CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+        |       CAST(d + INTERVAL 12 MONTH AS DATE) AS plus_12m
+        |FROM t ORDER BY d""".stripMargin,
+
+    // test/sql/function/timestamp/date_part: field extraction agrees on
+    // the standard fields, leap day and end-of-year included
+    "slt_date_part_fields" ->
+      """WITH t(ts) AS (SELECT TIMESTAMP '2024-02-29 13:45:59'
+        |  UNION ALL SELECT TIMESTAMP '1999-12-31 00:00:01')
+        |SELECT CAST(date_part('year', ts) AS BIGINT) AS y,
+        |       CAST(date_part('quarter', ts) AS BIGINT) AS q,
+        |       CAST(date_part('month', ts) AS BIGINT) AS mo,
+        |       CAST(date_part('day', ts) AS BIGINT) AS d,
+        |       CAST(date_part('hour', ts) AS BIGINT) AS h,
+        |       CAST(date_part('minute', ts) AS BIGINT) AS mi,
+        |       CAST(date_part('second', ts) AS BIGINT) AS s
+        |FROM t ORDER BY ts""".stripMargin,
+
+    // ---------------------------------------------------- strings
+    // test/sql/function/string/test_pad.test: pad TRUNCATES when the
+    // target is shorter, multi-char pads repeat; repeat(s, 0) is empty
+    "slt_string_pad_repeat" ->
+      """SELECT lpad('abc', 2, 'x') AS lp_trunc, lpad('abc', 7, 'xy') AS lp_fill,
+        |       rpad('abc', 6, 'z') AS rp_fill, lpad('abc', 0, 'x') AS lp_zero,
+        |       repeat('ab', 0) AS rep0, repeat('ab', 3) AS rep3""".stripMargin,
+
+    // test/sql/function/string/test_like.test: '_'/'%' wildcards, a
+    // custom ESCAPE character, the empty pattern, case sensitivity
+    "slt_like_escape" ->
+      """WITH t(s) AS (SELECT 'a_c' UNION ALL SELECT 'abc' UNION ALL SELECT 'a%c'
+        |  UNION ALL SELECT 'ABC' UNION ALL SELECT '')
+        |SELECT s, s LIKE 'a_c' AS like_us, s LIKE 'a!_c' ESCAPE '!' AS like_esc_us,
+        |       s LIKE '%' AS like_any, s LIKE '' AS like_empty,
+        |       s LIKE 'A%' AS like_case
+        |FROM t ORDER BY s""".stripMargin,
+
+    // test/sql/function/string/test_substring.test: length past the end
+    // clips, zero length is empty, start past the end is empty
+    "slt_substring_bounds" ->
+      """SELECT substring('hello', 2, 3) AS mid, substring('hello', 2, 100) AS over,
+        |       substring('hello', 2, 0) AS zero_len, substring('hello', 6, 2) AS past,
+        |       substring('', 1, 3) AS empty_src,
+        |       CAST(length(substring('hello', 3)) AS BIGINT) AS tail_len""".stripMargin,
+
+    // default collation is binary codepoint order: digits < uppercase
+    // < lowercase (test/sql/order/test_order_by.test)
+    "slt_order_binary_case" ->
+      """WITH t(s) AS (SELECT 'a' UNION ALL SELECT 'B' UNION ALL SELECT 'Z'
+        |  UNION ALL SELECT 'b' UNION ALL SELECT '0')
+        |SELECT s FROM t ORDER BY s""".stripMargin,
+
+    // ---------------------------------------------------- predicates
+    // test/sql/subquery/test_in.test: an in-list containing NULL — IN
+    // stays true on a hit, NOT IN collapses to UNKNOWN on a miss
+    "slt_in_list_null" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT
+        |  (SELECT count(*) FROM t WHERE v IN (1, NULL)) AS n_in_with_null,
+        |  (SELECT count(*) FROM t WHERE v NOT IN (1, NULL)) AS n_not_in_with_null,
+        |  (SELECT count(*) FROM t WHERE v IN (1, 2)) AS n_in_plain,
+        |  (SELECT count(*) FROM t WHERE v NOT IN (3)) AS n_not_in_miss""".stripMargin,
+
+    // ---------------------------------------------------- aggregation
+    // GROUPING SETS (()) is the explicit global group: one row even
+    // though no grouping column exists (Spark's parser rejects the bare
+    // `GROUP BY ()` spelling; the grouping-sets form is common ground —
+    // test/sql/aggregate/group/test_group_by.test)
+    "slt_groupby_unit" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+        |FROM t GROUP BY GROUPING SETS (())""".stripMargin,
+
+    // min/max are defined on booleans (false < true) and dates; NULLs skip
+    "slt_minmax_bool_date" ->
+      """WITH t(b, d) AS (SELECT true, DATE '2001-09-09'
+        |  UNION ALL SELECT false, DATE '1999-01-01'
+        |  UNION ALL SELECT CAST(NULL AS BOOLEAN), CAST(NULL AS DATE))
+        |SELECT min(b) AS mn_b, max(b) AS mx_b, min(d) AS mn_d, max(d) AS mx_d,
+        |       count(b) AS n_b
+        |FROM t""".stripMargin,
+
+    // ---------------------------------------------------- arithmetic
+    // decimal .5 boundaries round HALF AWAY FROM ZERO in both engines,
+    // negatives included (test/sql/function/numeric/test_round.test)
+    "slt_round_half" ->
+      """SELECT CAST(round(2.5) AS DOUBLE) AS r_25, CAST(round(3.5) AS DOUBLE) AS r_35,
+        |       CAST(round(-2.5) AS DOUBLE) AS r_m25,
+        |       CAST(round(2.45, 1) AS DOUBLE) AS r_245,
+        |       CAST(round(-1.005, 2) AS DOUBLE) AS r_m1005""".stripMargin,
+
+    // exact decimal arithmetic: scale grows per the operation, values
+    // exact to the last digit (test/sql/types/decimal/decimal_arithmetic.test)
+    "slt_decimal_arith" ->
+      """WITH t(a, b) AS (
+        |  SELECT CAST('123456.789' AS DECIMAL(18,3)), CAST('0.001' AS DECIMAL(18,3))
+        |  UNION ALL
+        |  SELECT CAST('-0.005' AS DECIMAL(18,3)), CAST('2.500' AS DECIMAL(18,3)))
+        |SELECT CAST(a + b AS DECIMAL(20,3)) AS s, CAST(a - b AS DECIMAL(20,3)) AS d,
+        |       CAST(a * b AS DECIMAL(25,6)) AS p
+        |FROM t ORDER BY a""".stripMargin,
+
+    // int UNION decimal promotes — the fractional part must survive
+    "slt_union_type_promote" ->
+      """WITH a(x) AS (SELECT 1 UNION ALL SELECT 2), b(x) AS (SELECT 2.5)
+        |SELECT CAST(sum(x) AS DOUBLE) AS s, count(*) AS n
+        |FROM (SELECT x FROM a UNION ALL SELECT x FROM b) u""".stripMargin,
+
+    // ---------------------------------------------------- joins/setops
+    // cross-join cardinality is m·n; an empty side annihilates
+    "slt_cross_join_card" ->
+      """WITH a(x) AS (SELECT 1 UNION ALL SELECT 2),
+        |     b(y) AS (SELECT 10 UNION ALL SELECT 20 UNION ALL SELECT 30),
+        |     e(z) AS (SELECT 1 WHERE 1 = 0)
+        |SELECT
+        |  (SELECT count(*) FROM a CROSS JOIN b) AS n_ab,
+        |  (SELECT count(*) FROM a CROSS JOIN e) AS n_ae,
+        |  (SELECT CAST(sum(x * y) AS BIGINT) FROM a CROSS JOIN b) AS s_xy""".stripMargin,
+
+    // set ops treat NULLs as EQUAL (unlike = comparison): NULL intersects
+    // with NULL, EXCEPT removes it (test/sql/setops/test_setops_nulls)
+    "slt_setop_null_rows" ->
+      """WITH a(v) AS (SELECT 1 UNION ALL SELECT CAST(NULL AS INT)
+        |  UNION ALL SELECT CAST(NULL AS INT)),
+        |     b(v) AS (SELECT CAST(NULL AS INT) UNION ALL SELECT 2)
+        |SELECT 'exc' AS tag, coalesce(v, -99) AS v
+        |FROM (SELECT v FROM a EXCEPT SELECT v FROM b) e
+        |UNION ALL
+        |SELECT 'int' AS tag, coalesce(v, -99) AS v
+        |FROM (SELECT v FROM a INTERSECT SELECT v FROM b) i
+        |ORDER BY tag, v""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
