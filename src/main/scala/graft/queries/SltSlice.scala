@@ -609,7 +609,60 @@ object SltSlice {
         |UNION ALL
         |SELECT 'int' AS tag, coalesce(v, -99) AS v
         |FROM (SELECT v FROM a INTERSECT SELECT v FROM b) i
-        |ORDER BY tag, v""".stripMargin
+        |ORDER BY tag, v""".stripMargin,
+
+    // the DEFAULT window frame is RANGE UNBOUNDED..CURRENT: ORDER BY
+    // ties (peers) aggregate TOGETHER, unlike the explicit ROWS frame
+    // (test/sql/window/test_window_range.test)
+    "slt_win_running_dups" ->
+      """WITH t(g, k, v) AS (SELECT 1, 1, 10 UNION ALL SELECT 1, 1, 20
+        |  UNION ALL SELECT 1, 2, 30 UNION ALL SELECT 1, 3, 40)
+        |SELECT g, k, v,
+        |  CAST(sum(v) OVER (PARTITION BY g ORDER BY k) AS BIGINT) AS run_default,
+        |  CAST(sum(v) OVER (PARTITION BY g ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_rows
+        |FROM t ORDER BY g, k, v""".stripMargin,
+
+    // a NULL partition key forms its own (single) partition
+    "slt_win_partition_null" ->
+      """WITH t(p, v) AS (SELECT 'a', 1 UNION ALL SELECT CAST(NULL AS STRING), 2
+        |  UNION ALL SELECT CAST(NULL AS STRING), 3)
+        |SELECT coalesce(p, '<null>') AS pk,
+        |       CAST(count(*) OVER (PARTITION BY p) AS BIGINT) AS n, v
+        |FROM t ORDER BY pk, v""".stripMargin,
+
+    // HAVING without GROUP BY makes the query a one-group global
+    // aggregate (test/sql/aggregate/having/test_having.test)
+    "slt_having_no_groupby" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |FROM t HAVING sum(v) > 0""".stripMargin,
+
+    // ANSI trim forms: BOTH/LEADING/TRAILING with a custom trim char
+    "slt_trim_variants" ->
+      """SELECT trim('  pad  ') AS t_space,
+        |       trim(BOTH 'x' FROM 'xxaxbxx') AS t_both,
+        |       trim(LEADING 'x' FROM 'xxaxx') AS t_lead,
+        |       trim(TRAILING 'x' FROM 'xxaxx') AS t_trail,
+        |       trim(BOTH 'x' FROM 'xxxx') AS t_all""".stripMargin,
+
+    // BETWEEN with a NULL bound is UNKNOWN, never true
+    "slt_between_nulls" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 5 UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT
+        |  (SELECT count(*) FROM t WHERE v BETWEEN 1 AND 5) AS n_in,
+        |  (SELECT count(*) FROM t WHERE v NOT BETWEEN 2 AND 3) AS n_out,
+        |  (SELECT count(*) FROM t WHERE v BETWEEN NULL AND 5) AS n_null_lo""".stripMargin,
+
+    // EXISTS is about ROW existence: a subquery yielding one all-NULL
+    // row is still TRUE (test/sql/subquery/exists)
+    "slt_exists_null_rows" ->
+      """WITH t(v) AS (SELECT CAST(NULL AS INT))
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT 1 AS one) x
+        |     WHERE EXISTS (SELECT v FROM t)) AS ex_null_row,
+        |  (SELECT count(*) FROM (SELECT 1 AS one) x
+        |     WHERE EXISTS (SELECT v FROM t WHERE v IS NOT NULL)) AS ex_empty""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
