@@ -381,6 +381,18 @@ object Sources {
         .orderBy(col("n_nationkey"))
     },
 
+    // OPTIMIZE + VACUUM leg: a DV-carrying table is bin-packed (the DVs
+    // materialize away), then vacuum(0) reclaims every replaced file —
+    // the surviving scan must still equal the DV oracle, proving the
+    // compaction changed layout only and vacuum spared every live file
+    "src_delta_optimize" -> { (s, d) =>
+      val path = graft.sources.DeltaFixture.nationWithDv(s, d)
+      graft.sources.DeltaWrite.optimize(s, path)
+      graft.sources.DeltaWrite.vacuum(s, path, retentionMillis = 0L)
+      graft.sources.DeltaScan.scan(s, path)
+        .orderBy(col("n_nationkey"))
+    },
+
     // DELETE WHERE leg: copy-on-write delete commit, aggregate the
     // surviving snapshot (mirrors merge_delete's oracle)
     "src_delta_delete" -> { (s, d) =>
@@ -444,6 +456,11 @@ object Sources {
         |FROM orders WHERE o_orderkey < 2000 AND o_custkey % 7 <> 0""".stripMargin,
 
     "src_delta_dv" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey NOT IN (1, 5, 9, 14, 20)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "src_delta_optimize" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation WHERE n_nationkey NOT IN (1, 5, 9, 14, 20)
         |ORDER BY n_nationkey""".stripMargin,

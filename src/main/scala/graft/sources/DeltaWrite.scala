@@ -86,15 +86,20 @@ object DeltaWrite {
   private[sources] def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).toASCIIString
 
-  private def addLine(file: String, pv: Map[String, String], size: Long): String =
+  /** `dataChange=false` marks actions that REARRANGE files without
+    * changing the table's logical content (OPTIMIZE) — incremental/
+    * streaming readers skip them instead of re-processing the rows.
+    */
+  private def addLine(file: String, pv: Map[String, String], size: Long,
+                      dataChange: Boolean = true): String =
     JsonMethods.compact(JsonMethods.render(
       "add" -> (("path" -> encodePath(file)) ~ ("partitionValues" -> pv) ~ ("size" -> size) ~
-        ("modificationTime" -> System.currentTimeMillis()) ~ ("dataChange" -> true))))
+        ("modificationTime" -> System.currentTimeMillis()) ~ ("dataChange" -> dataChange))))
 
-  private def removeLine(file: String): String =
+  private def removeLine(file: String, dataChange: Boolean = true): String =
     JsonMethods.compact(JsonMethods.render(
       "remove" -> (("path" -> encodePath(file)) ~
-        ("deletionTimestamp" -> System.currentTimeMillis()) ~ ("dataChange" -> true))))
+        ("deletionTimestamp" -> System.currentTimeMillis()) ~ ("dataChange" -> dataChange))))
 
   // ---------------------------------------------------------------- staging
 
@@ -222,8 +227,10 @@ object DeltaWrite {
   private val SupportedWriterFeatures =
     Set("appendOnly", "invariants", "columnMapping", "deletionVectors")
 
-  private def checkWriteProtocol(snap: DeltaScan.Snapshot,
-                                 removesFiles: Boolean): Unit = {
+  /** Protocol-version / writerFeatures gate alone — the part every
+    * commit (including content-neutral OPTIMIZE) must pass.
+    */
+  private def checkProtocolFeatures(snap: DeltaScan.Snapshot): Unit = {
     val p = snap.protocol
     if (p.minWriter == 7) {
       val unsupported = p.writerFeatures.toSet -- SupportedWriterFeatures
@@ -232,6 +239,11 @@ object DeltaWrite {
           s"(writer supports ${SupportedWriterFeatures.mkString(", ")})")
     } else if (p.minWriter > 7) throw new UnsupportedOperationException(
       s"delta write: protocol minWriterVersion=${p.minWriter} unsupported")
+  }
+
+  private def checkWriteProtocol(snap: DeltaScan.Snapshot,
+                                 removesFiles: Boolean): Unit = {
+    checkProtocolFeatures(snap)
     // invariants (minWriter>=2 era or the v7 feature) are honored
     // vacuously only when the schema declares none
     val withInvariant = snap.schema.fields
@@ -353,7 +365,7 @@ object DeltaWrite {
       finally baseKeys.unpersist(blocking = false)
     val v = snap.version + 1
     commit(tableDir, v,
-      touched.map(removeLine) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
+      touched.map(f => removeLine(f)) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
       operation = "MERGE")
     v
   }
@@ -383,9 +395,112 @@ object DeltaWrite {
     val adds = stage(toPhysical(survivors, snap), tableDir, physPartitionCols(snap))
     val v = snap.version + 1
     commit(tableDir, v,
-      touched.map(removeLine) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
+      touched.map(f => removeLine(f)) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
       operation = "DELETE")
     v
+  }
+
+  /** OPTIMIZE (bin-pack compaction): rewrite each partition's small data
+    * files (size < `targetFileBytes`) into consolidated ones, and rewrite
+    * every deletion-vector-carrying file into a plain one (materializing
+    * the DV away, as delta-spark's OPTIMIZE does). Committed with
+    * `dataChange=false` on both the add and the remove actions — the
+    * table's LOGICAL content is untouched, so incremental readers skip
+    * the commit and `delta.appendOnly` does not forbid it (appendOnly
+    * constrains operations that delete data; rearranging files is
+    * allowed, matching delta-spark).
+    *
+    * This is the small-file compaction a 100 TB table lives or dies by:
+    * many small appends (streaming micro-batches, per-task part files)
+    * degrade scan planning to O(files) and per-file footer reads dominate —
+    * OPTIMIZE restores ~target-sized files. Rewrites cluster one task
+    * per partition value (`repartition(partitionCols)`), so compaction
+    * parallelizes across partitions; unpartitioned tables split into
+    * ceil(bytes/target) tasks. Returns the committed version, or the
+    * snapshot's version unchanged when nothing qualifies.
+    *
+    * Pre-OPTIMIZE versions still time-travel (the replaced files stay on
+    * disk) until [[vacuum]] reclaims them.
+    */
+  def optimize(spark: SparkSession, tablePath: String,
+               targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val tableDir = Paths.get(tablePath)
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    checkProtocolFeatures(snap)
+    val selected = snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
+      val (withDv, plain) = fs.partition(_.dv.isDefined)
+      val small = plain.filter(_.size < targetFileBytes)
+      // a lone small plain file would be rewritten into itself — skip;
+      // a DV file is always worth rewriting (purges the vector)
+      withDv ++ (if (small.size >= 2) small else Nil)
+    }.toSeq
+    if (selected.isEmpty) return snap.version
+
+    // a sub-snapshot over just the selected files reuses the scan's DV
+    // skipping and column-mapping resolution — the rewrite reads exactly
+    // the surviving rows of the files being replaced
+    val data = DeltaScan.scanSnapshot(spark, snap.copy(files = selected))
+    val shaped =
+      if (snap.partitionColumns.nonEmpty)
+        data.repartition(snap.partitionColumns.map(col): _*)
+      else {
+        val n = math.max(1L,
+          (selected.map(_.size).sum + targetFileBytes - 1) / targetFileBytes)
+        data.repartition(n.toInt)
+      }
+    val adds = stage(toPhysical(shaped, snap), tableDir, physPartitionCols(snap))
+    val v = snap.version + 1
+    commit(tableDir, v,
+      selected.map(f => removeLine(f.path, dataChange = false)) ++
+        adds.map { case (p, pv, sz) => addLine(p, pv, sz, dataChange = false) },
+      operation = "OPTIMIZE")
+    v
+  }
+
+  /** VACUUM: physically delete data files no longer referenced by the
+    * CURRENT snapshot whose modification time is older than
+    * `retentionMillis` (default 7 days, delta-spark's floor). Reclaims
+    * OPTIMIZE/MERGE/DELETE-replaced files and OCC losers' orphaned
+    * staging output. Returns the number of files deleted.
+    *
+    * Consequences, same contract as delta-spark: time travel to versions
+    * whose files were reclaimed stops working; the retention window is
+    * what protects (a) in-flight readers of recent snapshots and (b) a
+    * concurrent writer's staged-but-not-yet-committed files — pass 0
+    * only in single-writer tests. Only `*.parquet` files outside
+    * `_delta_log` are candidates, so DV sidecars (`*.bin`) and the log
+    * itself are never touched.
+    */
+  def vacuum(spark: SparkSession, tablePath: String,
+             retentionMillis: Long = 7L * 24 * 60 * 60 * 1000): Int = {
+    val tableDir = Paths.get(tablePath).toAbsolutePath.normalize
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    val logDir = tableDir.resolve("_delta_log")
+    val live = snap.files
+      .map(f => tableDir.resolve(f.path).normalize.toString).toSet
+    val cutoff = System.currentTimeMillis() - retentionMillis
+    val walk = Files.walk(tableDir)
+    val victims =
+      try walk.iterator().asScala.filter { p =>
+        !p.startsWith(logDir) && Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !live.contains(p.toAbsolutePath.normalize.toString) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      }.toList
+      finally walk.close()
+    victims.foreach(Files.deleteIfExists(_))
+    // prune partition directories the deletions emptied (deepest first)
+    val dirs = Files.walk(tableDir)
+    try dirs.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+      .filter(p => p != tableDir && p != logDir && !p.startsWith(logDir) &&
+        Files.isDirectory(p))
+      .foreach { p =>
+        val l = Files.list(p)
+        val empty = try !l.iterator().hasNext finally l.close()
+        if (empty) Files.deleteIfExists(p)
+      }
+    finally dirs.close()
+    victims.size
   }
 
   /** Write a single-part parquet checkpoint of the CURRENT snapshot plus

@@ -402,6 +402,138 @@ class DeltaWriteSpec extends AnyFunSuite {
       before)
   }
 
+  test("optimize bin-packs small files; dataChange=false; old versions still travel") {
+    val path = freshDir()
+    // five commits of a few rows each → at least five small files
+    DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 5), path)
+    (1 to 4).foreach { i =>
+      DeltaWrite.append(spark,
+        nation.filter(col("n_nationkey") >= i * 5 && col("n_nationkey") < (i + 1) * 5), path)
+    }
+    val before = DeltaScan.snapshot(spark, path)
+    assert(before.files.size >= 5)
+    val expected = DeltaScan.scanSnapshot(spark, before)
+      .orderBy(col("n_nationkey")).collect().toSeq
+
+    val v = DeltaWrite.optimize(spark, path)
+    assert(v == before.version + 1)
+    val after = DeltaScan.snapshot(spark, path)
+    assert(after.files.size < before.files.size,
+      s"optimize must shrink the file count: ${before.files.size} -> ${after.files.size}")
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq
+      == expected)
+
+    // the OPTIMIZE commit's actions all carry dataChange=false
+    val log = Files.readAllLines(
+      Paths.get(path, "_delta_log", f"$v%020d.json")).asScala.mkString("\n")
+    assert(log.contains("OPTIMIZE"))
+    assert(!log.contains("\"dataChange\":true"))
+
+    // replaced files remain on disk until vacuum: pre-optimize versions travel
+    assert(DeltaScan.scan(spark, path, versionAsOf = Some(before.version))
+      .orderBy(col("n_nationkey")).collect().toSeq == expected)
+
+    // idempotent: a second optimize over one big file is a no-op version
+    assert(DeltaWrite.optimize(spark, path) == v)
+  }
+
+  test("optimize on a partitioned table compacts per partition and keeps pruning") {
+    val path = freshDir()
+    val base = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWrite.create(spark, base.filter(col("n_nationkey") < 12), path,
+      partitionBy = Seq("n_regionkey"))
+    DeltaWrite.append(spark, base.filter(col("n_nationkey") >= 12), path)
+    val before = DeltaScan.snapshot(spark, path)
+
+    DeltaWrite.optimize(spark, path)
+    val after = DeltaScan.snapshot(spark, path)
+    assert(after.files.size < before.files.size)
+    // one file per partition value after compaction
+    assert(after.files.groupBy(_.partitionValues).values.forall(_.size == 1))
+    assert(after.files.forall(_.partitionValues.get("n_regionkey").exists(_ != null)))
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      base.orderBy(col("n_nationkey")).collect().toSeq)
+    val pruned = DeltaScan.scan(spark, path,
+      partitionPruner = pv => pv.get("n_regionkey").contains("2"))
+    assert(pruned.select(col("n_regionkey")).distinct().collect()
+      .map(_.get(0).toString).toSeq == Seq("2"))
+  }
+
+  test("optimize purges deletion vectors; deleted rows stay deleted") {
+    val path = graft.sources.DeltaFixture.nationWithDv(spark, sf)
+    val expected = DeltaScan.scan(spark, path)
+      .orderBy(col("n_nationkey")).collect().toSeq
+    assert(DeltaScan.snapshot(spark, path).files.exists(_.dv.isDefined))
+
+    DeltaWrite.optimize(spark, path)
+    val after = DeltaScan.snapshot(spark, path)
+    assert(after.files.forall(_.dv.isEmpty), "optimize must materialize DVs away")
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq
+      == expected)
+  }
+
+  test("optimize is allowed on appendOnly tables (no logical change)") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 10), path)
+    DeltaWrite.append(spark, nation.filter(col("n_nationkey") >= 10), path)
+    graft.sources.DeltaFixture.setTableConfig(spark, path,
+      Map("delta.appendOnly" -> "true"))
+    val before = DeltaScan.snapshot(spark, path)
+    DeltaWrite.optimize(spark, path)
+    assert(DeltaScan.snapshot(spark, path).files.size < before.files.size)
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.collect().toSeq)
+  }
+
+  test("vacuum reclaims unreferenced files past retention, never live ones") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 12), path)
+    DeltaWrite.append(spark, nation.filter(col("n_nationkey") >= 12), path)
+    val preOpt = DeltaScan.snapshot(spark, path)
+    DeltaWrite.optimize(spark, path)
+    // an OCC loser's orphan: staged data no log version references
+    Files.write(Paths.get(path, "orphan-loser.parquet"), Array[Byte](1, 2, 3))
+
+    // inside the retention window nothing is reclaimed
+    assert(DeltaWrite.vacuum(spark, path) == 0)
+    assert(DeltaScan.scan(spark, path, versionAsOf = Some(preOpt.version))
+      .count() == nation.count())
+
+    // retention 0: replaced files + the orphan go; the live set survives
+    val removed = DeltaWrite.vacuum(spark, path, retentionMillis = 0L)
+    assert(removed == preOpt.files.size + 1,
+      s"expected ${preOpt.files.size} replaced files + 1 orphan, got $removed")
+    assert(!Files.exists(Paths.get(path, "orphan-loser.parquet")))
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.collect().toSeq)
+    // time travel to the reclaimed version now fails (documented contract)
+    intercept[Exception] {
+      DeltaScan.scan(spark, path, versionAsOf = Some(preOpt.version)).collect()
+    }
+  }
+
+  test("vacuum on a partitioned table prunes emptied partition dirs, spares DV sidecars") {
+    val path = graft.sources.DeltaFixture.nationWithDv(spark, sf)
+    val expected = DeltaScan.scan(spark, path)
+      .orderBy(col("n_nationkey")).collect().toSeq
+    // nothing is unreferenced yet: vacuum(0) must delete nothing and the
+    // DV sidecar (.bin) must never be a candidate
+    assert(DeltaWrite.vacuum(spark, path, retentionMillis = 0L) == 0)
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq
+      == expected)
+
+    val path2 = freshDir()
+    val base = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWrite.create(spark, base, path2, partitionBy = Seq("n_regionkey"))
+    // delete one whole region, then reclaim: its directory empties out
+    DeltaWrite.deleteWhere(spark, path2, col("n_regionkey") === 2)
+    assert(DeltaWrite.vacuum(spark, path2, retentionMillis = 0L) >= 1)
+    assert(!Files.exists(Paths.get(path2, "n_regionkey=2")),
+      "emptied partition dir should be pruned")
+    assert(DeltaScan.scan(spark, path2).orderBy(col("n_nationkey")).collect().toSeq ==
+      base.filter(col("n_regionkey") =!= 2).orderBy(col("n_nationkey")).collect().toSeq)
+  }
+
   test("writer protocol guards: appendOnly and unknown writerFeatures refuse") {
     val path = freshDir()
     DeltaWrite.create(spark, nation, path)
