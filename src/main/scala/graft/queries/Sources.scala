@@ -393,6 +393,26 @@ object Sources {
         .orderBy(col("n_nationkey"))
     },
 
+    // incremental change scan: the commits after v0 replay as appended
+    // rows tagged _commit_version; the OPTIMIZE commit in the middle
+    // (dataChange=false) must be SKIPPED — without the skip its rewrite
+    // would re-emit v0/v1's rows and the oracle would catch duplicates.
+    // nation is 25 rows in one part file per append, so the version
+    // numbering (v1 append, v2 optimize, v3 append) is deterministic.
+    "src_delta_changes" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_delta_cdf").toString + "/t"
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.sources.DeltaWrite.create(s, n.filter(col("n_nationkey") < 10), dir)
+      graft.sources.DeltaWrite.append(s,
+        n.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 18), dir)
+      graft.sources.DeltaWrite.optimize(s, dir)
+      graft.sources.DeltaWrite.append(s, n.filter(col("n_nationkey") >= 18), dir)
+      graft.sources.DeltaScan.scanChanges(s, dir, fromVersion = 0L)
+        .orderBy(col("n_nationkey"))
+    },
+
     // DELETE WHERE leg: copy-on-write delete commit, aggregate the
     // surviving snapshot (mirrors merge_delete's oracle)
     "src_delta_delete" -> { (s, d) =>
@@ -463,6 +483,13 @@ object Sources {
     "src_delta_optimize" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation WHERE n_nationkey NOT IN (1, 5, 9, 14, 20)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "src_delta_changes" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CAST(CASE WHEN n_nationkey < 18 THEN 1 ELSE 3 END AS BIGINT)
+        |   AS _commit_version
+        |FROM nation WHERE n_nationkey >= 10
         |ORDER BY n_nationkey""".stripMargin,
 
     "src_csv_roundtrip" ->

@@ -9,7 +9,7 @@ import org.json4s.jackson.JsonMethods
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 /** Native read-only Delta Lake scan — the reference's `delta_scan`
   * (/root/reference/extension/delta/src/functions/delta_scan.cpp) without
@@ -542,5 +542,96 @@ object DeltaScan {
       // any analysis surprise degrades to keep-all, never to wrong answers
       case _: org.apache.spark.sql.AnalysisException => _ => true
     }
+  }
+
+  /** Incremental (streaming-source-style) read of the commits in
+    * `(fromVersion, toVersion]`: the rows each commit ADDED, tagged with a
+    * `_commit_version` column — the shape an incremental 100 TB pipeline
+    * consumes (process only the new data since the last run, never rescan
+    * the table). Reference analog: the delta extension's snapshot reads
+    * (`extension/delta/src/functions/delta_scan.cpp`) compose with DuckDB
+    * incremental consumers; here the log IS the change index.
+    *
+    * Semantics (matching delta-spark's streaming source):
+    *  - `add` actions with `dataChange=false` (OPTIMIZE rewrites) are
+    *    SKIPPED — the protocol's contract is that they rearrange existing
+    *    rows, so an incremental consumer must not see them again. This is
+    *    exactly why [[DeltaWrite.optimize]] stamps its actions.
+    *  - a `remove` with `dataChange=true` in the window means a commit
+    *    rewrote logical content (DELETE/MERGE): throws by default, or with
+    *    `ignoreChanges=true` the rewritten files surface as adds — the
+    *    consumer may reprocess surviving rows (at-least-once, delta-spark's
+    *    documented `ignoreChanges` contract).
+    *  - an absent `dataChange` field (pre-OPTIMIZE writers) reads as true.
+    *
+    * Requires the JSON commits in the window to survive log truncation
+    * (same contract as time travel); the schema/column-mapping/protocol
+    * context is the end-version snapshot's.
+    */
+  def scanChanges(spark: SparkSession, tablePath: String,
+                  fromVersion: Long, toVersion: Long = Long.MaxValue,
+                  ignoreChanges: Boolean = false): DataFrame = {
+    val logDir = Paths.get(tablePath, "_delta_log")
+    require(Files.isDirectory(logDir), s"not a Delta table (no _delta_log): $tablePath")
+    val versions = {
+      val l = Files.list(logDir)
+      try l.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+        .toSeq.sorted
+      finally l.close()
+    }
+    val target = versions.filter(_ <= toVersion).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"delta_scan: no surviving commit at or below version $toVersion"))
+    val window = versions.filter(v => v > fromVersion && v <= target)
+    require(window == ((fromVersion + 1) to target),
+      s"delta_scan: log truncated inside ($fromVersion, $target] — " +
+        "incremental read cannot skip commits")
+    val snap = snapshot(spark, tablePath, versionAsOf = Some(target))
+
+    val withVersion = snap.schema.add(StructField("_commit_version", LongType,
+      nullable = false))
+    val perVersion: Seq[DataFrame] = window.flatMap { v =>
+      val adds = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+      for (line <- Files.readAllLines(logDir.resolve(f"$v%020d.json")).asScala
+           if line.trim.nonEmpty) {
+        val j = JsonMethods.parse(line)
+        (j \ "add") match {
+          case JNothing =>
+          case a if (a \ "dataChange").extractOpt[Boolean].getOrElse(true) =>
+            val dv = (a \ "deletionVector") match {
+              case JNothing | JNull => None
+              case d => Some(DeletionVectors.Descriptor(
+                (d \ "storageType").extract[String],
+                (d \ "pathOrInlineDv").extract[String],
+                (d \ "offset").extractOpt[Long],
+                (d \ "sizeInBytes").extract[Long],
+                (d \ "cardinality").extract[Long]))
+            }
+            adds += AddFile(decodePath((a \ "path").extract[String]),
+              (a \ "partitionValues").extractOpt[Map[String, String]].getOrElse(Map.empty),
+              (a \ "size").extractOpt[Long].getOrElse(0L), dv)
+          case _ => // dataChange=false: OPTIMIZE-style rearrangement, skip
+        }
+        (j \ "remove") match {
+          case JNothing =>
+          case r if (r \ "dataChange").extractOpt[Boolean].getOrElse(true) &&
+                    !ignoreChanges =>
+            throw new UnsupportedOperationException(
+              s"delta_scan: version $v removed data (DELETE/MERGE rewrite); " +
+                "pass ignoreChanges=true to read the rewritten files as adds " +
+                "(consumers may see reprocessed rows)")
+          case _ =>
+        }
+      }
+      if (adds.isEmpty) None
+      else Some(scanSnapshot(spark, snap.copy(version = v, files = adds.toSeq))
+        .withColumn("_commit_version", lit(v)))
+    }
+    if (perVersion.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withVersion)
+    else perVersion.reduce(_ unionAll _)
   }
 }

@@ -198,4 +198,53 @@ class DeltaScanSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](DeltaScan.snapshot(spark, t3))
     assert(e.getMessage.contains("checkpoint part missing"))
   }
+
+  test("scanChanges: appended commits replay incrementally, OPTIMIZE skipped") {
+    import graft.sources.DeltaWrite
+    val dir = Files.createTempDirectory("graft_cdf").toString + "/t"
+    val n = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWrite.create(spark, n.filter(col("n_nationkey") < 10), dir)   // v0
+    DeltaWrite.append(spark,
+      n.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 18), dir) // v1
+    val vOpt = DeltaWrite.optimize(spark, dir)                          // v2
+    assert(vOpt == 2L, "optimize must have compacted (two small files)")
+    DeltaWrite.append(spark, n.filter(col("n_nationkey") >= 18), dir)   // v3
+
+    // full window: v1 + v3 rows only — v2's rewrite (dataChange=false)
+    // must NOT re-emit v0/v1's rows
+    val all = DeltaScan.scanChanges(spark, dir, fromVersion = 0L)
+    assert(all.orderBy(col("n_nationkey"))
+      .select(col("n_nationkey"), col("_commit_version")).collect().toSeq.map(r =>
+        (r.getInt(0), r.getLong(1))) ==
+      (10 until 18).map(k => (k, 1L)) ++ (18 until 25).map(k => (k, 3L)))
+
+    // bounded window (0,1]: only v1; (1,3] crosses the OPTIMIZE: only v3
+    assert(DeltaScan.scanChanges(spark, dir, 0L, toVersion = 1L).count() == 8)
+    val tail = DeltaScan.scanChanges(spark, dir, 1L, toVersion = 3L)
+    assert(tail.select(col("_commit_version")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+
+    // caught-up consumer: empty frame, schema intact
+    val empty = DeltaScan.scanChanges(spark, dir, fromVersion = 3L)
+    assert(empty.count() == 0 &&
+      empty.columns.last == "_commit_version")
+  }
+
+  test("scanChanges: data-changing remove throws; ignoreChanges reads rewrites") {
+    import graft.sources.DeltaWrite
+    val dir = Files.createTempDirectory("graft_cdf_del").toString + "/t"
+    val n = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWrite.create(spark, n, dir)                                    // v0
+    DeltaWrite.deleteWhere(spark, dir, col("n_nationkey") % 2 === 0)    // v1
+
+    val e = intercept[UnsupportedOperationException](
+      DeltaScan.scanChanges(spark, dir, fromVersion = 0L).collect())
+    assert(e.getMessage.contains("ignoreChanges"))
+
+    // ignoreChanges: the rewritten file's SURVIVING rows surface as adds
+    val got = DeltaScan.scanChanges(spark, dir, 0L, ignoreChanges = true)
+    assert(got.orderBy(col("n_nationkey")).select(col("n_nationkey"))
+      .collect().map(_.getInt(0)).toSeq ==
+      (0 until 25).filter(_ % 2 == 1))
+  }
 }
