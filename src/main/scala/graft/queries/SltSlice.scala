@@ -662,7 +662,137 @@ object SltSlice {
         |  (SELECT count(*) FROM (SELECT 1 AS one) x
         |     WHERE EXISTS (SELECT v FROM t)) AS ex_null_row,
         |  (SELECT count(*) FROM (SELECT 1 AS one) x
-        |     WHERE EXISTS (SELECT v FROM t WHERE v IS NOT NULL)) AS ex_empty""".stripMargin
+        |     WHERE EXISTS (SELECT v FROM t WHERE v IS NOT NULL)) AS ex_empty""".stripMargin,
+
+    // modulo sign follows the DIVIDEND in both engines
+    // (test/sql/function/numeric/test_mod.test)
+    "slt_mod_negative" ->
+      """SELECT -7 % 3 AS a, 7 % -3 AS b, -7 % -3 AS c,
+        |       CAST(mod(-7, -3) AS INT) AS d, 7 % 3 AS e""".stripMargin,
+
+    // floor/ceil of negatives round toward/away from zero correctly
+    // (DuckDB returns DECIMAL, Spark BIGINT — cast pins the values)
+    "slt_floor_ceil_neg" ->
+      """SELECT CAST(floor(-1.5) AS BIGINT) AS f_neg,
+        |       CAST(ceil(-1.5) AS BIGINT) AS c_neg,
+        |       CAST(floor(2.5) AS BIGINT) AS f_pos,
+        |       CAST(ceil(2.5) AS BIGINT) AS c_pos,
+        |       CAST(floor(-3.0) AS BIGINT) AS f_exact""".stripMargin,
+
+    // round to NEGATIVE digits rounds whole-number positions
+    "slt_round_negative_digits" ->
+      """SELECT CAST(round(1234.567, -2) AS DOUBLE) AS r_hund,
+        |       CAST(round(1234.567, -1) AS DOUBLE) AS r_tens,
+        |       CAST(round(1234.567, 0) AS DOUBLE) AS r_unit,
+        |       CAST(round(-1250.0, -2) AS DOUBLE) AS r_neg""".stripMargin,
+
+    // bitwise AND/OR/NOT on ints (shift operators differ in dialect:
+    // Spark spells them shiftleft(), DuckDB <<, so they are not shared)
+    "slt_bit_and_or_not" ->
+      """SELECT 5 & 3 AS b_and, 5 | 3 AS b_or, ~5 AS b_not,
+        |       12 & 10 AS b_and2, (1 | 2 | 4) & 6 AS b_mix""".stripMargin,
+
+    // split_part: 1-based, out-of-range yields EMPTY STRING (not NULL)
+    "slt_split_part_edges" ->
+      """SELECT split_part('a,b,c', ',', 2) AS mid,
+        |       split_part('a,b', ',', 5) AS past_end,
+        |       split_part('', ',', 1) AS empty_src,
+        |       split_part('x', ',', 1) AS no_delim""".stripMargin,
+
+    // instr / position: 1-based, 0 when absent
+    "slt_instr_position" ->
+      """SELECT instr('hello', 'l') AS first_l,
+        |       instr('hello', 'z') AS absent,
+        |       position('l' IN 'hello') AS pos_l,
+        |       instr('', 'x') AS empty_src""".stripMargin,
+
+    // left/right clamp to the string length; lpad/rpad TRUNCATE when the
+    // target is shorter, and a multi-char pad cycles
+    "slt_left_right_pad" ->
+      """SELECT left('hello', 2) AS l2, right('hello', 2) AS r2,
+        |       left('ab', 10) AS l_clamp, right('ab', 10) AS r_clamp,
+        |       lpad('abcdef', 3, 'x') AS lpad_trunc,
+        |       lpad('a', 4, 'xy') AS lpad_cycle,
+        |       rpad('a', 4, 'xy') AS rpad_cycle""".stripMargin,
+
+    // percent_rank is (rank-1)/(n-1) with a 0 for the single-row
+    // partition; cume_dist counts peers inclusively
+    // (test/sql/window/test_percent_rank.test, test_cume_dist.test)
+    "slt_win_percent_cume" ->
+      """WITH t(g, v) AS (
+        |  SELECT 'a', 10 UNION ALL SELECT 'a', 20 UNION ALL SELECT 'a', 20
+        |  UNION ALL SELECT 'a', 40 UNION ALL SELECT 'b', 7)
+        |SELECT g, v,
+        |       CAST(round(percent_rank() OVER (PARTITION BY g ORDER BY v), 4)
+        |         AS DOUBLE) AS pr,
+        |       CAST(round(cume_dist() OVER (PARTITION BY g ORDER BY v), 4)
+        |         AS DOUBLE) AS cd
+        |FROM t ORDER BY g, v, pr""".stripMargin,
+
+    // aggregate OF an aggregate via a derived table (the only legal way)
+    "slt_nested_agg_subquery" ->
+      """WITH t(g, v) AS (
+        |  SELECT 'a', 1 UNION ALL SELECT 'a', 2 UNION ALL SELECT 'b', 10
+        |  UNION ALL SELECT 'c', CAST(NULL AS INT))
+        |SELECT CAST(max(s) AS BIGINT) AS max_group_sum,
+        |       CAST(min(s) AS BIGINT) AS min_group_sum,
+        |       count(s) AS n_groups_with_sum
+        |FROM (SELECT g, sum(v) AS s FROM t GROUP BY g) x""".stripMargin,
+
+    // correlated scalar subquery in the SELECT list; empty match -> NULL
+    "slt_scalar_subquery_select" ->
+      """WITH t(g) AS (SELECT 'a' UNION ALL SELECT 'b' UNION ALL SELECT 'c'),
+        |     u(g, v) AS (SELECT 'a', 1 UNION ALL SELECT 'a', 2 UNION ALL SELECT 'b', 5)
+        |SELECT t.g,
+        |       (SELECT CAST(sum(u.v) AS BIGINT) FROM u WHERE u.g = t.g) AS s,
+        |       (SELECT count(*) FROM u WHERE u.g = t.g) AS n
+        |FROM t ORDER BY t.g""".stripMargin,
+
+    // VALUES as an inline FROM relation with column aliases
+    "slt_values_from_clause" ->
+      """SELECT i, s FROM (VALUES (2, 'b'), (1, 'a'), (3, NULL)) AS t(i, s)
+        |ORDER BY i""".stripMargin,
+
+    // HAVING may reference an aggregate that is NOT in the SELECT list
+    "slt_having_hidden_agg" ->
+      """WITH t(g, v) AS (
+        |  SELECT 'a', 1 UNION ALL SELECT 'a', 5 UNION ALL SELECT 'b', 2)
+        |SELECT g FROM t GROUP BY g HAVING sum(v) > 3 ORDER BY g""".stripMargin,
+
+    // GROUP BY an expression, selecting that same expression
+    "slt_group_by_expr" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4 UNION ALL SELECT 5)
+        |SELECT v % 2 AS parity, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+        |FROM t GROUP BY v % 2 ORDER BY parity""".stripMargin,
+
+    // string -> boolean casts both engines accept: 'true'/'false'/'1'/'0'
+    "slt_cast_string_bool" ->
+      """SELECT CAST('true' AS BOOLEAN) AS b_true,
+        |       CAST('false' AS BOOLEAN) AS b_false,
+        |       CAST('1' AS BOOLEAN) AS b_one,
+        |       CAST('0' AS BOOLEAN) AS b_zero""".stripMargin,
+
+    // concat_ws SKIPS NULL arguments (unlike ||, which nulls out)
+    "slt_concat_ws_null" ->
+      """SELECT concat_ws(',', 'a', NULL, 'b') AS skip_mid,
+        |       concat_ws('-', NULL, NULL) AS all_null,
+        |       concat_ws('', 'x', 'y') AS empty_sep""".stripMargin,
+
+    // int sums promote past 32-bit without overflow (Spark -> BIGINT,
+    // DuckDB -> HUGEINT; the cast meets in the middle)
+    "slt_sum_int_promotion" ->
+      """WITH t(v) AS (SELECT 2147483647 UNION ALL SELECT 2147483647
+        |  UNION ALL SELECT 2)
+        |SELECT CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM t""".stripMargin,
+
+    // date + INTERVAL day arithmetic across a leap day (DuckDB yields
+    // TIMESTAMP, Spark DATE — cast pins both)
+    "slt_date_interval_day" ->
+      """SELECT CAST(DATE '2000-02-28' + INTERVAL 1 DAY AS DATE) AS leap_next,
+        |       CAST(DATE '2000-03-01' - INTERVAL 1 DAY AS DATE) AS leap_back,
+        |       CAST(DATE '2001-02-28' + INTERVAL 1 DAY AS DATE) AS noleap_next,
+        |       last_day(DATE '2000-02-15') AS leap_last""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
