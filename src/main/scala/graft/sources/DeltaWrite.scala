@@ -275,6 +275,26 @@ object DeltaWrite {
   private def physPartitionCols(snap: DeltaScan.Snapshot): Seq[String] =
     snap.partitionColumns.map(c => snap.physicalName(snap.schema(c)))
 
+  /** Post-commit checkpointing per the `delta.checkpointInterval` table
+    * property (delta-spark checkpoints every N commits — its default is
+    * 10; this writer honors the property only when the table sets it,
+    * keeping minimal fixtures checkpoint-free). At 100 TB this is what
+    * bounds snapshot reconstruction: without it a long-lived table's
+    * replay cost grows with its whole commit history. Runs AFTER the
+    * commit is published — a checkpoint is an optimization for future
+    * readers, never part of commit atomicity, so a failure here must not
+    * fail the already-committed write.
+    */
+  private def maybeCheckpoint(spark: SparkSession, tablePath: String,
+                              snap: DeltaScan.Snapshot, committed: Long): Unit =
+    snap.configuration.get("delta.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 0)
+      .foreach { n =>
+        if (committed % n == 0)
+          try checkpoint(spark, tablePath)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+
   /** INSERT INTO (append): a new version carrying only add actions. */
   def append(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
     val tableDir = Paths.get(tablePath)
@@ -287,6 +307,7 @@ object DeltaWrite {
     // against a fresh snapshot
     val v = snap.version + 1
     commit(tableDir, v, adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
+    maybeCheckpoint(spark, tablePath, snap, v)
     v
   }
 
@@ -367,6 +388,7 @@ object DeltaWrite {
     commit(tableDir, v,
       touched.map(f => removeLine(f)) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
       operation = "MERGE")
+    maybeCheckpoint(spark, tablePath, snap, v)
     v
   }
 
@@ -397,6 +419,7 @@ object DeltaWrite {
     commit(tableDir, v,
       touched.map(f => removeLine(f)) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
       operation = "DELETE")
+    maybeCheckpoint(spark, tablePath, snap, v)
     v
   }
 
@@ -454,6 +477,7 @@ object DeltaWrite {
       selected.map(f => removeLine(f.path, dataChange = false)) ++
         adds.map { case (p, pv, sz) => addLine(p, pv, sz, dataChange = false) },
       operation = "OPTIMIZE")
+    maybeCheckpoint(spark, tablePath, snap, v)
     v
   }
 

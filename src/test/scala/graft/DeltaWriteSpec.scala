@@ -534,6 +534,32 @@ class DeltaWriteSpec extends AnyFunSuite {
       base.filter(col("n_regionkey") =!= 2).orderBy(col("n_nationkey")).collect().toSeq)
   }
 
+  test("delta.checkpointInterval auto-checkpoints every N commits") {
+    val path = freshDir()
+    DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 5), path)   // v0
+    graft.sources.DeltaFixture.setTableConfig(spark, path,
+      Map("delta.checkpointInterval" -> "2"))                               // v1
+    DeltaWrite.append(spark,
+      nation.filter(col("n_nationkey") >= 5 && col("n_nationkey") < 10), path) // v2
+    def cp(v: Long) = Paths.get(path, "_delta_log", f"$v%020d.checkpoint.parquet")
+    assert(Files.exists(cp(2)), "v2 hits the interval: checkpoint expected")
+    assert(Files.readAllLines(Paths.get(path, "_delta_log", "_last_checkpoint"))
+      .asScala.mkString.contains("\"version\":2"))
+
+    DeltaWrite.append(spark,
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 15), path) // v3
+    assert(!Files.exists(cp(3)), "v3 is off-interval: no checkpoint")
+    DeltaWrite.append(spark, nation.filter(col("n_nationkey") >= 15), path) // v4
+    assert(Files.exists(cp(4)))
+
+    // the auto-checkpoint carries full fidelity: truncate every JSON
+    // commit it superseded and the snapshot still reconstructs exactly
+    (0L to 3L).foreach(v =>
+      Files.delete(Paths.get(path, "_delta_log", f"$v%020d.json")))
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.collect().toSeq)
+  }
+
   test("writer protocol guards: appendOnly and unknown writerFeatures refuse") {
     val path = freshDir()
     DeltaWrite.create(spark, nation, path)
