@@ -413,6 +413,23 @@ object Sources {
         .orderBy(col("n_nationkey"))
     },
 
+    // DELETE via DELETION VECTORS: same logical result as
+    // src_delta_delete but NO data file is rewritten — matched positions
+    // go to roaring-bitmap sidecars and the scan's DV anti-join skips
+    // them; the oracle proves sidecar-deleted == copy-on-write-deleted
+    "src_delta_delete_dv" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_delta_dvdel").toString + "/t"
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .filter(col("o_orderkey") < 2000)
+      graft.sources.DeltaWrite.create(s, orders, dir)
+      graft.sources.DeltaWrite.deleteWhereDv(s, dir, col("o_custkey") % 7 === 0)
+      graft.sources.DeltaScan.scan(s, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"))
+    },
+
     // DELETE WHERE leg: copy-on-write delete commit, aggregate the
     // surviving snapshot (mirrors merge_delete's oracle)
     "src_delta_delete" -> { (s, d) =>
@@ -472,6 +489,10 @@ object Sources {
         |ORDER BY o_orderkey""".stripMargin,
 
     "src_delta_delete" ->
+      """SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders WHERE o_orderkey < 2000 AND o_custkey % 7 <> 0""".stripMargin,
+
+    "src_delta_delete_dv" ->
       """SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders WHERE o_orderkey < 2000 AND o_custkey % 7 <> 0""".stripMargin,
 

@@ -423,6 +423,119 @@ object DeltaWrite {
     v
   }
 
+  /** Add action carrying a deletion-vector descriptor (the same file
+    * stays live, its deleted positions live in the sidecar).
+    */
+  private def addLineDv(file: String, pv: Map[String, String], size: Long,
+                        dv: DeletionVectors.Descriptor): String =
+    JsonMethods.compact(JsonMethods.render(
+      "add" -> (("path" -> encodePath(file)) ~ ("partitionValues" -> pv) ~
+        ("size" -> size) ~
+        ("modificationTime" -> System.currentTimeMillis()) ~ ("dataChange" -> true) ~
+        ("deletionVector" -> (("storageType" -> dv.storageType) ~
+          ("pathOrInlineDv" -> dv.pathOrInlineDv) ~
+          ("offset" -> dv.offset) ~
+          ("sizeInBytes" -> dv.sizeInBytes) ~
+          ("cardinality" -> dv.cardinality))))))
+
+  /** DELETE WHERE via DELETION VECTORS — the modern delta-spark default
+    * for small-fraction deletes: no data file is rewritten; matched row
+    * positions are written as roaring-bitmap sidecars
+    * ([[DeletionVectors.writeSidecar]]) and each touched file re-adds
+    * with its (merged) DV descriptor. At 100 TB a 0.1% delete writes a
+    * few KB of sidecars instead of rewriting TBs of parquet — and a
+    * later [[optimize]] materializes the DVs away.
+    *
+    * Tables on protocol v1/v2 are upgraded in the same commit to
+    * minReader 3 / minWriter 7 with the `deletionVectors` feature (plus
+    * `columnMapping` when the table already uses it) — the published
+    * feature-upgrade path.
+    *
+    * Scale posture: the match scan is an ordinary distributed parquet
+    * read per partition group (`_metadata` exposes file + row position);
+    * the driver collects O(matched rows) positions — the same bitmap
+    * metadata bound delta-spark's DV writer accepts — and stages only
+    * sidecar bytes. Matching includes rows an existing DV already
+    * deleted; the union merge makes that harmless.
+    */
+  def deleteWhereDv(spark: SparkSession, tablePath: String,
+                    predicate: Column): Long = {
+    val tableDir = Paths.get(tablePath)
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    checkWriteProtocol(snap, removesFiles = true)
+    if (snap.files.isEmpty) return snap.version
+    val dataFields = snap.schema.fields.filterNot(f =>
+      snap.partitionColumns.contains(f.name))
+    val dataSchema = snap.physicalType(StructType(dataFields)).asInstanceOf[StructType]
+
+    // per-group raw read (DV-carrying files included raw — see merge note
+    // above) surfacing logical columns + file identity + row position
+    def matchGroup(files: Seq[DeltaScan.AddFile], pv: Map[String, String]): DataFrame = {
+      val read = spark.read.schema(dataSchema)
+        .parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+        .withColumn("_graft_file", col("_metadata.file_path"))
+        .withColumn("_graft_ri", col("_metadata.row_index"))
+      val logical =
+        if (snap.columnMappingMode == "none") read
+        else read.select(dataFields.toSeq.map(f =>
+          col(snap.physicalName(f)).cast(f.dataType).as(f.name))
+          :+ col("_graft_file") :+ col("_graft_ri"): _*)
+      val withPv = snap.partitionColumns.foldLeft(logical) { (df, c) =>
+        val f = snap.schema(c)
+        val v = pv.get(snap.physicalName(f)).orNull
+        df.withColumn(c, (if (v == null) lit(null) else lit(v)).cast(f.dataType))
+      }
+      withPv.filter(predicate).select(col("_graft_file"), col("_graft_ri"))
+    }
+
+    val matched = snap.files.groupBy(_.partitionValues).toSeq
+      .map { case (pv, fs) => matchGroup(fs, pv) }
+      .reduce(_ unionAll _)
+      .groupBy(col("_graft_file"))
+      .agg(collect_list(col("_graft_ri")).as("ris"))
+      .collect()
+    val tableAbs = tableDir.toAbsolutePath.normalize
+    val absToRel = snap.files.map(f =>
+      tableAbs.resolve(f.path).normalize.toString -> f.path).toMap
+    val newDeletes: Seq[(String, Array[Long])] = matched.toSeq.flatMap { r =>
+      val abs = Paths.get(DeltaScan.decodePath(r.getString(0)))
+        .toAbsolutePath.normalize.toString
+      absToRel.get(abs).map(rel => rel -> r.getSeq[Long](1).toArray)
+    }
+    if (newDeletes.isEmpty) return snap.version
+
+    val byPath = snap.files.map(f => f.path -> f).toMap
+    val actions = newDeletes.map { case (rel, idx) =>
+      val f = byPath(rel)
+      val existing = f.dv.map(d => DeletionVectors.read(tablePath, d))
+        .getOrElse(Array.empty[Long])
+      val merged = (existing ++ idx).distinct.sorted
+      f -> DeletionVectors.writeSidecar(tablePath, merged, UUID.randomUUID())
+    }
+
+    val p = snap.protocol
+    val protocolLines =
+      if (p.minReader >= 3 && p.readerFeatures.contains("deletionVectors")) Nil
+      else {
+        val cmFeature =
+          if (snap.columnMappingMode != "none") Seq("columnMapping") else Nil
+        val rf = (p.readerFeatures ++ cmFeature :+ "deletionVectors").distinct
+        val wf = (p.writerFeatures ++ cmFeature :+ "deletionVectors").distinct
+        Seq(JsonMethods.compact(JsonMethods.render(
+          "protocol" -> (("minReaderVersion" -> 3) ~ ("minWriterVersion" -> 7) ~
+            ("readerFeatures" -> rf) ~ ("writerFeatures" -> wf)))))
+      }
+
+    val v = snap.version + 1
+    commit(tableDir, v,
+      protocolLines ++
+        actions.map { case (f, _) => removeLine(f.path) } ++
+        actions.map { case (f, d) => addLineDv(f.path, f.partitionValues, f.size, d) },
+      operation = "DELETE")
+    maybeCheckpoint(spark, tablePath, snap, v)
+    v
+  }
+
   /** OPTIMIZE (bin-pack compaction): rewrite each partition's small data
     * files (size < `targetFileBytes`) into consolidated ones, and rewrite
     * every deletion-vector-carrying file into a plain one (materializing

@@ -534,6 +534,60 @@ class DeltaWriteSpec extends AnyFunSuite {
       base.filter(col("n_regionkey") =!= 2).orderBy(col("n_nationkey")).collect().toSeq)
   }
 
+  test("deleteWhereDv: no file rewrites, DV sidecars, protocol upgrade, merge") {
+    val path = freshDir()
+    val base = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWrite.create(spark, base, path)                                    // v0
+    val filesBefore = DeltaScan.snapshot(spark, path).files.map(_.path).toSet
+
+    val v = DeltaWrite.deleteWhereDv(spark, path, col("n_nationkey") % 2 === 0)
+    assert(v == 1L)
+    val after = DeltaScan.snapshot(spark, path)
+    // same data files, now carrying DVs — nothing was rewritten
+    assert(after.files.map(_.path).toSet == filesBefore)
+    assert(after.files.forall(_.dv.isDefined))
+    assert(after.files.map(_.dv.get.cardinality).sum == 13) // 0,2,..,24
+    // protocol upgraded to the feature form
+    assert(after.protocol.minReader == 3 &&
+      after.protocol.readerFeatures.contains("deletionVectors"))
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey"))
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).toSeq ==
+      (0 until 25).filter(_ % 2 == 1))
+    // pre-delete version still reads everything
+    assert(DeltaScan.scan(spark, path, versionAsOf = Some(0L)).count() == 25)
+
+    // a second DV delete MERGES into the existing vectors
+    DeltaWrite.deleteWhereDv(spark, path, col("n_nationkey") % 3 === 0)
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey"))
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).toSeq ==
+      (0 until 25).filter(k => k % 2 == 1 && k % 3 != 0))
+
+    // optimize materializes the DVs away; content unchanged
+    DeltaWrite.optimize(spark, path)
+    assert(DeltaScan.snapshot(spark, path).files.forall(_.dv.isEmpty))
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey"))
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).toSeq ==
+      (0 until 25).filter(k => k % 2 == 1 && k % 3 != 0))
+  }
+
+  test("deleteWhereDv on a partitioned table touches only matching partitions") {
+    val path = freshDir()
+    val base = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWrite.create(spark, base, path, partitionBy = Seq("n_regionkey"))
+    DeltaWrite.deleteWhereDv(spark, path,
+      col("n_regionkey") === 2 && col("n_nationkey") % 2 === 0)
+    val after = DeltaScan.snapshot(spark, path)
+    // only region-2 files carry DVs
+    assert(after.files.filter(_.dv.isDefined)
+      .forall(_.partitionValues.get("n_regionkey").contains("2")))
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey")).collect().toSeq ==
+      base.filter(!(col("n_regionkey") === 2 && col("n_nationkey") % 2 === 0))
+        .orderBy(col("n_nationkey")).collect().toSeq)
+    // no-match predicate is a no-op version
+    val vNow = DeltaScan.snapshot(spark, path).version
+    assert(DeltaWrite.deleteWhereDv(spark, path, col("n_nationkey") > 999) == vNow)
+  }
+
   test("delta.checkpointInterval auto-checkpoints every N commits") {
     val path = freshDir()
     DeltaWrite.create(spark, nation.filter(col("n_nationkey") < 5), path)   // v0
