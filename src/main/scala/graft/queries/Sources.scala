@@ -413,6 +413,24 @@ object Sources {
         .orderBy(col("n_nationkey"))
     },
 
+    // native UPDATE ... SET ... WHERE: copy-on-write rewrite of only the
+    // files holding matched rows; oracle = the CASE WHEN reconstruction
+    "src_delta_update" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_delta_upd").toString + "/t"
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") < 2000)
+      graft.sources.DeltaWrite.create(s, orders, dir)
+      graft.sources.DeltaWrite.update(s, dir,
+        Map("o_totalprice" -> (col("o_totalprice") * 2.0)),
+        col("o_custkey") % 5 === 0)
+      graft.sources.DeltaScan.scan(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // DELETE via DELETION VECTORS: same logical result as
     // src_delta_delete but NO data file is rewritten — matched positions
     // go to roaring-bitmap sidecars and the scan's DV anti-join skips
@@ -495,6 +513,13 @@ object Sources {
     "src_delta_delete_dv" ->
       """SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders WHERE o_orderkey < 2000 AND o_custkey % 7 <> 0""".stripMargin,
+
+    "src_delta_update" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(CASE WHEN o_custkey % 5 = 0 THEN o_totalprice * 2.0
+        |            ELSE o_totalprice END, 2) AS o_totalprice
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "src_delta_dv" ->
       """SELECT n_nationkey, n_name, n_regionkey

@@ -423,6 +423,51 @@ object DeltaWrite {
     v
   }
 
+  /** UPDATE ... SET ... WHERE — copy-on-write rewriting only the files
+    * that contain at least one matched row; within a rewritten file the
+    * SET expressions apply exactly to the rows the predicate selects and
+    * every other row re-emits unchanged (delta-spark's UPDATE shape;
+    * completes the native DML triangle next to [[merge]] and
+    * [[deleteWhere]]). SET values are cast to the column's declared type
+    * — an UPDATE must not be able to corrupt the schema contract.
+    */
+  def update(spark: SparkSession, tablePath: String,
+             set: Map[String, Column], predicate: Column): Long = {
+    val tableDir = Paths.get(tablePath)
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    checkWriteProtocol(snap, removesFiles = true)
+    val unknown = set.keySet -- snap.schema.fieldNames
+    require(unknown.isEmpty, s"update: unknown columns ${unknown.mkString(", ")}")
+    require((set.keySet & snap.partitionColumns.toSet).isEmpty,
+      "update: partition columns cannot be SET (delete + insert instead)")
+    val base = DeltaScan.scanSnapshot(spark, snap) // pinned snapshot
+
+    val touchedAbs = base.withColumn("_graft_file", input_file_name())
+      .filter(predicate)
+      .select(col("_graft_file")).distinct().collect().map(_.getString(0)).toSeq
+    val touched = touchedRelPaths(snap, touchedAbs)
+    if (touched.isEmpty) return snap.version
+
+    val rewritten = base.withColumn("_graft_file", input_file_name())
+      .filter(col("_graft_file").isin(touchedAbs: _*)).drop("_graft_file")
+      .select(snap.schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(expr) =>
+            when(coalesce(predicate, lit(false)), expr.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+
+    val adds = stage(toPhysical(rewritten, snap), tableDir, physPartitionCols(snap))
+    val v = snap.version + 1
+    commit(tableDir, v,
+      touched.map(f => removeLine(f)) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
+      operation = "UPDATE")
+    maybeCheckpoint(spark, tablePath, snap, v)
+    v
+  }
+
   /** Add action carrying a deletion-vector descriptor (the same file
     * stays live, its deleted positions live in the sidecar).
     */

@@ -534,6 +534,44 @@ class DeltaWriteSpec extends AnyFunSuite {
       base.filter(col("n_regionkey") =!= 2).orderBy(col("n_nationkey")).collect().toSeq)
   }
 
+  test("update rewrites only touched files; SET casts to the declared type") {
+    val path = freshDir()
+    val base = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWrite.create(spark, base.filter(col("n_nationkey") < 12), path)  // file A
+    DeltaWrite.append(spark, base.filter(col("n_nationkey") >= 12), path) // file B
+    val before = DeltaScan.snapshot(spark, path)
+
+    // predicate hits only file B's key range: file A must survive as-is
+    val v = DeltaWrite.update(spark, path,
+      Map("n_name" -> lower(col("n_name"))), col("n_nationkey") >= 20)
+    assert(v == before.version + 1)
+    val after = DeltaScan.snapshot(spark, path)
+    assert((before.files.map(_.path).toSet & after.files.map(_.path).toSet).size == 1,
+      "exactly one file (the untouched one) must survive the rewrite")
+    assert(DeltaScan.scan(spark, path).orderBy(col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_name")).collect().toSeq ==
+      base.orderBy(col("n_nationkey"))
+        .select(col("n_nationkey"),
+          when(col("n_nationkey") >= 20, lower(col("n_name")))
+            .otherwise(col("n_name")).as("n_name")).collect().toSeq)
+
+    // SET value of a compatible-but-different type casts to the schema's
+    val v2 = DeltaWrite.update(spark, path,
+      Map("n_regionkey" -> lit(9L)), col("n_nationkey") === 0) // long -> int col
+    assert(v2 == v + 1)
+    val got = DeltaScan.scan(spark, path)
+      .filter(col("n_nationkey") === 0).select(col("n_regionkey")).head()
+    assert(got.getInt(0) == 9) // still read as INT — schema contract intact
+
+    // guards: unknown column and partition-column SET refuse
+    intercept[IllegalArgumentException](
+      DeltaWrite.update(spark, path, Map("nope" -> lit(1)), lit(true)))
+    val part = freshDir()
+    DeltaWrite.create(spark, base, part, partitionBy = Seq("n_regionkey"))
+    intercept[IllegalArgumentException](
+      DeltaWrite.update(spark, part, Map("n_regionkey" -> lit(1)), lit(true)))
+  }
+
   test("deleteWhereDv: no file rewrites, DV sidecars, protocol upgrade, merge") {
     val path = freshDir()
     val base = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
