@@ -413,6 +413,26 @@ object Sources {
         .orderBy(col("n_nationkey"))
     },
 
+    // MERGE via DELETION VECTORS: same upsert semantics and oracle as
+    // src_delta_merge, but matched base rows are DV-deleted in place and
+    // update rows append — zero base-file rewrites
+    "src_delta_merge_dv" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_delta_mergedv").toString + "/t"
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.DeltaWrite.create(s,
+        orders.filter(col("o_orderkey") < 1000), dir)
+      val updates = orders
+        .filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      graft.sources.DeltaWrite.mergeDv(s, dir, updates, Seq("o_orderkey"))
+      graft.sources.DeltaScan.scan(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // native UPDATE ... SET ... WHERE: copy-on-write rewrite of only the
     // files holding matched rows; oracle = the CASE WHEN reconstruction
     "src_delta_update" -> { (s, d) =>
@@ -495,6 +515,18 @@ object Sources {
         |ORDER BY n_nationkey""".stripMargin,
 
     "src_delta_merge" ->
+      """SELECT o_orderkey,
+        | CASE WHEN u.uk IS NOT NULL THEN u.o_custkey ELSE b.o_custkey END AS o_custkey,
+        | round(CASE WHEN u.uk IS NOT NULL THEN u.o_totalprice ELSE b.o_totalprice END, 2)
+        |   AS o_totalprice
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey < 1000) b
+        |FULL OUTER JOIN (
+        |  SELECT o_orderkey, o_orderkey AS uk, o_custkey, o_totalprice * 2.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500) u
+        |USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "src_delta_merge_dv" ->
       """SELECT o_orderkey,
         | CASE WHEN u.uk IS NOT NULL THEN u.o_custkey ELSE b.o_custkey END AS o_custkey,
         | round(CASE WHEN u.uk IS NOT NULL THEN u.o_totalprice ELSE b.o_totalprice END, 2)

@@ -505,19 +505,75 @@ object DeltaWrite {
     */
   def deleteWhereDv(spark: SparkSession, tablePath: String,
                     predicate: Column): Long = {
-    val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
     checkWriteProtocol(snap, removesFiles = true)
     if (snap.files.isEmpty) return snap.version
+    val matched = fileRowScan(spark, snap, tablePath).filter(predicate)
+      .select(col("_graft_file"), col("_graft_ri"))
+    val actions = dvActions(snap, tablePath, collectPositions(snap, matched))
+    if (actions.isEmpty) return snap.version
+    val v = snap.version + 1
+    commit(Paths.get(tablePath), v,
+      dvProtocolLines(snap) ++
+        actions.map { case (f, _) => removeLine(f.path) } ++
+        actions.map { case (f, d) => addLineDv(f.path, f.partitionValues, f.size, d) },
+      operation = "DELETE")
+    maybeCheckpoint(spark, tablePath, snap, v)
+    v
+  }
+
+  /** MERGE INTO via DELETION VECTORS — delta-spark's merge shape on a
+    * DV-enabled table: base rows matching an update key are DV-deleted in
+    * place (no base file rewrites) and ALL update rows append as new
+    * files (matched keys as their new versions, unmatched as inserts).
+    * Result-identical to [[merge]] — `MergeInto.upsert`'s UPDATE SET *
+    * semantics — with the cost model flipped: copy-on-write rewrites the
+    * touched files (good when matches cluster), DV-merge writes sidecars
+    * + only the update rows (good when matches scatter across many files,
+    * the common 100 TB case where every file holds a few matched keys and
+    * copy-on-write degenerates to rewriting the whole table).
+    */
+  def mergeDv(spark: SparkSession, tablePath: String, updates: DataFrame,
+              keys: Seq[String]): Long = {
+    val tableDir = Paths.get(tablePath)
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    checkWriteProtocol(snap, removesFiles = true)
+    require(keys.nonEmpty && keys.forall(snap.schema.fieldNames.contains),
+      s"mergeDv: keys ${keys.mkString(", ")} must exist in the table schema")
+    val aligned = alignToSchema(updates, snap.schema)
+    val matched =
+      if (snap.files.isEmpty) Nil
+      else collectPositions(snap,
+        fileRowScan(spark, snap, tablePath)
+          .join(aligned.select(keys.map(col): _*).distinct(), keys, "leftsemi")
+          .select(col("_graft_file"), col("_graft_ri")))
+    val actions = dvActions(snap, tablePath, matched)
+    val adds = stage(toPhysical(aligned, snap), tableDir, physPartitionCols(snap))
+    val v = snap.version + 1
+    commit(tableDir, v,
+      (if (actions.isEmpty) Nil else dvProtocolLines(snap)) ++
+        actions.map { case (f, _) => removeLine(f.path) } ++
+        actions.map { case (f, d) => addLineDv(f.path, f.partitionValues, f.size, d) } ++
+        adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
+      operation = "MERGE")
+    maybeCheckpoint(spark, tablePath, snap, v)
+    v
+  }
+
+  /** Distributed scan of a snapshot's raw files surfacing the LOGICAL
+    * columns plus `_graft_file` (absolute file path) and `_graft_ri`
+    * (physical row position) — the match side of every DV-writing op.
+    * DV-carrying files read raw: rows an existing vector already deleted
+    * may re-match, and the union merge in [[dvActions]] absorbs that.
+    */
+  private def fileRowScan(spark: SparkSession, snap: DeltaScan.Snapshot,
+                          tablePath: String): DataFrame = {
     val dataFields = snap.schema.fields.filterNot(f =>
       snap.partitionColumns.contains(f.name))
     val dataSchema = snap.physicalType(StructType(dataFields)).asInstanceOf[StructType]
-
-    // per-group raw read (DV-carrying files included raw — see merge note
-    // above) surfacing logical columns + file identity + row position
-    def matchGroup(files: Seq[DeltaScan.AddFile], pv: Map[String, String]): DataFrame = {
+    snap.files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
       val read = spark.read.schema(dataSchema)
-        .parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+        .parquet(fs.map(f => s"$tablePath/${f.path}"): _*)
         .withColumn("_graft_file", col("_metadata.file_path"))
         .withColumn("_graft_ri", col("_metadata.row_index"))
       val logical =
@@ -525,60 +581,63 @@ object DeltaWrite {
         else read.select(dataFields.toSeq.map(f =>
           col(snap.physicalName(f)).cast(f.dataType).as(f.name))
           :+ col("_graft_file") :+ col("_graft_ri"): _*)
-      val withPv = snap.partitionColumns.foldLeft(logical) { (df, c) =>
+      snap.partitionColumns.foldLeft(logical) { (df, c) =>
         val f = snap.schema(c)
         val v = pv.get(snap.physicalName(f)).orNull
         df.withColumn(c, (if (v == null) lit(null) else lit(v)).cast(f.dataType))
       }
-      withPv.filter(predicate).select(col("_graft_file"), col("_graft_ri"))
-    }
+    }.reduce(_ unionAll _)
+  }
 
-    val matched = snap.files.groupBy(_.partitionValues).toSeq
-      .map { case (pv, fs) => matchGroup(fs, pv) }
-      .reduce(_ unionAll _)
-      .groupBy(col("_graft_file"))
-      .agg(collect_list(col("_graft_ri")).as("ris"))
-      .collect()
-    val tableAbs = tableDir.toAbsolutePath.normalize
+  /** Collect matched (file, position) pairs back as per-relative-path
+    * index arrays — O(matched rows) driver state, the bitmap-metadata
+    * bound delta-spark's DV writer accepts.
+    */
+  private def collectPositions(snap: DeltaScan.Snapshot,
+                               matched: DataFrame): Seq[(String, Array[Long])] = {
+    val tableAbs = Paths.get(snap.tablePath).toAbsolutePath.normalize
     val absToRel = snap.files.map(f =>
       tableAbs.resolve(f.path).normalize.toString -> f.path).toMap
-    val newDeletes: Seq[(String, Array[Long])] = matched.toSeq.flatMap { r =>
-      val abs = Paths.get(DeltaScan.decodePath(r.getString(0)))
-        .toAbsolutePath.normalize.toString
-      absToRel.get(abs).map(rel => rel -> r.getSeq[Long](1).toArray)
-    }
-    if (newDeletes.isEmpty) return snap.version
+    matched.groupBy(col("_graft_file"))
+      .agg(collect_list(col("_graft_ri")).as("ris"))
+      .collect().toSeq.flatMap { r =>
+        val abs = Paths.get(DeltaScan.decodePath(r.getString(0)))
+          .toAbsolutePath.normalize.toString
+        absToRel.get(abs).map(rel => rel -> r.getSeq[Long](1).toArray)
+      }
+  }
 
+  /** Write one merged sidecar per touched file (existing vector unioned
+    * with the new positions) and pair it with the file's add entry.
+    */
+  private def dvActions(snap: DeltaScan.Snapshot, tablePath: String,
+                        newDeletes: Seq[(String, Array[Long])])
+      : Seq[(DeltaScan.AddFile, DeletionVectors.Descriptor)] = {
     val byPath = snap.files.map(f => f.path -> f).toMap
-    val actions = newDeletes.map { case (rel, idx) =>
+    newDeletes.map { case (rel, idx) =>
       val f = byPath(rel)
       val existing = f.dv.map(d => DeletionVectors.read(tablePath, d))
         .getOrElse(Array.empty[Long])
       val merged = (existing ++ idx).distinct.sorted
       f -> DeletionVectors.writeSidecar(tablePath, merged, UUID.randomUUID())
     }
+  }
 
+  /** Protocol upgrade to the v3/v7 feature form when the table does not
+    * yet declare `deletionVectors` (empty when it already does).
+    */
+  private def dvProtocolLines(snap: DeltaScan.Snapshot): Seq[String] = {
     val p = snap.protocol
-    val protocolLines =
-      if (p.minReader >= 3 && p.readerFeatures.contains("deletionVectors")) Nil
-      else {
-        val cmFeature =
-          if (snap.columnMappingMode != "none") Seq("columnMapping") else Nil
-        val rf = (p.readerFeatures ++ cmFeature :+ "deletionVectors").distinct
-        val wf = (p.writerFeatures ++ cmFeature :+ "deletionVectors").distinct
-        Seq(JsonMethods.compact(JsonMethods.render(
-          "protocol" -> (("minReaderVersion" -> 3) ~ ("minWriterVersion" -> 7) ~
-            ("readerFeatures" -> rf) ~ ("writerFeatures" -> wf)))))
-      }
-
-    val v = snap.version + 1
-    commit(tableDir, v,
-      protocolLines ++
-        actions.map { case (f, _) => removeLine(f.path) } ++
-        actions.map { case (f, d) => addLineDv(f.path, f.partitionValues, f.size, d) },
-      operation = "DELETE")
-    maybeCheckpoint(spark, tablePath, snap, v)
-    v
+    if (p.minReader >= 3 && p.readerFeatures.contains("deletionVectors")) Nil
+    else {
+      val cmFeature =
+        if (snap.columnMappingMode != "none") Seq("columnMapping") else Nil
+      val rf = (p.readerFeatures ++ cmFeature :+ "deletionVectors").distinct
+      val wf = (p.writerFeatures ++ cmFeature :+ "deletionVectors").distinct
+      Seq(JsonMethods.compact(JsonMethods.render(
+        "protocol" -> (("minReaderVersion" -> 3) ~ ("minWriterVersion" -> 7) ~
+          ("readerFeatures" -> rf) ~ ("writerFeatures" -> wf)))))
+    }
   }
 
   /** OPTIMIZE (bin-pack compaction): rewrite each partition's small data

@@ -608,6 +608,44 @@ class DeltaWriteSpec extends AnyFunSuite {
       (0 until 25).filter(k => k % 2 == 1 && k % 3 != 0))
   }
 
+  test("mergeDv equals copy-on-write merge; base files survive with DVs") {
+    val base = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val updates = base.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 30)
+      .withColumn("n_name", upper(col("n_name")))
+      .unionAll(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(99, "NEWLAND", 0))),
+        base.schema))
+
+    val cowPath = freshDir(); val dvPath = freshDir()
+    DeltaWrite.create(spark, base, cowPath)
+    DeltaWrite.create(spark, base, dvPath)
+    DeltaWrite.merge(spark, cowPath, updates, Seq("n_nationkey"))
+    val filesBefore = DeltaScan.snapshot(spark, dvPath).files.map(_.path).toSet
+    DeltaWrite.mergeDv(spark, dvPath, updates, Seq("n_nationkey"))
+
+    // identical results, different physical strategy
+    assert(DeltaScan.scan(spark, dvPath).orderBy(col("n_nationkey")).collect().toSeq ==
+      DeltaScan.scan(spark, cowPath).orderBy(col("n_nationkey")).collect().toSeq)
+    val after = DeltaScan.snapshot(spark, dvPath)
+    // every original base file survives (matched rows masked by DV, not
+    // rewritten); update rows arrived as NEW files
+    assert(filesBefore.subsetOf(after.files.map(_.path).toSet))
+    assert(after.files.exists(f => filesBefore.contains(f.path) && f.dv.isDefined))
+    assert(after.files.exists(f => !filesBefore.contains(f.path)))
+    // matched old versions are exactly the DV'd positions
+    assert(after.files.flatMap(_.dv).map(_.cardinality).sum == 15) // keys 10..24 exist
+
+    // pure-insert merge (no matches): no DVs written, still correct
+    val v = DeltaWrite.mergeDv(spark, dvPath,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(100, "ATLANTIS", 1))),
+        base.schema), Seq("n_nationkey"))
+    assert(v == after.version + 1)
+    assert(DeltaScan.scan(spark, dvPath).count() == 27) // 25 + 99 + 100
+  }
+
   test("deleteWhereDv on a partitioned table touches only matching partitions") {
     val path = freshDir()
     val base = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
