@@ -792,7 +792,78 @@ object SltSlice {
       """SELECT CAST(DATE '2000-02-28' + INTERVAL 1 DAY AS DATE) AS leap_next,
         |       CAST(DATE '2000-03-01' - INTERVAL 1 DAY AS DATE) AS leap_back,
         |       CAST(DATE '2001-02-28' + INTERVAL 1 DAY AS DATE) AS noleap_next,
-        |       last_day(DATE '2000-02-15') AS leap_last""".stripMargin
+        |       last_day(DATE '2000-02-15') AS leap_last""".stripMargin,
+
+    // GROUP BY ALL / ORDER BY ALL (both dialects grow the shorthand)
+    "slt_group_order_all" ->
+      """WITH t(g, h, v) AS (
+        |  SELECT 'a', 1, 10 UNION ALL SELECT 'a', 1, 20
+        |  UNION ALL SELECT 'b', 2, 5)
+        |SELECT g, h, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |FROM t GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    // lateral column alias: a SELECT item referencing an earlier alias
+    "slt_lateral_alias" ->
+      """WITH t(v) AS (SELECT 3 UNION ALL SELECT 7)
+        |SELECT v, v * 2 AS dbl, dbl + 1 AS dbl_plus
+        |FROM t ORDER BY v""".stripMargin,
+
+    // regexp_extract: explicit group index; no-match yields EMPTY string
+    "slt_regexp_extract_group" ->
+      """SELECT regexp_extract('abc123def', '([a-z]+)([0-9]+)', 2) AS grp2,
+        |       regexp_extract('abc123def', '([a-z]+)([0-9]+)', 1) AS grp1,
+        |       regexp_extract('abcdef', '[0-9]+', 0) AS no_match""".stripMargin,
+
+    // md5 hex digests (empty + known vector) — deterministic everywhere
+    "slt_hash_md5" ->
+      """SELECT md5('') AS h_empty, md5('abc') AS h_abc,
+        |       length(md5('x')) AS h_len""".stripMargin,
+
+    // chr/ascii round trip; ascii of a multi-char string reads char 1
+    "slt_chr_ascii" ->
+      """SELECT chr(65) AS a_chr, ascii('A') AS a_code,
+        |       ascii('abc') AS first_code, chr(122) AS z_chr""".stripMargin,
+
+    // translate: map chars pairwise, DELETE from-chars with no to-char
+    "slt_translate" ->
+      """SELECT translate('hello', 'el', 'ip') AS mapped,
+        |       translate('abc', 'abc', 'x') AS deleted,
+        |       translate('abc', 'z', 'y') AS untouched""".stripMargin,
+
+    // ln/log10/log2 spelled explicitly (bare log() DIVERGES: ln in
+    // Spark, log10 in DuckDB — the trap this query documents around)
+    "slt_log_family" ->
+      """SELECT CAST(round(ln(exp(2.0)), 6) AS DOUBLE) AS ln_e2,
+        |       CAST(round(log10(1000.0), 6) AS DOUBLE) AS l10,
+        |       CAST(round(log2(8.0), 6) AS DOUBLE) AS l2,
+        |       CAST(round(pi(), 6) AS DOUBLE) AS pi_val""".stripMargin,
+
+    // factorial: exact integer results, 0! = 1
+    "slt_factorial" ->
+      """SELECT CAST(factorial(5) AS BIGINT) AS f5,
+        |       CAST(factorial(0) AS BIGINT) AS f0,
+        |       CAST(factorial(1) AS BIGINT) AS f1""".stripMargin,
+
+    // CTE referencing an earlier CTE (chained, not recursive)
+    "slt_cte_chain" ->
+      """WITH a(x) AS (SELECT 1 UNION ALL SELECT 2),
+        |     b(y) AS (SELECT x * 10 FROM a),
+        |     c(z) AS (SELECT y + 5 FROM b)
+        |SELECT z FROM c ORDER BY z""".stripMargin,
+
+    // INTERSECT ALL keeps the MINIMUM duplicate count per value
+    "slt_intersect_all_bag" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |     u(v) AS (SELECT 1 UNION ALL SELECT 1 UNION ALL SELECT 1)
+        |SELECT v, count(*) AS n FROM (
+        |  SELECT v FROM t INTERSECT ALL SELECT v FROM u) x
+        |GROUP BY v ORDER BY v""".stripMargin,
+
+    // binary string ordering in comparisons (not just ORDER BY)
+    "slt_string_compare" ->
+      """SELECT 'a' < 'ab' AS prefix_lt, '' < 'a' AS empty_lt,
+        |       'Z' < 'a' AS upper_lt, 'abc' = 'abc' AS eq,
+        |       NULL = '' AS null_eq_empty""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
