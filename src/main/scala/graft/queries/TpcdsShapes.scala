@@ -159,7 +159,60 @@ object TpcdsShapes {
       """SELECT round(CAST(am AS DOUBLE) / pm, 4) AS am_pm_ratio, am, pm FROM (
         |  SELECT count(*) FILTER (WHERE EXTRACT(HOUR FROM ts) < 12) AS am,
         |         count(*) FILTER (WHERE EXTRACT(HOUR FROM ts) >= 12) AS pm
-        |  FROM events) t""".stripMargin)
+        |  FROM events) t""".stripMargin),
+
+    // q38/q87 shape: relational division — customers active in EVERY
+    // order-priority channel (distinct-count equality against the
+    // channel universe)
+    ("qds_all_channel_customers", Seq("orders"),
+      """WITH per AS (
+        |  SELECT o_custkey AS cust,
+        |         count(DISTINCT o_orderpriority) AS nch
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT count(*) AS n_all_channel,
+        |       (SELECT count(DISTINCT o_orderpriority) FROM orders) AS n_channels
+        |FROM per
+        |WHERE nch = (SELECT count(DISTINCT o_orderpriority) FROM orders)""".stripMargin),
+
+    // q16/q69 shape: customers in one channel and provably NOT in the
+    // other (correlated NOT EXISTS anti-join)
+    ("qds_store_only_customers", Seq("orders"),
+      """SELECT count(DISTINCT o_custkey) AS n_store_only
+        |FROM orders o
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders w
+        |    WHERE w.o_custkey = o.o_custkey
+        |      AND w.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))""".stripMargin),
+
+    // q47 shape: monthly revenue with a centered moving average window
+    // over the month series
+    ("qds_monthly_moving_avg", Seq("orders"),
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |         round(sum(o_totalprice), 2) AS sales
+        |  FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE))
+        |SELECT mon, sales,
+        |       round(avg(sales) OVER (
+        |         ORDER BY mon ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS mavg
+        |FROM m ORDER BY mon""".stripMargin),
+
+    // q-style best sellers: top-3 customers per nation by revenue, ties
+    // broken deterministically inside the rank
+    ("qds_top_customers_per_nation", Seq("orders", "customer", "nation"),
+      """WITH rev AS (
+        |  SELECT c_nationkey AS nk, o_custkey AS cust,
+        |         round(sum(o_totalprice), 2) AS r
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, o_custkey),
+        |ranked AS (
+        |  SELECT nk, cust, r,
+        |         rank() OVER (PARTITION BY nk ORDER BY r DESC, cust) AS rk
+        |  FROM rev)
+        |SELECT n_name, cust, r, rk
+        |FROM ranked JOIN nation ON nk = n_nationkey
+        |WHERE rk <= 3
+        |ORDER BY n_name, rk, cust""".stripMargin)
   )
 
   val queries: Map[String, Q.Fn] =
