@@ -413,6 +413,20 @@ object Sources {
         .orderBy(col("n_nationkey"))
     },
 
+    // DESCRIBE HISTORY (rows-only: commit timestamps are wall-clock):
+    // version + operation per commit, newest first
+    "src_delta_history" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_delta_hist").toString + "/t"
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.sources.DeltaWrite.create(s, n.filter(col("n_nationkey") < 10), dir)
+      graft.sources.DeltaWrite.append(s, n.filter(col("n_nationkey") >= 10), dir)
+      graft.sources.DeltaWrite.deleteWhere(s, dir, col("n_nationkey") % 5 === 0)
+      graft.sources.DeltaScan.history(s, dir)
+        .select(col("version"), col("operation"))
+    },
+
     // MERGE via DELETION VECTORS: same upsert semantics and oracle as
     // src_delta_merge, but matched base rows are DV-deleted in place and
     // update rows append — zero base-file rewrites

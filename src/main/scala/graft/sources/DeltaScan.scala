@@ -544,6 +544,42 @@ object DeltaScan {
     }
   }
 
+  /** DESCRIBE HISTORY: one row per surviving JSON commit (newest first) —
+    * version, commit timestamp, operation — from the leading `commitInfo`
+    * action ([[DeltaWrite.commit]] writes it; external writers that omit
+    * it fall back to the log file's mtime and operation null, delta's own
+    * order). Checkpoint-truncated versions are absent, same as
+    * delta-spark's history after log cleanup. Driver-side O(commits)
+    * metadata — one line read per version.
+    */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val logDir = Paths.get(tablePath, "_delta_log")
+    require(Files.isDirectory(logDir), s"not a Delta table (no _delta_log): $tablePath")
+    val l = Files.list(logDir)
+    val versions =
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+        .toSeq.sorted
+      finally l.close()
+    val rows = versions.sorted(Ordering[Long].reverse).map { v =>
+      val f = logDir.resolve(f"$v%020d.json")
+      val reader = Files.newBufferedReader(f)
+      val first = try Option(reader.readLine()).getOrElse("") finally reader.close()
+      val info =
+        if (first.trim.isEmpty) None
+        else scala.util.Try(JsonMethods.parse(first) \ "commitInfo").toOption
+          .filter(_ != JNothing)
+      val ts = info.flatMap(i => (i \ "timestamp").extractOpt[Long])
+        .getOrElse(Files.getLastModifiedTime(f).toMillis)
+      val op = info.flatMap(i => (i \ "operation").extractOpt[String]).orNull
+      org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts), op)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", org.apache.spark.sql.types.TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = true))))
+  }
+
   /** Incremental (streaming-source-style) read of the commits in
     * `(fromVersion, toVersion]`: the rows each commit ADDED, tagged with a
     * `_commit_version` column — the shape an incremental 100 TB pipeline

@@ -230,6 +230,23 @@ class DeltaScanSpec extends AnyFunSuite {
       empty.columns.last == "_commit_version")
   }
 
+  test("history lists commits newest-first with operations and timestamps") {
+    import graft.sources.DeltaWrite
+    val dir = Files.createTempDirectory("graft_hist").toString + "/t"
+    val n = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWrite.create(spark, n.filter(col("n_nationkey") < 10), dir)
+    DeltaWrite.append(spark, n.filter(col("n_nationkey") >= 10), dir)
+    DeltaWrite.deleteWhere(spark, dir, col("n_nationkey") % 5 === 0)
+
+    val h = DeltaScan.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L))
+    assert(h.map(_.getString(2)).toSeq ==
+      Seq("DELETE", "WRITE", "CREATE TABLE AS SELECT"))
+    // timestamps nondecreasing with version
+    val ts = h.reverse.map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+  }
+
   test("scanChanges: data-changing remove throws; ignoreChanges reads rewrites") {
     import graft.sources.DeltaWrite
     val dir = Files.createTempDirectory("graft_cdf_del").toString + "/t"
