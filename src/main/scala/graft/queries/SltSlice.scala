@@ -863,7 +863,62 @@ object SltSlice {
     "slt_string_compare" ->
       """SELECT 'a' < 'ab' AS prefix_lt, '' < 'a' AS empty_lt,
         |       'Z' < 'a' AS upper_lt, 'abc' = 'abc' AS eq,
-        |       NULL = '' AS null_eq_empty""".stripMargin
+        |       NULL = '' AS null_eq_empty""".stripMargin,
+
+    // x / NULLIF(y, 0): the portable zero-division guard (divisor NULL
+    // -> NULL in both engines, sidestepping Spark's ANSI throw)
+    "slt_div_by_nullif" ->
+      """SELECT 10 / nullif(0, 0) AS d_zero, 10 % nullif(0, 0) AS m_zero,
+        |       CAST(10 / nullif(4, 0) AS DOUBLE) AS d_ok""".stripMargin,
+
+    // character (not byte) length and case mapping over accented text
+    // (ß is deliberately absent: DuckDB uppercases it to U+1E9E, the JVM
+    // expands to SS — a real dialect divergence)
+    "slt_unicode_length_case" ->
+      """SELECT length('héllo') AS n_chars, upper('café') AS up,
+        |       lower('ÀÉÎ') AS low, length('') AS n_empty""".stripMargin,
+
+    // EXISTS as a CASE condition
+    "slt_exists_in_case" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2)
+        |SELECT CASE WHEN EXISTS (SELECT 1 FROM t WHERE v > 1)
+        |            THEN 'y' ELSE 'n' END AS has_big,
+        |       CASE WHEN EXISTS (SELECT 1 FROM t WHERE v > 99)
+        |            THEN 'y' ELSE 'n' END AS has_none""".stripMargin,
+
+    // ORDER BY an aggregate that is not in the SELECT list
+    "slt_order_by_agg" ->
+      """WITH t(g, v) AS (
+        |  SELECT 'a', 1 UNION ALL SELECT 'b', 9 UNION ALL SELECT 'c', 5)
+        |SELECT g FROM t GROUP BY g ORDER BY sum(v) DESC, g""".stripMargin,
+
+    // CASE branches of mixed numeric types promote (pinned as DOUBLE)
+    "slt_case_type_promote" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2)
+        |SELECT v, CAST(CASE WHEN v = 1 THEN 1 ELSE 2.5 END AS DOUBLE) AS mixed
+        |FROM t ORDER BY v""".stripMargin,
+
+    // COALESCE as the GROUP BY key folds NULLs into the default bucket
+    "slt_coalesce_group_key" ->
+      """WITH t(v) AS (SELECT 'a' UNION ALL SELECT NULL
+        |  UNION ALL SELECT NULL)
+        |SELECT coalesce(v, 'z') AS k, count(*) AS n
+        |FROM t GROUP BY coalesce(v, 'z') ORDER BY k""".stripMargin,
+
+    // HAVING compared against a scalar subquery over grouped sums
+    "slt_having_scalar_subquery" ->
+      """WITH t(g, v) AS (
+        |  SELECT 'a', 1 UNION ALL SELECT 'a', 2 UNION ALL SELECT 'b', 9)
+        |SELECT g, CAST(sum(v) AS BIGINT) AS s FROM t GROUP BY g
+        |HAVING sum(v) > (SELECT avg(s2) FROM (
+        |  SELECT sum(v) AS s2 FROM t GROUP BY g) x)
+        |ORDER BY g""".stripMargin,
+
+    // substring with a negative start counts from the string's end
+    "slt_substring_negative" ->
+      """SELECT substring('hello', 2) AS from2,
+        |       substring('hello', -3, 2) AS neg_start,
+        |       substring('hello', 2, 100) AS clamp_len""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
