@@ -612,14 +612,16 @@ object SltSlice {
         |ORDER BY tag, v""".stripMargin,
 
     // the DEFAULT window frame is RANGE UNBOUNDED..CURRENT: ORDER BY
-    // ties (peers) aggregate TOGETHER, unlike the explicit ROWS frame
-    // (test/sql/window/test_window_range.test)
+    // ties (peers) aggregate TOGETHER, unlike the explicit ROWS frame —
+    // whose ORDER BY here is totalized (k, v): a ROWS frame over a
+    // tie-bearing sort is UNDERDETERMINED and both engines answer
+    // arbitrarily (test/sql/window/test_window_range.test)
     "slt_win_running_dups" ->
       """WITH t(g, k, v) AS (SELECT 1, 1, 10 UNION ALL SELECT 1, 1, 20
         |  UNION ALL SELECT 1, 2, 30 UNION ALL SELECT 1, 3, 40)
         |SELECT g, k, v,
         |  CAST(sum(v) OVER (PARTITION BY g ORDER BY k) AS BIGINT) AS run_default,
-        |  CAST(sum(v) OVER (PARTITION BY g ORDER BY k
+        |  CAST(sum(v) OVER (PARTITION BY g ORDER BY k, v
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_rows
         |FROM t ORDER BY g, k, v""".stripMargin,
 
