@@ -47,10 +47,21 @@ object GraftSession {
     // LocalDiskShuffleMapOutputWriter.commitAllPartitions). A warehouse
     // node gives shuffle its fastest local device (NVMe); tmpfs is this
     // box's equivalent. Correctness-neutral: spill files behave the same.
-    .config("spark.local.dir",
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        "/dev/shm/graft-spark-local"
-      else System.getProperty("java.io.tmpdir"))
+    // Guard rail: tmpfs is RAM — under memory pressure a spill to it
+    // relieves nothing and can ENOSPC/OOM. Use it only when it has real
+    // headroom (≥8 GiB free, far above any local-mode shuffle here);
+    // GRAFT_LOCAL_DIR overrides both ways for operators who know their
+    // box. Warehouse translation: give shuffle the fastest local device
+    // whose capacity exceeds the worst-case spill, not unconditionally.
+    .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val headroom =
+        try java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.getFileStore(shm).getUsableSpace >= (8L << 30)
+        catch { case _: java.io.IOException => false }
+      if (headroom) "/dev/shm/graft-spark-local"
+      else System.getProperty("java.io.tmpdir")
+    }))
 
   /** Local session for tests / benchmarks. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -36,8 +36,17 @@ object Sources {
     * No quotes and no '|' anywhere: the oracle's raw-line count reads
     * the file with delim='|', quote disabled.
     */
+  /** Per-JVM unique fixture path: `oracleSql` is rendered by the same
+    * process that runs the query, so interpolating this value keeps the
+    * two sides pointed at one file while concurrent runs (or leftovers
+    * from an older revision) can't collide on a fixed name.
+    */
+  private[queries] val csvRejectsPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_csv_rejects_${
+      java.util.UUID.randomUUID().toString.take(8)}.csv"
+
   private[queries] def csvRejectsFixture(): String = {
-    val path = java.nio.file.Paths.get("/tmp/graft_csv_rejects.csv")
+    val path = java.nio.file.Paths.get(csvRejectsPath)
     val content =
       """k,name,v
         |1,alpha,1.5
@@ -615,12 +624,12 @@ object Sources {
         |FROM documents""".stripMargin,
 
     "src_csv_rejects" ->
-      """WITH good AS (
-        |  SELECT * FROM read_csv('/tmp/graft_csv_rejects.csv', header=true,
+      s"""WITH good AS (
+        |  SELECT * FROM read_csv('$csvRejectsPath', header=true,
         |    columns={'k': 'INTEGER', 'name': 'VARCHAR', 'v': 'DOUBLE'},
         |    ignore_errors=true)
         |), raw AS (
-        |  SELECT * FROM read_csv('/tmp/graft_csv_rejects.csv', header=false,
+        |  SELECT * FROM read_csv('$csvRejectsPath', header=false,
         |    columns={'line': 'VARCHAR'}, delim='|', quote='')
         |)
         |-- one SELECT over `good` aggregating EVERY typed column: DuckDB's

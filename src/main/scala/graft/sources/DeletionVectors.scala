@@ -36,7 +36,16 @@ object DeletionVectors {
       pathOrInlineDv: String,
       offset: Option[Long],
       sizeInBytes: Long,
-      cardinality: Long)
+      cardinality: Long) {
+    /** The spec's DV identity: file actions reconcile on the key
+      * (path, deletionVector.uniqueId) — delta-spark's
+      * DeletionVectorDescriptor.uniqueId and delta-kernel's FileActionKey
+      * use exactly this storageType+path+offset concatenation. A remove
+      * must carry the SAME uniqueId as the add it tombstones.
+      */
+    def uniqueId: String =
+      storageType + pathOrInlineDv + offset.map("@" + _).getOrElse("")
+  }
 
   // ---------------------------------------------------------------- Z85
   // ZeroMQ base85 alphabet — the encoding Delta uses for DV UUIDs and
@@ -262,24 +271,34 @@ object DeletionVectors {
   }
 
   /** Resolve a descriptor to its deleted row indexes. */
+  /** On-disk sidecar file a descriptor references, if any (None for
+    * inline DVs) — the resolution half of [[read]]'s `u`/`p` cases,
+    * shared with vacuum's live-file accounting.
+    */
+  def sidecarFile(tablePath: String, d: Descriptor): Option[java.nio.file.Path] =
+    d.storageType match {
+      case "u" =>
+        val s = d.pathOrInlineDv
+        require(s.length >= 20, s"malformed DV uuid reference '$s'")
+        val (prefix, z) = (s.dropRight(20), s.takeRight(20))
+        val b = ByteBuffer.wrap(z85Decode(z))
+        val uuid = new java.util.UUID(b.getLong, b.getLong)
+        val dir = if (prefix.isEmpty) Paths.get(tablePath)
+          else Paths.get(tablePath, prefix)
+        Some(dir.resolve(s"deletion_vector_$uuid.bin"))
+      case "p" => Some(Paths.get(d.pathOrInlineDv))
+      case _ => None
+    }
+
   def read(tablePath: String, d: Descriptor): Array[Long] = d.storageType match {
     case "i" =>
       val raw = z85Decode(d.pathOrInlineDv)
       require(raw.length >= d.sizeInBytes,
         s"inline DV shorter (${raw.length}) than sizeInBytes=${d.sizeInBytes}")
       deserialize(java.util.Arrays.copyOf(raw, d.sizeInBytes.toInt))
-    case "u" =>
-      // pathOrInlineDv = [<random prefix>]<20-char z85 uuid>
-      val s = d.pathOrInlineDv
-      require(s.length >= 20, s"malformed DV uuid reference '$s'")
-      val (prefix, z) = (s.dropRight(20), s.takeRight(20))
-      val b = ByteBuffer.wrap(z85Decode(z))
-      val uuid = new java.util.UUID(b.getLong, b.getLong)
-      val dir = if (prefix.isEmpty) Paths.get(tablePath)
-        else Paths.get(tablePath, prefix)
-      readFromFile(dir.resolve(s"deletion_vector_$uuid.bin"), d)
-    case "p" =>
-      readFromFile(Paths.get(d.pathOrInlineDv), d)
+    case "u" | "p" =>
+      // "u": pathOrInlineDv = [<random prefix>]<20-char z85 uuid>
+      readFromFile(sidecarFile(tablePath, d).get, d)
     case other =>
       throw new UnsupportedOperationException(s"DV storageType '$other'")
   }

@@ -250,8 +250,15 @@ object DeltaScan {
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
     var protocol: Protocol = Protocol(1, 2)
-    // insertion-ordered so the scan reads files in commit order
-    val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    // insertion-ordered so the scan reads files in commit order. The spec
+    // reconciles file actions on (path, deletionVector.uniqueId) — the key
+    // delta-spark's InMemoryLogReplay and delta-kernel's FileActionKey use —
+    // NOT path alone: a single commit may carry remove(f, dvOld) +
+    // add(f, dvNew) in either order, and a path-keyed map would let the
+    // remove drop the live add.
+    val active = scala.collection.mutable.LinkedHashMap.empty[(String, String), AddFile]
+    def dvUid(dv: Option[DeletionVectors.Descriptor]): String =
+      dv.map(_.uniqueId).getOrElse("")
 
     val fromCheckpoint = checkpointInfo.filter(_._1 <= target)
     fromCheckpoint.foreach { case (cv, parts) =>
@@ -311,7 +318,7 @@ object DeltaScan {
               d.getAs[Number]("sizeInBytes").longValue,
               d.getAs[Number]("cardinality").longValue))
           }
-          active(path) = AddFile(path, pv, size, dv)
+          active((path, dvUid(dv))) = AddFile(path, pv, size, dv)
         }
       }
     }
@@ -361,15 +368,33 @@ object DeltaScan {
                 (d \ "sizeInBytes").extract[Long],
                 (d \ "cardinality").extract[Long]))
             }
-            active(path) = AddFile(path, pv, size, dv)
+            active((path, dvUid(dv))) = AddFile(path, pv, size, dv)
         }
         (j \ "remove") match {
           case JNothing =>
-          case r => active.remove(decodePath((r \ "path").extract[String]))
+          case r =>
+            val dv = (r \ "deletionVector") match {
+              case JNothing | JNull => None
+              case d => Some(DeletionVectors.Descriptor(
+                (d \ "storageType").extract[String],
+                (d \ "pathOrInlineDv").extract[String],
+                (d \ "offset").extractOpt[Long],
+                (d \ "sizeInBytes").extract[Long],
+                (d \ "cardinality").extract[Long]))
+            }
+            active.remove((decodePath((r \ "path").extract[String]), dvUid(dv)))
         }
       }
     }
     require(schema != null, s"Delta log has no metaData action up to version $target")
+    // two live adds sharing a path would double-read the file's rows — a
+    // writer bug (stale (path, dvOld) never tombstoned); fail loudly here
+    // rather than return duplicated data
+    val dupPaths = active.keys.groupBy(_._1).collect { case (p, ks) if ks.size > 1 => p }
+    require(dupPaths.isEmpty,
+      s"delta_scan: corrupt log — multiple live add actions for path(s) " +
+        s"${dupPaths.take(3).mkString(", ")} (a remove must carry the DV uniqueId " +
+        "of the add it tombstones)")
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cmMode == "none" || cmMode == "name" || cmMode == "id",
       s"delta_scan: unknown columnMapping.mode $cmMode")

@@ -96,10 +96,33 @@ object DeltaWrite {
       "add" -> (("path" -> encodePath(file)) ~ ("partitionValues" -> pv) ~ ("size" -> size) ~
         ("modificationTime" -> System.currentTimeMillis()) ~ ("dataChange" -> dataChange))))
 
-  private def removeLine(file: String, dataChange: Boolean = true): String =
-    JsonMethods.compact(JsonMethods.render(
-      "remove" -> (("path" -> encodePath(file)) ~
-        ("deletionTimestamp" -> System.currentTimeMillis()) ~ ("dataChange" -> dataChange))))
+  /** The spec reconciles file actions on (path, deletionVector.uniqueId),
+    * so a remove tombstoning an add that carries a DV MUST repeat that
+    * add's descriptor — a bare remove(path) would leave the (path, dv)
+    * add live for spec-conformant readers (delta-spark InMemoryLogReplay,
+    * delta-kernel FileActionKey), resurrecting deleted rows.
+    */
+  private def removeLine(file: String, dataChange: Boolean = true,
+                         dv: Option[DeletionVectors.Descriptor] = None): String = {
+    val base = ("path" -> encodePath(file)) ~
+      ("deletionTimestamp" -> System.currentTimeMillis()) ~ ("dataChange" -> dataChange)
+    val withDv = dv.fold(base) { d =>
+      base ~ ("deletionVector" -> (("storageType" -> d.storageType) ~
+        ("pathOrInlineDv" -> d.pathOrInlineDv) ~
+        ("offset" -> d.offset) ~
+        ("sizeInBytes" -> d.sizeInBytes) ~
+        ("cardinality" -> d.cardinality)))
+    }
+    JsonMethods.compact(JsonMethods.render("remove" -> withDv))
+  }
+
+  /** Remove action for a file currently live in `snap` — looks up the
+    * add's DV descriptor so the tombstone keys correctly.
+    */
+  private def removeLineFor(snap: DeltaScan.Snapshot, relPath: String,
+                            dataChange: Boolean = true): String =
+    removeLine(relPath, dataChange,
+      snap.files.find(_.path == relPath).flatMap(_.dv))
 
   // ---------------------------------------------------------------- staging
 
@@ -251,6 +274,29 @@ object DeltaWrite {
     if (withInvariant.nonEmpty) throw new UnsupportedOperationException(
       s"delta write: column invariants on ${withInvariant.mkString(", ")} are " +
         "not enforced by this writer")
+    // legacy minWriter 4/6 imply writer duties the feature list never
+    // surfaces: generated columns (v4) and identity columns (v6). The
+    // version alone is harmless (tables over-declare), but a schema that
+    // actually CARRIES such columns would be silently violated by rows
+    // this writer doesn't compute — refuse, like invariants above.
+    val generated = snap.schema.fields
+      .filter(_.metadata.contains("delta.generationExpression")).map(_.name)
+    if (generated.nonEmpty) throw new UnsupportedOperationException(
+      s"delta write: generated columns ${generated.mkString(", ")} are not " +
+        "computed by this writer")
+    val identity = snap.schema.fields.filter(f =>
+      f.metadata.contains("delta.identity.start") ||
+        f.metadata.contains("delta.identity.allowExplicitInsert")).map(_.name)
+    if (identity.nonEmpty) throw new UnsupportedOperationException(
+      s"delta write: identity columns ${identity.mkString(", ")} are not " +
+        "assigned by this writer")
+    // CDF tables need _change_data files for row-removing commits; blind
+    // appends are representable by their add actions alone (CDF spec)
+    if (removesFiles &&
+        snap.configuration.get("delta.enableChangeDataFeed").contains("true"))
+      throw new UnsupportedOperationException(
+        "delta write: delta.enableChangeDataFeed=true requires change-data " +
+          "files this writer does not produce for DELETE/MERGE/UPDATE")
     if (removesFiles && snap.configuration.get("delta.appendOnly").contains("true"))
       throw new UnsupportedOperationException(
         "delta write: table is delta.appendOnly=true — MERGE/DELETE forbidden")
@@ -386,7 +432,8 @@ object DeltaWrite {
       finally baseKeys.unpersist(blocking = false)
     val v = snap.version + 1
     commit(tableDir, v,
-      touched.map(f => removeLine(f)) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
+      touched.map(f => removeLineFor(snap, f)) ++
+        adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
       operation = "MERGE")
     maybeCheckpoint(spark, tablePath, snap, v)
     v
@@ -417,7 +464,8 @@ object DeltaWrite {
     val adds = stage(toPhysical(survivors, snap), tableDir, physPartitionCols(snap))
     val v = snap.version + 1
     commit(tableDir, v,
-      touched.map(f => removeLine(f)) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
+      touched.map(f => removeLineFor(snap, f)) ++
+        adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
       operation = "DELETE")
     maybeCheckpoint(spark, tablePath, snap, v)
     v
@@ -462,7 +510,8 @@ object DeltaWrite {
     val adds = stage(toPhysical(rewritten, snap), tableDir, physPartitionCols(snap))
     val v = snap.version + 1
     commit(tableDir, v,
-      touched.map(f => removeLine(f)) ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
+      touched.map(f => removeLineFor(snap, f)) ++
+        adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
       operation = "UPDATE")
     maybeCheckpoint(spark, tablePath, snap, v)
     v
@@ -515,7 +564,7 @@ object DeltaWrite {
     val v = snap.version + 1
     commit(Paths.get(tablePath), v,
       dvProtocolLines(snap) ++
-        actions.map { case (f, _) => removeLine(f.path) } ++
+        actions.map { case (f, _) => removeLine(f.path, dv = f.dv) } ++
         actions.map { case (f, d) => addLineDv(f.path, f.partitionValues, f.size, d) },
       operation = "DELETE")
     maybeCheckpoint(spark, tablePath, snap, v)
@@ -552,7 +601,7 @@ object DeltaWrite {
     val v = snap.version + 1
     commit(tableDir, v,
       (if (actions.isEmpty) Nil else dvProtocolLines(snap)) ++
-        actions.map { case (f, _) => removeLine(f.path) } ++
+        actions.map { case (f, _) => removeLine(f.path, dv = f.dv) } ++
         actions.map { case (f, d) => addLineDv(f.path, f.partitionValues, f.size, d) } ++
         adds.map { case (p, pv, sz) => addLine(p, pv, sz) },
       operation = "MERGE")
@@ -691,7 +740,7 @@ object DeltaWrite {
     val adds = stage(toPhysical(shaped, snap), tableDir, physPartitionCols(snap))
     val v = snap.version + 1
     commit(tableDir, v,
-      selected.map(f => removeLine(f.path, dataChange = false)) ++
+      selected.map(f => removeLine(f.path, dataChange = false, dv = f.dv)) ++
         adds.map { case (p, pv, sz) => addLine(p, pv, sz, dataChange = false) },
       operation = "OPTIMIZE")
     maybeCheckpoint(spark, tablePath, snap, v)
@@ -719,13 +768,23 @@ object DeltaWrite {
     val logDir = tableDir.resolve("_delta_log")
     val live = snap.files
       .map(f => tableDir.resolve(f.path).normalize.toString).toSet
+    // DV sidecars referenced by a live add stay; orphans (each DV-delete
+    // writes a fresh merged sidecar, optimize materializes DVs away)
+    // reclaim like data files — otherwise a DV-heavy table leaks disk
+    val liveDv = snap.files.flatMap(_.dv)
+      .flatMap(d => DeletionVectors.sidecarFile(tablePath, d))
+      .map(_.toAbsolutePath.normalize.toString).toSet
     val cutoff = System.currentTimeMillis() - retentionMillis
     val walk = Files.walk(tableDir)
     val victims =
       try walk.iterator().asScala.filter { p =>
-        !p.startsWith(logDir) && Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !live.contains(p.toAbsolutePath.normalize.toString) &&
+        val name = p.getFileName.toString
+        val reclaimable =
+          (name.endsWith(".parquet") &&
+            !live.contains(p.toAbsolutePath.normalize.toString)) ||
+          (name.startsWith("deletion_vector_") && name.endsWith(".bin") &&
+            !liveDv.contains(p.toAbsolutePath.normalize.toString))
+        !p.startsWith(logDir) && Files.isRegularFile(p) && reclaimable &&
           Files.getLastModifiedTime(p).toMillis < cutoff
       }.toList
       finally walk.close()

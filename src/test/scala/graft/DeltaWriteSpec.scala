@@ -712,5 +712,67 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("generatedColumns"))
     // the table remains READABLE — only the write path refuses
     assert(DeltaScan.scan(spark, path2).count() == nation.count())
+
+    // legacy minWriter=4 (pre-feature-list) with an ACTUAL generated
+    // column in the schema: the version alone passes, the schema evidence
+    // refuses — rows this writer doesn't compute would break the contract
+    val path3 = freshDir()
+    DeltaWrite.create(spark, nation.select(col("n_nationkey")), path3)
+    val genSchema = new org.apache.spark.sql.types.StructType()
+      .add("n_nationkey", org.apache.spark.sql.types.IntegerType)
+      .add("gen", org.apache.spark.sql.types.IntegerType, nullable = true,
+        org.apache.spark.sql.types.Metadata.fromJson(
+          """{"delta.generationExpression":"n_nationkey + 1"}"""))
+    Files.write(Paths.get(path3, "_delta_log", f"${1L}%020d.json"),
+      java.util.Arrays.asList(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"t3","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(
+              org.json4s.JsonDSL.string2jvalue(genSchema.json)))},""" +
+          s""""partitionColumns":[],"configuration":{}}}"""))
+    val e3 = intercept[UnsupportedOperationException](
+      DeltaWrite.append(spark, nation.select(col("n_nationkey")).limit(1), path3))
+    assert(e3.getMessage.contains("generated columns"))
+  }
+
+  test("removes carry the DV uniqueId; (path, dv)-keyed replay") {
+    // the spec reconciles file actions on (path, deletionVector.uniqueId):
+    // a remove tombstoning a DV-carrying add must repeat the descriptor
+    val path = freshDir()
+    DeltaWrite.create(spark,                       // single file: both DV
+      nation.select(col("n_nationkey"), col("n_name")).coalesce(1), path) // deletes hit it
+    DeltaWrite.deleteWhereDv(spark, path, col("n_nationkey") === 0) // v1: add(f, dv1)
+    DeltaWrite.deleteWhereDv(spark, path, col("n_nationkey") === 2) // v2: rm(f,dv1)+add(f,dv2)
+
+    val v2 = Files.readAllLines(Paths.get(path, "_delta_log", f"${2L}%020d.json"))
+      .asScala.mkString("\n")
+    // the v2 remove must repeat v1's descriptor, not be a bare remove(path)
+    assert(v2.contains("\"remove\"") &&
+      v2.split("\n").exists(l => l.contains("\"remove\"") && l.contains("deletionVector")),
+      s"v2 remove is missing its deletionVector descriptor:\n$v2")
+    assert(DeltaScan.scan(spark, path).count() == 23)
+
+    // externally-shaped commit: remove(f, dvNow) AFTER add(f, dvNew) in one
+    // commit — a path-keyed replay would drop the live add; the spec key
+    // keeps it. Reuse v2's own actions reordered as v3.
+    val snap = DeltaScan.snapshot(spark, path)
+    val f = snap.files.head
+    val addLn = v2.split("\n").find(l => l.contains("\"add\"")).get
+    val rmNew = v2.split("\n").find(l => l.contains("\"remove\"")).get
+    Files.write(Paths.get(path, "_delta_log", f"${3L}%020d.json"),
+      java.util.Arrays.asList(addLn, rmNew)) // add(f,dv2) then remove(f,dv1)
+    val snap3 = DeltaScan.snapshot(spark, path)
+    assert(snap3.files.map(_.path).toSet == snap.files.map(_.path).toSet)
+    assert(DeltaScan.scan(spark, path).count() == 23)
+    assert(snap3.files.find(_.path == f.path).get.dv == f.dv)
+
+    // corrupt shape — two live adds for one path (stale dv never removed)
+    // must fail loudly, not double-read
+    val addBare = addLn.replaceAll(""",?"deletionVector":\{[^}]*\}""", "")
+    Files.write(Paths.get(path, "_delta_log", f"${4L}%020d.json"),
+      java.util.Arrays.asList(addBare))
+    val e = intercept[IllegalArgumentException](DeltaScan.snapshot(spark, path))
+    assert(e.getMessage.contains("multiple live add actions"))
   }
 }
