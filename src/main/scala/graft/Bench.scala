@@ -72,10 +72,18 @@ object Bench {
     // Scheduler/JIT warmup: the DAGScheduler+executor dispatch path runs
     // ~10 ms/job once hot but ~25-50 ms cold; BASELINE.md's protocol
     // excludes JVM warmup, so heat it before any timed work.
-    locally {
+    // The measured per-job probe latency is the HOST-PHASE fingerprint
+    // (PERF.md quantifies identical code drifting ±2× with the machine's
+    // phase): it is reported in the output JSON so a slow-phase run is
+    // distinguishable from a regression in the artifact itself.
+    def probeMs(): Double = {
       val probe = spark.sparkContext.parallelize(1 to 32, 32)
-      (1 to 120).foreach(_ => probe.count())
+      val t = (1 to 120).map { _ =>
+        val t0 = System.nanoTime(); probe.count(); (System.nanoTime() - t0) / 1e6
+      }.sorted
+      t(t.length / 2)
     }
+    val probeBefore = probeMs()
     // warm-engine mode (in-memory columnar tables ≙ DuckDB warm buffer
     // pool); SPARK_GRAFT_CACHE=0 reverts to cold parquet scans per run
     Tables.cacheMode = sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") == "1"
@@ -128,7 +136,10 @@ object Bench {
     }
     val ps = pipeline.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total_median","value":$total%.4f,"unit":"sec","queries":$qs,"pipeline":$ps,"sf":"$sfDir"}""")
+    // second probe AFTER the suite: a drift between the two medians marks
+    // a host-phase change mid-run
+    val probeAfter = probeMs()
+    println(f"""{"metric":"total_median","value":$total%.4f,"unit":"sec","queries":$qs,"pipeline":$ps,"probe_job_ms_before":$probeBefore%.2f,"probe_job_ms_after":$probeAfter%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

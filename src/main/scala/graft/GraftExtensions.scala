@@ -46,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("json_merge_patch", a => JsonMergePatch(a(0), a(1)))
     inject("json_pretty", a => JsonPretty(a.head))
     e.injectPlannerStrategy(_ => graft.plans.FusedDistinctStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.DriverAggStrategy)
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectPlanNormalizationRule(_ => graft.rules.RepairCachedOrdering)

@@ -98,9 +98,16 @@ object Tables {
   @volatile var cacheParts: Option[Int] = sys.env.get("SPARK_GRAFT_CACHE_PARTS").map(_.toInt)
   /** clustered tables at or under this row count cache as ONE sorted
     * partition (~the rows a 128 MB columnar partition holds at these
-    * widths) — see the single-partition case in [[apply]] */
+    * widths) — see the single-partition case in [[apply]].
+    * Re-swept after the driver-finalized aggregate landed (r6): the old
+    * 120k threshold existed because parallelizing a 100k-row clustered
+    * table bought an exchange on every aggregation; DriverAgg removed
+    * that exchange, so the hash-clustered layout now wins from ~50k rows
+    * up (events sf0.1: tumbling AND sessionize both improved — the window
+    * stays exchange-free on the hash-clustered key).
+    */
   @volatile var singlePartMaxRows: Long =
-    sys.env.get("SPARK_GRAFT_SINGLE_PART_ROWS").map(_.toLong).getOrElse(120000L)
+    sys.env.get("SPARK_GRAFT_SINGLE_PART_ROWS").map(_.toLong).getOrElse(50000L)
 
   /** Warm-cache clustering: tables are cached hash-partitioned and sorted
     * on their natural entity key (CLUSTER BY on load — the layout a tuned

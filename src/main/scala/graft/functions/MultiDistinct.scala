@@ -282,16 +282,25 @@ object DistinctWithHll {
     // attribute projection into the scan node)
     val pruned = org.apache.spark.sql.catalyst.plans.logical.Project(
       Seq(attr(exactCol), attr(approxCol)), analyzed)
-    val columnar = mode match {
-      case "columnar" => true
-      case "fused"    => false
+    val shape = mode match {
+      case "columnar" | "fused" | "driver" => mode
       case "auto" =>
-        bridge.ofRows(df.sparkSession, pruned)
-          .queryExecution.optimizedPlan.stats.sizeInBytes > ColumnarThresholdBytes
+        // size-based pick, like a native engine's cardinality-driven
+        // merge strategy: small input → single-job partial + coordinator
+        // merge (the per-task payload is the whole distinct set, fine at
+        // this size); large input → columnar partial + parallel
+        // disjoint-bucket merge (PERF.md sf1 A/B)
+        if (bridge.ofRows(df.sparkSession, pruned)
+          .queryExecution.optimizedPlan.stats.sizeInBytes > ColumnarThresholdBytes)
+          "columnar"
+        else "driver"
       case other => throw new IllegalArgumentException(
-        s"exactWithHll mode must be auto|columnar|fused, got $other")
+        s"exactWithHll mode must be auto|columnar|fused|driver, got $other")
     }
-    if (!columnar) {
+    if (shape == "driver") {
+      bridge.ofRows(df.sparkSession, graft.plans.FusedDistinctDriver(
+        graft.plans.FusedDistinctPartial(attr(exactCol), attr(approxCol), 1, pruned)))
+    } else if (shape == "fused") {
       df.agg(distinct_with_hll(col(exactCol), col(approxCol)).as("d"))
         .select(col("d.n_exact").as("n_exact"), col("d.approx").as("approx"))
     } else {

@@ -1,0 +1,425 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types._
+
+/** Low-cardinality grouped aggregation finalized on the DRIVER — the
+  * engine's analog of the reference's perfect-hash aggregate
+  * (/root/reference/src/execution/operator/aggregate/
+  * physical_perfecthash_aggregate.cpp): when the group domain is small
+  * (pricing-summary flags, hour buckets × event types, nations), the
+  * final merge is a few hundred rows of state, and routing it through a
+  * shuffle exchange + second stage + separate sort job costs more than
+  * the whole aggregation does.
+  *
+  * Shape: ONE distributed job computes per-partition partial states
+  * (codegen'd key/value projections feeding a hash map); the task results
+  * — O(groups) per task, the same payload a `collect()` of the shuffled
+  * aggregate's output would move — merge on the driver, where the final
+  * result expressions, sort and limit evaluate over the handful of
+  * groups. This is the coordinator-merge every native engine performs for
+  * low-cardinality aggregation; Spark's task-result path is its
+  * transport, and the partial stage keeps ordinary map-side-combine
+  * semantics (each input row read once, in parallel).
+  *
+  * Scale posture: driver state is O(tasks × groups). The `maxGroups`
+  * valve (default 64k) refuses mid-flight if the low-cardinality claim
+  * turns out false — the fallback is the ordinary shuffled aggregate,
+  * which remains the right plan for high-cardinality keys.
+  *
+  * All unsupported surface (DISTINCT, FILTER, decimals, aggregates beyond
+  * Sum/Count/Average/Min/Max) throws at PLAN time in [[DriverAgg.lowCard]];
+  * the logical node itself carries only pre-compiled slot specs and
+  * BoundReference-based final expressions, so nothing unresolvable ever
+  * enters the plan tree.
+  */
+object DriverAgg {
+
+  /** Per-aggregate accumulator layout. `li`/`di`/`fi` index into the
+    * long/double/flag state arrays; `in` indexes the value projection.
+    */
+  sealed trait Slot extends Serializable
+  final case class CountSlot(li: Int, nullChecked: Seq[Int]) extends Slot
+  final case class SumLSlot(li: Int, fi: Int, in: Int) extends Slot
+  final case class SumDSlot(di: Int, fi: Int, in: Int) extends Slot
+  final case class AvgSlot(di: Int, li: Int, in: Int) extends Slot
+  final case class MinMaxLSlot(li: Int, fi: Int, in: Int, isMin: Boolean) extends Slot
+  final case class MinMaxDSlot(di: Int, fi: Int, in: Int, isMin: Boolean) extends Slot
+
+  final case class Layout(slots: Seq[Slot], aggTypes: Seq[DataType],
+                          inputs: Seq[Expression], nL: Int, nD: Int, nF: Int)
+
+  /** Mutable per-group state (serializable: it is the task-result payload). */
+  final class Acc(val longs: Array[Long], val doubles: Array[Double],
+                  val flags: Array[Boolean]) extends Serializable
+
+  /** Compile slots to per-row updaters against the value-projection row.
+    * Top-level (no plan capture): the returned closures ship in the task.
+    */
+  private[plans] def updaters(slots: Seq[Slot], iExprs: Seq[Expression])
+      : Array[(UnsafeRow, Acc) => Unit] = {
+    def readL(i: Int): (UnsafeRow) => Long = iExprs(i).dataType match {
+      case ByteType => r => r.getByte(i).toLong
+      case ShortType => r => r.getShort(i).toLong
+      case IntegerType | DateType => r => r.getInt(i).toLong
+      case _ => r => r.getLong(i)
+    }
+    def readD(i: Int): (UnsafeRow) => Double = iExprs(i).dataType match {
+      case ByteType => r => r.getByte(i).toDouble
+      case ShortType => r => r.getShort(i).toDouble
+      case IntegerType | DateType => r => r.getInt(i).toDouble
+      case LongType | TimestampType | TimestampNTZType => r => r.getLong(i).toDouble
+      case FloatType => r => r.getFloat(i).toDouble
+      case _ => r => r.getDouble(i)
+    }
+    slots.map[(UnsafeRow, Acc) => Unit] {
+      case CountSlot(li, checked) =>
+        val ia = checked.toArray
+        (v, acc) => {
+          var ok = true; var j = 0
+          while (j < ia.length) { if (v.isNullAt(ia(j))) ok = false; j += 1 }
+          if (ok) acc.longs(li) += 1
+        }
+      case SumLSlot(li, fi, in) =>
+        val rd = readL(in)
+        (v, acc) => if (!v.isNullAt(in)) {
+          acc.longs(li) =
+            if (acc.flags(fi)) Math.addExact(acc.longs(li), rd(v)) else rd(v)
+          acc.flags(fi) = true
+        }
+      case SumDSlot(di, fi, in) =>
+        val rd = readD(in)
+        (v, acc) => if (!v.isNullAt(in)) { acc.doubles(di) += rd(v); acc.flags(fi) = true }
+      case AvgSlot(di, li, in) =>
+        val rd = readD(in)
+        (v, acc) => if (!v.isNullAt(in)) { acc.doubles(di) += rd(v); acc.longs(li) += 1 }
+      case MinMaxLSlot(li, fi, in, isMin) =>
+        val rd = readL(in)
+        (v, acc) => if (!v.isNullAt(in)) {
+          val x = rd(v)
+          if (!acc.flags(fi) || (if (isMin) x < acc.longs(li) else x > acc.longs(li)))
+            acc.longs(li) = x
+          acc.flags(fi) = true
+        }
+      case MinMaxDSlot(di, fi, in, isMin) =>
+        val rd = readD(in)
+        (v, acc) => if (!v.isNullAt(in)) {
+          val x = rd(v)
+          val c = java.lang.Double.compare(x, acc.doubles(di))
+          if (!acc.flags(fi) || (if (isMin) c < 0 else c > 0)) acc.doubles(di) = x
+          acc.flags(fi) = true
+        }
+    }.toArray
+  }
+
+  private def isLongIsh(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+  private def isDoubleIsh(dt: DataType): Boolean =
+    dt == DoubleType || dt == FloatType
+
+  /** Slot layout for the distinct AggregateExpressions in `resultExprs`
+    * (in first-occurrence order), or throw for unsupported aggregates.
+    */
+  private[plans] def layout(aggs: Seq[AggregateExpression]): Layout = {
+    val inputs = ArrayBuffer.empty[Expression]
+    def inputIdx(e: Expression): Int = {
+      val i = inputs.indexWhere(_.semanticEquals(e))
+      if (i >= 0) i else { inputs += e; inputs.length - 1 }
+    }
+    var nL = 0; var nD = 0; var nF = 0
+    def longSlot(): Int = { nL += 1; nL - 1 }
+    def dblSlot(): Int = { nD += 1; nD - 1 }
+    def flag(): Int = { nF += 1; nF - 1 }
+    val slots = aggs.map { ae =>
+      require(!ae.isDistinct && ae.filter.isEmpty,
+        s"driver agg: DISTINCT/FILTER unsupported in ${ae.sql}")
+      ae.aggregateFunction match {
+        case Count(children) => CountSlot(longSlot(),
+          children.filterNot(c => c.foldable && c.eval() != null).map(inputIdx))
+        case Sum(c, _) if isLongIsh(c.dataType) => SumLSlot(longSlot(), flag(), inputIdx(c))
+        case Sum(c, _) if isDoubleIsh(c.dataType) => SumDSlot(dblSlot(), flag(), inputIdx(c))
+        case Average(c, _) if isLongIsh(c.dataType) || isDoubleIsh(c.dataType) =>
+          AvgSlot(dblSlot(), longSlot(), inputIdx(c))
+        case Min(c) if isLongIsh(c.dataType) =>
+          MinMaxLSlot(longSlot(), flag(), inputIdx(c), isMin = true)
+        case Max(c) if isLongIsh(c.dataType) =>
+          MinMaxLSlot(longSlot(), flag(), inputIdx(c), isMin = false)
+        case Min(c) if isDoubleIsh(c.dataType) =>
+          MinMaxDSlot(dblSlot(), flag(), inputIdx(c), isMin = true)
+        case Max(c) if isDoubleIsh(c.dataType) =>
+          MinMaxDSlot(dblSlot(), flag(), inputIdx(c), isMin = false)
+        case other => throw new UnsupportedOperationException(
+          s"driver agg: unsupported aggregate ${other.prettyName} over " +
+            s"${other.children.map(_.dataType.simpleString).mkString(", ")}")
+      }
+    }
+    Layout(slots, aggs.map(_.dataType), inputs.toSeq, nL, nD, nF)
+  }
+
+  /** Rebuild `grouped` (which must be a plain `groupBy(...).agg(...)`
+    * DataFrame) as a driver-finalized aggregate with the given total
+    * order and optional limit. Result-identical to
+    * `grouped.orderBy(sortCols: _*).limit(n)`; plans ONE job, no
+    * exchange, no separate sort. Throws at plan time if the aggregate
+    * uses anything outside the supported surface.
+    */
+  def lowCard(grouped: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+              limit: Int = -1, maxGroups: Int = 1 << 16): DataFrame = {
+    val spark = grouped.sparkSession
+    val agg = grouped.queryExecution.analyzed match {
+      case a: Aggregate => a
+      case other => throw new IllegalArgumentException(
+        s"DriverAgg.lowCard needs a bare groupBy().agg() plan, got ${other.nodeName}")
+    }
+    val groupExprs = agg.groupingExpressions
+    val resultExprs = agg.aggregateExpressions
+    val out = resultExprs.map(_.toAttribute)
+
+    val aggs = ArrayBuffer.empty[AggregateExpression]
+    resultExprs.foreach(_.foreach {
+      case ae: AggregateExpression if !aggs.exists(_.semanticEquals(ae)) => aggs += ae
+      case _ =>
+    })
+    val lay = layout(aggs.toSeq)
+
+    // rewrite the result expressions over the driver-side merged row
+    // [key fields ++ final aggregate values] — after this, the plan holds
+    // no AggregateExpression and no child references in the final stage
+    val nKeys = groupExprs.length
+    val strippedKeys = groupExprs.map { case a: Alias => a.child; case e => e }
+    def rewrite(e: Expression): Expression = {
+      val ki = strippedKeys.indexWhere(_.semanticEquals(e match {
+        case a: Alias => a.child; case x => x
+      }))
+      e match {
+        case a: Alias =>
+          a.copy(child = rewrite(a.child))(a.exprId, a.qualifier, a.explicitMetadata,
+            a.nonInheritableMetadataKeys)
+        case _ if ki >= 0 => BoundReference(ki, e.dataType, e.nullable)
+        case ae: AggregateExpression =>
+          val ai = aggs.indexWhere(_.semanticEquals(ae))
+          BoundReference(nKeys + ai, ae.dataType, nullable = true)
+        case other => other.mapChildren(rewrite)
+      }
+    }
+    val finalExprs: Seq[NamedExpression] = resultExprs.map { ne =>
+      rewrite(ne) match {
+        case n: NamedExpression => n
+        case e => Alias(e, ne.name)(ne.exprId, ne.qualifier)
+      }
+    }
+
+    // let the ANALYZER resolve the sort columns against the aggregate's
+    // output (Spark 4 Columns are lazy ColumnNodes — manual resolution
+    // would re-implement the analyzer); the analyzed Sort is thrown away,
+    // only its resolved SortOrder list is kept
+    val order: Seq[SortOrder] =
+      if (sortCols.isEmpty) Nil
+      else grouped.orderBy(sortCols: _*).queryExecution.analyzed match {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.order
+        case other => throw new IllegalArgumentException(
+          s"sort columns must resolve against the aggregate output alone, got ${other.nodeName}")
+      }
+
+    org.apache.spark.sql.graft.bridge.ofRows(spark,
+      DriverGroupAggPlan(groupExprs, lay.inputs, lay.slots, lay.aggTypes,
+        finalExprs, order, limit, maxGroups,
+        lay.nL, lay.nD, lay.nF, agg.child, out))
+  }
+}
+
+final case class DriverGroupAggPlan(
+    groupExprs: Seq[Expression],
+    aggInputs: Seq[Expression],
+    slots: Seq[DriverAgg.Slot],
+    aggTypes: Seq[DataType],
+    finalExprs: Seq[NamedExpression],
+    sortOrder: Seq[SortOrder],
+    limit: Int,
+    maxGroups: Int,
+    nL: Int, nD: Int, nF: Int,
+    child: LogicalPlan,
+    output: Seq[Attribute]) extends UnaryNode {
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  // Only groupExprs/aggInputs evaluate against the child (finalExprs are
+  // BoundReference-based, sortOrder binds to `output`). Pass-through group
+  // keys share exprIds with `output`, so the default
+  // expressions-minus-producedAttributes would hide them from
+  // ColumnPruning and the child would lose its grouping columns.
+  override def references: AttributeSet =
+    AttributeSet((groupExprs ++ aggInputs).flatMap(_.references))
+  override protected def withNewChildInternal(c: LogicalPlan): DriverGroupAggPlan =
+    copy(child = c)
+}
+
+object DriverAggStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: DriverGroupAggPlan =>
+      DriverGroupAggExec(p.groupExprs, p.aggInputs, p.slots, p.aggTypes,
+        p.finalExprs, p.sortOrder, p.limit, p.maxGroups, p.nL, p.nD, p.nF,
+        p.output, planLater(p.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class DriverGroupAggExec(
+    groupExprs: Seq[Expression],
+    aggInputs: Seq[Expression],
+    slots: Seq[DriverAgg.Slot],
+    aggTypes: Seq[DataType],
+    finalExprs: Seq[NamedExpression],
+    sortOrder: Seq[SortOrder],
+    limit: Int,
+    maxGroups: Int,
+    nL: Int, nD: Int, nF: Int,
+    output: Seq[Attribute],
+    child: SparkPlan) extends UnaryExecNode {
+
+  import DriverAgg._
+
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  override protected def withNewChildInternal(c: SparkPlan): DriverGroupAggExec =
+    copy(child = c)
+
+  private def newAcc() = new Acc(new Array[Long](nL), new Array[Double](nD),
+    new Array[Boolean](nF))
+
+  /** Merge one partial state into the driver map entry. */
+  private def mergeInto(cur: Acc, in: Acc): Unit = slots.foreach {
+    case CountSlot(li, _) => cur.longs(li) += in.longs(li)
+    case SumLSlot(li, fi, _) => if (in.flags(fi)) {
+      cur.longs(li) =
+        if (cur.flags(fi)) Math.addExact(cur.longs(li), in.longs(li)) else in.longs(li)
+      cur.flags(fi) = true
+    }
+    case SumDSlot(di, fi, _) => if (in.flags(fi)) {
+      cur.doubles(di) += in.doubles(di); cur.flags(fi) = true
+    }
+    case AvgSlot(di, li, _) =>
+      cur.doubles(di) += in.doubles(di); cur.longs(li) += in.longs(li)
+    case MinMaxLSlot(li, fi, _, isMin) => if (in.flags(fi)) {
+      if (!cur.flags(fi) ||
+          (if (isMin) in.longs(li) < cur.longs(li) else in.longs(li) > cur.longs(li)))
+        cur.longs(li) = in.longs(li)
+      cur.flags(fi) = true
+    }
+    case MinMaxDSlot(di, fi, _, isMin) => if (in.flags(fi)) {
+      val c = java.lang.Double.compare(in.doubles(di), cur.doubles(di))
+      if (!cur.flags(fi) || (if (isMin) c < 0 else c > 0)) cur.doubles(di) = in.doubles(di)
+      cur.flags(fi) = true
+    }
+  }
+
+  /** Final value of aggregate `j` as a catalyst value of its dataType. */
+  private def finalVal(j: Int, acc: Acc): Any = slots(j) match {
+    case CountSlot(li, _) => acc.longs(li)
+    case SumLSlot(li, fi, _) => if (acc.flags(fi)) acc.longs(li) else null
+    case SumDSlot(di, fi, _) =>
+      if (!acc.flags(fi)) null
+      else if (aggTypes(j) == FloatType) acc.doubles(di).toFloat else acc.doubles(di)
+    case AvgSlot(di, li, _) =>
+      if (acc.longs(li) > 0) acc.doubles(di) / acc.longs(li) else null
+    case MinMaxLSlot(li, fi, _, _) =>
+      if (!acc.flags(fi)) null
+      else aggTypes(j) match {
+        case ByteType => acc.longs(li).toByte
+        case ShortType => acc.longs(li).toShort
+        case IntegerType | DateType => acc.longs(li).toInt
+        case _ => acc.longs(li)
+      }
+    case MinMaxDSlot(di, fi, _, _) =>
+      if (!acc.flags(fi)) null
+      else if (aggTypes(j) == FloatType) acc.doubles(di).toFloat else acc.doubles(di)
+  }
+
+  /** The single distributed job + driver finalize. */
+  private def finalRows(): Array[InternalRow] = {
+    val gExprs = groupExprs
+    val iExprs = aggInputs
+    val theSlots = slots
+    val childOut = child.output
+    val cap = maxGroups
+    val (accL, accD, accF) = (nL, nD, nF)
+
+    val parts: Array[Array[(Array[Byte], Acc)]] =
+      sparkContext.runJob(child.execute(), (rows: Iterator[InternalRow]) => {
+        val keyProj = UnsafeProjection.create(gExprs, childOut)
+        val valProj = UnsafeProjection.create(iExprs, childOut)
+        val ups = DriverAgg.updaters(theSlots, iExprs)
+        def mkAcc() = new Acc(new Array[Long](accL), new Array[Double](accD),
+          new Array[Boolean](accF))
+        val m = new java.util.HashMap[UnsafeRow, Acc]()
+        while (rows.hasNext) {
+          val row = rows.next()
+          val k = keyProj(row)
+          var acc = m.get(k)
+          if (acc == null) {
+            if (m.size() >= cap) throw new IllegalStateException(
+              s"driver agg: group count exceeded maxGroups=$cap in one partition — " +
+                "key is not low-cardinality; use the shuffled aggregate")
+            acc = mkAcc()
+            m.put(k.copy(), acc)
+          }
+          val v = valProj(row)
+          var j = 0
+          while (j < ups.length) { ups(j)(v, acc); j += 1 }
+        }
+        val out = new Array[(Array[Byte], Acc)](m.size())
+        var i = 0
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next(); out(i) = (e.getKey.getBytes, e.getValue); i += 1
+        }
+        out
+      })
+
+    val nKeys = groupExprs.length
+    val merged = new java.util.LinkedHashMap[UnsafeRow, Acc]()
+    parts.foreach(_.foreach { case (bytes, acc) =>
+      val k = new UnsafeRow(nKeys)
+      k.pointTo(bytes, bytes.length)
+      val cur = merged.get(k)
+      if (cur == null) {
+        if (merged.size() >= maxGroups) throw new IllegalStateException(
+          s"driver agg: merged group count exceeded maxGroups=$maxGroups")
+        merged.put(k, acc)
+      } else mergeInto(cur, acc)
+    })
+    // a GLOBAL aggregate over empty input still yields one (empty) group
+    if (nKeys == 0 && merged.isEmpty)
+      merged.put(UnsafeProjection.create(Seq.empty[Expression], Seq.empty)(
+        InternalRow.empty).copy(), newAcc())
+
+    val proj = UnsafeProjection.create(finalExprs)
+    val evalRow = new GenericInternalRow(nKeys + slots.length)
+    val keyTypes = groupExprs.map(_.dataType)
+    val rows = new ArrayBuffer[InternalRow](merged.size())
+    merged.forEach { (k, acc) =>
+      var i = 0
+      while (i < nKeys) { evalRow.update(i, k.get(i, keyTypes(i))); i += 1 }
+      slots.indices.foreach(j => evalRow.update(nKeys + j, finalVal(j, acc)))
+      rows += proj(evalRow).copy()
+    }
+    val sorted =
+      if (sortOrder.isEmpty) rows
+      else rows.sorted(RowOrdering.create(sortOrder.map(so => so.copy(child =
+        BindReferences.bindReference(so.child, output))), Seq.empty))
+    (if (limit >= 0) sorted.take(limit) else sorted).toArray
+  }
+
+  override def executeCollect(): Array[InternalRow] = finalRows()
+
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(finalRows().toIndexedSeq, 1)
+}

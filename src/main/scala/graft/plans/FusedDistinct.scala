@@ -69,6 +69,8 @@ object FusedDistinctStrategy extends SparkStrategy {
     case p: FusedDistinctPartial =>
       FusedDistinctPartialExec(p.exact, p.approx, p.buckets, p.output,
         planLater(p.child), columnarChild = false) :: Nil
+    case d: FusedDistinctDriver =>
+      FusedDistinctDriverExec(d.output, planLater(d.child)) :: Nil
     case _ => Nil
   }
 }
@@ -165,4 +167,77 @@ final case class FusedDistinctPartialExec(
       }
     }
   }
+}
+
+/** Driver-merged final for the fused distinct — the small-input shape:
+  * ONE job runs the per-partition partial (each task emits one packed
+  * key blob + HLL register row), and the driver unions the handful of
+  * blobs directly, skipping the exchange + final-aggregate stage the
+  * TypedImperativeAggregate shape pays. Same coordinator-merge rationale
+  * as [[graft.plans.DriverGroupAggExec]]; the payload is O(distinct keys)
+  * per task, which is exactly why this shape is gated to SMALL inputs by
+  * the size-based pick in DistinctWithHll.exactWithHll — at sf1+ the
+  * parallel disjoint-bucket merge takes over.
+  */
+final case class FusedDistinctDriver(
+    child: LogicalPlan,
+    output: Seq[Attribute] = FusedDistinctDriver.freshOutput()) extends UnaryNode {
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  // the exec reads the partial's (bucket, set_blob, hll) POSITIONALLY but
+  // carries no child-referencing expressions — without this, ColumnPruning
+  // sees zero references and inserts an empty Project that strips all
+  // three columns out from under the positional reads
+  override def references: AttributeSet = child.outputSet
+  override protected def withNewChildInternal(c: LogicalPlan): FusedDistinctDriver =
+    copy(child = c)
+}
+
+object FusedDistinctDriver {
+  def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("n_exact", LongType, nullable = false)(),
+    AttributeReference("approx", LongType, nullable = false)())
+}
+
+final case class FusedDistinctDriverExec(
+    output: Seq[Attribute],
+    child: SparkPlan) extends UnaryExecNode {
+  import graft.functions.DistinctWithHll
+
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  override protected def withNewChildInternal(c: SparkPlan): FusedDistinctDriverExec =
+    copy(child = c)
+
+  private def finalRow(): Array[InternalRow] = {
+    // one job: collect each task's (bucket, set_blob, hll) partial row
+    val parts: Array[Array[(Array[Byte], Array[Byte])]] =
+      sparkContext.runJob(child.execute(), (rows: Iterator[InternalRow]) =>
+        rows.map(r => (r.getBinary(1),
+          if (r.isNullAt(2)) null else r.getBinary(2))).toArray)
+    val set = new DistinctWithHll.LongSet(1 << 16)
+    var regs: Array[Byte] = null // sized from the partials' register width
+    parts.foreach(_.foreach { case (blob, hll) =>
+      val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      val n = blob.length / 8
+      while (i < n) { set.add(bb.getLong(8 * i)); i += 1 }
+      if (hll != null) {
+        if (regs == null) regs = new Array[Byte](hll.length)
+        var j = 0
+        while (j < regs.length) {
+          if (hll(j) > regs(j)) regs(j) = hll(j); j += 1
+        }
+      }
+    })
+    if (regs == null) regs = new Array[Byte](16384)
+    val proj = UnsafeProjection.create(Array[DataType](LongType, LongType))
+    val row = new GenericInternalRow(2)
+    row.update(0, set.size.toLong)
+    row.update(1, DistinctWithHll.estimateFrom(regs))
+    Array(proj(row).copy())
+  }
+
+  override def executeCollect(): Array[InternalRow] = finalRow()
+
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(finalRow().toIndexedSeq, 1)
 }

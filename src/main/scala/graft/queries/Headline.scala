@@ -26,23 +26,24 @@ object Headline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> { (s, d) =>
-      Tables(s, d, "lineitem")
-        .filter(col("l_shipdate") <= ts("1998-09-02"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        // same total order as ORDER BY, without the range-partitioner
-        // sampling job a global sort schedules: the post-agg result is a
-        // handful of groups, so merge to one partition and sort there
-        .coalesce(1)
-        .sortWithinPartitions(col("l_returnflag"), col("l_linestatus"))
+      // 6 groups (returnflag × linestatus) — the textbook perfect-hash
+      // aggregate: one parallel partial job, coordinator-merged final
+      // (plans/DriverAgg.scala). The declarative shuffled plan survives as
+      // the DriverAggSpec differential oracle and the >maxGroups fallback.
+      graft.plans.DriverAgg.lowCard(
+        Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") <= ts("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 6).as("avg_price"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("count_order")),
+        Seq(col("l_returnflag"), col("l_linestatus")))
     },
 
     "q3_shipping_priority" -> { (s, d) =>
@@ -70,17 +71,19 @@ object Headline {
       val asia = Tables(s, d, "region").filter(col("r_name") === "ASIA")
       val ord = Tables(s, d, "orders")
         .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
-      Tables(s, d, "lineitem")
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables(s, d, "supplier")),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(Tables(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-        .coalesce(1)
-        .sortWithinPartitions(col("revenue").desc, col("n_name"))
+      // ≤25 groups (nations): the post-join aggregate coordinator-merges
+      // in the same single job as the broadcast-join pipeline
+      graft.plans.DriverAgg.lowCard(
+        Tables(s, d, "lineitem")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue")),
+        Seq(col("revenue").desc, col("n_name")))
     },
 
     "q6_forecast_revenue" -> { (s, d) =>
@@ -127,11 +130,13 @@ object Headline {
     },
 
     "events_tumbling_1h" -> { (s, d) =>
-      Tables(s, d, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
-        .orderBy(col("bucket"), col("event_type"))
-        .limit(50)
+      // hour buckets × event types — bounded key domain; one scan job,
+      // coordinator merge, driver-side sort+limit over O(groups) rows
+      graft.plans.DriverAgg.lowCard(
+        Tables(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value")),
+        Seq(col("bucket"), col("event_type")), limit = 50)
     },
 
     "events_sessionize_lag" -> { (s, d) =>

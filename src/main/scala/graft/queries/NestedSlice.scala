@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Nested-type (LIST/STRUCT) edge semantics — the sqllogictest dirs the
+  * shared-SQL slice can't reach because the two dialects spell nested
+  * literals differently (Spark `array(..)`/`named_struct(..)` vs DuckDB
+  * `[..]`/`{'k': v}`). Each query pins one edge cluster from the
+  * reference's `test/sql/types/list/` and `test/sql/types/struct/`
+  * families with a hand-matched DuckDB oracle; list-typed outputs are
+  * stringified on both sides so the driver's value hashing never sees a
+  * nested column.
+  *
+  * Dialect notes carried as pins (not bugs): DuckDB `list_distinct`
+  * drops NULL members while Spark `array_distinct` keeps one (queries
+  * filter first); DuckDB `array_to_string` of an empty list is NULL
+  * (Spark side wraps in `nullif(.., '')`); Spark ANSI `element_at`
+  * throws out-of-bounds (queries use `try_element_at` ≙ DuckDB's
+  * NULL-returning bracket index).
+  */
+object NestedSlice {
+
+  /** (name, sparkSql, duckSql) — self-contained, no external tables. */
+  private val q: Seq[(String, String, String)] = Seq(
+
+    // test/sql/types/list/list_comparison.test: lexicographic list
+    // comparison, prefix rule, NULL operand propagation
+    ("slt_list_compare",
+      """SELECT array(1) < array(2) AS lt12,
+        |       array(1, 2) < array(1, 3) AS lt_lex,
+        |       array(1) < array(1, 2) AS lt_prefix,
+        |       array(1) <= array(1) AS le_eq,
+        |       array(2) > array(1, 9) AS gt_first,
+        |       array(1) = array(1) AS eq, array(1) = array(2) AS ne,
+        |       CAST(NULL AS ARRAY<INT>) < array(1) AS null_lt,
+        |       array(1) <= CAST(NULL AS ARRAY<INT>) AS null_le""".stripMargin,
+      """SELECT [1] < [2] AS lt12,
+        |       [1, 2] < [1, 3] AS lt_lex,
+        |       [1] < [1, 2] AS lt_prefix,
+        |       [1] <= [1] AS le_eq,
+        |       [2] > [1, 9] AS gt_first,
+        |       [1] = [1] AS eq, [1] = [2] AS ne,
+        |       CAST(NULL AS INT[]) < [1] AS null_lt,
+        |       [1] <= CAST(NULL AS INT[]) AS null_le""".stripMargin),
+
+    // test/sql/types/list/list_distinct.test: IS [NOT] DISTINCT FROM over
+    // lists — NULL-safe, never returns NULL
+    ("slt_list_distinct_from",
+      """SELECT array(1) IS DISTINCT FROM array(2) AS d12,
+        |       array(1) IS DISTINCT FROM array(1) AS d11,
+        |       CAST(NULL AS ARRAY<INT>) IS DISTINCT FROM array(1) AS dn1,
+        |       array(1) IS DISTINCT FROM CAST(NULL AS ARRAY<INT>) AS d1n,
+        |       CAST(NULL AS ARRAY<INT>) IS NOT DISTINCT FROM
+        |         CAST(NULL AS ARRAY<INT>) AS same_nn""".stripMargin,
+      """SELECT [1] IS DISTINCT FROM [2] AS d12,
+        |       [1] IS DISTINCT FROM [1] AS d11,
+        |       CAST(NULL AS INT[]) IS DISTINCT FROM [1] AS dn1,
+        |       [1] IS DISTINCT FROM CAST(NULL AS INT[]) AS d1n,
+        |       CAST(NULL AS INT[]) IS NOT DISTINCT FROM
+        |         CAST(NULL AS INT[]) AS same_nn""".stripMargin),
+
+    // test/sql/types/list/list_concat_null.test: DuckDB's list `||`
+    // (≙ list_concat) treats a NULL operand as the EMPTY list — unlike
+    // its string `||`. Spark's concat NULL-propagates, so the Spark side
+    // spells the NULL-as-empty semantic explicitly with coalesce.
+    ("slt_list_concat_null",
+      """SELECT array_join(concat(array(42),
+        |         coalesce(CAST(NULL AS ARRAY<INT>), CAST(array() AS ARRAY<INT>))),
+        |         ',') AS cat_null_skipped,
+        |       array_join(concat(array(42), array(43),
+        |         CAST(array() AS ARRAY<INT>), array(44)), ',') AS cat_skip_empty,
+        |       array_join(concat(CAST(array() AS ARRAY<INT>),
+        |         CAST(array() AS ARRAY<INT>), array(7)), ',') AS cat_lead_empty""".stripMargin,
+      """SELECT array_to_string([42] || CAST(NULL AS INT[]), ',') AS cat_null_skipped,
+        |       array_to_string([42] || [43] || [] || [44], ',') AS cat_skip_empty,
+        |       array_to_string([] || [] || [7], ',') AS cat_lead_empty""".stripMargin),
+
+    // test/sql/types/list/list_index.test: 1-based access, out-of-range
+    // NULL (ANSI Spark: try_element_at), negative index from the end
+    ("slt_list_element_access",
+      """SELECT try_element_at(array(10, 20, 30), 1) AS first,
+        |       try_element_at(array(10, 20, 30), 3) AS last,
+        |       try_element_at(array(10, 20, 30), 9) AS oob,
+        |       try_element_at(array(10, 20, 30), -1) AS neg,
+        |       try_element_at(CAST(NULL AS ARRAY<INT>), 1) AS of_null""".stripMargin,
+      """SELECT [10, 20, 30][1] AS first,
+        |       [10, 20, 30][3] AS last,
+        |       [10, 20, 30][9] AS oob,
+        |       [10, 20, 30][-1] AS neg,
+        |       (CAST(NULL AS INT[]))[1] AS of_null""".stripMargin),
+
+    // test/sql/types/list/list_null_members.test: aggregates/membership
+    // over a list with NULL members; list_contains is pinned through
+    // coalesce (DuckDB returns false where Spark three-values to NULL)
+    ("slt_list_null_members",
+      """SELECT size(array(3, NULL, 1, NULL, 2)) AS n_all,
+        |       size(filter(array(3, NULL, 1, NULL, 2), x -> x IS NOT NULL)) AS n_nonnull,
+        |       array_min(array(3, NULL, 1, NULL, 2)) AS mn,
+        |       array_max(array(3, NULL, 1, NULL, 2)) AS mx,
+        |       array_contains(array(3, NULL, 1), 3) AS has3,
+        |       coalesce(array_contains(array(3, NULL, 1), 9), false) AS has9""".stripMargin,
+      """SELECT len([3, NULL, 1, NULL, 2]) AS n_all,
+        |       len(list_filter([3, NULL, 1, NULL, 2], x -> x IS NOT NULL)) AS n_nonnull,
+        |       list_min([3, NULL, 1, NULL, 2]) AS mn,
+        |       list_max([3, NULL, 1, NULL, 2]) AS mx,
+        |       list_contains([3, NULL, 1], 3) AS has3,
+        |       coalesce(list_contains([3, NULL, 1], 9), false) AS has9""".stripMargin),
+
+    // test/sql/types/list/list_of_struct.test: NULL elements and NULL
+    // fields survive per-element field extraction
+    ("slt_list_of_struct",
+      """SELECT array_join(transform(
+        |         array(named_struct('a', 3, 'b', 'hello'),
+        |               CAST(NULL AS STRUCT<a INT, b STRING>),
+        |               named_struct('a', CAST(NULL AS INT), 'b', 'x')),
+        |         x -> coalesce(CAST(x.a AS STRING), 'N')), ',') AS a_vals,
+        |       array_join(transform(
+        |         array(named_struct('a', 3, 'b', 'hello'),
+        |               CAST(NULL AS STRUCT<a INT, b STRING>),
+        |               named_struct('a', CAST(NULL AS INT), 'b', 'x')),
+        |         x -> coalesce(x.b, 'N')), ',') AS b_vals""".stripMargin,
+      """SELECT array_to_string(list_transform(
+        |         [{'a': 3, 'b': 'hello'}, NULL, {'a': NULL, 'b': 'x'}],
+        |         x -> coalesce(CAST(x.a AS VARCHAR), 'N')), ',') AS a_vals,
+        |       array_to_string(list_transform(
+        |         [{'a': 3, 'b': 'hello'}, NULL, {'a': NULL, 'b': 'x'}],
+        |         x -> coalesce(x.b, 'N')), ',') AS b_vals""".stripMargin),
+
+    // test/sql/types/struct/struct_comparison.test: field-order
+    // lexicographic struct comparison; IS DISTINCT treats NULL fields as
+    // equal values
+    ("slt_struct_compare",
+      """SELECT named_struct('k', 1, 'v', 'a') < named_struct('k', 1, 'v', 'b') AS lt_snd,
+        |       named_struct('k', 2, 'v', 'a') < named_struct('k', 1, 'v', 'z') AS lt_fst,
+        |       named_struct('k', 1, 'v', 'a') = named_struct('k', 1, 'v', 'a') AS eq,
+        |       named_struct('k', 1, 'v', CAST(NULL AS STRING)) IS DISTINCT FROM
+        |         named_struct('k', 1, 'v', CAST(NULL AS STRING)) AS null_field_distinct""".stripMargin,
+      """SELECT {'k': 1, 'v': 'a'} < {'k': 1, 'v': 'b'} AS lt_snd,
+        |       {'k': 2, 'v': 'a'} < {'k': 1, 'v': 'z'} AS lt_fst,
+        |       {'k': 1, 'v': 'a'} = {'k': 1, 'v': 'a'} AS eq,
+        |       {'k': 1, 'v': CAST(NULL AS VARCHAR)} IS DISTINCT FROM
+        |         {'k': 1, 'v': CAST(NULL AS VARCHAR)} AS null_field_distinct""".stripMargin),
+
+    // test/sql/types/struct/struct_case.test: CASE selecting between
+    // struct values, fields extracted after the branch
+    ("slt_struct_case",
+      """SELECT i,
+        |       (CASE WHEN i = 1 THEN named_struct('x', 1, 'y', 'lo')
+        |             ELSE named_struct('x', 99, 'y', 'hi') END).x AS cx,
+        |       (CASE WHEN i = 1 THEN named_struct('x', 1, 'y', 'lo')
+        |             ELSE named_struct('x', 99, 'y', 'hi') END).y AS cy
+        |FROM VALUES (1), (2) AS t(i) ORDER BY i""".stripMargin,
+      """SELECT i,
+        |       (CASE WHEN i = 1 THEN {'x': 1, 'y': 'lo'}
+        |             ELSE {'x': 99, 'y': 'hi'} END).x AS cx,
+        |       (CASE WHEN i = 1 THEN {'x': 1, 'y': 'lo'}
+        |             ELSE {'x': 99, 'y': 'hi'} END).y AS cy
+        |FROM (SELECT 1 AS i UNION ALL SELECT 2) t ORDER BY i""".stripMargin),
+
+    // test/sql/types/struct/struct_null_members.test: a struct whose
+    // fields are all NULL is NOT the NULL struct; extraction from the
+    // NULL struct is NULL
+    ("slt_struct_null_members",
+      """SELECT named_struct('a', CAST(NULL AS INT), 'b', CAST(NULL AS STRING))
+        |         IS NULL AS allnull_is_null,
+        |       CAST(NULL AS STRUCT<a INT, b STRING>) IS NULL AS null_is_null,
+        |       named_struct('a', CAST(NULL AS INT), 'b', CAST(NULL AS STRING)).a AS a1,
+        |       CAST(NULL AS STRUCT<a INT, b STRING>).a AS a2""".stripMargin,
+      """SELECT {'a': CAST(NULL AS INT), 'b': CAST(NULL AS VARCHAR)}
+        |         IS NULL AS allnull_is_null,
+        |       CAST(NULL AS STRUCT(a INT, b VARCHAR)) IS NULL AS null_is_null,
+        |       ({'a': CAST(NULL AS INT), 'b': CAST(NULL AS VARCHAR)}).a AS a1,
+        |       (CAST(NULL AS STRUCT(a INT, b VARCHAR))).a AS a2""".stripMargin),
+
+    // unnest/explode of empty and NULL lists yields zero rows
+    ("slt_unnest_empty_null",
+      """SELECT i, explode(arr) AS x
+        |FROM VALUES (1, array(10, 20)), (2, CAST(array() AS ARRAY<INT>)),
+        |            (3, CAST(NULL AS ARRAY<INT>)) AS t(i, arr)
+        |ORDER BY i, x""".stripMargin,
+      """SELECT i, unnest(arr) AS x
+        |FROM (VALUES (1, [10, 20]), (2, CAST([] AS INT[])),
+        |             (3, CAST(NULL AS INT[]))) t(i, arr)
+        |ORDER BY i, x""".stripMargin),
+
+    // lists as GROUP BY keys: structural equality, NULL list its own group
+    ("slt_list_group_key",
+      """SELECT coalesce(array_join(arr, ','), 'NULL') AS k, count(*) AS n
+        |FROM VALUES (array(1, 2)), (array(1, 2)), (array(3)),
+        |            (CAST(NULL AS ARRAY<INT>)), (CAST(NULL AS ARRAY<INT>)) AS t(arr)
+        |GROUP BY arr ORDER BY k""".stripMargin,
+      """SELECT coalesce(array_to_string(arr, ','), 'NULL') AS k, count(*) AS n
+        |FROM (VALUES ([1, 2]), ([1, 2]), ([3]),
+        |             (CAST(NULL AS INT[])), (CAST(NULL AS INT[]))) t(arr)
+        |GROUP BY arr ORDER BY k""".stripMargin),
+
+    // slicing clamps to the list bounds; a fully out-of-range slice is
+    // empty (DuckDB stringifies empty to NULL — Spark side mirrors with
+    // nullif)
+    ("slt_list_slice_clamp",
+      """SELECT array_join(slice(array(1, 2, 3, 4, 5), 2, 100), ',') AS clamp_hi,
+        |       nullif(array_join(slice(array(1, 2, 3, 4, 5), 6, 2), ','), '') AS empty_oob,
+        |       array_join(slice(array(1, 2, 3, 4, 5), 1, 5), ',') AS full_range""".stripMargin,
+      """SELECT array_to_string(([1, 2, 3, 4, 5])[2:100], ',') AS clamp_hi,
+        |       array_to_string(([1, 2, 3, 4, 5])[6:7], ',') AS empty_oob,
+        |       array_to_string(([1, 2, 3, 4, 5])[1:5], ',') AS full_range""".stripMargin),
+
+    // fold/aggregate over a list; the empty list yields the initial value
+    // (Spark) ≙ NULL sum coalesced (DuckDB)
+    ("slt_list_fold_sum",
+      """SELECT CAST(aggregate(array(1, 2, 3), 0L, (acc, x) -> acc + x * x) AS BIGINT)
+        |         AS sum_sq,
+        |       CAST(aggregate(CAST(array() AS ARRAY<INT>), 0L, (acc, x) -> acc + x)
+        |         AS BIGINT) AS empty_sum""".stripMargin,
+      """SELECT CAST(list_sum(list_transform([1, 2, 3], x -> x * x)) AS BIGINT) AS sum_sq,
+        |       CAST(coalesce(list_sum(CAST([] AS INT[])), 0) AS BIGINT) AS empty_sum""".stripMargin),
+
+    // DIALECT PIN: DuckDB list_distinct drops NULL members, Spark
+    // array_distinct keeps one — the Spark side filters NULLs first so
+    // both return the same distinct set
+    ("slt_list_distinct_null_drop",
+      """SELECT array_join(array_sort(array_distinct(
+        |         filter(array(1, 2, 2, NULL, 1, NULL), x -> x IS NOT NULL))), ',')
+        |         AS distinct_set,
+        |       size(array_distinct(filter(array(1, 2, 2, NULL, 1, NULL),
+        |         x -> x IS NOT NULL))) AS n_distinct""".stripMargin,
+      """SELECT array_to_string(list_sort(list_distinct([1, 2, 2, NULL, 1, NULL])), ',')
+        |         AS distinct_set,
+        |       len(list_distinct([1, 2, 2, NULL, 1, NULL])) AS n_distinct""".stripMargin),
+
+    // ORDER BY a struct column: lexicographic by field position
+    ("slt_order_by_struct",
+      """SELECT i FROM (
+        |  SELECT i, named_struct('k', i % 2, 'v', -i) AS s
+        |  FROM VALUES (1), (2), (3), (4) AS t(i))
+        |ORDER BY s, i""".stripMargin,
+      """SELECT i FROM (
+        |  SELECT i, {'k': i % 2, 'v': -i} AS s
+        |  FROM (VALUES (1), (2), (3), (4)) t(i))
+        |ORDER BY s, i""".stripMargin),
+
+    // struct containing a list: chained extraction path s.a1[2]
+    ("slt_nested_struct_list",
+      """SELECT try_element_at(named_struct('a1', array(1, 2, 3), 'a2', 17).a1, 2) AS mid,
+        |       named_struct('a1', array(1, 2, 3), 'a2', 17).a2 AS scalar,
+        |       size(named_struct('a1', array(1, 2, 3), 'a2', 17).a1) AS n""".stripMargin,
+      """SELECT ({'a1': [1, 2, 3], 'a2': 17}.a1)[2] AS mid,
+        |       {'a1': [1, 2, 3], 'a2': 17}.a2 AS scalar,
+        |       len({'a1': [1, 2, 3], 'a2': 17}.a1) AS n""".stripMargin)
+  )
+
+  val queries: Map[String, Q.Fn] =
+    q.map { case (name, sparkSql, _) =>
+      name -> { (s: SparkSession, _: String) => s.sql(sparkSql) }
+    }.toMap
+
+  val oracle: Map[String, String] =
+    q.map { case (name, _, duckSql) => name -> duckSql }.toMap
+}

@@ -924,7 +924,83 @@ object SltSlice {
     "slt_substring_negative" ->
       """SELECT substring('hello', 2) AS from2,
         |       substring('hello', -3, 2) AS neg_start,
-        |       substring('hello', 2, 100) AS clamp_len""".stripMargin
+        |       substring('hello', 2, 100) AS clamp_len""".stripMargin,
+
+    // ------------------------------------------- LATERAL subqueries
+    // test/sql/subquery/lateral/test_lateral_join.test: a lateral
+    // computing scalar expressions over the outer row
+    "slt_lateral_scalar" ->
+      """WITH t(i) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT i, j, k FROM t,
+        |  LATERAL (SELECT i + 1 AS j, i * 10 AS k) l
+        |ORDER BY i""".stripMargin,
+
+    // test/sql/subquery/lateral/lateral_join_aggregate.test: aggregate
+    // over the inner relation correlated through the lateral's WHERE (the
+    // one placement BOTH engines accept — Spark rejects outer refs inside
+    // or beside aggregates in the lateral's SELECT): per-row running sum
+    "slt_lateral_agg_correlated" ->
+      """WITH t(i) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT t1.i AS i, s FROM t t1,
+        |  LATERAL (SELECT CAST(sum(i) AS BIGINT) AS s FROM t WHERE t.i <= t1.i) l
+        |ORDER BY i""".stripMargin,
+
+    // LEFT JOIN LATERAL with an empty inner result keeps the outer row
+    // (NULL-extended), INNER drops it
+    "slt_lateral_left_empty" ->
+      """WITH t(i) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |u(k, v) AS (SELECT 1, 'a' UNION ALL SELECT 1, 'b' UNION ALL SELECT 3, 'c')
+        |SELECT i, v FROM t
+        |LEFT JOIN LATERAL (SELECT v FROM u WHERE u.k = t.i) l ON true
+        |ORDER BY i, v NULLS FIRST""".stripMargin,
+
+    // test/sql/subquery/lateral/lateral_join_chain.test: laterals chained
+    // left-to-right, each referencing the previous lateral's columns
+    "slt_lateral_chain" ->
+      """WITH t(i) AS (SELECT 1 UNION ALL SELECT 2)
+        |SELECT i, a, b FROM t,
+        |  LATERAL (SELECT i * 2 AS a) l1,
+        |  LATERAL (SELECT a + i AS b) l2
+        |ORDER BY i""".stripMargin,
+
+    // lateral output consumed by the outer WHERE and GROUP BY
+    // (test/sql/subquery/lateral/lateral_grouping_sets.test shape)
+    "slt_lateral_group_agg" ->
+      """WITH t(g, v) AS (
+        |  SELECT 'a', 1 UNION ALL SELECT 'a', 2 UNION ALL SELECT 'b', 9
+        |  UNION ALL SELECT 'b', 4)
+        |SELECT g, CAST(sum(dbl) AS BIGINT) AS s
+        |FROM t, LATERAL (SELECT v * 2 AS dbl) l
+        |WHERE dbl > 2
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // correlated lateral TOP-1-per-row: max over the inner filtered by the
+    // outer key (the decorrelated groupwise-max shape). Every outer key
+    // matches: on an EMPTY inner group Spark keeps the ungrouped
+    // aggregate's NULL row while DuckDB's decorrelation drops it — a
+    // dialect divergence deliberately outside this pin.
+    "slt_lateral_groupwise_max" ->
+      """WITH t(k) AS (SELECT 1 UNION ALL SELECT 2),
+        |u(k, v) AS (SELECT 1, 10 UNION ALL SELECT 1, 20 UNION ALL SELECT 2, 5)
+        |SELECT t.k AS k, mx FROM t,
+        |  LATERAL (SELECT max(v) AS mx FROM u WHERE u.k = t.k) l
+        |ORDER BY k""".stripMargin,
+
+    // lateral referencing BOTH of two preceding FROM relations
+    "slt_lateral_two_outer" ->
+      """WITH a(x) AS (SELECT 1 UNION ALL SELECT 2),
+        |b(y) AS (SELECT 10 UNION ALL SELECT 20)
+        |SELECT x, y, s FROM a, b,
+        |  LATERAL (SELECT x + y AS s) l
+        |ORDER BY x, y""".stripMargin,
+
+    // lateral under a set operation: each branch carries its own lateral
+    "slt_lateral_in_union" ->
+      """WITH t(i) AS (SELECT 1 UNION ALL SELECT 2)
+        |SELECT i, v FROM t, LATERAL (SELECT i + 100 AS v) l
+        |UNION ALL
+        |SELECT i, v FROM t, LATERAL (SELECT i + 200 AS v) l
+        |ORDER BY i, v""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =

@@ -212,7 +212,259 @@ object TpcdsShapes {
         |SELECT n_name, cust, r, rk
         |FROM ranked JOIN nation ON nk = n_nationkey
         |WHERE rk <= 3
-        |ORDER BY n_name, rk, cust""".stripMargin)
+        |ORDER BY n_name, rk, cust""".stripMargin),
+
+    // q34/q73: inner per-ticket count, outer join to customer with a
+    // count-band filter — the "busy tickets" shape
+    ("qds_tickets_per_customer", Seq("lineitem", "orders", "customer"),
+      """WITH dn AS (
+        |  SELECT l_orderkey AS ticket, o_custkey AS cust, count(*) AS cnt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY l_orderkey, o_custkey)
+        |SELECT c_name, ticket, cnt
+        |FROM dn JOIN customer ON cust = c_custkey
+        |WHERE cnt BETWEEN 5 AND 7
+        |ORDER BY c_name, ticket""".stripMargin),
+
+    // q66: deep CASE pivot — one scan fanned into 12 monthly columns
+    ("qds_deep_case_pivot", Seq("orders", "customer", "nation"),
+      """SELECT n_name,
+        | round(sum(CASE WHEN month(o_orderdate) = 1 THEN o_totalprice ELSE 0 END), 2) AS m01,
+        | round(sum(CASE WHEN month(o_orderdate) = 2 THEN o_totalprice ELSE 0 END), 2) AS m02,
+        | round(sum(CASE WHEN month(o_orderdate) = 3 THEN o_totalprice ELSE 0 END), 2) AS m03,
+        | round(sum(CASE WHEN month(o_orderdate) = 4 THEN o_totalprice ELSE 0 END), 2) AS m04,
+        | round(sum(CASE WHEN month(o_orderdate) = 5 THEN o_totalprice ELSE 0 END), 2) AS m05,
+        | round(sum(CASE WHEN month(o_orderdate) = 6 THEN o_totalprice ELSE 0 END), 2) AS m06,
+        | round(sum(CASE WHEN month(o_orderdate) = 7 THEN o_totalprice ELSE 0 END), 2) AS m07,
+        | round(sum(CASE WHEN month(o_orderdate) = 8 THEN o_totalprice ELSE 0 END), 2) AS m08,
+        | round(sum(CASE WHEN month(o_orderdate) = 9 THEN o_totalprice ELSE 0 END), 2) AS m09,
+        | round(sum(CASE WHEN month(o_orderdate) = 10 THEN o_totalprice ELSE 0 END), 2) AS m10,
+        | round(sum(CASE WHEN month(o_orderdate) = 11 THEN o_totalprice ELSE 0 END), 2) AS m11,
+        | round(sum(CASE WHEN month(o_orderdate) = 12 THEN o_totalprice ELSE 0 END), 2) AS m12,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // q57: THREE windows over one grouped feed — per-year average,
+    // lag/lead neighbors, rank — with an outlier filter on the deviation
+    ("qds_multi_window_outlier", Seq("lineitem", "orders", "part"),
+      """WITH v1 AS (
+        |  SELECT p_brand AS brand, year(o_orderdate) AS yr,
+        |         month(o_orderdate) AS moy,
+        |         round(sum(l_extendedprice), 2) AS sum_sales
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+        |  GROUP BY p_brand, year(o_orderdate), month(o_orderdate)),
+        |v2 AS (
+        |  SELECT brand, yr, moy, sum_sales,
+        |         round(avg(sum_sales) OVER (PARTITION BY brand, yr), 2) AS avg_monthly,
+        |         lag(sum_sales) OVER (PARTITION BY brand ORDER BY yr, moy) AS psum,
+        |         lead(sum_sales) OVER (PARTITION BY brand ORDER BY yr, moy) AS nsum,
+        |         CAST(rank() OVER (PARTITION BY brand ORDER BY yr, moy) AS BIGINT) AS rn
+        |  FROM v1)
+        |SELECT brand, yr, moy, sum_sales, avg_monthly, psum, nsum, rn
+        |FROM v2
+        |WHERE yr = 1997 AND avg_monthly > 0
+        |  AND abs(sum_sales - avg_monthly) / avg_monthly > 0.05
+        |ORDER BY round(sum_sales - avg_monthly, 2), brand, yr, moy""".stripMargin),
+
+    // q67: ROLLUP tower + rank-within-category top-k over the rolled rows
+    ("qds_rollup_rank_topk", Seq("lineitem", "orders", "part"),
+      """WITH dw1 AS (
+        |  SELECT p_brand AS brand, year(o_orderdate) AS yr,
+        |         quarter(o_orderdate) AS qoy,
+        |         round(sum(coalesce(l_extendedprice * l_quantity, 0)), 2) AS sumsales
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY ROLLUP(p_brand, year(o_orderdate), quarter(o_orderdate)))
+        |SELECT brand, yr, qoy, sumsales, rk FROM (
+        |  SELECT brand, yr, qoy, sumsales,
+        |         CAST(rank() OVER (PARTITION BY brand ORDER BY sumsales DESC) AS BIGINT) AS rk
+        |  FROM dw1) dw2
+        |WHERE rk <= 2
+        |ORDER BY brand NULLS FIRST, yr NULLS FIRST, qoy NULLS FIRST, sumsales, rk
+        |LIMIT 100""".stripMargin),
+
+    // q17: wide star with the SAME dimension joined in two roles
+    // (nation as customer-side d1 and supplier-side d2) + sampled-stddev
+    // and coefficient-of-variation aggregates
+    ("qds_star_stats_roles", Seq("lineitem", "orders", "part", "customer",
+      "supplier", "nation"),
+      """SELECT p_brand, count(*) AS n,
+        |  round(avg(l_quantity), 4) AS q_avg,
+        |  round(stddev_samp(l_quantity), 4) AS q_std,
+        |  round(stddev_samp(l_extendedprice) / NULLIF(avg(l_extendedprice), 0), 6) AS price_cov
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND n1.n_name = n2.n_name
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // q11/q4: WITH tower of per-year totals, self-joined across years,
+    // growth-ratio filter, top-N — the "growth accounts" shape
+    ("qds_yearly_growth_tower", Seq("orders"),
+      """WITH yearly AS (
+        |  SELECT o_custkey AS cust, year(o_orderdate) AS yr,
+        |         round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY o_custkey, year(o_orderdate)),
+        |t1 AS (SELECT cust, total FROM yearly WHERE yr = 1996),
+        |t2 AS (SELECT cust, total FROM yearly WHERE yr = 1997)
+        |SELECT t1.cust AS cust, t1.total AS y1996, t2.total AS y1997,
+        |       round(t2.total / NULLIF(t1.total, 0), 6) AS growth
+        |FROM t1 JOIN t2 ON t1.cust = t2.cust
+        |WHERE t1.total > 0 AND t2.total / NULLIF(t1.total, 0) > 1.5
+        |ORDER BY growth DESC, cust LIMIT 50""".stripMargin),
+
+    // ntile quartiles over customer revenue, re-aggregated per bucket
+    ("qds_ntile_quartiles", Seq("orders"),
+      """WITH r AS (
+        |  SELECT o_custkey AS cust, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (SELECT cust, rev,
+        |        ntile(4) OVER (ORDER BY rev DESC, cust) AS quartile FROM r)
+        |SELECT quartile, count(*) AS n, round(sum(rev), 2) AS rev,
+        |       round(avg(rev), 2) AS avg_rev
+        |FROM b GROUP BY quartile ORDER BY quartile""".stripMargin),
+
+    // q49: per-brand return ratio with rank + dense_rank over the ratio
+    ("qds_returns_ratio_rank", Seq("lineitem", "part"),
+      """WITH ratios AS (
+        |  SELECT p_brand AS brand,
+        |    round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END), 2) AS ret_q,
+        |    round(sum(l_quantity), 2) AS all_q,
+        |    round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+        |      / NULLIF(sum(l_quantity), 0), 6) AS ratio
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand)
+        |SELECT brand, ret_q, all_q, ratio,
+        |       CAST(rank() OVER (ORDER BY ratio DESC, brand) AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER (ORDER BY ratio DESC, brand) AS BIGINT) AS drnk
+        |FROM ratios
+        |ORDER BY rnk, brand LIMIT 30""".stripMargin),
+
+    // q38: triple-channel INTERSECT audience count
+    ("qds_triple_intersect", Seq("orders"),
+      """SELECT count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) t""".stripMargin),
+
+    // q25: dual time windows on independent date roles (order vs ship)
+    ("qds_dual_date_windows", Seq("lineitem", "orders", "customer", "nation"),
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_shipdate >= TIMESTAMP '1996-02-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // first-purchase cohort analysis: min-year cohort joined back to
+    // lifetime revenue
+    ("qds_first_purchase_cohort", Seq("orders"),
+      """WITH firstbuy AS (
+        |  SELECT o_custkey AS cust, min(year(o_orderdate)) AS cohort
+        |  FROM orders GROUP BY o_custkey),
+        |rev AS (
+        |  SELECT o_custkey AS cust2, round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT cohort, count(*) AS customers, round(sum(total), 2) AS lifetime_rev
+        |FROM firstbuy JOIN rev ON cust = cust2
+        |GROUP BY cohort ORDER BY cohort""".stripMargin),
+
+    // q48: OR'd quantity/discount band predicates folded into one scan
+    ("qds_case_band_report", Seq("lineitem"),
+      """SELECT
+        | round(sum(CASE WHEN l_quantity BETWEEN 1 AND 15
+        |   AND l_discount BETWEEN 0.00 AND 0.03 THEN l_extendedprice ELSE 0 END), 2) AS band1,
+        | round(sum(CASE WHEN l_quantity BETWEEN 16 AND 30
+        |   AND l_discount BETWEEN 0.03 AND 0.07 THEN l_extendedprice ELSE 0 END), 2) AS band2,
+        | round(sum(CASE WHEN l_quantity BETWEEN 31 AND 50
+        |   AND l_discount BETWEEN 0.07 AND 0.10 THEN l_extendedprice ELSE 0 END), 2) AS band3,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin),
+
+    // q44: best/worst performers by the same metric, two opposite ranks
+    // UNION ALL'd back together
+    ("qds_best_worst_items", Seq("lineitem", "part"),
+      """WITH perf AS (
+        |  SELECT l_partkey AS pk,
+        |         round(avg(l_extendedprice * (1 - l_discount)), 2) AS net
+        |  FROM lineitem GROUP BY l_partkey),
+        |best AS (SELECT pk, net,
+        |  CAST(rank() OVER (ORDER BY net DESC, pk) AS BIGINT) AS rk FROM perf),
+        |worst AS (SELECT pk, net,
+        |  CAST(rank() OVER (ORDER BY net ASC, pk) AS BIGINT) AS rk FROM perf)
+        |SELECT 'best' AS side, b.rk AS rk, p_name, b.net AS net
+        |FROM best b JOIN part ON b.pk = p_partkey WHERE b.rk <= 10
+        |UNION ALL
+        |SELECT 'worst' AS side, w.rk AS rk, p_name, w.net AS net
+        |FROM worst w JOIN part ON w.pk = p_partkey WHERE w.rk <= 10
+        |ORDER BY side, rk""".stripMargin),
+
+    // 8-relation chain with one dimension in two roles and a
+    // cross-dimension predicate — the widest join tree in the suite
+    ("qds_wide_chain_join", Seq("lineitem", "orders", "customer", "supplier",
+      "part", "nation", "region"),
+      """SELECT r_name, p_brand, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |WHERE sn.n_regionkey = cn.n_regionkey
+        |GROUP BY r_name, p_brand ORDER BY r_name, p_brand""".stripMargin),
+
+    // correlated scalar subquery against the outer's nation — customers
+    // spending above 1.3x their nation's average
+    ("qds_above_nation_avg", Seq("orders", "customer", "nation"),
+      """WITH spend AS (
+        |  SELECT c_custkey AS cust, c_nationkey AS nk,
+        |         round(sum(o_totalprice), 2) AS s
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey, c_nationkey)
+        |SELECT n_name, count(*) AS big_spenders
+        |FROM spend sp JOIN nation ON sp.nk = n_nationkey
+        |WHERE sp.s > (SELECT 1.3 * avg(s2.s) FROM spend s2 WHERE s2.nk = sp.nk)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // share-of-total report: per-segment revenue against unpartitioned
+    // window totals
+    ("qds_segment_share", Seq("orders", "customer"),
+      """WITH seg AS (
+        |  SELECT c_mktsegment AS seg, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT seg, rev, round(rev / sum(rev) OVER (), 6) AS share,
+        |       round(rev - avg(rev) OVER (), 2) AS vs_avg
+        |FROM seg ORDER BY seg""".stripMargin)
   )
 
   val queries: Map[String, Q.Fn] =

@@ -1,0 +1,115 @@
+package graft
+
+import graft.plans.DriverAgg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential spec for the driver-finalized low-cardinality aggregate:
+  * every shape must equal the ordinary shuffled-aggregate plan row for
+  * row (same order), including null handling, empty input, the global
+  * (ungrouped) case, and the cardinality valve.
+  */
+class DriverAggSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  private def check(grouped: DataFrame,
+                    sort: Seq[org.apache.spark.sql.Column],
+                    limit: Int = -1): Unit = {
+    val expected = {
+      val s = grouped.orderBy(sort: _*)
+      rows(if (limit >= 0) s.limit(limit) else s)
+    }
+    val got = rows(DriverAgg.lowCard(grouped, sort, limit))
+    assert(got == expected)
+  }
+
+  private lazy val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+  private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
+
+  test("q1 shape: sums, avgs, count over two string keys") {
+    check(
+      lineitem.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n")),
+      Seq(col("l_returnflag"), col("l_linestatus")))
+  }
+
+  test("computed grouping key (alias) with limit") {
+    check(
+      orders.groupBy(year(col("o_orderdate")).as("y"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s")),
+      Seq(col("y"), col("o_orderstatus")),
+      limit = 7)
+  }
+
+  test("join below the aggregate; descending sort") {
+    val j = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"), count(lit(1)).as("n"))
+    check(j, Seq(col("rev").desc, col("o_orderstatus")))
+  }
+
+  test("min/max over ints, longs, doubles and timestamps; nulls skipped") {
+    val df = Seq(
+      ("a", Some(3), Some(2.5), Some(10L)),
+      ("a", None, None, Some(4L)),
+      ("a", Some(-7), Some(1.5), None),
+      ("b", None, None, None)
+    ).toDF("k", "i", "d", "l")
+    check(
+      df.groupBy(col("k")).agg(
+        min(col("i")).as("mn_i"), max(col("i")).as("mx_i"),
+        min(col("d")).as("mn_d"), max(col("d")).as("mx_d"),
+        min(col("l")).as("mn_l"), max(col("l")).as("mx_l"),
+        sum(col("i")).as("s_i"), sum(col("d")).as("s_d"),
+        avg(col("d")).as("a_d"), count(col("i")).as("n_i"), count(lit(1)).as("n")),
+      Seq(col("k")))
+  }
+
+  test("empty grouped input yields no rows; empty GLOBAL input yields one") {
+    val empty = lineitem.filter(lit(false))
+    assert(rows(DriverAgg.lowCard(
+      empty.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")),
+      Seq(col("l_returnflag")))).isEmpty)
+    check(empty.groupBy().agg(count(lit(1)).as("n"),
+      sum(col("l_quantity")).as("s"), avg(col("l_quantity")).as("a")), Nil)
+  }
+
+  test("cardinality valve refuses high-card keys mid-flight") {
+    val e = intercept[Exception] {
+      DriverAgg.lowCard(
+        lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n")),
+        Seq(col("l_orderkey")), maxGroups = 16).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxGroups"))
+  }
+
+  test("unsupported aggregates refuse at plan time") {
+    intercept[Exception](DriverAgg.lowCard(
+      lineitem.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n")),
+      Seq(col("l_returnflag"))))
+    intercept[Exception](DriverAgg.lowCard(
+      lineitem.groupBy(col("l_returnflag"))
+        .agg(collect_list(col("l_partkey")).as("xs")),
+      Seq(col("l_returnflag"))))
+  }
+
+  test("write path (doExecute) produces the same rows as collect") {
+    val df = DriverAgg.lowCard(
+      lineitem.groupBy(col("l_linestatus")).agg(count(lit(1)).as("n")),
+      Seq(col("l_linestatus")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_driveragg").toString
+    df.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).orderBy(col("l_linestatus"))
+    assert(rows(back) == rows(df))
+  }
+}

@@ -98,16 +98,28 @@ class MultiDistinctSpec extends AnyFunSuite {
     }
   }
 
-  test("auto mode picks the single-level fused shape for small inputs") {
+  test("auto mode picks the driver-merged shape for small inputs") {
     import graft.functions.DistinctWithHll.exactWithHll
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("a", "b")
     val auto = exactWithHll(df, "a", "b")
     assert(auto.head().getLong(0) == 1000)
-    // a 16 KB input sits far under ColumnarThresholdBytes → no partial node
+    // a 16 KB input sits far under ColumnarThresholdBytes → single-job
+    // partial + coordinator merge, no exchange
     val plan = auto.queryExecution.executedPlan
-    assert(!plan.toString.contains("FusedDistinctPartial"),
-      s"small input should take the fused-aggregate shape:\n$plan")
+    assert(plan.toString.contains("FusedDistinctDriver"),
+      s"small input should take the driver-merged shape:\n$plan")
+  }
+
+  test("driver-merged shape equals the fused aggregate exactly") {
+    import graft.functions.DistinctWithHll.exactWithHll
+    import spark.implicits._
+    val df = (0 until 5000).map(i => ((i % 700).toLong, (i % 90).toLong))
+      .toDF("a", "b").repartition(7)
+    val fused = exactWithHll(df, "a", "b", mode = "fused").head()
+    val driver = exactWithHll(df, "a", "b", mode = "driver").head()
+    assert(driver.getLong(0) == fused.getLong(0)) // exact side: identical
+    assert(driver.getLong(1) == fused.getLong(1)) // HLL registers merge to same estimate
   }
 
   test("null inputs are ignored on both sides") {

@@ -80,9 +80,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("aggregation plans are two-phase (partial before shuffle)") {
-    val e = explain(SparkEntry.queries("q1_pricing_summary")(spark, sf))
-    assert(e.contains("partial_sum") || e.contains("HashAggregate"), e)
+    // q13 groups by a HIGH-cardinality key (custkey) — the shuffled
+    // aggregate is the right plan there and must stay two-phase
+    val e = explain(SparkEntry.queries("q13_customer_distribution")(spark, sf))
+    assert(e.contains("partial_count") || e.contains("HashAggregate"), e)
     val hashAggs = "HashAggregate".r.findAllIn(e).length
     assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+  }
+
+  test("low-cardinality headline aggregates are single-job driver-finalized") {
+    // q1 (6 groups) and tumbling (hour x type) use the coordinator-merge
+    // aggregate: one DriverGroupAgg, NO exchange anywhere in the plan
+    for (name <- Seq("q1_pricing_summary", "events_tumbling_1h")) {
+      val e = explain(SparkEntry.queries(name)(spark, sf))
+      assert(e.contains("DriverGroupAgg"), s"$name: $e")
+      assert(!e.contains("Exchange"), s"$name plans an exchange:\n$e")
+    }
   }
 }
