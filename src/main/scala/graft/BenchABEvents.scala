@@ -23,14 +23,7 @@ object BenchABEvents {
     val probe = spark.sparkContext.parallelize(1 to 32, 32)
     (1 to 120).foreach(_ => probe.count())
 
-    val raw = {
-      val r = spark.read.parquet(s"$sfDir/events.parquet")
-      // original testdata stores ts as TIMESTAMP(NANOS) read as long
-      // (nanosAsLong); ScaleData's sf1 replica writes a real timestamp
-      if (r.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else r
-    }
+    val raw = Tables.normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"))
     val ev1 = raw.coalesce(1)
       .sortWithinPartitions(col("user_id"), col("ts"), col("event_id")).cache()
     ev1.count()

@@ -132,14 +132,26 @@ object Tables {
     graft.plans.CachedBroadcastExec.clear()
   }
 
+  /** Normalize `events.ts` to session-zoned TIMESTAMP regardless of how
+    * the fixture was generated: TIMESTAMP(NANOS) footers surface as
+    * nano-longs (spark.sql.legacy.parquet.nanosAsLong — truncate to µs
+    * like DuckDB), TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as
+    * TIMESTAMP_NTZ (cast — identical instants under the UTC session).
+    * Queries downstream (unix_micros, session_window) see one type.
+    */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) in the footer, surfaced as nano-long
-    // (spark.sql.legacy.parquet.nanosAsLong); truncate to µs like DuckDB.
-    if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    if (name == "events") normalizeEventsTs(raw) else raw
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

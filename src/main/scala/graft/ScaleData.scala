@@ -30,9 +30,7 @@ object ScaleData {
 
     def read(name: String): DataFrame = {
       val raw = spark.read.parquet(s"$src/$name.parquet")
-      if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      if (name == "events") Tables.normalizeEventsTs(raw) else raw
     }
 
     def stride(df: DataFrame, key: String): Long =

@@ -1000,7 +1000,141 @@ object SltSlice {
         |SELECT i, v FROM t, LATERAL (SELECT i + 100 AS v) l
         |UNION ALL
         |SELECT i, v FROM t, LATERAL (SELECT i + 200 AS v) l
-        |ORDER BY i, v""".stripMargin
+        |ORDER BY i, v""".stripMargin,
+
+    // ---------------------------------------------------- r6 widening
+    // test/sql/order/test_order_by.test: ordinal ORDER BY positions
+    // resolve against the projection, mixed with DESC
+    "slt_order_by_ordinal" ->
+      """WITH t(a, b) AS (SELECT 1, 'x' UNION ALL SELECT 3, 'x'
+        |  UNION ALL SELECT 2, 'y')
+        |SELECT b AS grp, a AS v FROM t ORDER BY 1, 2 DESC""".stripMargin,
+
+    // test/sql/function/numeric/test_abs.test: abs/sign over negatives,
+    // zero, and NULL
+    "slt_abs_sign" ->
+      """WITH t(v) AS (SELECT -7 UNION ALL SELECT 0 UNION ALL SELECT 5
+        |  UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT v, abs(v) AS a, CAST(sign(v) AS INT) AS s
+        |FROM t ORDER BY v NULLS FIRST""".stripMargin,
+
+    // power/sqrt/cbrt identities; power(0,0) is 1 in both engines
+    "slt_power_sqrt" ->
+      """SELECT CAST(power(2, 10) AS DOUBLE) AS p10,
+        |       CAST(power(2, -2) AS DOUBLE) AS pneg,
+        |       CAST(power(0, 0) AS DOUBLE) AS p00,
+        |       CAST(sqrt(4) AS DOUBLE) AS sq,
+        |       round(cbrt(27), 6) AS cb""".stripMargin,
+
+    // exp/ln round-trip and fixed points
+    "slt_exp_ln" ->
+      """SELECT round(exp(0), 6) AS e0, round(ln(exp(2)), 6) AS two,
+        |       round(exp(1), 6) AS e1""".stripMargin,
+
+    // trig family at exact arguments; atan2 quadrant sign
+    "slt_trig_family" ->
+      """SELECT round(sin(0), 6) AS s0, round(cos(0), 6) AS c0,
+        |       round(atan2(1, 1), 6) AS a45,
+        |       round(atan2(-1, -1), 6) AS a225,
+        |       round(degrees(pi()), 6) AS deg,
+        |       round(radians(180), 6) AS rad""".stripMargin,
+
+    // test/sql/aggregate/group/test_grouping_function.test: grouping()
+    // distinguishes a ROLLUP total row from a real NULL key
+    "slt_grouping_fn" ->
+      """WITH t(g, v) AS (
+        |  SELECT 'a', 1 UNION ALL SELECT 'a', 2
+        |  UNION ALL SELECT CAST(NULL AS STRING), 4)
+        |SELECT g, CAST(grouping(g) AS INT) AS is_total,
+        |       CAST(sum(v) AS BIGINT) AS s
+        |FROM t GROUP BY ROLLUP(g)
+        |ORDER BY is_total, g NULLS FIRST""".stripMargin,
+
+    // conditional aggregation (the deep-CASE-pivot kernel): sums split
+    // by predicate inside one aggregate pass
+    "slt_case_in_agg" ->
+      """WITH t(g, v) AS (SELECT 1, 10 UNION ALL SELECT 1, 20
+        |  UNION ALL SELECT 2, 30 UNION ALL SELECT 2, 40)
+        |SELECT CAST(sum(CASE WHEN g = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+        |       CAST(sum(CASE WHEN g = 2 THEN v END) AS BIGINT) AS s2,
+        |       count(CASE WHEN v > 25 THEN 1 END) AS n_hi
+        |FROM t""".stripMargin,
+
+    // COUNT(DISTINCT expr) over a computed expression
+    "slt_distinct_count_expr" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 4 UNION ALL SELECT 7
+        |  UNION ALL SELECT 2 UNION ALL SELECT 5)
+        |SELECT count(DISTINCT v % 3) AS nd,
+        |       CAST(sum(DISTINCT v % 3) AS BIGINT) AS sd
+        |FROM t""".stripMargin,
+
+    // EXISTS over uncorrelated subqueries: empty vs non-empty drive the
+    // outer filter entirely
+    "slt_exists_uncorrelated" ->
+      """WITH t(i) AS (SELECT 1 UNION ALL SELECT 2)
+        |SELECT count(*) AS n_kept,
+        | (SELECT count(*) FROM t WHERE EXISTS (SELECT 1 WHERE 1 = 0)) AS n_empty
+        |FROM t WHERE EXISTS (SELECT 1)""".stripMargin,
+
+    // three-table USING chain: the join column appears once, unqualified
+    "slt_join_using_chain" ->
+      """WITH a(k, x) AS (SELECT 1, 'a1' UNION ALL SELECT 2, 'a2'),
+        |     b(k, y) AS (SELECT 1, 'b1' UNION ALL SELECT 3, 'b3'),
+        |     c(k, z) AS (SELECT 1, 'c1' UNION ALL SELECT 2, 'c2')
+        |SELECT k, x, y, z
+        |FROM a JOIN b USING (k) JOIN c USING (k)
+        |ORDER BY k""".stripMargin,
+
+    // tuple IN: row-constructor membership over pairs
+    "slt_row_in_tuples" ->
+      """WITH t(a, b) AS (SELECT 1, 10 UNION ALL SELECT 2, 20
+        |  UNION ALL SELECT 3, 30)
+        |SELECT a, b FROM t WHERE (a, b) IN ((1, 10), (3, 30), (4, 40))
+        |ORDER BY a""".stripMargin,
+
+    // test/sql/window/test_window_reverse.test shape: suffix-running
+    // frame (CURRENT ROW .. UNBOUNDED FOLLOWING)
+    "slt_win_suffix_frame" ->
+      """WITH t(g, v) AS (SELECT 'a', 1 UNION ALL SELECT 'a', 2
+        |  UNION ALL SELECT 'a', 3 UNION ALL SELECT 'b', 10)
+        |SELECT g, v,
+        | CAST(sum(v) OVER (PARTITION BY g ORDER BY v
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |   AS tail_sum
+        |FROM t ORDER BY g, v""".stripMargin,
+
+    // two DIFFERENT window specs in one projection (the TPC-DS q47
+    // multi-window kernel): partition-relative rank + global running sum
+    "slt_win_two_specs" ->
+      """WITH t(g, v) AS (SELECT 'a', 1 UNION ALL SELECT 'a', 3
+        |  UNION ALL SELECT 'b', 2 UNION ALL SELECT 'b', 4)
+        |SELECT g, v,
+        | rank() OVER (PARTITION BY g ORDER BY v DESC) AS r,
+        | CAST(sum(v) OVER (ORDER BY v, g
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS running
+        |FROM t ORDER BY g, v""".stripMargin,
+
+    // negative lead/lag offsets mirror each other
+    "slt_win_lead_negative" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT v, lead(v, -1) OVER (ORDER BY v) AS ld_m1,
+        |       lag(v, -1) OVER (ORDER BY v) AS lg_m1
+        |FROM t ORDER BY v""".stripMargin,
+
+    // NULLS ordering inside the OVER clause is independent of the outer
+    // ORDER BY's
+    "slt_win_nulls_order" ->
+      """WITH t(v) AS (SELECT 2 UNION ALL SELECT CAST(NULL AS INT)
+        |  UNION ALL SELECT 1)
+        |SELECT v, row_number() OVER (ORDER BY v ASC NULLS LAST) AS rn
+        |FROM t ORDER BY rn""".stripMargin,
+
+    // date_trunc('week') snaps to Monday in both engines
+    "slt_date_trunc_week" ->
+      """SELECT CAST(date_trunc('week', DATE '2024-03-14') AS DATE) AS mon,
+        |       CAST(date_trunc('week', DATE '2024-03-11') AS DATE) AS same,
+        |       CAST(date_trunc('month', DATE '2024-03-14') AS DATE) AS m1""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =

@@ -45,6 +45,56 @@ object Sources {
     s"${System.getProperty("java.io.tmpdir")}/graft_csv_rejects_${
       java.util.UUID.randomUUID().toString.take(8)}.csv"
 
+  /** One scratch CSV fixture per (name, content), at a per-JVM unique
+    * path the oracle SQL interpolates — the reference's test/sql/copy/csv
+    * option-edge files re-expressed as write-then-both-engines-read.
+    */
+  private val csvFixturePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stable per-JVM path for a named fixture (the oracle SQL interpolates
+    * this at map-build time; the query writes the bytes at run time,
+    * which precedes the driver's oracle pass).
+    */
+  private[queries] def csvFixturePath(name: String): String =
+    csvFixturePaths.getOrElseUpdate(name,
+      s"${System.getProperty("java.io.tmpdir")}/graft_csv_${name}_${
+        java.util.UUID.randomUUID().toString.take(8)}.csv")
+
+  private[queries] def csvFixture(name: String, content: String): String = {
+    val path = csvFixturePath(name)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    path
+  }
+
+  /** RFC-quoted pipe-delimited fixture: embedded delimiter, embedded
+    * doubled quote, embedded newline inside one quoted field
+    * (test/sql/copy/csv/test_quote_default.test + csv dialect sniffing).
+    */
+  private[queries] val csvQuotedContent =
+    "k|name|v\n" +
+    "1|\"a|pha\"|1.5\n" +
+    "2|\"say \"\"hi\"\"\"|2.5\n" +
+    "3|\"two\nlines\"|3.5\n" +
+    "4|plain|4.5\n"
+
+  /** Custom NULL-string fixture (test/sql/copy/csv/csv_nullstr_list.test). */
+  private[queries] val csvNullstrContent =
+    "k,s,v\n1,alpha,10\n2,NA,20\n3,gamma,NA\n4,NA,NA\n"
+
+  /** Headerless fixture read with caller-supplied names+types
+    * (test/sql/copy/csv/csv_names.test).
+    */
+  private[queries] val csvNoHeaderContent =
+    "1,alpha,1.5\n2,beta,2.5\n3,gamma,3.5\n"
+
+  /** Non-ISO date format needing an explicit format string
+    * (test/sql/copy/csv/test_date.test / dateformat option).
+    */
+  private[queries] val csvDateContent =
+    "k,d\n1,2024/03/14\n2,1999/12/31\n3,2000/01/01\n"
+
   private[queries] def csvRejectsFixture(): String = {
     val path = java.nio.file.Paths.get(csvRejectsPath)
     val content =
@@ -185,6 +235,75 @@ object Sources {
         count(col("_corrupt")).as("n_rejects"),
         sum(when(col("_corrupt").isNull, col("k"))).cast("long").as("sum_k"),
         round(sum(when(col("_corrupt").isNull, col("v"))), 2).as("sum_v"))
+    },
+
+    // RFC-quoted CSV dialect: '|' delimiter inside quotes, doubled
+    // embedded quotes, a quoted embedded newline (Spark needs
+    // multiLine=true for in-field newlines; escape='"' selects RFC
+    // doubling over its backslash default — the same dialect DuckDB's
+    // sniffer lands on)
+    "src_csv_quoted_dialect" -> { (s, d) =>
+      val path = csvFixture("quoted", csvQuotedContent)
+      s.read
+        .option("header", "true").option("sep", "|")
+        .option("quote", "\"").option("escape", "\"")
+        .option("multiLine", "true")
+        .option("inferSchema", "true")
+        .csv(path)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("name"))).cast("long").as("name_chars"),
+          round(sum(col("v")), 2).as("sum_v"))
+    },
+
+    // custom NULL marker: 'NA' in any column reads as NULL, in both the
+    // string and the numeric column
+    "src_csv_nullstr" -> { (s, d) =>
+      val path = csvFixture("nullstr", csvNullstrContent)
+      s.read
+        .option("header", "true").option("nullValue", "NA")
+        .schema("k INT, s STRING, v INT")
+        .csv(path)
+        .agg(count(lit(1)).as("n"), count(col("s")).as("n_s"),
+          count(col("v")).as("n_v"),
+          sum(col("v")).cast("long").as("sum_v"))
+    },
+
+    // headerless file + caller-supplied column names and types
+    "src_csv_no_header_names" -> { (s, d) =>
+      val path = csvFixture("noheader", csvNoHeaderContent)
+      s.read
+        .option("header", "false")
+        .schema("k BIGINT, name STRING, v DOUBLE")
+        .csv(path)
+        .select(col("k"), col("name"), col("v"))
+        .orderBy(col("k"))
+    },
+
+    // non-ISO dateformat: the format string drives parsing on both sides
+    "src_csv_dateformat" -> { (s, d) =>
+      val path = csvFixture("datefmt", csvDateContent)
+      s.read
+        .option("header", "true").option("dateFormat", "yyyy/MM/dd")
+        .schema("k INT, d DATE")
+        .csv(path)
+        .select(col("k"), col("d"), year(col("d")).cast("int").as("y"))
+        .orderBy(col("k"))
+    },
+
+    // hive-partitioned CSV tree: COPY TO ... PARTITION_BY over csv, read
+    // back with partition discovery; the partition column lives in the
+    // DIRECTORY NAMES, not the files, on both engines
+    "src_csv_hive_partitions" -> { (s, d) =>
+      val dir = roundtripDir("csv_hive")
+      Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey"))
+        .write.mode("overwrite").option("header", "true")
+        .partitionBy("s_nationkey").csv(dir)
+      s.read.option("header", "true").option("inferSchema", "true").csv(dir)
+        .filter(col("s_nationkey") < 10)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))
+        .orderBy(col("s_nationkey"))
     },
 
     // prepared-statement surface (reference §3.2) — named parameter
@@ -456,6 +575,45 @@ object Sources {
         .orderBy(col("o_orderkey"))
     },
 
+    // SCHEMA EVOLUTION: v0 declares 3 columns; a mergeSchema append adds
+    // a 4th (nullable — pre-evolution files read back null for it, via
+    // the explicit-schema parquet scan); ALTER TABLE ADD COLUMN then
+    // appends a 5th with no data files at all. The full read surfaces
+    // the evolved 5-column schema; the oracle reconstructs which rows
+    // can carry values for each column generation.
+    "src_delta_schema_evolution" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_delta_evo").toString + "/t"
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.sources.DeltaWrite.create(s, n.filter(col("n_nationkey") < 15), dir)
+      graft.sources.DeltaWrite.append(s,
+        n.filter(col("n_nationkey") >= 15)
+          .withColumn("n_big", upper(col("n_name"))),
+        dir, mergeSchema = true)
+      graft.sources.DeltaWrite.addColumn(s, dir, "n_extra",
+        org.apache.spark.sql.types.LongType)
+      graft.sources.DeltaScan.scan(s, dir)
+        .orderBy(col("n_nationkey"))
+    },
+
+    // time travel BELOW the evolution: v0's metaData replay must surface
+    // the ORIGINAL 3-column schema (per-version schemas, delta-kernel
+    // semantics), not the evolved one
+    "src_delta_schema_evolution_v0" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_delta_evo0").toString + "/t"
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.sources.DeltaWrite.create(s, n.filter(col("n_nationkey") < 15), dir)
+      graft.sources.DeltaWrite.append(s,
+        n.filter(col("n_nationkey") >= 15)
+          .withColumn("n_big", upper(col("n_name"))),
+        dir, mergeSchema = true)
+      graft.sources.DeltaScan.scan(s, dir, versionAsOf = Some(0L))
+        .orderBy(col("n_nationkey"))
+    },
+
     // native UPDATE ... SET ... WHERE: copy-on-write rewrite of only the
     // files holding matched rows; oracle = the CASE WHEN reconstruction
     "src_delta_update" -> { (s, d) =>
@@ -569,6 +727,16 @@ object Sources {
       """SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders WHERE o_orderkey < 2000 AND o_custkey % 7 <> 0""".stripMargin,
 
+    "src_delta_schema_evolution" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CASE WHEN n_nationkey >= 15 THEN upper(n_name) END AS n_big,
+        | CAST(NULL AS BIGINT) AS n_extra
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "src_delta_schema_evolution_v0" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey < 15 ORDER BY n_nationkey""".stripMargin,
+
     "src_delta_update" ->
       """SELECT o_orderkey, o_custkey,
         | round(CASE WHEN o_custkey % 5 = 0 THEN o_totalprice * 2.0
@@ -640,6 +808,37 @@ object Sources {
         |       CAST(sum(k) AS BIGINT) AS sum_k,
         |       round(sum(v), 2) AS sum_v
         |FROM good""".stripMargin,
+
+    "src_csv_quoted_dialect" ->
+      s"""SELECT count(*) AS n,
+        | CAST(sum(length(name)) AS BIGINT) AS name_chars,
+        | round(sum(v), 2) AS sum_v
+        |FROM read_csv('${csvFixturePath("quoted")}', header=true, delim='|',
+        |  quote='"', escape='"',
+        |  columns={'k': 'INTEGER', 'name': 'VARCHAR', 'v': 'DOUBLE'})""".stripMargin,
+
+    "src_csv_nullstr" ->
+      s"""SELECT count(*) AS n, count(s) AS n_s, count(v) AS n_v,
+        | CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM read_csv('${csvFixturePath("nullstr")}', header=true, nullstr='NA',
+        |  columns={'k': 'INTEGER', 's': 'VARCHAR', 'v': 'INTEGER'})""".stripMargin,
+
+    "src_csv_no_header_names" ->
+      s"""SELECT k, name, v
+        |FROM read_csv('${csvFixturePath("noheader")}', header=false,
+        |  columns={'k': 'BIGINT', 'name': 'VARCHAR', 'v': 'DOUBLE'})
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_dateformat" ->
+      s"""SELECT k, d, CAST(year(d) AS INTEGER) AS y
+        |FROM read_csv('${csvFixturePath("datefmt")}', header=true,
+        |  dateformat='%Y/%m/%d', columns={'k': 'INTEGER', 'd': 'DATE'})
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_hive_partitions" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+        |FROM supplier WHERE s_nationkey < 10
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "src_read_text" ->
       """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS n_chars,

@@ -65,14 +65,15 @@ object DeltaWrite {
     Files.deleteIfExists(tmp)
   }
 
-  private def metaDataLine(schema: StructType, partitionColumns: Seq[String]): String =
+  private def metaDataLine(schema: StructType, partitionColumns: Seq[String],
+                           configuration: Map[String, String] = Map.empty): String =
     JsonMethods.compact(JsonMethods.render(
       "metaData" -> (
         ("id" -> UUID.randomUUID().toString) ~
         ("format" -> (("provider" -> "parquet") ~ ("options" -> Map.empty[String, String]))) ~
         ("schemaString" -> schema.json) ~
         ("partitionColumns" -> partitionColumns) ~
-        ("configuration" -> Map.empty[String, String]))))
+        ("configuration" -> configuration))))
 
   private def protocolLine: String =
     JsonMethods.compact(JsonMethods.render(
@@ -145,6 +146,13 @@ object DeltaWrite {
     val missing = schema.fieldNames.filterNot(incoming.contains)
     require(missing.isEmpty,
       s"delta write: input is missing declared column(s) ${missing.mkString(", ")}")
+    // an UNdeclared input column is a caller bug unless mergeSchema
+    // evolved the declared schema first — silently dropping it would
+    // lose data the caller thought they wrote
+    val undeclared = df.schema.fieldNames.filterNot(schema.fieldNames.contains)
+    require(undeclared.isEmpty,
+      s"delta write: input carries undeclared column(s) ${undeclared.mkString(", ")} " +
+        "(append with mergeSchema=true to evolve the table schema)")
     val cols = schema.fields.toSeq.map { f =>
       val from = incoming(f.name)
       // safe widening only (int→long, float→double, …): a lossy-but-castable
@@ -156,6 +164,74 @@ object DeltaWrite {
       col(f.name).cast(f.dataType).as(f.name)
     }
     df.select(cols: _*)
+  }
+
+  // ---------------------------------------------------- schema evolution
+
+  /** Merge the table's declared schema with an incoming one (delta-spark's
+    * `mergeSchema` rule): declared columns keep their declared type and
+    * metadata — the incoming side must up-cast, enforced later by
+    * [[alignToSchema]] — and incoming-only columns append as NULLABLE
+    * (files written before the evolution have no values for them; the
+    * reader's explicit-schema parquet scan fills null). Under column
+    * mapping each new field is minted a fresh `columnId`/`physicalName`
+    * and `delta.columnMapping.maxColumnId` advances, per the spec's
+    * add-column rule. Returns None when the incoming schema adds nothing
+    * (no metaData action should be committed).
+    */
+  private[sources] def mergeSchemas(snap: DeltaScan.Snapshot,
+      incoming: StructType): Option[(StructType, Map[String, String])] = {
+    val declared = snap.schema.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => declared.contains(f.name))
+    if (added.isEmpty) None
+    else {
+      require(snap.columnMappingMode == "none" ||
+          snap.configuration.contains("delta.columnMapping.maxColumnId"),
+        "delta write: column-mapped table lacks delta.columnMapping.maxColumnId " +
+          "— cannot mint ids for new columns")
+      var maxId = snap.configuration
+        .get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)
+      val evolvedNew = added.toSeq.map { f =>
+        val meta =
+          if (snap.columnMappingMode == "none") f.metadata
+          else {
+            maxId += 1
+            new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", maxId)
+              .putString("delta.columnMapping.physicalName",
+                s"col-${UUID.randomUUID()}")
+              .build()
+          }
+        StructField(f.name, f.dataType, nullable = true, metadata = meta)
+      }
+      val conf =
+        if (snap.columnMappingMode == "none") snap.configuration
+        else snap.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString)
+      Some((StructType(snap.schema.fields.toSeq ++ evolvedNew), conf))
+    }
+  }
+
+  /** ALTER TABLE ADD COLUMN — a metaData-only commit (no data files): the
+    * new nullable column appends to the declared schema; every existing
+    * file reads back as null for it. The schema change is versioned like
+    * any other commit, so time travel to an earlier version sees the
+    * narrower schema (metaData replay in [[DeltaScan]] is per-version).
+    */
+  def addColumn(spark: SparkSession, tablePath: String,
+                name: String, dataType: DataType): Long = {
+    val tableDir = Paths.get(tablePath)
+    val snap = DeltaScan.snapshot(spark, tablePath)
+    checkWriteProtocol(snap, removesFiles = false)
+    require(!snap.schema.fieldNames.contains(name),
+      s"delta write: column '$name' already exists")
+    val (evolved, conf) = mergeSchemas(snap,
+      StructType(Seq(StructField(name, dataType)))).get
+    val v = snap.version + 1
+    commit(tableDir, v,
+      Seq(metaDataLine(evolved, snap.partitionColumns, conf)),
+      operation = "ADD COLUMNS")
+    maybeCheckpoint(spark, tablePath, snap, v)
+    v
   }
 
   /** Recursively delete a staging temp tree; the staged payload has
@@ -341,18 +417,32 @@ object DeltaWrite {
           catch { case scala.util.control.NonFatal(_) => () }
       }
 
-  /** INSERT INTO (append): a new version carrying only add actions. */
-  def append(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
+  /** INSERT INTO (append): a new version carrying only add actions.
+    * With `mergeSchema` (delta-spark's `option("mergeSchema","true")`),
+    * input-only columns evolve the declared schema — the commit leads
+    * with the evolved metaData action and the staged files carry the new
+    * columns; without it an input column the table doesn't declare is a
+    * caller bug and fails in [[alignToSchema]].
+    */
+  def append(spark: SparkSession, df: DataFrame, tablePath: String,
+             mergeSchema: Boolean = false): Long = {
     val tableDir = Paths.get(tablePath)
-    val snap = DeltaScan.snapshot(spark, tablePath)
-    checkWriteProtocol(snap, removesFiles = false)
+    val snap0 = DeltaScan.snapshot(spark, tablePath)
+    checkWriteProtocol(snap0, removesFiles = false)
+    val evolution = if (mergeSchema) mergeSchemas(snap0, df.schema) else None
+    val snap = evolution.fold(snap0) { case (sch, conf) =>
+      snap0.copy(schema = sch, configuration = conf)
+    }
     val aligned = alignToSchema(df, snap.schema)
     val adds = stage(toPhysical(aligned, snap), tableDir, physPartitionCols(snap))
     // OCC: commit at the version AFTER the snapshot we read — if another
     // writer claimed it meanwhile, the rename fails and the caller retries
     // against a fresh snapshot
     val v = snap.version + 1
-    commit(tableDir, v, adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
+    commit(tableDir, v,
+      evolution.toSeq.map { case (sch, conf) =>
+        metaDataLine(sch, snap.partitionColumns, conf)
+      } ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
     maybeCheckpoint(spark, tablePath, snap, v)
     v
   }

@@ -768,11 +768,95 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(snap3.files.find(_.path == f.path).get.dv == f.dv)
 
     // corrupt shape — two live adds for one path (stale dv never removed)
-    // must fail loudly, not double-read
-    val addBare = addLn.replaceAll(""",?"deletionVector":\{[^}]*\}""", "")
+    // must fail loudly, not double-read. Drop the descriptor via a JSON
+    // transform, NOT a regex: the sidecar name is a z85-encoded random
+    // UUID whose alphabet includes '}', which breaks brace matching.
+    val addBare = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val parsed = JsonMethods.parse(addLn).transformField {
+        case ("add", JObject(fields)) =>
+          ("add", JObject(fields.filterNot(_._1 == "deletionVector")))
+      }
+      JsonMethods.compact(JsonMethods.render(parsed))
+    }
     Files.write(Paths.get(path, "_delta_log", f"${4L}%020d.json"),
       java.util.Arrays.asList(addBare))
     val e = intercept[IllegalArgumentException](DeltaScan.snapshot(spark, path))
     assert(e.getMessage.contains("multiple live add actions"))
+  }
+
+  test("mergeSchema append evolves the schema; old files read null; v0 stays narrow") {
+    import spark.implicits._
+    val path = freshDir()
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    // an undeclared column WITHOUT mergeSchema is a loud error, not a drop
+    intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((3L, "c", 30)).toDF("k", "v", "x"), path)
+    }
+    val v1 = DeltaWrite.append(spark,
+      Seq((3L, "c", 30), (4L, "d", 40)).toDF("k", "v", "x"), path,
+      mergeSchema = true)
+    assert(v1 == 1L)
+    val full = DeltaScan.scan(spark, path).orderBy(col("k"))
+    assert(full.columns.toSeq == Seq("k", "v", "x"))
+    assert(full.schema("x").nullable)
+    assert(full.collect().map(r =>
+        (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq ==
+      Seq((1L, "a", -1), (2L, "b", -1), (3L, "c", 30), (4L, "d", 40)))
+    // time travel BELOW the evolution: v0's own metaData governs
+    val v0 = DeltaScan.scan(spark, path, versionAsOf = Some(0L))
+    assert(v0.columns.toSeq == Seq("k", "v"))
+    assert(v0.count() == 2)
+    // same-named column keeps the DECLARED type: int input upcasts, an
+    // incompatible one still fails
+    DeltaWrite.append(spark, Seq((5, "e", 50)).toDF("k", "v", "x"), path,
+      mergeSchema = true) // int k → declared long; no new columns → no metaData
+    assert(DeltaScan.snapshot(spark, path).schema.fieldNames.toSeq ==
+      Seq("k", "v", "x"))
+  }
+
+  test("addColumn commits metaData only; existing rows read null for it") {
+    import spark.implicits._
+    val path = freshDir()
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    val before = DeltaScan.snapshot(spark, path).files.map(_.path).toSet
+    val v = DeltaWrite.addColumn(spark, path, "score",
+      org.apache.spark.sql.types.DoubleType)
+    assert(v == 1L)
+    val snap = DeltaScan.snapshot(spark, path)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(snap.files.map(_.path).toSet == before) // no data files written
+    val got = DeltaScan.scan(spark, path).collect()
+    assert(got.head.isNullAt(2))
+    intercept[IllegalArgumentException] {
+      DeltaWrite.addColumn(spark, path, "v",
+        org.apache.spark.sql.types.StringType) // duplicate name refuses
+    }
+  }
+
+  test("mergeSchema on a column-mapped table mints ids and physical names") {
+    val path = graft.sources.DeltaFixture.nationWithColumnMapping(spark, sf)
+    // real delta-spark CM tables always carry maxColumnId; the fixture
+    // predates evolution — declare it (ids 1..3 are taken)
+    graft.sources.DeltaFixture.setTableConfig(spark, path,
+      Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "3"))
+    val plain = spark.read.parquet(s"$sf/nation.parquet")
+    val extra = plain.filter(col("n_nationkey") < 3)
+      .withColumn("n_flag", col("n_nationkey") * 10)
+    DeltaWrite.append(spark, extra, path, mergeSchema = true)
+    val snap = DeltaScan.snapshot(spark, path)
+    val f = snap.schema("n_flag")
+    assert(f.metadata.getLong("delta.columnMapping.id") == 4L)
+    val pn = f.metadata.getString("delta.columnMapping.physicalName")
+    assert(pn.startsWith("col-"))
+    assert(snap.configuration("delta.columnMapping.maxColumnId") == "4")
+    // staged file carries the minted physical name; reads stay logical
+    val got = DeltaScan.scan(spark, path)
+    assert(got.columns.toSeq == plain.columns.toSeq :+ "n_flag")
+    assert(got.filter(col("n_nationkey") === 1 && col("n_flag") === 10).count() >= 1)
+    // pre-evolution rows read null for the evolved column
+    assert(got.filter(col("n_flag").isNull).count() == 25)
   }
 }

@@ -23,12 +23,14 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming tumbling counts equal the batch result") {
     val dir = eventsStreamDir()
+    // the fixture stores ts as TIMESTAMP(MICROS, NTZ); read it as such
+    // and normalize to the session-zoned type the facade expects
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val toTs = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ts", col("ts").cast("timestamp"))
 
     val stream = toTs(spark.readStream.schema(schema).parquet(dir))
     val q = StreamingFacade.tumblingCounts(stream)
@@ -48,10 +50,11 @@ class StreamingSpec extends AnyFunSuite {
   test("mapGroupsWithState keeps running per-user state in update mode") {
     val dir = eventsStreamDir()
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
     val q = StreamingFacade.statefulUserCounts(stream)
       .writeStream.outputMode("update")
       .format("memory").queryName("graft_stateful").start()
@@ -247,11 +250,11 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming session stats run with watermarked append state") {
     val dir = eventsStreamDir()
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val q = StreamingFacade.sessionStats(stream)
       .select(col("user_id"), col("n"))
       .writeStream.outputMode("append")
