@@ -43,11 +43,14 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
   }
 
   override def apply(plan: SparkPlan): SparkPlan = {
+    // single-pass aggregation where the exchange was elided (clustered
+    // cache / bucketed input) — see CollapsePartialAggregate
+    val collapsed = CollapsePartialAggregate(plan)
     // lag-only windows evaluate streaming (runs after EnsureRequirements,
     // so the child's clustering/ordering are already window-correct)
     val windowed =
-      if (!streamWindowEnabled) plan
-      else plan.transformUp {
+      if (!streamWindowEnabled) collapsed
+      else collapsed.transformUp {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if graft.plans.StreamingWindowExec.supports(w) =>
           graft.plans.StreamingWindowExec(

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""DuckDB side of the ClickBench/h2oai-shape pairing (dev tool — pairs
+with `sbt "runMain graft.BenchOlap"` on the same sf dir; both medians go
+to PERF.md). Protocol mirrors tools/rebaseline.py: warm run discarded,
+median of 9.
+
+The SQL is the exact shared text from queries/OlapShapes.scala.
+"""
+import os
+import statistics
+import sys
+import time
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+QUERIES = {
+    "cb_top_groups": """
+      SELECT l_orderkey, count(*) AS c, round(sum(l_extendedprice), 2) AS s
+      FROM lineitem GROUP BY l_orderkey
+      ORDER BY c DESC, l_orderkey LIMIT 10""",
+    "cb_filter_multi_agg": """
+      SELECT l_orderkey, l_suppkey, count(*) AS c,
+       round(sum(l_quantity), 2) AS sq,
+       round(CAST(avg(l_extendedprice) AS DECIMAL(18,4)), 2) AS ap
+      FROM lineitem WHERE l_returnflag <> 'R'
+      GROUP BY l_orderkey, l_suppkey
+      ORDER BY c DESC, l_orderkey, l_suppkey LIMIT 10""",
+    "cb_regex_key": """
+      SELECT regexp_extract(props, '"k": ([0-9]+)', 1) AS k,
+       count(*) AS c, round(avg(length(props)), 2) AS l
+      FROM events WHERE props <> ''
+      GROUP BY k HAVING count(*) > 50
+      ORDER BY c DESC, k LIMIT 25""",
+    "h2o_groupby_wide": """
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS v, count(*) AS n
+      FROM lineitem
+      GROUP BY l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       l_returnflag, l_linestatus
+      ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber
+      LIMIT 200""",
+    "h2o_range_agg": """
+      SELECT l_partkey,
+       round(max(l_extendedprice) - min(l_extendedprice), 2) AS range_price
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY l_partkey LIMIT 200""",
+    "h2o_count_distinct": """
+      SELECT count(DISTINCT l_partkey) AS nd,
+       round(sum(l_quantity), 2) AS sv, count(*) AS n
+      FROM lineitem""",
+}
+
+
+def main():
+    con = duckdb.connect()  # in-memory, default threads
+    for t in ["lineitem", "events"]:
+        # driver testdata is one file per table; Spark-written datasets
+        # (the ScaleData sf1 evidence set) are directories of part files
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(
+            f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{path}')")
+    total = 0.0
+    for name, sql in QUERIES.items():
+        con.sql(sql).fetchall()  # warm (discarded)
+        times = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            times.append((time.perf_counter() - t0) * 1000)
+        m = statistics.median(times)
+        total += m
+        print(f"{name:<24} {m:8.1f} ms")
+    print(f"TOTAL {total:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
