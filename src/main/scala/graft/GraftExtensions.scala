@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.DriverAggStrategy)
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
+    e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
     e.injectPlanNormalizationRule(_ => graft.rules.RepairCachedOrdering)
     e.injectOptimizerRule(_ => graft.rules.RepairCachedOrdering)
     e.injectColumnar(_ => graft.rules.VectorizedCacheRead)

@@ -120,6 +120,57 @@ object DriverAgg {
     }.toArray
   }
 
+  /** Merge one partial state into an accumulator (shared by the
+    * driver-merge exec and the radix shuffle aggregate's reducers).
+    */
+  def mergeAcc(slots: Seq[Slot], cur: Acc, in: Acc): Unit = slots.foreach {
+    case CountSlot(li, _) => cur.longs(li) += in.longs(li)
+    case SumLSlot(li, fi, _) => if (in.flags(fi)) {
+      cur.longs(li) =
+        if (cur.flags(fi)) Math.addExact(cur.longs(li), in.longs(li)) else in.longs(li)
+      cur.flags(fi) = true
+    }
+    case SumDSlot(di, fi, _) => if (in.flags(fi)) {
+      cur.doubles(di) += in.doubles(di); cur.flags(fi) = true
+    }
+    case AvgSlot(di, li, _) =>
+      cur.doubles(di) += in.doubles(di); cur.longs(li) += in.longs(li)
+    case MinMaxLSlot(li, fi, _, isMin) => if (in.flags(fi)) {
+      if (!cur.flags(fi) ||
+          (if (isMin) in.longs(li) < cur.longs(li) else in.longs(li) > cur.longs(li)))
+        cur.longs(li) = in.longs(li)
+      cur.flags(fi) = true
+    }
+    case MinMaxDSlot(di, fi, _, isMin) => if (in.flags(fi)) {
+      val c = java.lang.Double.compare(in.doubles(di), cur.doubles(di))
+      if (!cur.flags(fi) || (if (isMin) c < 0 else c > 0)) cur.doubles(di) = in.doubles(di)
+      cur.flags(fi) = true
+    }
+  }
+
+  /** Final value of aggregate `j` as a catalyst value of `aggTypes(j)`. */
+  def finalValue(slots: Seq[Slot], aggTypes: Seq[DataType], j: Int, acc: Acc): Any =
+    slots(j) match {
+      case CountSlot(li, _) => acc.longs(li)
+      case SumLSlot(li, fi, _) => if (acc.flags(fi)) acc.longs(li) else null
+      case SumDSlot(di, fi, _) =>
+        if (!acc.flags(fi)) null
+        else if (aggTypes(j) == FloatType) acc.doubles(di).toFloat else acc.doubles(di)
+      case AvgSlot(di, li, _) =>
+        if (acc.longs(li) > 0) acc.doubles(di) / acc.longs(li) else null
+      case MinMaxLSlot(li, fi, _, _) =>
+        if (!acc.flags(fi)) null
+        else aggTypes(j) match {
+          case ByteType => acc.longs(li).toByte
+          case ShortType => acc.longs(li).toShort
+          case IntegerType | DateType => acc.longs(li).toInt
+          case _ => acc.longs(li)
+        }
+      case MinMaxDSlot(di, fi, _, _) =>
+        if (!acc.flags(fi)) null
+        else if (aggTypes(j) == FloatType) acc.doubles(di).toFloat else acc.doubles(di)
+    }
+
   private def isLongIsh(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType => true
@@ -131,7 +182,7 @@ object DriverAgg {
   /** Slot layout for the distinct AggregateExpressions in `resultExprs`
     * (in first-occurrence order), or throw for unsupported aggregates.
     */
-  private[plans] def layout(aggs: Seq[AggregateExpression]): Layout = {
+  private[graft] def layout(aggs: Seq[AggregateExpression]): Layout = {
     val inputs = ArrayBuffer.empty[Expression]
     def inputIdx(e: Expression): Int = {
       val i = inputs.indexWhere(_.semanticEquals(e))
@@ -295,53 +346,10 @@ final case class DriverGroupAggExec(
   private def newAcc() = new Acc(new Array[Long](nL), new Array[Double](nD),
     new Array[Boolean](nF))
 
-  /** Merge one partial state into the driver map entry. */
-  private def mergeInto(cur: Acc, in: Acc): Unit = slots.foreach {
-    case CountSlot(li, _) => cur.longs(li) += in.longs(li)
-    case SumLSlot(li, fi, _) => if (in.flags(fi)) {
-      cur.longs(li) =
-        if (cur.flags(fi)) Math.addExact(cur.longs(li), in.longs(li)) else in.longs(li)
-      cur.flags(fi) = true
-    }
-    case SumDSlot(di, fi, _) => if (in.flags(fi)) {
-      cur.doubles(di) += in.doubles(di); cur.flags(fi) = true
-    }
-    case AvgSlot(di, li, _) =>
-      cur.doubles(di) += in.doubles(di); cur.longs(li) += in.longs(li)
-    case MinMaxLSlot(li, fi, _, isMin) => if (in.flags(fi)) {
-      if (!cur.flags(fi) ||
-          (if (isMin) in.longs(li) < cur.longs(li) else in.longs(li) > cur.longs(li)))
-        cur.longs(li) = in.longs(li)
-      cur.flags(fi) = true
-    }
-    case MinMaxDSlot(di, fi, _, isMin) => if (in.flags(fi)) {
-      val c = java.lang.Double.compare(in.doubles(di), cur.doubles(di))
-      if (!cur.flags(fi) || (if (isMin) c < 0 else c > 0)) cur.doubles(di) = in.doubles(di)
-      cur.flags(fi) = true
-    }
-  }
+  private def mergeInto(cur: Acc, in: Acc): Unit = DriverAgg.mergeAcc(slots, cur, in)
 
-  /** Final value of aggregate `j` as a catalyst value of its dataType. */
-  private def finalVal(j: Int, acc: Acc): Any = slots(j) match {
-    case CountSlot(li, _) => acc.longs(li)
-    case SumLSlot(li, fi, _) => if (acc.flags(fi)) acc.longs(li) else null
-    case SumDSlot(di, fi, _) =>
-      if (!acc.flags(fi)) null
-      else if (aggTypes(j) == FloatType) acc.doubles(di).toFloat else acc.doubles(di)
-    case AvgSlot(di, li, _) =>
-      if (acc.longs(li) > 0) acc.doubles(di) / acc.longs(li) else null
-    case MinMaxLSlot(li, fi, _, _) =>
-      if (!acc.flags(fi)) null
-      else aggTypes(j) match {
-        case ByteType => acc.longs(li).toByte
-        case ShortType => acc.longs(li).toShort
-        case IntegerType | DateType => acc.longs(li).toInt
-        case _ => acc.longs(li)
-      }
-    case MinMaxDSlot(di, fi, _, _) =>
-      if (!acc.flags(fi)) null
-      else if (aggTypes(j) == FloatType) acc.doubles(di).toFloat else acc.doubles(di)
-  }
+  private def finalVal(j: Int, acc: Acc): Any =
+    DriverAgg.finalValue(slots, aggTypes, j, acc)
 
   /** The single distributed job + driver finalize. */
   private def finalRows(): Array[InternalRow] = {

@@ -246,7 +246,37 @@ object NestedSlice {
         |       size(named_struct('a1', array(1, 2, 3), 'a2', 17).a1) AS n""".stripMargin,
       """SELECT ({'a1': [1, 2, 3], 'a2': 17}.a1)[2] AS mid,
         |       {'a1': [1, 2, 3], 'a2': 17}.a2 AS scalar,
-        |       len({'a1': [1, 2, 3], 'a2': 17}.a1) AS n""".stripMargin)
+        |       len({'a1': [1, 2, 3], 'a2': 17}.a1) AS n""".stripMargin),
+
+    // test/sql/types/map/map_access.test: key hit, key miss (NULL — Spark
+    // ANSI element_at throws, so try_element_at ≙ DuckDB's NULL-returning
+    // map_extract), cardinality
+    ("slt_map_access",
+      """SELECT try_element_at(map(1, 'a', 2, 'b'), 1) AS hit,
+        |       try_element_at(map(1, 'a'), 9) AS miss,
+        |       size(map(1, 'a', 2, 'b')) AS n""".stripMargin,
+      """SELECT map_extract(MAP{1: 'a', 2: 'b'}, 1)[1] AS hit,
+        |       map_extract(MAP{1: 'a'}, 9)[1] AS miss,
+        |       cardinality(MAP{1: 'a', 2: 'b'}) AS n""".stripMargin),
+
+    // test/sql/types/blob/test_blob.test: byte length and hex render of a
+    // binary literal (Spark X'..' ≙ DuckDB '\x..'::BLOB)
+    ("slt_blob_length_hex",
+      """SELECT length(X'1A2B') AS n, hex(X'1A2B') AS h,
+        |       length(X'') AS n_empty""".stripMargin,
+      """SELECT octet_length('\x1A\x2B'::BLOB) AS n, hex('\x1A\x2B'::BLOB) AS h,
+        |       octet_length(''::BLOB) AS n_empty""".stripMargin),
+
+    // test/sql/function/timestamp/test_date_diff.test: day difference is
+    // signed and leap-aware (Spark datediff(end, start) ≙ DuckDB
+    // date_diff('day', start, end))
+    ("slt_date_diff_days",
+      """SELECT datediff(DATE '2024-03-01', DATE '2024-02-01') AS leap_fwd,
+        |       datediff(DATE '2023-03-01', DATE '2023-02-01') AS plain_fwd,
+        |       datediff(DATE '2024-01-01', DATE '2024-01-31') AS back""".stripMargin,
+      """SELECT date_diff('day', DATE '2024-02-01', DATE '2024-03-01') AS leap_fwd,
+        |       date_diff('day', DATE '2023-02-01', DATE '2023-03-01') AS plain_fwd,
+        |       date_diff('day', DATE '2024-01-31', DATE '2024-01-01') AS back""".stripMargin)
   )
 
   val queries: Map[String, Q.Fn] =

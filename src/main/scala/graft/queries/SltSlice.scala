@@ -1134,7 +1134,97 @@ object SltSlice {
     "slt_date_trunc_week" ->
       """SELECT CAST(date_trunc('week', DATE '2024-03-14') AS DATE) AS mon,
         |       CAST(date_trunc('week', DATE '2024-03-11') AS DATE) AS same,
-        |       CAST(date_trunc('month', DATE '2024-03-14') AS DATE) AS m1""".stripMargin
+        |       CAST(date_trunc('month', DATE '2024-03-14') AS DATE) AS m1""".stripMargin,
+
+    // ------------------------------------------- intervals & timestamps
+    // test/sql/types/interval/interval_arithmetic.test: month addition
+    // clamps to the target month's last day (leap-aware), day/minute
+    // intervals carry exact time
+    "slt_interval_month_clamp" ->
+      """SELECT CAST(DATE '2000-01-31' + INTERVAL '1' MONTH AS DATE) AS leap_feb,
+        |       CAST(DATE '2001-01-31' + INTERVAL '1' MONTH AS DATE) AS plain_feb,
+        |       CAST(DATE '2000-03-31' - INTERVAL '1' MONTH AS DATE) AS back_feb,
+        |       CAST(DATE '1999-12-15' + INTERVAL '13' MONTH AS DATE) AS cross_year""".stripMargin,
+
+    // test/sql/types/interval/interval_arithmetic.test: minute/hour
+    // intervals over a timestamp cross midnight exactly
+    "slt_interval_time_add" ->
+      """SELECT TIMESTAMP '2024-03-10 23:30:00' + INTERVAL '90' MINUTE AS past_midnight,
+        |       TIMESTAMP '2024-03-11 01:00:00' - INTERVAL '2' HOUR AS back_over,
+        |       TIMESTAMP '2024-12-31 23:59:59' + INTERVAL '1' SECOND AS new_year""".stripMargin,
+
+    // test/sql/function/timestamp/date_part.test: extract() field parity
+    // (second kept integral to dodge the fractional-type divergence)
+    "slt_timestamp_extract" ->
+      """SELECT CAST(extract(YEAR FROM TIMESTAMP '2024-02-29 13:45:30') AS BIGINT) AS y,
+        |       CAST(extract(MONTH FROM TIMESTAMP '2024-02-29 13:45:30') AS BIGINT) AS mo,
+        |       CAST(extract(DAY FROM TIMESTAMP '2024-02-29 13:45:30') AS BIGINT) AS d,
+        |       CAST(extract(HOUR FROM TIMESTAMP '2024-02-29 13:45:30') AS BIGINT) AS h,
+        |       CAST(extract(MINUTE FROM TIMESTAMP '2024-02-29 13:45:30') AS BIGINT) AS mi""".stripMargin,
+
+    // ---------------------------------------------------- string edges
+    // test/sql/function/string/test_concat_ws.test: concat_ws skips NULL
+    // members (plain concat would nullify); empty separator; all-NULL
+    "slt_concat_ws_nulls" ->
+      """SELECT concat_ws('-', 'a', CAST(NULL AS STRING), 'b') AS skip_mid,
+        |       concat_ws('-', CAST(NULL AS STRING), CAST(NULL AS STRING)) AS all_null,
+        |       concat_ws('', 'x', 'y') AS empty_sep,
+        |       concat_ws('-', 'only') AS single""".stripMargin,
+
+    // test/sql/function/string/test_repeat.test + test_reverse.test:
+    // repeat clamps non-positive counts to ''; reverse of empty is empty
+    "slt_repeat_reverse" ->
+      """SELECT repeat('ab', 3) AS r3, repeat('ab', 0) AS r0,
+        |       reverse('abc') AS rev, reverse('') AS rev_empty,
+        |       repeat('', 5) AS empty_rep""".stripMargin,
+
+    // test/sql/function/string/test_translate.test + test_replace.test:
+    // translate maps per-char (shrinking when `to` is short); replace is
+    // leftmost non-overlapping
+    "slt_translate_replace" ->
+      """SELECT translate('abcba', 'bc', 'xy') AS tr,
+        |       translate('abc', 'abc', 'ab') AS shrink,
+        |       replace('aaa', 'aa', 'b') AS no_overlap,
+        |       replace('abc', '', 'x') AS empty_needle""".stripMargin,
+
+    // --------------------------------------------------- query shapes
+    // test/sql/cte/test_cte.test: a CTE tower where each level rebinds
+    // the same column name over the previous level
+    "slt_cte_tower_rebind" ->
+      """WITH a(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |     b(v) AS (SELECT v * 10 FROM a WHERE v > 1),
+        |     c(v) AS (SELECT v + 5 FROM b)
+        |SELECT CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM c""".stripMargin,
+
+    // test/sql/aggregate/having/test_having.test: HAVING over a global
+    // (ungrouped) aggregate both filters and passes
+    "slt_having_global" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT CAST(sum(v) AS BIGINT) AS s FROM t HAVING count(*) > 2""".stripMargin,
+
+    // test/sql/limit/test_limit.test: LIMIT inside a subquery bounds the
+    // outer aggregate's input; ORDER BY inside makes it deterministic
+    "slt_limit_subquery_agg" ->
+      """WITH t(v) AS (SELECT 5 UNION ALL SELECT 1 UNION ALL SELECT 4
+        |  UNION ALL SELECT 2)
+        |SELECT CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |FROM (SELECT v FROM t ORDER BY v LIMIT 2) u""".stripMargin,
+
+    // test/sql/order/test_order_by.test: DISTINCT over a computed
+    // expression, ordered by its alias
+    "slt_distinct_expr_order" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4 UNION ALL SELECT 5)
+        |SELECT DISTINCT v % 2 AS parity FROM t ORDER BY parity""".stripMargin,
+
+    // test/sql/types/float/nan_cast.test: 'Infinity'/'NaN' string casts
+    // round-trip; inf arithmetic: inf+1=inf, inf-inf=NaN; isnan parity
+    "slt_float_special_values" ->
+      """SELECT CAST('Infinity' AS DOUBLE) > 1e308 AS inf_big,
+        |       isnan(CAST('NaN' AS DOUBLE)) AS nan_is,
+        |       CAST('Infinity' AS DOUBLE) + 1 = CAST('Infinity' AS DOUBLE) AS inf_abs,
+        |       isnan(CAST('Infinity' AS DOUBLE) - CAST('Infinity' AS DOUBLE)) AS inf_minus,
+        |       CAST('-Infinity' AS DOUBLE) < 0 AS neg_inf""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =

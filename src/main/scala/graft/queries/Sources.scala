@@ -662,6 +662,22 @@ object Sources {
       graft.sources.DeltaScan.scan(s, dir)
         .agg(count(lit(1)).as("n"),
           sum(col("o_custkey")).cast("long").as("sum_cust"))
+    },
+
+    // Parquet file_row_number parity (reference:
+    // extension/parquet/parquet_extension.cpp:362-376 scan option) —
+    // Spark's `_metadata.row_index` hidden column is the same per-file
+    // ordinal. One sorted single-file fixture so both engines see
+    // identical row placement.
+    "src_parquet_row_number" -> { (s, d) =>
+      val dir = roundtripDir("rownum")
+      Tables(s, d, "nation")
+        .repartition(1).sortWithinPartitions("n_nationkey")
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("n_nationkey"), col("n_name"),
+          col("_metadata.row_index").as("rn"))
+        .orderBy("rn")
     }
   )
 

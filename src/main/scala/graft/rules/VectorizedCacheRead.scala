@@ -46,11 +46,17 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
     // single-pass aggregation where the exchange was elided (clustered
     // cache / bucketed input) — see CollapsePartialAggregate
     val collapsed = CollapsePartialAggregate(plan)
+    // high-cardinality single-key aggregation: radix-bucketed packed-state
+    // shuffle (rules/RadixShuffleAgg). Under AQE this rule runs as a
+    // query-stage-prep rule instead (here we only ever see single-stage
+    // fragments whose exchanges are already stage boundaries).
+    val radixed =
+      if (conf.adaptiveExecutionEnabled) collapsed else RadixShuffleAgg(collapsed)
     // lag-only windows evaluate streaming (runs after EnsureRequirements,
     // so the child's clustering/ordering are already window-correct)
     val windowed =
-      if (!streamWindowEnabled) collapsed
-      else collapsed.transformUp {
+      if (!streamWindowEnabled) radixed
+      else radixed.transformUp {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if graft.plans.StreamingWindowExec.supports(w) =>
           graft.plans.StreamingWindowExec(
@@ -66,6 +72,18 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
       case f @ graft.plans.FusedDistinctPartialExec(
             _, _, _, _, ColumnarToRowExec(c), false) if c.supportsColumnar =>
         f.copy(child = c, columnarChild = true)
+      // radix partial consumes batches directly when key + inputs are
+      // plain columns of a columnar-capable child — a cache scan under
+      // the ColumnarToRow just inserted above, or (AQE) the
+      // TableCacheQueryStageExec wrapping one (plans/RadixAgg.scala)
+      case r: graft.plans.RadixPartialAggExec if !r.columnarChild =>
+        r.child match {
+          case ColumnarToRowExec(c) if c.supportsColumnar && r.columnarEligible(c) =>
+            r.copy(child = c, columnarChild = true)
+          case c if c.supportsColumnar && r.columnarEligible(c) =>
+            r.copy(columnarChild = true)
+          case _ => r
+        }
     }
     // cross-execution dimension broadcast cache (warm mode, AQE off only —
     // see plans/CachedBroadcast.scala)

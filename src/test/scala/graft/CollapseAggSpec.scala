@@ -71,9 +71,13 @@ class CollapseAggSpec extends AnyFunSuite {
   test("a shuffled aggregation is left alone") {
     // cold path: the parquet scan carries no useful partitioning, so the
     // exchange stays and with it the partial→final pair (at sf0.001 the
-    // warm cache is a single partition, where collapsing IS correct)
+    // warm cache is a single partition, where collapsing IS correct).
+    // RadixShuffleAgg is off here: this test pins that the COLLAPSE rule
+    // does not touch cross-exchange pairs (the radix rule handling them
+    // is RadixAggSpec's subject).
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.rules.RadixShuffleAgg.enabled = false
     try {
       val df = spark.read.parquet(s"$sf/lineitem.parquet")
         .repartition(4) // round-robin: satisfies no grouping distribution
@@ -85,6 +89,9 @@ class CollapseAggSpec extends AnyFunSuite {
         _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)))
       assert(df.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec => e }.nonEmpty)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.rules.RadixShuffleAgg.enabled = true
+    }
   }
 }
