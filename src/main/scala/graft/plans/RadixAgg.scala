@@ -531,7 +531,13 @@ final case class RadixFinalAggExec(
     aggAttrs: Seq[Attribute],
     resultExprs: Seq[NamedExpression],
     output: Seq[Attribute],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    // true when this replaces a PartialMerge-mode aggregate: emit BUFFER
+    // rows (AvgSlot widens to its [sum, count] pair; aggTypes then carry
+    // each slot's first buffer-attribute type) instead of final values,
+    // so the adjacent downstream aggregate keeps consuming the exact
+    // schema the replaced node produced
+    bufferMode: Boolean = false) extends UnaryExecNode {
   import RadixAgg._
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
@@ -581,7 +587,7 @@ final case class RadixFinalAggExec(
         }
       }
       val proj = UnsafeProjection.create(exprs, evalSchema)
-      val evalRow = new GenericInternalRow(1 + theSlots.length)
+      val evalRow = new GenericInternalRow(evalSchema.length)
       val acc = new DriverAgg.Acc(new Array[Long](aL), new Array[Double](aD),
         new Array[Boolean](aF))
       def load(src: LongKeyMap, s: Int): Unit = {
@@ -595,24 +601,35 @@ final case class RadixFinalAggExec(
         case IntegerType | DateType => k.toInt
         case _ => k
       }
+      val buffered = bufferMode
+      def fillAggs(): Unit = {
+        var c = 1
+        var j = 0
+        while (j < theSlots.length) {
+          theSlots(j) match {
+            case DriverAgg.AvgSlot(di, li, _) if buffered =>
+              evalRow.update(c, acc.doubles(di))
+              evalRow.update(c + 1, acc.longs(li))
+              c += 2
+            case _ =>
+              evalRow.update(c, DriverAgg.finalValue(theSlots, types, j, acc))
+              c += 1
+          }
+          j += 1
+        }
+      }
       val out = ArrayBuffer.empty[InternalRow]
       m.foreachEntry { (k, s) =>
         load(m, s)
         evalRow.update(0, keyValue(k))
-        var j = 0
-        while (j < theSlots.length) {
-          evalRow.update(1 + j, DriverAgg.finalValue(theSlots, types, j, acc)); j += 1
-        }
+        fillAggs()
         out += proj(evalRow).copy()
       }
       if (sawNull) {
         nullM.foreachEntry { (_, s) =>
           load(nullM, s)
           evalRow.update(0, null)
-          var j = 0
-          while (j < theSlots.length) {
-            evalRow.update(1 + j, DriverAgg.finalValue(theSlots, types, j, acc)); j += 1
-          }
+          fillAggs()
           out += proj(evalRow).copy()
         }
       }

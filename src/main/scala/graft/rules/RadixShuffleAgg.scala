@@ -3,7 +3,7 @@ package graft.rules
 import graft.plans.{DriverAgg, RadixAgg, RadixFinalAggExec, RadixPartialAggExec}
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Final, Min, Max, Partial, PartialMerge, Sum}
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.SparkPlan
@@ -50,6 +50,25 @@ object RadixShuffleAgg extends Rule[SparkPlan] {
     case x => x
   }
 
+  /** For a PartialMerge replacement the radix final must emit the exact
+    * buffer schema the replaced node produced. Spark's buffer layouts
+    * that map 1:1 onto DriverAgg slots: Count→[count: long],
+    * Sum→[sum] (single-column form only — decimal/ANSI isEmpty-tracking
+    * forms have 2 and are refused), Min/Max→[value],
+    * Average→[sum: double, count: long]. Anything else → no rewrite.
+    */
+  private def bufferShapeOk(aggs: Seq[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]): Boolean =
+    aggs.forall { ae =>
+      val bufTypes = ae.aggregateFunction.inputAggBufferAttributes.map(_.dataType)
+      ae.aggregateFunction match {
+        case _: Count => bufTypes == Seq(org.apache.spark.sql.types.LongType)
+        case _: Sum | _: Min | _: Max => bufTypes.length == 1
+        case _: Average => bufTypes == Seq(org.apache.spark.sql.types.DoubleType,
+          org.apache.spark.sql.types.LongType)
+        case _ => false
+      }
+    }
+
   override def apply(plan: SparkPlan): SparkPlan = {
     if (!enabled) return plan
     var changed = false
@@ -85,6 +104,42 @@ object RadixShuffleAgg extends Rule[SparkPlan] {
             // replaced aggregate's logical node makes the substitution
             // cover the whole radix pair, exactly as Spark's own
             // partial/final pair is covered.
+            fin.logicalLink.foreach { link =>
+              partial.setLogicalLink(link)
+              fin2.setLogicalLink(link)
+            }
+            fin2
+          case None => fin
+        }
+
+      // PartialMerge over the key exchange — the inner level of Spark's
+      // single-distinct rewrite (group-by-distinct-key partial, merged
+      // per key slice before the distinct count). The radix replacement
+      // keeps the structural guarantee the distinct plan depends on:
+      // every key lands in exactly one reducer (disjoint bucket slices),
+      // so downstream per-partition distinct partials stay additive.
+      case fin @ HashAggregateExec(_, false, _, Seq(gAttr: Attribute), aggsF, _, _,
+            resultExprs,
+            ShuffleExchangeExec(HashPartitioning(Seq(pk), n),
+              HashAggregateExec(_, false, _, Seq(gP), aggsP, _, _, _, gchild), _, _))
+          if aggsF.nonEmpty && aggsF.forall(_.mode == PartialMerge) &&
+            aggsP.forall(_.mode == Partial) &&
+            aggsF.map(_.resultId) == aggsP.map(_.resultId) &&
+            gP.toAttribute.exprId == gAttr.exprId &&
+            pk.semanticEquals(gP.toAttribute) &&
+            RadixAgg.supportedKey(gAttr.dataType) &&
+            bufferShapeOk(aggsF) =>
+        scala.util.Try(DriverAgg.layout(aggsP)).toOption match {
+          case Some(lay) =>
+            changed = true
+            val partial = RadixPartialAggExec(strip(gP), gAttr.dataType,
+              lay.inputs, lay.slots, lay.nL, lay.nD, lay.nF,
+              buckets = 4 * math.max(n, 1),
+              RadixPartialAggExec.freshOutput(), gchild, columnarChild = false)
+            val bufAttrs = aggsF.flatMap(_.aggregateFunction.inputAggBufferAttributes)
+            val bufTypes = aggsF.map(_.aggregateFunction.inputAggBufferAttributes.head.dataType)
+            val fin2 = RadixFinalAggExec(lay.slots, bufTypes, lay.nL, lay.nD, lay.nF,
+              gAttr, bufAttrs, resultExprs, fin.output, partial, bufferMode = true)
             fin.logicalLink.foreach { link =>
               partial.setLogicalLink(link)
               fin2.setLogicalLink(link)

@@ -89,6 +89,28 @@ class RadixAggSpec extends AnyFunSuite {
     }
   }
 
+  test("single-distinct plan: inner PartialMerge level runs radix, results identical") {
+    // count(DISTINCT k) + ridealong aggs: Spark's rewrite plans
+    // group-by-k partial → exchange → PartialMerge, which the rule
+    // replaces in buffer mode. Distinct count + sums must survive the
+    // disjoint-bucket repartitioning, NULL keys excluded from the count.
+    def q() = data().agg(
+      countDistinct(col("k")).as("nd"),
+      sum(col("d")).as("sd"), count(lit(1)).as("n"),
+      avg(col("l")).as("al"), max(col("d")).as("mx"))
+    for (aqe <- Seq(true, false)) withAqe(aqe) {
+      val on = q().collect().toSeq
+      graft.rules.RadixShuffleAgg.enabled = false
+      val off = try q().collect().toSeq finally graft.rules.RadixShuffleAgg.enabled = true
+      assert(on == off, s"aqe=$aqe on=$on off=$off")
+    }
+    withAqe(false) {
+      val plan = q().queryExecution.executedPlan
+      assert(plan.collect { case r: graft.plans.RadixFinalAggExec if r.bufferMode => r }.nonEmpty,
+        plan.toString.take(2000))
+    }
+  }
+
   test("date key and flush-path blobs merge correctly") {
     withAqe(false) {
       val d = spark.range(20000).selectExpr(
