@@ -464,7 +464,57 @@ object TpcdsShapes {
         |  GROUP BY c_mktsegment)
         |SELECT seg, rev, round(rev / sum(rev) OVER (), 6) AS share,
         |       round(rev - avg(rev) OVER (), 2) AS vs_avg
-        |FROM seg ORDER BY seg""".stripMargin)
+        |FROM seg ORDER BY seg""".stripMargin),
+
+    // q51.sql: two per-key CUMULATIVE revenue series from different
+    // channel branches, FULL OUTER JOINed on (key, period), keeping
+    // periods where one channel's running total overtakes the other —
+    // the dual-window + full-outer + cross-series filter structure
+    ("qds_dual_cumulative_cross", Seq("orders"),
+      """WITH urgent AS (
+        |  SELECT o_custkey AS k, date_trunc('month', o_orderdate) AS p,
+        |         sum(sum(o_totalprice)) OVER (PARTITION BY o_custkey
+        |           ORDER BY date_trunc('month', o_orderdate)
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    AND o_custkey < 200
+        |  GROUP BY o_custkey, date_trunc('month', o_orderdate)),
+        |relaxed AS (
+        |  SELECT o_custkey AS k, date_trunc('month', o_orderdate) AS p,
+        |         sum(sum(o_totalprice)) OVER (PARTITION BY o_custkey
+        |           ORDER BY date_trunc('month', o_orderdate)
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    AND o_custkey < 200
+        |  GROUP BY o_custkey, date_trunc('month', o_orderdate))
+        |SELECT coalesce(u.k, r.k) AS k, CAST(coalesce(u.p, r.p) AS DATE) AS p,
+        |       round(coalesce(u.cum, 0.0), 2) AS urgent_cum,
+        |       round(coalesce(r.cum, 0.0), 2) AS relaxed_cum
+        |FROM urgent u FULL OUTER JOIN relaxed r ON u.k = r.k AND u.p = r.p
+        |WHERE coalesce(u.cum, 0.0) > coalesce(r.cum, 0.0)
+        |ORDER BY k, p LIMIT 100""".stripMargin),
+
+    // q88.sql: a grid of independent filtered scalar counts CROSS JOINed
+    // into one row — eight time-band counts from one logical table, each
+    // its own scalar subquery
+    ("qds_scalar_count_grid", Seq("lineitem"),
+      """SELECT * FROM
+        |  (SELECT count(*) AS q1_cnt FROM lineitem
+        |   WHERE l_quantity BETWEEN 1 AND 10 AND l_discount < 0.03) a,
+        |  (SELECT count(*) AS q2_cnt FROM lineitem
+        |   WHERE l_quantity BETWEEN 11 AND 20 AND l_discount < 0.03) b,
+        |  (SELECT count(*) AS q3_cnt FROM lineitem
+        |   WHERE l_quantity BETWEEN 21 AND 30 AND l_discount < 0.03) c,
+        |  (SELECT count(*) AS q4_cnt FROM lineitem
+        |   WHERE l_quantity BETWEEN 31 AND 40 AND l_discount < 0.03) d,
+        |  (SELECT count(*) AS q5_cnt FROM lineitem
+        |   WHERE l_quantity BETWEEN 1 AND 10 AND l_discount >= 0.07) e,
+        |  (SELECT count(*) AS q6_cnt FROM lineitem
+        |   WHERE l_quantity BETWEEN 11 AND 20 AND l_discount >= 0.07) f,
+        |  (SELECT count(*) AS q7_cnt FROM lineitem
+        |   WHERE l_quantity BETWEEN 21 AND 30 AND l_discount >= 0.07) g,
+        |  (SELECT count(*) AS q8_cnt FROM lineitem
+        |   WHERE l_quantity BETWEEN 31 AND 40 AND l_discount >= 0.07) h""".stripMargin)
   )
 
   val queries: Map[String, Q.Fn] =
