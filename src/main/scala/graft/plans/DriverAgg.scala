@@ -31,9 +31,12 @@ import org.apache.spark.sql.types._
   * semantics (each input row read once, in parallel).
   *
   * Scale posture: driver state is O(tasks × groups). The `maxGroups`
-  * valve (default 64k) refuses mid-flight if the low-cardinality claim
-  * turns out false — the fallback is the ordinary shuffled aggregate,
-  * which remains the right plan for high-cardinality keys.
+  * valve (default 64k) aborts the coordinator-merge mid-flight if the
+  * low-cardinality claim turns out false, and the exec then RE-RUNS the
+  * retained ordinary shuffled plan (`groupBy → orderBy → limit`, kept
+  * verbatim in [[DriverGroupAggPlan.fallback]]) — the right plan for
+  * high-cardinality keys. A wrong cardinality guess costs one aborted
+  * scan, never a wrong answer or a dead query.
   *
   * All unsupported surface (DISTINCT, FILTER, decimals, aggregates beyond
   * Sum/Count/Average/Min/Max) throws at PLAN time in [[DriverAgg.lowCard]];
@@ -42,6 +45,12 @@ import org.apache.spark.sql.types._
   * enters the plan tree.
   */
 object DriverAgg {
+
+  /** Raised when a partition or the merged state exceeds `maxGroups`;
+    * [[DriverGroupAggExec]] catches it (also through Spark's task-failure
+    * wrapping) and re-runs the retained shuffled plan.
+    */
+  final class GroupCardinalityExceeded(msg: String) extends RuntimeException(msg)
 
   /** Per-aggregate accumulator layout. `li`/`di`/`fi` index into the
     * long/double/flag state arrays; `in` indexes the value projection.
@@ -61,11 +70,20 @@ object DriverAgg {
   final class Acc(val longs: Array[Long], val doubles: Array[Double],
                   val flags: Array[Boolean]) extends Serializable
 
+  /** Long addition per the session's eval mode, decided at PLAN time:
+    * ANSI throws on overflow (Math.addExact), default Spark wraps —
+    * diverging from that would make a rewritten query fail where the
+    * un-rewritten plan returns a (wrapped) result.
+    */
+  private[graft] def longAdd(ansi: Boolean): (Long, Long) => Long =
+    if (ansi) Math.addExact else _ + _
+
   /** Compile slots to per-row updaters against the value-projection row.
     * Top-level (no plan capture): the returned closures ship in the task.
     */
-  private[plans] def updaters(slots: Seq[Slot], iExprs: Seq[Expression])
-      : Array[(UnsafeRow, Acc) => Unit] = {
+  private[plans] def updaters(slots: Seq[Slot], iExprs: Seq[Expression],
+      ansi: Boolean): Array[(UnsafeRow, Acc) => Unit] = {
+    val addL = longAdd(ansi)
     def readL(i: Int): (UnsafeRow) => Long = iExprs(i).dataType match {
       case ByteType => r => r.getByte(i).toLong
       case ShortType => r => r.getShort(i).toLong
@@ -92,7 +110,7 @@ object DriverAgg {
         val rd = readL(in)
         (v, acc) => if (!v.isNullAt(in)) {
           acc.longs(li) =
-            if (acc.flags(fi)) Math.addExact(acc.longs(li), rd(v)) else rd(v)
+            if (acc.flags(fi)) addL(acc.longs(li), rd(v)) else rd(v)
           acc.flags(fi) = true
         }
       case SumDSlot(di, fi, in) =>
@@ -123,11 +141,11 @@ object DriverAgg {
   /** Merge one partial state into an accumulator (shared by the
     * driver-merge exec and the radix shuffle aggregate's reducers).
     */
-  def mergeAcc(slots: Seq[Slot], cur: Acc, in: Acc): Unit = slots.foreach {
+  def mergeAcc(slots: Seq[Slot], cur: Acc, in: Acc, ansi: Boolean): Unit = slots.foreach {
     case CountSlot(li, _) => cur.longs(li) += in.longs(li)
     case SumLSlot(li, fi, _) => if (in.flags(fi)) {
       cur.longs(li) =
-        if (cur.flags(fi)) Math.addExact(cur.longs(li), in.longs(li)) else in.longs(li)
+        if (cur.flags(fi)) longAdd(ansi)(cur.longs(li), in.longs(li)) else in.longs(li)
       cur.flags(fi) = true
     }
     case SumDSlot(di, fi, _) => if (in.flags(fi)) {
@@ -283,10 +301,21 @@ object DriverAgg {
           s"sort columns must resolve against the aggregate output alone, got ${other.nodeName}")
       }
 
+    // the result-identical shuffled plan, retained verbatim: when the
+    // low-cardinality claim fails at runtime the exec re-plans THIS
+    // (fresh QueryExecution, ordinary partial→exchange→final aggregate)
+    // instead of dying
+    val fallbackDf = {
+      val sorted = if (sortCols.isEmpty) grouped else grouped.orderBy(sortCols: _*)
+      if (limit >= 0) sorted.limit(limit) else sorted
+    }
+
     org.apache.spark.sql.graft.bridge.ofRows(spark,
       DriverGroupAggPlan(groupExprs, lay.inputs, lay.slots, lay.aggTypes,
         finalExprs, order, limit, maxGroups,
-        lay.nL, lay.nD, lay.nF, agg.child, out))
+        lay.nL, lay.nD, lay.nF, agg.child, out,
+        fallbackDf.queryExecution.analyzed,
+        spark.sessionState.conf.ansiEnabled))
   }
 }
 
@@ -301,7 +330,11 @@ final case class DriverGroupAggPlan(
     maxGroups: Int,
     nL: Int, nD: Int, nF: Int,
     child: LogicalPlan,
-    output: Seq[Attribute]) extends UnaryNode {
+    output: Seq[Attribute],
+    // NOT a child: the analyzed shuffled groupBy→orderBy→limit plan the
+    // exec re-runs (own QueryExecution) if maxGroups trips at runtime
+    fallback: LogicalPlan,
+    ansi: Boolean) extends UnaryNode {
   override def producedAttributes: AttributeSet = AttributeSet(output)
   // Only groupExprs/aggInputs evaluate against the child (finalExprs are
   // BoundReference-based, sortOrder binds to `output`). Pass-through group
@@ -319,7 +352,7 @@ object DriverAggStrategy extends SparkStrategy {
     case p: DriverGroupAggPlan =>
       DriverGroupAggExec(p.groupExprs, p.aggInputs, p.slots, p.aggTypes,
         p.finalExprs, p.sortOrder, p.limit, p.maxGroups, p.nL, p.nD, p.nF,
-        p.output, planLater(p.child)) :: Nil
+        p.output, planLater(p.child), p.fallback, p.ansi) :: Nil
     case _ => Nil
   }
 }
@@ -335,7 +368,9 @@ final case class DriverGroupAggExec(
     maxGroups: Int,
     nL: Int, nD: Int, nF: Int,
     output: Seq[Attribute],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    fallback: LogicalPlan,
+    ansi: Boolean) extends UnaryExecNode {
 
   import DriverAgg._
 
@@ -346,7 +381,8 @@ final case class DriverGroupAggExec(
   private def newAcc() = new Acc(new Array[Long](nL), new Array[Double](nD),
     new Array[Boolean](nF))
 
-  private def mergeInto(cur: Acc, in: Acc): Unit = DriverAgg.mergeAcc(slots, cur, in)
+  private def mergeInto(cur: Acc, in: Acc): Unit =
+    DriverAgg.mergeAcc(slots, cur, in, ansi)
 
   private def finalVal(j: Int, acc: Acc): Any =
     DriverAgg.finalValue(slots, aggTypes, j, acc)
@@ -359,12 +395,13 @@ final case class DriverGroupAggExec(
     val childOut = child.output
     val cap = maxGroups
     val (accL, accD, accF) = (nL, nD, nF)
+    val ansiMode = ansi
 
     val parts: Array[Array[(Array[Byte], Acc)]] =
       sparkContext.runJob(child.execute(), (rows: Iterator[InternalRow]) => {
         val keyProj = UnsafeProjection.create(gExprs, childOut)
         val valProj = UnsafeProjection.create(iExprs, childOut)
-        val ups = DriverAgg.updaters(theSlots, iExprs)
+        val ups = DriverAgg.updaters(theSlots, iExprs, ansiMode)
         def mkAcc() = new Acc(new Array[Long](accL), new Array[Double](accD),
           new Array[Boolean](accF))
         val m = new java.util.HashMap[UnsafeRow, Acc]()
@@ -373,9 +410,9 @@ final case class DriverGroupAggExec(
           val k = keyProj(row)
           var acc = m.get(k)
           if (acc == null) {
-            if (m.size() >= cap) throw new IllegalStateException(
+            if (m.size() >= cap) throw new GroupCardinalityExceeded(
               s"driver agg: group count exceeded maxGroups=$cap in one partition — " +
-                "key is not low-cardinality; use the shuffled aggregate")
+                "key is not low-cardinality; falling back to the shuffled aggregate")
             acc = mkAcc()
             m.put(k.copy(), acc)
           }
@@ -399,7 +436,7 @@ final case class DriverGroupAggExec(
       k.pointTo(bytes, bytes.length)
       val cur = merged.get(k)
       if (cur == null) {
-        if (merged.size() >= maxGroups) throw new IllegalStateException(
+        if (merged.size() >= maxGroups) throw new GroupCardinalityExceeded(
           s"driver agg: merged group count exceeded maxGroups=$maxGroups")
         merged.put(k, acc)
       } else mergeInto(cur, acc)
@@ -426,8 +463,36 @@ final case class DriverGroupAggExec(
     (if (limit >= 0) sorted.take(limit) else sorted).toArray
   }
 
-  override def executeCollect(): Array[InternalRow] = finalRows()
+  /** True when the failure (possibly wrapped by Spark's task-failure
+    * reporting) is the maxGroups valve tripping.
+    */
+  private def cardinalityExceeded(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      if (c.isInstanceOf[DriverAgg.GroupCardinalityExceeded] ||
+          (c.getMessage != null && c.getMessage.contains("exceeded maxGroups")))
+        return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
+  /** Valve fallback: the low-cardinality claim failed at runtime, so run
+    * the retained shuffled plan — a fresh QueryExecution plans the
+    * ordinary partial→exchange→final aggregate + sort + limit. Costs one
+    * aborted scan; never a wrong answer.
+    */
+  private def rowsWithFallback(): Array[InternalRow] =
+    try finalRows() catch {
+      case t: Throwable if cardinalityExceeded(t) =>
+        logWarning(s"DriverAgg maxGroups=$maxGroups exceeded; re-running the " +
+          "retained shuffled aggregate plan")
+        org.apache.spark.sql.graft.bridge.ofRows(session, fallback)
+          .queryExecution.executedPlan.executeCollect()
+    }
+
+  override def executeCollect(): Array[InternalRow] = rowsWithFallback()
 
   override protected def doExecute(): RDD[InternalRow] =
-    sparkContext.parallelize(finalRows().toIndexedSeq, 1)
+    sparkContext.parallelize(rowsWithFallback().toIndexedSeq, 1)
 }

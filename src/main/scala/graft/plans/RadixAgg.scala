@@ -115,6 +115,19 @@ object RadixAgg {
       while (i < cap) { if (used(i)) f(keys(i), i); i += 1 }
     }
 
+    def keyAt(slot: Int): Long = keys(slot)
+
+    /** Occupied slot indices, lazily — lets emission stream groups
+      * without materializing the whole output alongside the map.
+      */
+    def slotIterator: Iterator[Int] = new Iterator[Int] {
+      private var i = 0
+      private def advance(): Unit = { while (i < cap && !used(i)) i += 1 }
+      advance()
+      def hasNext: Boolean = i < cap
+      def next(): Int = { val r = i; i += 1; advance(); r }
+    }
+
     def reset(): Unit = {
       java.util.Arrays.fill(used, false)
       java.util.Arrays.fill(longs, 0L)
@@ -138,7 +151,8 @@ object RadixAgg {
 
   /** Row-path per-slot updaters: (map, valueProjectionRow, slot). */
   private[plans] def rowUpdaters(slots: Seq[Slot], iExprs: Seq[Expression],
-      nL: Int, nD: Int, nF: Int): Array[RowUp] = {
+      nL: Int, nD: Int, nF: Int, ansi: Boolean): Array[RowUp] = {
+    val addL = DriverAgg.longAdd(ansi)
     def readL(i: Int): InternalRow => Long = iExprs(i).dataType match {
       case ByteType => r => r.getByte(i).toLong
       case ShortType => r => r.getShort(i).toLong
@@ -166,7 +180,7 @@ object RadixAgg {
         new RowUp { def apply(m: LongKeyMap, v: InternalRow, s: Int): Unit =
           if (!v.isNullAt(in)) {
             val o = s * nL + li; val fo = s * nF + fi
-            m.longs(o) = if (m.flags(fo)) Math.addExact(m.longs(o), rd(v)) else rd(v)
+            m.longs(o) = if (m.flags(fo)) addL(m.longs(o), rd(v)) else rd(v)
             m.flags(fo) = true
           } }
       case SumDSlot(di, fi, in) =>
@@ -208,8 +222,9 @@ object RadixAgg {
     * container the caller refills per batch (closures read it live).
     */
   private[plans] def colUpdaters(slots: Seq[Slot], dts: Array[DataType],
-      vecs: Array[ColumnVector], nL: Int, nD: Int, nF: Int)
+      vecs: Array[ColumnVector], nL: Int, nD: Int, nF: Int, ansi: Boolean)
       : Array[ColUp] = {
+    val addL = DriverAgg.longAdd(ansi)
     def readL(i: Int): Int => Long = dts(i) match {
       case ByteType => r => vecs(i).getByte(r).toLong
       case ShortType => r => vecs(i).getShort(r).toLong
@@ -237,7 +252,7 @@ object RadixAgg {
         new ColUp { def apply(m: LongKeyMap, r: Int, s: Int): Unit =
           if (!vecs(in).isNullAt(r)) {
             val o = s * nL + li; val fo = s * nF + fi
-            m.longs(o) = if (m.flags(fo)) Math.addExact(m.longs(o), rd(r)) else rd(r)
+            m.longs(o) = if (m.flags(fo)) addL(m.longs(o), rd(r)) else rd(r)
             m.flags(fo) = true
           } }
       case SumDSlot(di, fi, in) =>
@@ -278,8 +293,9 @@ object RadixAgg {
   /** Compiled per-slot block mergers (block layout:
     * longs[nL] ++ doubles[nD] ++ flags[nF], LE at `off`).
     */
-  private[plans] def blockMergers(slots: Seq[Slot], nL: Int, nD: Int, nF: Int)
-      : Array[BlockMerge] = {
+  private[plans] def blockMergers(slots: Seq[Slot], nL: Int, nD: Int, nF: Int,
+      ansi: Boolean): Array[BlockMerge] = {
+    val addL = DriverAgg.longAdd(ansi)
     val dBase = 8 * nL
     val fBase = dBase + 8 * nD
     slots.map[BlockMerge] {
@@ -291,7 +307,7 @@ object RadixAgg {
           if (bb.get(off + fBase + fi) != 0) {
             val o = s * nL + li; val fo = s * nF + fi
             val x = bb.getLong(off + 8 * li)
-            m.longs(o) = if (m.flags(fo)) Math.addExact(m.longs(o), x) else x
+            m.longs(o) = if (m.flags(fo)) addL(m.longs(o), x) else x
             m.flags(fo) = true
           } }
       case SumDSlot(di, fi, _) =>
@@ -359,7 +375,8 @@ final case class RadixPartialAggExec(
     buckets: Int,
     output: Seq[Attribute],
     child: SparkPlan,
-    columnarChild: Boolean) extends UnaryExecNode {
+    columnarChild: Boolean,
+    ansi: Boolean) extends UnaryExecNode {
   import RadixAgg._
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
@@ -430,6 +447,7 @@ final case class RadixPartialAggExec(
     val (kT, iExprs, theSlots) = (keyType, aggInputs, slots)
     val (aL, aD, aF, nBuckets) = (nL, nD, nF, buckets)
     val childOut = child.output
+    val ansiMode = ansi
     if (columnarChild) {
       val kOrd = keyExpr match {
         case a: Attribute => childOut.indexWhere(_.exprId == a.exprId)
@@ -441,7 +459,7 @@ final case class RadixPartialAggExec(
         val m = new LongKeyMap(aL, aD, aF)
         val nullM = new LongKeyMap(aL, aD, aF, 16)
         val vecs = new Array[ColumnVector](ords.length)
-        val ups = colUpdaters(theSlots, dts, vecs, aL, aD, aF)
+        val ups = colUpdaters(theSlots, dts, vecs, aL, aD, aF, ansiMode)
         val kIsLong = isKeyLongRead(kT)
         val flushed = ArrayBuffer.empty[InternalRow]
         val dbg = sys.env.contains("GRAFT_RADIX_DEBUG") &&
@@ -482,7 +500,7 @@ final case class RadixPartialAggExec(
       child.execute().mapPartitions { rows =>
         val keyProj = UnsafeProjection.create(Seq(keyExpr), childOut)
         val valProj = UnsafeProjection.create(iExprs, childOut)
-        val ups = rowUpdaters(theSlots, iExprs, aL, aD, aF)
+        val ups = rowUpdaters(theSlots, iExprs, aL, aD, aF, ansiMode)
         val m = new LongKeyMap(aL, aD, aF)
         val nullM = new LongKeyMap(aL, aD, aF, 16)
         val readKey = keyRowReader(kT)
@@ -537,7 +555,8 @@ final case class RadixFinalAggExec(
     // each slot's first buffer-attribute type) instead of final values,
     // so the adjacent downstream aggregate keeps consuming the exact
     // schema the replaced node produced
-    bufferMode: Boolean = false) extends UnaryExecNode {
+    bufferMode: Boolean = false,
+    ansi: Boolean = false) extends UnaryExecNode {
   import RadixAgg._
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
@@ -561,10 +580,11 @@ final case class RadixFinalAggExec(
     val evalSchema = groupAttr +: aggAttrs
     val exprs = resultExprs
     val block = 8 * aL + 8 * aD + aF
+    val ansiMode = ansi
     child.execute().mapPartitions { rows =>
       val m = new LongKeyMap(aL, aD, aF)
       val nullM = new LongKeyMap(aL, aD, aF, 16)
-      val mergers = blockMergers(theSlots, aL, aD, aF)
+      val mergers = blockMergers(theSlots, aL, aD, aF, ansiMode)
       var sawNull = false
       rows.foreach { r =>
         val keys = r.getBinary(1)
@@ -618,22 +638,26 @@ final case class RadixFinalAggExec(
           j += 1
         }
       }
-      val out = ArrayBuffer.empty[InternalRow]
-      m.foreachEntry { (k, s) =>
+      // STREAM emission — project each group lazily (the projection's
+      // output row is reused, as Spark's own aggregate iterators do)
+      // instead of buffering every UnsafeRow next to the dense map, which
+      // would double reducer memory in the groups≈rows regime this
+      // operator exists for
+      val mainRows = m.slotIterator.map { s =>
         load(m, s)
-        evalRow.update(0, keyValue(k))
+        evalRow.update(0, keyValue(m.keyAt(s)))
         fillAggs()
-        out += proj(evalRow).copy()
+        proj(evalRow)
       }
-      if (sawNull) {
-        nullM.foreachEntry { (_, s) =>
+      val nullRows =
+        if (!sawNull) Iterator.empty
+        else nullM.slotIterator.map { s =>
           load(nullM, s)
           evalRow.update(0, null)
           fillAggs()
-          out += proj(evalRow).copy()
+          proj(evalRow)
         }
-      }
-      out.iterator
+      mainRows ++ nullRows
     }
   }
 }

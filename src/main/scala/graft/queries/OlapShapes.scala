@@ -30,11 +30,16 @@ object OlapShapes {
         |ORDER BY c DESC, l_orderkey LIMIT 10""".stripMargin),
 
     // ClickBench q32 shape: filter + two-key high-cardinality group +
-    // mixed count/sum/avg aggregates, top-10
+    // mixed count/sum aggregates, top-10. The avg is reported as
+    // (sum, count) rather than round(avg(..), 2): the fixture's DOUBLE
+    // prices put avg on an exact .xx5 decimal tie in every count-2 group,
+    // and Spark (shortest-string BigDecimal then HALF_UP) vs DuckDB
+    // (exact-binary rounding) legitimately disagree on ties — sum's two
+    // decimal digits are exact in the fixture, so this form is tie-free.
     "cb_filter_multi_agg" -> Q.sharedSql(Seq("lineitem"),
       """SELECT l_orderkey, l_suppkey, count(*) AS c,
         | round(sum(l_quantity), 2) AS sq,
-        | round(CAST(avg(l_extendedprice) AS DECIMAL(18,4)), 2) AS ap
+        | round(sum(l_extendedprice), 2) AS sp
         |FROM lineitem WHERE l_returnflag <> 'R'
         |GROUP BY l_orderkey, l_suppkey
         |ORDER BY c DESC, l_orderkey, l_suppkey LIMIT 10""".stripMargin),

@@ -90,9 +90,11 @@ object RadixShuffleAgg extends Rule[SparkPlan] {
             val partial = RadixPartialAggExec(strip(gP), gAttr.dataType,
               lay.inputs, lay.slots, lay.nL, lay.nD, lay.nF,
               buckets = 4 * math.max(n, 1),
-              RadixPartialAggExec.freshOutput(), gchild, columnarChild = false)
+              RadixPartialAggExec.freshOutput(), gchild, columnarChild = false,
+              ansi = conf.ansiEnabled)
             val fin2 = RadixFinalAggExec(lay.slots, lay.aggTypes, lay.nL, lay.nD, lay.nF,
-              gAttr, aggAttrs, resultExprs, fin.output, partial)
+              gAttr, aggAttrs, resultExprs, fin.output, partial,
+              ansi = conf.ansiEnabled)
             // AQE re-optimization maps a materialized stage back to a
             // logical node through logicalLink, then substitutes
             // LogicalQueryStage(link, topmost physical node carrying the
@@ -135,11 +137,13 @@ object RadixShuffleAgg extends Rule[SparkPlan] {
             val partial = RadixPartialAggExec(strip(gP), gAttr.dataType,
               lay.inputs, lay.slots, lay.nL, lay.nD, lay.nF,
               buckets = 4 * math.max(n, 1),
-              RadixPartialAggExec.freshOutput(), gchild, columnarChild = false)
+              RadixPartialAggExec.freshOutput(), gchild, columnarChild = false,
+              ansi = conf.ansiEnabled)
             val bufAttrs = aggsF.flatMap(_.aggregateFunction.inputAggBufferAttributes)
             val bufTypes = aggsF.map(_.aggregateFunction.inputAggBufferAttributes.head.dataType)
             val fin2 = RadixFinalAggExec(lay.slots, bufTypes, lay.nL, lay.nD, lay.nF,
-              gAttr, bufAttrs, resultExprs, fin.output, partial, bufferMode = true)
+              gAttr, bufAttrs, resultExprs, fin.output, partial, bufferMode = true,
+              ansi = conf.ansiEnabled)
             fin.logicalLink.foreach { link =>
               partial.setLogicalLink(link)
               fin2.setLogicalLink(link)

@@ -95,7 +95,12 @@ object DeltaScan {
       files: Seq[AddFile],
       tablePath: String,
       configuration: Map[String, String] = Map.empty,
-      protocol: Protocol = Protocol(1, 2)) {
+      protocol: Protocol = Protocol(1, 2),
+      // metaData.id — the table's STABLE unique identifier (Delta spec):
+      // carried through so post-creation commits and checkpoints re-emit
+      // it instead of minting a fresh one (external readers treat an id
+      // change as a table replacement)
+      tableId: String = "") {
 
     /** `delta.columnMapping.mode` table property: none | name | id. */
     def columnMappingMode: String =
@@ -250,6 +255,7 @@ object DeltaScan {
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
     var protocol: Protocol = Protocol(1, 2)
+    var tableId: String = ""
     // insertion-ordered so the scan reads files in commit order. The spec
     // reconciles file actions on (path, deletionVector.uniqueId) — the key
     // delta-spark's InMemoryLogReplay and delta-kernel's FileActionKey use —
@@ -290,7 +296,9 @@ object DeltaScan {
         (if (cols.contains("add")) col("add.size") else lit(null))
           .cast("long").as("addSize"),
         (if (structHas("add", "deletionVector")) col("add.deletionVector")
-          else lit(null)).as("addDv")).collect()
+          else lit(null)).as("addDv"),
+        (if (structHas("metaData", "id")) col("metaData.id") else lit(null))
+          .cast("string").as("metaId")).collect()
       rows.foreach { r =>
         if (!r.isNullAt(0)) {
           val rf = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
@@ -304,6 +312,7 @@ object DeltaScan {
           partitionColumns = if (r.isNullAt(5)) Nil else r.getSeq[String](5)
           configuration = if (r.isNullAt(6)) Map.empty
             else r.getMap[String, String](6).toMap
+          if (!r.isNullAt(11)) tableId = r.getString(11)
         }
         if (!r.isNullAt(7)) {
           val pv = if (r.isNullAt(8)) Map.empty[String, String]
@@ -352,6 +361,7 @@ object DeltaScan {
             partitionColumns = (m \ "partitionColumns").extract[Seq[String]]
             configuration = (m \ "configuration")
               .extractOpt[Map[String, String]].getOrElse(Map.empty)
+            (m \ "id").extractOpt[String].foreach(tableId = _)
         }
         (j \ "add") match {
           case JNothing =>
@@ -399,7 +409,7 @@ object DeltaScan {
     require(cmMode == "none" || cmMode == "name" || cmMode == "id",
       s"delta_scan: unknown columnMapping.mode $cmMode")
     Snapshot(target, schema, partitionColumns, active.values.toSeq, tablePath,
-      configuration, protocol)
+      configuration, protocol, tableId)
   }
 
   /** Scan a Delta table as a DataFrame.

@@ -65,11 +65,21 @@ object DeltaWrite {
     Files.deleteIfExists(tmp)
   }
 
+  /** metaData.id is the table's STABLE unique identifier (Delta spec) —
+    * only [[create]] mints one; every later metaData rewrite (schema
+    * evolution, ADD COLUMN, checkpoints) must re-emit the id replayed
+    * from the snapshot, or external readers caching by id see a table
+    * replacement mid-history.
+    */
+  private[sources] def tableIdOf(snap: DeltaScan.Snapshot): String =
+    if (snap.tableId.nonEmpty) snap.tableId else UUID.randomUUID().toString
+
   private def metaDataLine(schema: StructType, partitionColumns: Seq[String],
-                           configuration: Map[String, String] = Map.empty): String =
+                           configuration: Map[String, String] = Map.empty,
+                           id: String = null): String =
     JsonMethods.compact(JsonMethods.render(
       "metaData" -> (
-        ("id" -> UUID.randomUUID().toString) ~
+        ("id" -> (if (id == null) UUID.randomUUID().toString else id)) ~
         ("format" -> (("provider" -> "parquet") ~ ("options" -> Map.empty[String, String]))) ~
         ("schemaString" -> schema.json) ~
         ("partitionColumns" -> partitionColumns) ~
@@ -141,27 +151,43 @@ object DeltaWrite {
     * damage would otherwise first surface. Mirrors delta-spark's write
     * schema enforcement.
     */
+  /** Name equality per the session's `spark.sql.caseSensitive` (default
+    * case-INsensitive, matching Spark's own column resolution): with an
+    * exact-match rule an input column differing only in case would read
+    * as "new" and evolve a duplicate-modulo-case column — a schema
+    * delta-spark itself rejects — instead of aligning to the declared
+    * column.
+    */
+  private def nameEq(caseSensitive: Boolean): (String, String) => Boolean =
+    if (caseSensitive) _ == _ else _.equalsIgnoreCase(_)
+
+  private def sessionCaseSensitive(df: DataFrame): Boolean =
+    df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+
   private[sources] def alignToSchema(df: DataFrame, schema: StructType): DataFrame = {
-    val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val missing = schema.fieldNames.filterNot(incoming.contains)
+    val eq = nameEq(sessionCaseSensitive(df))
+    val missing = schema.fieldNames
+      .filterNot(d => df.schema.fieldNames.exists(i => eq(i, d)))
     require(missing.isEmpty,
       s"delta write: input is missing declared column(s) ${missing.mkString(", ")}")
     // an UNdeclared input column is a caller bug unless mergeSchema
     // evolved the declared schema first — silently dropping it would
     // lose data the caller thought they wrote
-    val undeclared = df.schema.fieldNames.filterNot(schema.fieldNames.contains)
+    val undeclared = df.schema.fieldNames
+      .filterNot(i => schema.fieldNames.exists(d => eq(d, i)))
     require(undeclared.isEmpty,
       s"delta write: input carries undeclared column(s) ${undeclared.mkString(", ")} " +
         "(append with mergeSchema=true to evolve the table schema)")
     val cols = schema.fields.toSeq.map { f =>
-      val from = incoming(f.name)
+      val in = df.schema.fields.find(i => eq(i.name, f.name)).get
       // safe widening only (int→long, float→double, …): a lossy-but-castable
       // input (string→long, long→int) is a caller bug, not an implicit cast —
       // the same up-cast rule delta-spark's write enforcement applies
-      require(from == f.dataType ||
-          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, f.dataType),
-        s"delta write: column '${f.name}' has type $from, incompatible with declared ${f.dataType}")
-      col(f.name).cast(f.dataType).as(f.name)
+      require(in.dataType == f.dataType ||
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(in.dataType, f.dataType),
+        s"delta write: column '${f.name}' has type ${in.dataType}, " +
+          s"incompatible with declared ${f.dataType}")
+      df(in.name).cast(f.dataType).as(f.name)
     }
     df.select(cols: _*)
   }
@@ -180,9 +206,11 @@ object DeltaWrite {
     * (no metaData action should be committed).
     */
   private[sources] def mergeSchemas(snap: DeltaScan.Snapshot,
-      incoming: StructType): Option[(StructType, Map[String, String])] = {
-    val declared = snap.schema.fieldNames.toSet
-    val added = incoming.fields.filterNot(f => declared.contains(f.name))
+      incoming: StructType,
+      caseSensitive: Boolean = false): Option[(StructType, Map[String, String])] = {
+    val eq = nameEq(caseSensitive)
+    val added = incoming.fields
+      .filterNot(f => snap.schema.fieldNames.exists(d => eq(d, f.name)))
     if (added.isEmpty) None
     else {
       require(snap.columnMappingMode == "none" ||
@@ -222,13 +250,14 @@ object DeltaWrite {
     val tableDir = Paths.get(tablePath)
     val snap = DeltaScan.snapshot(spark, tablePath)
     checkWriteProtocol(snap, removesFiles = false)
-    require(!snap.schema.fieldNames.contains(name),
+    val cs = spark.sessionState.conf.caseSensitiveAnalysis
+    require(!snap.schema.fieldNames.exists(nameEq(cs)(_, name)),
       s"delta write: column '$name' already exists")
     val (evolved, conf) = mergeSchemas(snap,
-      StructType(Seq(StructField(name, dataType)))).get
+      StructType(Seq(StructField(name, dataType))), cs).get
     val v = snap.version + 1
     commit(tableDir, v,
-      Seq(metaDataLine(evolved, snap.partitionColumns, conf)),
+      Seq(metaDataLine(evolved, snap.partitionColumns, conf, tableIdOf(snap))),
       operation = "ADD COLUMNS")
     maybeCheckpoint(spark, tablePath, snap, v)
     v
@@ -429,7 +458,10 @@ object DeltaWrite {
     val tableDir = Paths.get(tablePath)
     val snap0 = DeltaScan.snapshot(spark, tablePath)
     checkWriteProtocol(snap0, removesFiles = false)
-    val evolution = if (mergeSchema) mergeSchemas(snap0, df.schema) else None
+    val evolution =
+      if (mergeSchema)
+        mergeSchemas(snap0, df.schema, spark.sessionState.conf.caseSensitiveAnalysis)
+      else None
     val snap = evolution.fold(snap0) { case (sch, conf) =>
       snap0.copy(schema = sch, configuration = conf)
     }
@@ -441,7 +473,7 @@ object DeltaWrite {
     val v = snap.version + 1
     commit(tableDir, v,
       evolution.toSeq.map { case (sch, conf) =>
-        metaDataLine(sch, snap.partitionColumns, conf)
+        metaDataLine(sch, snap.partitionColumns, conf, tableIdOf(snap))
       } ++ adds.map { case (p, pv, sz) => addLine(p, pv, sz) })
     maybeCheckpoint(spark, tablePath, snap, v)
     v
@@ -945,7 +977,7 @@ object DeltaWrite {
         // feature lists exist only in the v3/v7 protocol shape
         if (p.minReader >= 3) p.readerFeatures else null,
         if (p.minWriter >= 7) p.writerFeatures else null), null, null) +:
-      Row(null, Row(UUID.randomUUID().toString, Row("parquet", Map.empty[String, String]),
+      Row(null, Row(tableIdOf(snap), Row("parquet", Map.empty[String, String]),
         snap.schema.json, snap.partitionColumns, snap.configuration), null) +:
       // real per-file sizes (carried through Snapshot.AddFile) and encoded
       // paths — external readers plan splits from checkpoint add.size

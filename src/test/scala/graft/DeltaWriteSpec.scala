@@ -859,4 +859,49 @@ class DeltaWriteSpec extends AnyFunSuite {
     // pre-evolution rows read null for the evolved column
     assert(got.filter(col("n_flag").isNull).count() == 25)
   }
+
+  test("metaData.id stays stable across evolution, addColumn and checkpoints") {
+    import spark.implicits._
+    val path = freshDir()
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    val id0 = DeltaScan.snapshot(spark, path).tableId
+    assert(id0.nonEmpty, "create must mint a metaData.id")
+    // schema-evolution append rewrites metaData — same id
+    DeltaWrite.append(spark, Seq((2L, "b", 20)).toDF("k", "v", "x"), path,
+      mergeSchema = true)
+    assert(DeltaScan.snapshot(spark, path).tableId == id0)
+    // ADD COLUMN rewrites metaData — same id
+    DeltaWrite.addColumn(spark, path, "score",
+      org.apache.spark.sql.types.DoubleType)
+    assert(DeltaScan.snapshot(spark, path).tableId == id0)
+    // checkpoint re-emits metaData; a checkpoint-served snapshot (log
+    // truncated below it) must still carry the original id
+    DeltaWrite.checkpoint(spark, path)
+    val logDir = Paths.get(path, "_delta_log")
+    (0L to 2L).foreach(v => Files.deleteIfExists(logDir.resolve(f"$v%020d.json")))
+    assert(DeltaScan.snapshot(spark, path).tableId == id0)
+  }
+
+  test("append with case-differing column aligns to the declared column") {
+    import spark.implicits._
+    val path = freshDir()
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("k", "name"), path)
+    // NAME differs only in case: under Spark's default case-insensitive
+    // resolution this is the declared column, not a new one — with or
+    // without mergeSchema
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("K", "NAME"), path)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("k", "Name"), path,
+      mergeSchema = true)
+    val snap = DeltaScan.snapshot(spark, path)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "name"),
+      "case-differing input must not evolve a duplicate-modulo-case column")
+    assert(DeltaScan.scan(spark, path).orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a duplicate-modulo-case column is refused on ADD COLUMN too
+    intercept[IllegalArgumentException] {
+      DeltaWrite.addColumn(spark, path, "NAME",
+        org.apache.spark.sql.types.StringType)
+    }
+  }
 }

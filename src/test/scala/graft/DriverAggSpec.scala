@@ -83,13 +83,46 @@ class DriverAggSpec extends AnyFunSuite {
       sum(col("l_quantity")).as("s"), avg(col("l_quantity")).as("a")), Nil)
   }
 
-  test("cardinality valve refuses high-card keys mid-flight") {
-    val e = intercept[Exception] {
-      DriverAgg.lowCard(
-        lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n")),
-        Seq(col("l_orderkey")), maxGroups = 16).collect()
+  test("cardinality valve falls back to the shuffled plan, not an error") {
+    // key is NOT low-cardinality and maxGroups is tiny: the coordinator
+    // merge must abort and the retained shuffled aggregate must produce
+    // the answer — same rows, same order, same limit
+    def checkFallback(grouped: DataFrame,
+                      sort: Seq[org.apache.spark.sql.Column],
+                      limit: Int = -1): Unit = {
+      val expected = {
+        val s = grouped.orderBy(sort: _*)
+        rows(if (limit >= 0) s.limit(limit) else s)
+      }
+      val got = rows(DriverAgg.lowCard(grouped, sort, limit, maxGroups = 16))
+      assert(got == expected)
     }
-    assert(e.getMessage != null && e.getMessage.contains("maxGroups"))
+    // q1 call-site shape: bare scan + filter below the aggregate
+    checkFallback(
+      lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("s")),
+      Seq(col("l_orderkey")), limit = 20)
+    // tumbling call-site shape: computed (aliased) grouping key + limit
+    checkFallback(
+      orders.groupBy(col("o_orderdate").as("d"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n")),
+      Seq(col("d"), col("o_orderstatus")), limit = 25)
+    // q5 call-site shape: join below the aggregate, descending sort
+    checkFallback(
+      lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("rev")),
+      Seq(col("rev").desc, col("o_custkey")), limit = 15)
+  }
+
+  test("fallback write path (doExecute) matches the shuffled plan too") {
+    val grouped = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val df = DriverAgg.lowCard(grouped, Seq(col("o_custkey")), limit = 30,
+      maxGroups = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_driveragg_fb").toString
+    df.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).orderBy(col("o_custkey"))
+    assert(rows(back) == rows(grouped.orderBy(col("o_custkey")).limit(30)))
   }
 
   test("unsupported aggregates refuse at plan time") {
