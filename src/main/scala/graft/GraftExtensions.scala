@@ -48,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.FusedDistinctStrategy)
     e.injectPlannerStrategy(_ => graft.plans.DriverAggStrategy)
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
+    e.injectOptimizerRule(_ => graft.rules.FuseSingleDistinct)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
     e.injectPlanNormalizationRule(_ => graft.rules.RepairCachedOrdering)

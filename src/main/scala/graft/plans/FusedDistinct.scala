@@ -71,6 +71,9 @@ object FusedDistinctStrategy extends SparkStrategy {
         planLater(p.child), columnarChild = false) :: Nil
     case d: FusedDistinctDriver =>
       FusedDistinctDriverExec(d.output, planLater(d.child)) :: Nil
+    case s: SingleDistinctPartial =>
+      SingleDistinctPartialExec(s.distinct, s.piggyInputs, s.piggyKinds,
+        s.buckets, s.output, planLater(s.child), columnarChild = false) :: Nil
     case _ => Nil
   }
 }

@@ -514,7 +514,335 @@ object TpcdsShapes {
         |  (SELECT count(*) AS q7_cnt FROM lineitem
         |   WHERE l_quantity BETWEEN 21 AND 30 AND l_discount >= 0.07) g,
         |  (SELECT count(*) AS q8_cnt FROM lineitem
-        |   WHERE l_quantity BETWEEN 31 AND 40 AND l_discount >= 0.07) h""".stripMargin)
+        |   WHERE l_quantity BETWEEN 31 AND 40 AND l_discount >= 0.07) h""".stripMargin),
+
+    // q17.sql: wide star — two fact roles of lineitem (sales + returns
+    // lines of the same order/part) through orders/customer/nation/part
+    // dims with two role-played date windows, count/avg/stddev stats.
+    // avg/stddev are over small integer-quantity groups rounded at 4
+    // decimals (tie-free for small-denominator rationals — see the
+    // cb_filter_multi_agg post-mortem in OlapShapes)
+    ("qds_star_quantity_stats", Seq("lineitem", "orders", "customer",
+      "nation", "part"),
+      """SELECT p_brand, n_name,
+        | count(s.l_quantity) AS qty_cnt,
+        | round(avg(s.l_quantity), 4) AS qty_avg,
+        | round(stddev_samp(s.l_quantity), 4) AS qty_sd,
+        | count(r.l_quantity) AS ret_cnt,
+        | round(avg(r.l_quantity), 4) AS ret_avg
+        |FROM lineitem s
+        |JOIN orders ON s.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN part ON s.l_partkey = p_partkey
+        |JOIN lineitem r ON r.l_orderkey = s.l_orderkey
+        | AND r.l_partkey = s.l_partkey AND r.l_returnflag = 'R'
+        | AND r.l_linenumber <> s.l_linenumber
+        |WHERE s.l_returnflag <> 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND s.l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND s.l_shipdate < TIMESTAMP '1997-07-01'
+        |GROUP BY p_brand, n_name
+        |ORDER BY p_brand, n_name
+        |LIMIT 100""".stripMargin),
+
+    // q25.sql: same star graph, profit sums instead of stats, supplier
+    // dim in place of customer
+    ("qds_star_profit_sums", Seq("lineitem", "orders", "supplier",
+      "nation", "part"),
+      """SELECT p_brand, n_name,
+        | round(sum(s.l_extendedprice * (1 - s.l_discount)), 2) AS net_sales,
+        | round(sum(r.l_extendedprice), 2) AS returned_value,
+        | count(*) AS pair_cnt
+        |FROM lineitem s
+        |JOIN orders ON s.l_orderkey = o_orderkey
+        |JOIN supplier ON s.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON s.l_partkey = p_partkey
+        |JOIN lineitem r ON r.l_orderkey = s.l_orderkey
+        | AND r.l_partkey = s.l_partkey AND r.l_returnflag = 'R'
+        | AND r.l_linenumber <> s.l_linenumber
+        |WHERE s.l_returnflag <> 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY p_brand, n_name
+        |ORDER BY net_sales DESC, p_brand, n_name
+        |LIMIT 100""".stripMargin),
+
+    // q47.sql: monthly sums with an avg-over-year window and a
+    // sequence rank, self-joined at rn±1 for prev/next month, filtered
+    // to months deviating >5% from the yearly average (the windowed
+    // average stays in the FILTER only — rounding an avg of money is
+    // the .xx5-tie trap)
+    ("qds_monthly_vs_avg_selfjoin", Seq("lineitem", "orders", "part"),
+      """WITH v1 AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |         CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS moy,
+        |         round(sum(l_extendedprice), 2) AS sum_sales,
+        |         avg(sum(l_extendedprice)) OVER (
+        |           PARTITION BY p_brand, EXTRACT(YEAR FROM o_orderdate)) AS avg_monthly,
+        |         CAST(rank() OVER (PARTITION BY p_brand
+        |           ORDER BY EXTRACT(YEAR FROM o_orderdate),
+        |                    EXTRACT(MONTH FROM o_orderdate)) AS INT) AS rn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |                JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, EXTRACT(YEAR FROM o_orderdate),
+        |           EXTRACT(MONTH FROM o_orderdate))
+        |SELECT v.brand AS brand, v.yr AS yr, v.moy AS moy, v.sum_sales AS sum_sales,
+        |       p.sum_sales AS psum, nx.sum_sales AS nsum
+        |FROM v1 v JOIN v1 p  ON v.brand = p.brand  AND v.rn = p.rn + 1
+        |          JOIN v1 nx ON v.brand = nx.brand AND v.rn = nx.rn - 1
+        |WHERE v.yr = 1996 AND v.avg_monthly > 0
+        |  AND abs(v.sum_sales - v.avg_monthly) / v.avg_monthly > 0.05
+        |ORDER BY brand, yr, moy
+        |LIMIT 100""".stripMargin),
+
+    // q57.sql: the same structure as a pure window chain — lag/lead +
+    // per-partition avg + rank in one SELECT over a monthly CTE
+    ("qds_multi_window_chain", Seq("events"),
+      """WITH m AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |         round(sum(value), 2) AS v
+        |  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE))
+        |SELECT event_type, d, v,
+        |  lag(v) OVER (PARTITION BY event_type ORDER BY d) AS pv,
+        |  lead(v) OVER (PARTITION BY event_type ORDER BY d) AS nv,
+        |  CAST(rank() OVER (PARTITION BY event_type ORDER BY v DESC, d) AS INT) AS rk
+        |FROM m
+        |ORDER BY event_type, d""".stripMargin),
+
+    // q67.sql: WITH-tower — ROLLUP over a 3-level hierarchy, then
+    // rank-within-top-level over the rolled output, top-N per level
+    ("qds_rollup_rank_tower", Seq("orders", "customer", "nation"),
+      """SELECT * FROM (
+        |  SELECT seg, nat, yr, sumsales,
+        |         CAST(rank() OVER (PARTITION BY seg
+        |           ORDER BY sumsales DESC, nat NULLS FIRST, yr NULLS FIRST) AS INT) AS rk
+        |  FROM (
+        |    SELECT c_mktsegment AS seg, n_name AS nat,
+        |           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |           round(sum(o_totalprice), 2) AS sumsales
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |                JOIN nation ON c_nationkey = n_nationkey
+        |    GROUP BY ROLLUP(c_mktsegment, n_name,
+        |                    EXTRACT(YEAR FROM o_orderdate))) dw1) dw2
+        |WHERE rk <= 10
+        |ORDER BY seg NULLS FIRST, rk, nat NULLS FIRST, yr NULLS FIRST""".stripMargin),
+
+    // q76.sql: per-channel null-column audit — UNION ALL of channel
+    // feeds each filtered on an IS NULL predicate, grouped report
+    ("qds_channel_union_audit", Seq("lineitem", "orders"),
+      """SELECT channel, col_name, yr, count(*) AS sales_cnt,
+        |       round(sum(amt), 2) AS sales_amt
+        |FROM (
+        | SELECT 'store' AS channel, 'return_flag' AS col_name,
+        |        CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS yr,
+        |        l_extendedprice AS amt
+        | FROM lineitem WHERE NULLIF(l_returnflag, 'N') IS NULL
+        | UNION ALL
+        | SELECT 'web' AS channel, 'order_status' AS col_name,
+        |        CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |        o_totalprice AS amt
+        | FROM orders WHERE NULLIF(o_orderstatus, 'O') IS NULL
+        | UNION ALL
+        | SELECT 'catalog' AS channel, 'priority' AS col_name,
+        |        CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |        o_totalprice AS amt
+        | FROM orders WHERE NULLIF(o_orderpriority, '1-URGENT') IS NULL) foo
+        |GROUP BY channel, col_name, yr
+        |ORDER BY channel, col_name, yr""".stripMargin),
+
+    // q71.sql: brand revenue by time-of-day across unioned channel
+    // feeds, ordered by revenue
+    ("qds_brand_time_report", Seq("events"),
+      """SELECT event_type AS brand, CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,
+        |       round(sum(value), 2) AS ext_price, count(*) AS n
+        |FROM (SELECT ts, event_type, value FROM events WHERE user_id % 2 = 0
+        |      UNION ALL
+        |      SELECT ts, event_type, value FROM events WHERE user_id % 2 = 1) e
+        |WHERE EXTRACT(HOUR FROM ts) IN (8, 9, 10, 17, 18, 19)
+        |GROUP BY event_type, EXTRACT(HOUR FROM ts)
+        |ORDER BY ext_price DESC, brand, hr
+        |LIMIT 50""".stripMargin),
+
+    // q34/q73.sql: dense-buyer detection — per-customer-year order
+    // counts gated by HAVING BETWEEN, joined back to the dimension
+    ("qds_dense_buyers", Seq("orders", "customer"),
+      """WITH cnt AS (
+        |  SELECT o_custkey AS cust,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |         count(*) AS n
+        |  FROM orders
+        |  GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)
+        |  HAVING count(*) BETWEEN 3 AND 10)
+        |SELECT c_name, cnt.yr AS yr, cnt.n AS n
+        |FROM cnt JOIN customer ON cnt.cust = c_custkey
+        |ORDER BY n DESC, c_name, yr
+        |LIMIT 50""".stripMargin),
+
+    // q98/q12/q20.sql: revenue share within a category via a windowed
+    // sum ratio over the grouped output
+    ("qds_category_share", Seq("lineitem", "part"),
+      """SELECT p_type, round(sum(l_extendedprice), 2) AS itemrevenue,
+        |  round(sum(l_extendedprice) * 100.0 /
+        |        sum(sum(l_extendedprice)) OVER (PARTITION BY substr(p_type, 1, 6)), 4)
+        |    AS revenueratio
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-03-01'
+        |GROUP BY p_type
+        |ORDER BY substr(p_type, 1, 6), revenueratio DESC, p_type
+        |LIMIT 100""".stripMargin),
+
+    // q93.sql: returns-adjusted net position per customer (returned
+    // lines flip sign), worst positions first
+    ("qds_returns_net_effect", Seq("lineitem", "orders"),
+      """SELECT o_custkey AS cust,
+        | round(sum(CASE WHEN l_returnflag = 'R'
+        |                THEN -(l_extendedprice * (1 - l_discount))
+        |                ELSE l_extendedprice * (1 - l_discount) END), 2) AS net
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey
+        |ORDER BY net, cust
+        |LIMIT 50""".stripMargin),
+
+    // q89.sql: brand-month quantity sums deviating from the brand's
+    // average month (windowed avg kept unrounded, used in the filter
+    // and reported as a rounded integral-quantity difference at 4dp)
+    ("qds_monthly_deviation", Seq("lineitem", "part"),
+      """SELECT brand, moy, s, round(s - avg_m, 4) AS dev FROM (
+        |  SELECT p_brand AS brand,
+        |         CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS moy,
+        |         round(sum(l_quantity), 2) AS s,
+        |         avg(sum(l_quantity)) OVER (PARTITION BY p_brand) AS avg_m
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY p_brand, EXTRACT(MONTH FROM l_shipdate)) t
+        |WHERE abs(s - avg_m) > 5
+        |ORDER BY dev, brand, moy
+        |LIMIT 100""".stripMargin),
+
+    // q31.sql: quarter-over-quarter growth chain — the quarterly CTE
+    // joined to itself three times, one growth ratio per hop
+    ("qds_quarterly_growth_chain", Seq("orders", "customer"),
+      """WITH q AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+        |         sum(o_totalprice) AS s
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY c_mktsegment, EXTRACT(QUARTER FROM o_orderdate))
+        |SELECT q1.seg AS seg, round(q2.s / q1.s, 4) AS g12,
+        |       round(q3.s / q2.s, 4) AS g23, round(q4.s / q3.s, 4) AS g34
+        |FROM q q1 JOIN q q2 ON q1.seg = q2.seg AND q1.qtr = 1 AND q2.qtr = 2
+        |          JOIN q q3 ON q2.seg = q3.seg AND q3.qtr = 3
+        |          JOIN q q4 ON q3.seg = q4.seg AND q4.qtr = 4
+        |ORDER BY seg""".stripMargin),
+
+    // q65.sql: items whose revenue falls below half the brand average
+    ("qds_low_revenue_items", Seq("lineitem", "part"),
+      """WITH rev AS (
+        |  SELECT p_brand AS brand, l_partkey AS pk, sum(l_extendedprice) AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, l_partkey),
+        |ba AS (SELECT brand, avg(r) AS ar FROM rev GROUP BY brand)
+        |SELECT rev.brand AS brand, pk, round(r, 2) AS revenue
+        |FROM rev JOIN ba ON rev.brand = ba.brand
+        |WHERE r <= 0.5 * ar
+        |ORDER BY brand, pk
+        |LIMIT 100""".stripMargin),
+
+    // q59.sql shape: period-over-period ratio via self-join at a month
+    // offset (weeks avoided — EXTRACT(WEEK) numbering differs between
+    // dialects)
+    ("qds_month_over_month", Seq("events"),
+      """WITH m AS (
+        |  SELECT event_type AS et, CAST(EXTRACT(MONTH FROM ts) AS INT) AS mo,
+        |         sum(value) AS s
+        |  FROM events GROUP BY event_type, EXTRACT(MONTH FROM ts))
+        |SELECT a.et AS et, a.mo AS mo, round(b.s / a.s, 4) AS mom_ratio
+        |FROM m a JOIN m b ON a.et = b.et AND b.mo = a.mo + 1
+        |ORDER BY et, mo""".stripMargin),
+
+    // q35/q10.sql: multi-EXISTS audience qualification + grouped stats
+    ("qds_exists_audience", Seq("customer", "nation", "orders"),
+      """SELECT c_mktsegment AS seg, n_name AS nat, count(*) AS cnt,
+        |       round(sum(c_acctbal), 2) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |  AND (EXISTS (SELECT 1 FROM orders
+        |               WHERE o_custkey = c_custkey
+        |                 AND o_orderpriority = '1-URGENT')
+        |       OR EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '5-LOW'))
+        |GROUP BY c_mktsegment, n_name
+        |ORDER BY seg, nat""".stripMargin),
+
+    // q33/q60.sql: per-brand revenue assembled from three filtered
+    // channel CTEs re-aggregated through a UNION ALL
+    ("qds_brand_union_ctes", Seq("lineitem", "part"),
+      """WITH s1 AS (SELECT p_brand AS b, sum(l_extendedprice) AS s
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey
+        |            WHERE l_returnflag = 'N' GROUP BY p_brand),
+        |s2 AS (SELECT p_brand AS b, sum(l_extendedprice) AS s
+        |       FROM lineitem JOIN part ON l_partkey = p_partkey
+        |       WHERE l_returnflag = 'R' GROUP BY p_brand),
+        |s3 AS (SELECT p_brand AS b, sum(l_extendedprice) AS s
+        |       FROM lineitem JOIN part ON l_partkey = p_partkey
+        |       WHERE l_returnflag = 'A' GROUP BY p_brand)
+        |SELECT b, round(sum(s), 2) AS total
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3) u
+        |GROUP BY b
+        |ORDER BY total DESC, b
+        |LIMIT 50""".stripMargin),
+
+    // q49.sql: worst return ratios ranked (integer-quantity ratio at
+    // 4dp — decimal ties of small-denominator rationals are
+    // binary-exact, so both dialects round them identically)
+    ("qds_worst_return_ratio", Seq("lineitem"),
+      """SELECT * FROM (
+        |  SELECT pk, round(ret / qty, 4) AS ratio,
+        |         CAST(rank() OVER (ORDER BY ret / qty DESC, pk) AS INT) AS rk
+        |  FROM (SELECT l_partkey AS pk,
+        |               sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
+        |                        ELSE 0.0 END) AS ret,
+        |               sum(l_quantity) AS qty
+        |        FROM lineitem GROUP BY l_partkey
+        |        HAVING sum(l_quantity) > 0) r) t
+        |WHERE rk <= 25
+        |ORDER BY rk""".stripMargin),
+
+    // q75.sql: year-over-year per-brand decline report (count and
+    // amount deltas for shrinking brands)
+    ("qds_yoy_brand_decline", Seq("lineitem", "part"),
+      """WITH y AS (
+        |  SELECT p_brand AS b, CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS yr,
+        |         count(*) AS cnt, sum(l_extendedprice) AS amt
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, EXTRACT(YEAR FROM l_shipdate))
+        |SELECT c.b AS b, p.yr AS prev_yr, c.yr AS curr_yr,
+        |       c.cnt - p.cnt AS cnt_diff, round(c.amt - p.amt, 2) AS amt_diff
+        |FROM y c JOIN y p ON c.b = p.b AND c.yr = p.yr + 1
+        |WHERE c.cnt < p.cnt
+        |ORDER BY amt_diff, b, curr_yr
+        |LIMIT 100""".stripMargin),
+
+    // q54.sql: customer lifetime revenue bands
+    ("qds_revenue_bands", Seq("orders"),
+      """WITH spend AS (
+        |  SELECT o_custkey AS cust, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT CAST(floor(rev / 50000) AS BIGINT) AS band, count(*) AS custs
+        |FROM spend
+        |GROUP BY floor(rev / 50000)
+        |ORDER BY band""".stripMargin)
   )
 
   val queries: Map[String, Q.Fn] =

@@ -1,0 +1,181 @@
+package graft.rules
+
+import graft.functions.SetBlobCount
+import graft.plans.SingleDistinctPartial
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Auto-route `SELECT count(DISTINCT k), <simple aggs> FROM t` (ungrouped,
+  * exactly one distinct) into the fused single-pass shape
+  * ([[graft.plans.SingleDistinctPartial]] + disjoint-bucket merge).
+  *
+  * Spark's stock plan for this shape is two full aggregation levels: a
+  * groupBy(k) de-duplication whose exchange carries ONE ROW PER DISTINCT
+  * KEY, then an ungrouped final whose merge funnels through a single
+  * reducer; the non-distinct aggregates ride along as PartialMerge
+  * through both. The reference instead evaluates the distinct against a
+  * per-thread hash set fused into the same scan as the plain aggregates
+  * (distinct_aggregate_data.cpp + physical_ungrouped_aggregate.cpp).
+  * This rewrite is that plan: one pass builds the set and the piggyback
+  * partials, the exchange carries O(distinct keys) PACKED BYTES split
+  * into disjoint key-hash buckets, and the bucket merge is parallel.
+  * Measured at sf1 this took `h2o_count_distinct` from ~16x DuckDB to
+  * low single digits (PERF.md r7).
+  *
+  * Scope guards (bail = leave Spark's plan): ungrouped; exactly one
+  * distinct aggregate and it is count(DISTINCT <int/long-family expr>);
+  * no FILTER clauses; piggyback aggregates limited to
+  * count(*) / count(col) / sum / avg / min / max over int-family or
+  * float/double inputs; deterministic expressions; batch plans only.
+  * `GRAFT_NO_FUSE_DISTINCT=1` disables (A/B + differential specs).
+  */
+object FuseSingleDistinct extends Rule[LogicalPlan] {
+  import SingleDistinctPartial._
+
+  @volatile var enabled = !sys.env.get("GRAFT_NO_FUSE_DISTINCT").contains("1")
+
+  private def intFamily(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType => true
+    case _ => false
+  }
+  private def numeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _ => false
+  }
+
+  /** kind + partial-input expression for a supported non-distinct agg. */
+  private def classify(fn: AggregateFunction): Option[(String, Expression)] = fn match {
+    case Count(Seq(l: Literal)) if l.value != null => Some((KindCountStar, Literal(1)))
+    case Count(Seq(e)) => Some((KindCount, e))
+    case s: Sum if numeric(s.child.dataType) => Some((KindSum, s.child))
+    case av: Average if numeric(av.child.dataType) => Some((KindAvg, av.child))
+    case m: Min if numeric(m.child.dataType) => Some((KindMin, m.child))
+    case m: Max if numeric(m.child.dataType) => Some((KindMax, m.child))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case a: Aggregate
+          if a.resolved && a.groupingExpressions.isEmpty && !a.child.isStreaming =>
+        tryRewrite(a).getOrElse(a)
+    }
+  }
+
+  private def tryRewrite(a: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.trees.TreePattern
+    // bail on correlation (decorrelation must still see stock nodes) and
+    // on subquery expressions riding the aggregate list
+    if (a.containsPattern(TreePattern.OUTER_REFERENCE) ||
+        a.aggregateExpressions.exists(_.containsPattern(TreePattern.PLAN_EXPRESSION)))
+      return None
+    // unique aggregate calls, in first-appearance order
+    val aggs = ArrayBuffer.empty[AggregateExpression]
+    a.aggregateExpressions.foreach(_.foreach {
+      case ae: AggregateExpression =>
+        if (!aggs.exists(_.semanticEquals(ae))) aggs += ae
+      case _ =>
+    })
+    if (aggs.isEmpty || aggs.exists(ae => ae.filter.isDefined || !ae.deterministic))
+      return None
+    if (a.aggregateExpressions.exists(!_.deterministic)) return None
+    val (distincts, plains) = aggs.toSeq.partition(_.isDistinct)
+    if (distincts.length != 1) return None
+    val distinctExpr = distincts.head.aggregateFunction match {
+      case Count(Seq(e)) if intFamily(e.dataType) => e
+      case _ => return None
+    }
+    // every output column must be an alias over supported pieces
+    if (a.aggregateExpressions.exists { case _: Alias => false; case _ => true })
+      return None
+    val classified = plains.map(ae => classify(ae.aggregateFunction))
+    if (classified.exists(_.isEmpty)) return None
+    val kinds: Seq[String] = classified.map(_.get._1)
+    val inputs: Seq[Expression] = classified.map(_.get._2)
+
+    val buckets = math.max(1, math.min(conf.numShufflePartitions, 64))
+    val partialOut = freshOutput(kinds, inputs.map(_.dataType))
+    val partial = SingleDistinctPartial(
+      distinctExpr, inputs, kinds, buckets, a.child, partialOut)
+    val bucketAttr = partialOut.head
+    val blobAttr = partialOut(1)
+    // piggy slot i -> (value attr option, count attr) of the partial
+    val slotAttrs: Seq[(Option[Attribute], Attribute)] = {
+      var col = 2
+      kinds.zip(inputs).map { case (k, in) =>
+        val v = valueType(k, in.dataType).map { _ =>
+          val attr = partialOut(col); col += 1; attr
+        }
+        val c = partialOut(col); col += 1
+        (v, c)
+      }
+    }
+
+    def agg(fn: AggregateFunction): Expression = fn.toAggregateExpression()
+    def mergeOf(kind: String, v: Expression): Expression = kind match {
+      case KindMin => agg(Min(v))
+      case KindMax => agg(Max(v))
+      case _ => agg(Sum(v))
+    }
+
+    // level 1: per-bucket union of disjoint key slices + piggy re-merge
+    val bn1 = Alias(agg(SetBlobCount(blobAttr)), "bn")()
+    val slots1 = slotAttrs.zip(kinds).map { case ((v, c), k) =>
+      (v.map(a0 => Alias(mergeOf(k, a0), a0.name)()), Alias(agg(Sum(c)), c.name)())
+    }
+    val m1 = Aggregate(
+      Seq(bucketAttr),
+      bn1 +: slots1.flatMap { case (v, c) => v.toSeq :+ c },
+      partial)
+
+    // level 2: one-row combine (bucket counts ADD exactly — disjoint slices)
+    val bn2 = Alias(
+      Coalesce(Seq(agg(Sum(bn1.toAttribute)), Literal(0L))), "nd")()
+    val slots2 = slots1.zip(kinds).map { case ((v, c), k) =>
+      (v.map(a0 => Alias(mergeOf(k, a0.toAttribute), a0.name)()),
+        Alias(agg(Sum(c.toAttribute)), c.name)())
+    }
+    val m2 = Aggregate(
+      Nil,
+      bn2 +: slots2.flatMap { case (v, c) => v.toSeq :+ c },
+      m1)
+
+    // final value expression per original aggregate call
+    val plainFinal: Seq[Expression] = slots2.zip(kinds).zip(plains).map {
+      case (((v, c), kind), orig) =>
+        val cAttr = c.toAttribute
+        kind match {
+          case KindCountStar | KindCount => Coalesce(Seq(cAttr, Literal(0L)))
+          case KindSum =>
+            val sumT = orig.aggregateFunction.dataType
+            if (v.get.toAttribute.dataType == sumT) v.get.toAttribute
+            else Cast(v.get.toAttribute, sumT)
+          case KindAvg =>
+            Divide(Cast(v.get.toAttribute, DoubleType), Cast(cAttr, DoubleType))
+          case KindMin | KindMax =>
+            val t = orig.aggregateFunction.dataType
+            if (v.get.toAttribute.dataType == t) v.get.toAttribute
+            else Cast(v.get.toAttribute, t)
+        }
+    }
+    val replacement: Seq[(AggregateExpression, Expression)] =
+      (distincts.head -> (bn2.toAttribute: Expression)) +: plains.zip(plainFinal)
+
+    val projectList = a.aggregateExpressions.map { case al: Alias =>
+      val rebuilt = al.child.transform {
+        case ae: AggregateExpression =>
+          replacement.find(_._1.semanticEquals(ae)).map(_._2).getOrElse(return None)
+      }
+      Alias(rebuilt, al.name)(exprId = al.exprId, qualifier = al.qualifier,
+        explicitMetadata = al.explicitMetadata)
+    }
+    Some(Project(projectList, m2))
+  }
+}

@@ -84,6 +84,15 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
             r.copy(columnarChild = true)
           case _ => r
         }
+      // fused single-distinct partial: same batch-direct contract
+      case s: graft.plans.SingleDistinctPartialExec if !s.columnarChild =>
+        s.child match {
+          case ColumnarToRowExec(c) if c.supportsColumnar && s.columnarEligible(c) =>
+            s.copy(child = c, columnarChild = true)
+          case c if c.supportsColumnar && s.columnarEligible(c) =>
+            s.copy(columnarChild = true)
+          case _ => s
+        }
     }
     // cross-execution dimension broadcast cache (warm mode, AQE off only —
     // see plans/CachedBroadcast.scala)

@@ -98,17 +98,25 @@ class RadixAggSpec extends AnyFunSuite {
       countDistinct(col("k")).as("nd"),
       sum(col("d")).as("sd"), count(lit(1)).as("n"),
       avg(col("l")).as("al"), max(col("d")).as("mx"))
-    for (aqe <- Seq(true, false)) withAqe(aqe) {
-      val on = q().collect().toSeq
-      graft.rules.RadixShuffleAgg.enabled = false
-      val off = try q().collect().toSeq finally graft.rules.RadixShuffleAgg.enabled = true
-      assert(on == off, s"aqe=$aqe on=$on off=$off")
-    }
-    withAqe(false) {
-      val plan = q().queryExecution.executedPlan
-      assert(plan.collect { case r: graft.plans.RadixFinalAggExec if r.bufferMode => r }.nonEmpty,
-        plan.toString.take(2000))
-    }
+    // FuseSingleDistinct normally claims this ungrouped shape first;
+    // disable it here so Spark's two-level distinct plan (the radix
+    // rule's PartialMerge target, still the path for GROUPED single
+    // distincts) stays exercised
+    val prevFuse = graft.rules.FuseSingleDistinct.enabled
+    graft.rules.FuseSingleDistinct.enabled = false
+    try {
+      for (aqe <- Seq(true, false)) withAqe(aqe) {
+        val on = q().collect().toSeq
+        graft.rules.RadixShuffleAgg.enabled = false
+        val off = try q().collect().toSeq finally graft.rules.RadixShuffleAgg.enabled = true
+        assert(on == off, s"aqe=$aqe on=$on off=$off")
+      }
+      withAqe(false) {
+        val plan = q().queryExecution.executedPlan
+        assert(plan.collect { case r: graft.plans.RadixFinalAggExec if r.bufferMode => r }.nonEmpty,
+          plan.toString.take(2000))
+      }
+    } finally graft.rules.FuseSingleDistinct.enabled = prevFuse
   }
 
   test("date key and flush-path blobs merge correctly") {

@@ -23,7 +23,7 @@ QUERIES = {
     "cb_filter_multi_agg": """
       SELECT l_orderkey, l_suppkey, count(*) AS c,
        round(sum(l_quantity), 2) AS sq,
-       round(CAST(avg(l_extendedprice) AS DECIMAL(18,4)), 2) AS ap
+       round(sum(l_extendedprice), 2) AS sp
       FROM lineitem WHERE l_returnflag <> 'R'
       GROUP BY l_orderkey, l_suppkey
       ORDER BY c DESC, l_orderkey, l_suppkey LIMIT 10""",
