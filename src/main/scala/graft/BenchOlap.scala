@@ -26,6 +26,14 @@ object BenchOlap {
     Tables.cacheMode = true
     val probe = spark.sparkContext.parallelize(1 to 32, 32)
     (1 to 120).foreach(_ => probe.count())
+    // host-phase fingerprint, as in Bench: per-job scheduler latency
+    // distinguishes a slow-phase run from a regression (PERF.md)
+    def probeMs(): Double = {
+      val t0 = System.nanoTime()
+      (1 to 20).foreach(_ => probe.count())
+      (System.nanoTime() - t0) / 20e6
+    }
+    println(f"probe_job_ms_before=${probeMs()}%.1f")
 
     val names = Seq("cb_top_groups", "cb_filter_multi_agg", "cb_regex_key",
       "h2o_groupby_wide", "h2o_range_agg", "h2o_count_distinct")
@@ -49,6 +57,7 @@ object BenchOlap {
       println(f"$name%-24s ${m}%8.1f ms")
     }
     println(f"TOTAL ${tot}%8.1f ms")
+    println(f"probe_job_ms_after=${probeMs()}%.1f")
     spark.stop()
   }
 }

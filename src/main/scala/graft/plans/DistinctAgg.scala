@@ -131,52 +131,100 @@ final case class SingleDistinctPartialExec(
 
   private val nP = piggyKinds.length
 
-  private final class Acc(ansi: Boolean) {
-    val set = new DistinctWithHll.LongSet(1 << 14)
+  // per-row dispatch on dense int codes, not string kinds (the update
+  // loop runs once per input row per slot)
+  private val AddK = 0; private val MinK = 1; private val MaxK = 2; private val CntK = 3
+  private def code(kind: String): Int = kind match {
+    case KindSum | KindAvg => AddK
+    case KindMin => MinK
+    case KindMax => MaxK
+    case _ => CntK
+  }
+
+  private final class Acc(ansi: Boolean, codes: Array[Int]) {
+    // Dense-domain fast path + radix overflow (reference: the
+    // stats-gated PERFECT_HASH_GROUP_BY in
+    // physical_perfecthash_aggregate.cpp, and
+    // radix_partitioned_hashtable.cpp for the spill shape). Warehouse
+    // distinct keys are overwhelmingly dense surrogate ids: a 2M-bit
+    // window (256 KB, cache-resident) anchored at the first key's
+    // aligned base covers them with a 2ns set-bit per row — no hashing
+    // until emit. Keys outside the window take per-bucket radix sets,
+    // each small enough to stay cache-resident; fully adversarial key
+    // distributions degrade to exactly the radix behavior.
+    val BmBits = 1 << 21
+    var bmBase: Long = 0L
+    var bitmap: Array[Long] = _
+    val sets = Array.fill(buckets)(new DistinctWithHll.LongSet(1 << 10))
+    def add(v: Long): Unit = {
+      if (bitmap == null) {
+        bitmap = new Array[Long](BmBits >> 6)
+        bmBase = v & ~((BmBits: Long) - 1L)
+      }
+      val off = v - bmBase
+      if (off >= 0 && off < BmBits)
+        bitmap((off >> 6).toInt) |= 1L << off
+      else
+        sets(math.floorMod(DistinctWithHll.scramble(v), buckets).toInt).add(v)
+    }
     val sumL = new Array[Long](nP)
     val sumD = new Array[Double](nP)
     val cnt = new Array[Long](nP)
     // min/max start empty; cnt==0 means "no value yet"
-    def addLong(i: Int, v: Long): Unit = piggyKinds(i) match {
-      case KindSum | KindAvg =>
-        sumL(i) = if (ansi) Math.addExact(sumL(i), v) else sumL(i) + v
-        cnt(i) += 1
-      case KindMin =>
-        if (cnt(i) == 0 || v < sumL(i)) sumL(i) = v
-        cnt(i) += 1
-      case KindMax =>
-        if (cnt(i) == 0 || v > sumL(i)) sumL(i) = v
-        cnt(i) += 1
-      case _ => cnt(i) += 1
+    def addLong(i: Int, v: Long): Unit = {
+      codes(i) match {
+        case 0 => sumL(i) = if (ansi) Math.addExact(sumL(i), v) else sumL(i) + v
+        case 1 => if (cnt(i) == 0 || v < sumL(i)) sumL(i) = v
+        case 2 => if (cnt(i) == 0 || v > sumL(i)) sumL(i) = v
+        case _ =>
+      }
+      cnt(i) += 1
     }
-    def addDouble(i: Int, v: Double): Unit = piggyKinds(i) match {
-      case KindSum | KindAvg => sumD(i) += v; cnt(i) += 1
-      case KindMin =>
-        if (cnt(i) == 0 || v < sumD(i)) sumD(i) = v
-        cnt(i) += 1
-      case KindMax =>
-        if (cnt(i) == 0 || v > sumD(i)) sumD(i) = v
-        cnt(i) += 1
-      case _ => cnt(i) += 1
+    def addDouble(i: Int, v: Double): Unit = {
+      codes(i) match {
+        case 0 => sumD(i) += v
+        case 1 => if (cnt(i) == 0 || v < sumD(i)) sumD(i) = v
+        case 2 => if (cnt(i) == 0 || v > sumD(i)) sumD(i) = v
+        case _ =>
+      }
+      cnt(i) += 1
     }
   }
 
   /** Pack the set into per-bucket blobs; piggyback partials ride the
     * bucket-0 row (always emitted), other buckets only when non-empty.
     */
+  /** Walk every distinct key (bitmap window + overflow sets). */
+  private def foreachKey(acc: Acc)(f: Long => Unit): Unit = {
+    val bm = acc.bitmap
+    if (bm != null) {
+      var w = 0
+      while (w < bm.length) {
+        var bits = bm(w)
+        while (bits != 0L) {
+          f(acc.bmBase + (w.toLong << 6) + java.lang.Long.numberOfTrailingZeros(bits))
+          bits &= bits - 1L
+        }
+        w += 1
+      }
+    }
+    var b = 0
+    while (b < buckets) { acc.sets(b).foreach(f); b += 1 }
+  }
+
   private def emit(acc: Acc, piggyValueTypes: Seq[Option[DataType]])
       : Iterator[InternalRow] = {
     val counts = new Array[Int](buckets)
-    acc.set.foreach(v =>
+    foreachKey(acc)(v =>
       counts(math.floorMod(DistinctWithHll.scramble(v), buckets).toInt) += 1)
     val blobs = counts.map(n => java.nio.ByteBuffer.allocate(8 * n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN))
-    acc.set.foreach { v =>
-      blobs(math.floorMod(DistinctWithHll.scramble(v), buckets).toInt).putLong(v)
-    }
+    foreachKey(acc)(v =>
+      blobs(math.floorMod(DistinctWithHll.scramble(v), buckets).toInt).putLong(v))
     val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
     val row = new GenericInternalRow(output.length)
-    (0 until buckets).iterator.filter(b => b == 0 || counts(b) > 0).map { b =>
+    (0 until buckets).iterator
+      .filter(b => b == 0 || counts(b) > 0).map { b =>
       row.update(0, b)
       row.update(1, blobs(b).array())
       var col = 2
@@ -210,6 +258,7 @@ final case class SingleDistinctPartialExec(
     val inTypes = piggyInputs.map(_.dataType)
     val valueTypes = kinds.zip(inTypes).map { case (k, t) => valueType(k, t) }
     val nPiggy = nP
+    val kindCodes = piggyKinds.map(code).toArray
     if (columnarChild) {
       val dOrd = distinct match {
         case a: Attribute => child.output.indexWhere(_.exprId == a.exprId)
@@ -222,16 +271,38 @@ final case class SingleDistinctPartialExec(
         case (a: Attribute, _) => child.output.indexWhere(_.exprId == a.exprId)
         case _ => -1
       }
+      val debug = sys.env.get("GRAFT_DISTINCT_DEBUG").contains("1")
       child.executeColumnar().mapPartitions { batches =>
-        val acc = new Acc(ansi)
+        val t0 = System.nanoTime()
+        var nRows = 0L
+        var nBatches = 0
+        val acc = new Acc(ansi, kindCodes)
         batches.foreach { batch =>
           val vd = batch.column(dOrd)
           val n = batch.numRows()
-          var r = 0
-          while (r < n) {
-            if (!vd.isNullAt(r))
-              acc.set.add(if (dLong) vd.getLong(r) else vd.getInt(r).toLong)
-            r += 1
+          nRows += n
+          nBatches += 1
+          // bulk-extract to a flat primitive array when null-free: the
+          // per-row virtual accessor costs more than the copy, and the
+          // flat loop JITs to straight-line code (measured ~4x on the
+          // sf1 partial — PERF.md r7)
+          if (!vd.hasNull) {
+            if (dLong) {
+              val a = vd.getLongs(0, n)
+              var r = 0
+              while (r < n) { acc.add(a(r)); r += 1 }
+            } else {
+              val a = vd.getInts(0, n)
+              var r = 0
+              while (r < n) { acc.add(a(r).toLong); r += 1 }
+            }
+          } else {
+            var r = 0
+            while (r < n) {
+              if (!vd.isNullAt(r))
+                acc.add(if (dLong) vd.getLong(r) else vd.getInt(r).toLong)
+              r += 1
+            }
           }
           var i = 0
           while (i < nPiggy) {
@@ -244,26 +315,51 @@ final case class SingleDistinctPartialExec(
               while (j < n) { if (!vc.isNullAt(j)) acc.cnt(i) += 1; j += 1 }
             } else {
               val vc = batch.column(ord)
+              val dense = !vc.hasNull // bulk-extract, as for the key
               inTypes(i) match {
                 case LongType =>
-                  var j = 0
-                  while (j < n) {
-                    if (!vc.isNullAt(j)) acc.addLong(i, vc.getLong(j)); j += 1
+                  if (dense) {
+                    val a = vc.getLongs(0, n)
+                    var j = 0
+                    while (j < n) { acc.addLong(i, a(j)); j += 1 }
+                  } else {
+                    var j = 0
+                    while (j < n) {
+                      if (!vc.isNullAt(j)) acc.addLong(i, vc.getLong(j)); j += 1
+                    }
                   }
                 case IntegerType | DateType =>
-                  var j = 0
-                  while (j < n) {
-                    if (!vc.isNullAt(j)) acc.addLong(i, vc.getInt(j).toLong); j += 1
+                  if (dense) {
+                    val a = vc.getInts(0, n)
+                    var j = 0
+                    while (j < n) { acc.addLong(i, a(j).toLong); j += 1 }
+                  } else {
+                    var j = 0
+                    while (j < n) {
+                      if (!vc.isNullAt(j)) acc.addLong(i, vc.getInt(j).toLong); j += 1
+                    }
                   }
                 case DoubleType =>
-                  var j = 0
-                  while (j < n) {
-                    if (!vc.isNullAt(j)) acc.addDouble(i, vc.getDouble(j)); j += 1
+                  if (dense) {
+                    val a = vc.getDoubles(0, n)
+                    var j = 0
+                    while (j < n) { acc.addDouble(i, a(j)); j += 1 }
+                  } else {
+                    var j = 0
+                    while (j < n) {
+                      if (!vc.isNullAt(j)) acc.addDouble(i, vc.getDouble(j)); j += 1
+                    }
                   }
                 case FloatType =>
-                  var j = 0
-                  while (j < n) {
-                    if (!vc.isNullAt(j)) acc.addDouble(i, vc.getFloat(j).toDouble); j += 1
+                  if (dense) {
+                    val a = vc.getFloats(0, n)
+                    var j = 0
+                    while (j < n) { acc.addDouble(i, a(j).toDouble); j += 1 }
+                  } else {
+                    var j = 0
+                    while (j < n) {
+                      if (!vc.isNullAt(j)) acc.addDouble(i, vc.getFloat(j).toDouble); j += 1
+                    }
                   }
                 case ShortType =>
                   var j = 0
@@ -281,7 +377,17 @@ final case class SingleDistinctPartialExec(
             i += 1
           }
         }
-        emit(acc, valueTypes)
+        val t1 = System.nanoTime()
+        val out = emit(acc, valueTypes)
+        if (debug) {
+          val buffered = out.toArray
+          System.err.println(f"[distinct-partial] rows=$nRows batches=$nBatches " +
+            f"loopMs=${(t1 - t0) / 1e6}%.1f emitMs=${(System.nanoTime() - t1) / 1e6}%.1f " +
+            f"keys=${acc.sets.map(_.size).sum +
+              (if (acc.bitmap == null) 0L
+               else acc.bitmap.map(java.lang.Long.bitCount(_).toLong).sum)}")
+          buffered.iterator
+        } else out
       }
     } else {
       val boundD = BindReferences.bindReference(distinct, child.output)
@@ -292,7 +398,7 @@ final case class SingleDistinctPartialExec(
         case _ => -1
       }
       child.execute().mapPartitions { rows =>
-        val acc = new Acc(ansi)
+        val acc = new Acc(ansi, kindCodes)
         val dOrd = boundD match {
           case b: BoundReference if b.dataType == LongType || b.dataType == IntegerType =>
             b.ordinal
@@ -302,10 +408,10 @@ final case class SingleDistinctPartialExec(
         rows.foreach { r =>
           if (dOrd >= 0) {
             if (!r.isNullAt(dOrd))
-              acc.set.add(if (dLong) r.getLong(dOrd) else r.getInt(dOrd).toLong)
+              acc.add(if (dLong) r.getLong(dOrd) else r.getInt(dOrd).toLong)
           } else {
             val d = boundD.eval(r)
-            if (d != null) acc.set.add(toLong(d))
+            if (d != null) acc.add(toLong(d))
           }
           var i = 0
           while (i < nPiggy) {
@@ -342,4 +448,114 @@ final case class SingleDistinctPartialExec(
       }
     }
   }
+}
+
+/** Driver-side final combine for the fused single-distinct shape: the
+  * bucket-merge level emits at most `buckets` rows (per-bucket exact
+  * counts + piggyback partials), so the last ungrouped aggregate is a
+  * bounded O(buckets) fold — running it as a SinglePartition exchange +
+  * final-aggregate stage buys nothing and costs a whole extra query
+  * stage (the dominant term at bench scale: each AQE stage is its own
+  * job). This node folds the rows on the coordinator instead — the same
+  * contract as [[FusedDistinctDriverExec]]; the payload is one row per
+  * bucket, NOT per task or per key, so it stays bounded at any data
+  * scale.
+  *
+  * `mergeOps(i)` ("sum" | "min" | "max") merges child column i across
+  * rows with null-skip, null-init semantics (a column never seen
+  * non-null stays null — Coalesce in `resultExprs` supplies the
+  * zero-for-count defaults). `resultExprs` are evaluated over the single
+  * combined row and carry the original aggregate's output exprIds.
+  */
+final case class SingleDistinctCombine(
+    mergeOps: Seq[String],
+    resultExprs: Seq[Expression],
+    // output attrs are a FIELD, not derived from resultExprs: optimizer
+    // rules (RemoveRedundantAliases) strip aliases from expressions of
+    // nodes they don't recognize as schema-defining, so names/exprIds
+    // must survive independently; the exec pairs them positionally
+    output: Seq[Attribute],
+    child: LogicalPlan) extends UnaryNode {
+  require(resultExprs.length == output.length)
+  override def maxRows: Option[Long] = Some(1)
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  // the exec reads every child column positionally
+  override def references: AttributeSet = child.outputSet
+  override protected def withNewChildInternal(c: LogicalPlan): SingleDistinctCombine =
+    copy(child = c)
+}
+
+final case class SingleDistinctCombineExec(
+    mergeOps: Seq[String],
+    resultExprs: Seq[Expression],
+    output: Seq[Attribute],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  override protected def withNewChildInternal(c: SparkPlan): SingleDistinctCombineExec =
+    copy(child = c)
+
+  private def finalRows(): Array[InternalRow] = {
+    val types = child.output.map(_.dataType)
+    val nCols = types.length
+    val ansi = SQLConf.get.ansiEnabled
+    val ops = mergeOps.toArray
+    val tt = types.toArray
+    // per-task pre-fold keeps the driver payload at one row per task
+    val partials: Array[Array[Any]] =
+      sparkContext.runJob(child.execute(), (it: Iterator[InternalRow]) => {
+        val acc = new Array[Any](nCols)
+        it.foreach { r =>
+          var i = 0
+          while (i < nCols) {
+            if (!r.isNullAt(i)) {
+              val v: Any = tt(i) match {
+                case LongType => r.getLong(i)
+                case DoubleType => r.getDouble(i)
+                case IntegerType => r.getInt(i).toLong
+                case other => throw new IllegalStateException(s"combine type $other")
+              }
+              acc(i) = mergeValue(acc(i), v, ops(i), ansi)
+            }
+            i += 1
+          }
+        }
+        acc
+      })
+    val acc = new Array[Any](nCols)
+    partials.foreach { p =>
+      var i = 0
+      while (i < nCols) {
+        if (p(i) != null) acc(i) = mergeValue(acc(i), p(i), ops(i), ansi)
+        i += 1
+      }
+    }
+    val row = new GenericInternalRow(acc)
+    val bound = resultExprs.map(BindReferences.bindReference(_, child.output))
+    val proj = UnsafeProjection.create(bound)
+    Array(proj(row).copy())
+  }
+
+  private def mergeValue(prev: Any, v: Any, op: String, ansi: Boolean): Any =
+    if (prev == null) v
+    else (prev, v) match {
+      case (a: java.lang.Long, b: java.lang.Long) => op match {
+        case "min" => math.min(a, b): java.lang.Long
+        case "max" => math.max(a, b): java.lang.Long
+        case _ =>
+          (if (ansi) Math.addExact(a.longValue(), b.longValue())
+           else a + b): java.lang.Long
+      }
+      case (a: java.lang.Double, b: java.lang.Double) => op match {
+        case "min" => math.min(a, b): java.lang.Double
+        case "max" => math.max(a, b): java.lang.Double
+        case _ => (a + b): java.lang.Double
+      }
+      case other => throw new IllegalStateException(s"combine pair $other")
+    }
+
+  override def executeCollect(): Array[InternalRow] = finalRows()
+
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(finalRows().toIndexedSeq, 1)
 }

@@ -74,6 +74,9 @@ object FusedDistinctStrategy extends SparkStrategy {
     case s: SingleDistinctPartial =>
       SingleDistinctPartialExec(s.distinct, s.piggyInputs, s.piggyKinds,
         s.buckets, s.output, planLater(s.child), columnarChild = false) :: Nil
+    case c: SingleDistinctCombine =>
+      SingleDistinctCombineExec(c.mergeOps, c.resultExprs, c.output,
+        planLater(c.child)) :: Nil
     case _ => Nil
   }
 }

@@ -3,7 +3,7 @@ package graft.rules
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final, Partial}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
 
 /** Collapse an ADJACENT partial→final hash-aggregate pair into one
   * Complete-mode aggregate.
@@ -51,6 +51,20 @@ object CollapsePartialAggregate extends Rule[SparkPlan] {
           // unfiltered input). resultIds match the final's (guarded
           // above), so the final's aggregateAttributes/resultExpressions
           // still bind.
+          aggregateExpressions = aggsP.map(_.copy(mode = Complete)),
+          initialInputBufferOffset = 0,
+          child = grandchild)
+      // same shape for TypedImperativeAggregate plans (set_blob_count,
+      // hll_union — the fused-distinct bucket merges): an adjacent
+      // partial→final ObjectHashAggregate pair deserializes and rebuilds
+      // every per-bucket object buffer twice per stage
+      case fin @ ObjectHashAggregateExec(_, false, _, gF, aggsF, _, _, _,
+            part @ ObjectHashAggregateExec(_, false, _, gP, aggsP, _, _, _, grandchild))
+          if aggsF.forall(_.mode == Final) && aggsP.forall(_.mode == Partial) &&
+            aggsF.map(_.resultId) == aggsP.map(_.resultId) &&
+            gF.map(_.toAttribute.exprId) == gP.map(_.toAttribute.exprId) =>
+        fin.copy(
+          groupingExpressions = gP,
           aggregateExpressions = aggsP.map(_.copy(mode = Complete)),
           initialInputBufferOffset = 0,
           child = grandchild)

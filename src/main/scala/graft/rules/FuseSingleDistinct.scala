@@ -125,7 +125,14 @@ object FuseSingleDistinct extends Rule[LogicalPlan] {
       case _ => agg(Sum(v))
     }
 
-    // level 1: per-bucket union of disjoint key slices + piggy re-merge
+    // level 1: per-bucket union of disjoint key slices + piggy re-merge.
+    // The explicit repartition puts the exchange BELOW the aggregate pair:
+    // each task emits at most one row per bucket, so a map-side partial
+    // would deserialize and rebuild every key set once more for nothing —
+    // pre-partitioned, the pair is adjacent and CollapsePartialAggregate
+    // folds it into one Complete pass per bucket slice
+    val repart = org.apache.spark.sql.catalyst.plans.logical
+      .RepartitionByExpression(Seq(bucketAttr), partial, buckets)
     val bn1 = Alias(agg(SetBlobCount(blobAttr)), "bn")()
     val slots1 = slotAttrs.zip(kinds).map { case ((v, c), k) =>
       (v.map(a0 => Alias(mergeOf(k, a0), a0.name)()), Alias(agg(Sum(c)), c.name)())
@@ -133,22 +140,23 @@ object FuseSingleDistinct extends Rule[LogicalPlan] {
     val m1 = Aggregate(
       Seq(bucketAttr),
       bn1 +: slots1.flatMap { case (v, c) => v.toSeq :+ c },
-      partial)
+      repart)
 
-    // level 2: one-row combine (bucket counts ADD exactly — disjoint slices)
-    val bn2 = Alias(
-      Coalesce(Seq(agg(Sum(bn1.toAttribute)), Literal(0L))), "nd")()
-    val slots2 = slots1.zip(kinds).map { case ((v, c), k) =>
-      (v.map(a0 => Alias(mergeOf(k, a0.toAttribute), a0.name)()),
-        Alias(agg(Sum(c.toAttribute)), c.name)())
+    // final level: the bucket merge emits at most `buckets` rows, so the
+    // last ungrouped fold is O(buckets) — run it on the coordinator
+    // (SingleDistinctCombine) instead of paying a SinglePartition
+    // exchange + final-aggregate query stage. Merge ops align with m1's
+    // output columns; result expressions evaluate over the combined row.
+    val mergeOps: Seq[String] = "sum" +: slots1.zip(kinds).flatMap { case ((v, c), k) =>
+      v.map(_ => k match {
+        case KindMin => "min"
+        case KindMax => "max"
+        case _ => "sum"
+      }).toSeq :+ "sum"
     }
-    val m2 = Aggregate(
-      Nil,
-      bn2 +: slots2.flatMap { case (v, c) => v.toSeq :+ c },
-      m1)
 
-    // final value expression per original aggregate call
-    val plainFinal: Seq[Expression] = slots2.zip(kinds).zip(plains).map {
+    // final value expression per original aggregate call, over m1 output
+    val plainFinal: Seq[Expression] = slots1.zip(kinds).zip(plains).map {
       case (((v, c), kind), orig) =>
         val cAttr = c.toAttribute
         kind match {
@@ -165,17 +173,16 @@ object FuseSingleDistinct extends Rule[LogicalPlan] {
             else Cast(v.get.toAttribute, t)
         }
     }
+    val nd: Expression = Coalesce(Seq(bn1.toAttribute, Literal(0L)))
     val replacement: Seq[(AggregateExpression, Expression)] =
-      (distincts.head -> (bn2.toAttribute: Expression)) +: plains.zip(plainFinal)
+      (distincts.head -> nd) +: plains.zip(plainFinal)
 
-    val projectList = a.aggregateExpressions.map { case al: Alias =>
-      val rebuilt = al.child.transform {
+    val rebuiltExprs: Seq[Expression] = a.aggregateExpressions.map { case al: Alias =>
+      al.child.transform {
         case ae: AggregateExpression =>
           replacement.find(_._1.semanticEquals(ae)).map(_._2).getOrElse(return None)
       }
-      Alias(rebuilt, al.name)(exprId = al.exprId, qualifier = al.qualifier,
-        explicitMetadata = al.explicitMetadata)
     }
-    Some(Project(projectList, m2))
+    Some(graft.plans.SingleDistinctCombine(mergeOps, rebuiltExprs, a.output, m1))
   }
 }
