@@ -276,7 +276,157 @@ object NestedSlice {
         |       datediff(DATE '2024-01-01', DATE '2024-01-31') AS back""".stripMargin,
       """SELECT date_diff('day', DATE '2024-02-01', DATE '2024-03-01') AS leap_fwd,
         |       date_diff('day', DATE '2023-02-01', DATE '2023-03-01') AS plain_fwd,
-        |       date_diff('day', DATE '2024-01-31', DATE '2024-01-01') AS back""".stripMargin)
+        |       date_diff('day', DATE '2024-01-31', DATE '2024-01-01') AS back""".stripMargin),
+
+    // ------------------------------------------------ UNION type slice
+    // test/sql/types/union/: DuckDB's tagged UNION vs the repo's
+    // tag+members struct encoding (SURVEY §1.2; reference
+    // src/function/cast/union_casts.cpp). Spark side builds the struct;
+    // DuckDB side uses real union_value/union_tag/union_extract.
+
+    // union_cast.test: union -> VARCHAR renders the ACTIVE member
+    ("slt_union_cast_varchar",
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT id, CASE WHEN id % 2 = 0 THEN CAST(id * 10 AS STRING)
+        |                ELSE concat('s', CAST(id AS STRING)) END AS s
+        |FROM t ORDER BY id""".stripMargin,
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT id, CAST(CASE WHEN id % 2 = 0
+        |    THEN union_value(num := id * 10)::UNION(num INTEGER, str VARCHAR)
+        |    ELSE union_value(str := 's' || CAST(id AS VARCHAR))
+        |           ::UNION(num INTEGER, str VARCHAR) END AS VARCHAR) AS s
+        |FROM t ORDER BY id""".stripMargin),
+
+    // union_tag.test + union_sort.test: order by tag then active value
+    ("slt_union_tag_order",
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4)
+        |SELECT tag, num_v, str_v FROM (
+        |  SELECT CASE WHEN id % 2 = 0 THEN 'num' ELSE 'str' END AS tag,
+        |         CASE WHEN id % 2 = 0 THEN id * 10 END AS num_v,
+        |         CASE WHEN id % 2 <> 0 THEN concat('v', CAST(id AS STRING)) END AS str_v
+        |  FROM t) u
+        |ORDER BY tag, num_v NULLS FIRST, str_v NULLS FIRST""".stripMargin,
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4),
+        |v AS (SELECT CASE WHEN id % 2 = 0
+        |    THEN union_value(num := id * 10)::UNION(num INTEGER, str VARCHAR)
+        |    ELSE union_value(str := 'v' || CAST(id AS VARCHAR))
+        |           ::UNION(num INTEGER, str VARCHAR) END AS u FROM t)
+        |SELECT CAST(union_tag(u) AS VARCHAR) AS tag,
+        |       union_extract(u, 'num') AS num_v,
+        |       union_extract(u, 'str') AS str_v
+        |FROM v
+        |ORDER BY tag, num_v NULLS FIRST, str_v NULLS FIRST""".stripMargin),
+
+    // union_aggregate.test: grouping BY the tag; aggregates see only the
+    // active member (inactive extract is NULL and is skipped)
+    ("slt_union_aggregate",
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6)
+        |SELECT CASE WHEN id % 3 = 0 THEN 'num' ELSE 'str' END AS tag,
+        |       count(*) AS n,
+        |       min(CASE WHEN id % 3 = 0 THEN id * 10 END) AS mn_num,
+        |       max(CASE WHEN id % 3 <> 0 THEN concat('x', CAST(id AS STRING)) END) AS mx_str
+        |FROM t GROUP BY CASE WHEN id % 3 = 0 THEN 'num' ELSE 'str' END
+        |ORDER BY tag""".stripMargin,
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6),
+        |v AS (SELECT CASE WHEN id % 3 = 0
+        |    THEN union_value(num := id * 10)::UNION(num INTEGER, str VARCHAR)
+        |    ELSE union_value(str := 'x' || CAST(id AS VARCHAR))
+        |           ::UNION(num INTEGER, str VARCHAR) END AS u FROM t)
+        |SELECT CAST(union_tag(u) AS VARCHAR) AS tag, count(*) AS n,
+        |       min(union_extract(u, 'num')) AS mn_num,
+        |       max(union_extract(u, 'str')) AS mx_str
+        |FROM v GROUP BY CAST(union_tag(u) AS VARCHAR)
+        |ORDER BY tag""".stripMargin),
+
+    // union_join.test: equi-join keyed on an extracted member
+    ("slt_union_join",
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |d(k, lbl) AS (SELECT 10, 'ten' UNION ALL SELECT 30, 'thirty')
+        |SELECT id, k, lbl
+        |FROM (SELECT id, CASE WHEN id <> 2 THEN id * 10 END AS num_v FROM t) u
+        |JOIN d ON u.num_v = d.k
+        |ORDER BY id""".stripMargin,
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |d(k, lbl) AS (SELECT 10, 'ten' UNION ALL SELECT 30, 'thirty'),
+        |v AS (SELECT id, CASE WHEN id <> 2
+        |    THEN union_value(num := id * 10)::UNION(num INTEGER, str VARCHAR)
+        |    ELSE union_value(str := 'two')::UNION(num INTEGER, str VARCHAR)
+        |  END AS u FROM t)
+        |SELECT id, k, lbl FROM v JOIN d ON union_extract(v.u, 'num') = d.k
+        |ORDER BY id""".stripMargin),
+
+    // union_validity.test: a NULL union has a NULL tag and NULL
+    // extracts; a union whose ACTIVE member is NULL keeps its tag
+    ("slt_union_validity",
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT id,
+        |  CASE WHEN id = 1 THEN 'num' WHEN id = 2 THEN CAST(NULL AS STRING)
+        |       ELSE 'num' END AS tag,
+        |  CASE WHEN id = 3 THEN CAST(NULL AS INT) WHEN id = 1 THEN 11 END AS num_v
+        |FROM t ORDER BY id""".stripMargin,
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |v AS (SELECT id, CASE
+        |    WHEN id = 1 THEN union_value(num := 11)::UNION(num INTEGER, str VARCHAR)
+        |    WHEN id = 2 THEN CAST(NULL AS UNION(num INTEGER, str VARCHAR))
+        |    ELSE union_value(num := CAST(NULL AS INTEGER))
+        |           ::UNION(num INTEGER, str VARCHAR) END AS u FROM t)
+        |SELECT id, CAST(union_tag(u) AS VARCHAR) AS tag,
+        |       union_extract(u, 'num') AS num_v
+        |FROM v ORDER BY id""".stripMargin),
+
+    // union_struct.test: a union nested inside a struct — member access
+    // through the struct keeps tag semantics
+    ("slt_union_in_struct",
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2)
+        |SELECT id, s.lbl AS lbl,
+        |       CASE WHEN id = 1 THEN 'num' ELSE 'str' END AS tag,
+        |       CASE WHEN id = 1 THEN id * 100 END AS num_v
+        |FROM (SELECT id, named_struct('lbl', concat('row', CAST(id AS STRING))) AS s
+        |      FROM t) x
+        |ORDER BY id""".stripMargin,
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2),
+        |x AS (SELECT id, {'lbl': 'row' || CAST(id AS VARCHAR),
+        |  'u': CASE WHEN id = 1
+        |    THEN union_value(num := id * 100)::UNION(num INTEGER, str VARCHAR)
+        |    ELSE union_value(str := 'other')::UNION(num INTEGER, str VARCHAR) END}
+        |  AS s FROM t)
+        |SELECT id, s.lbl AS lbl, CAST(union_tag(s.u) AS VARCHAR) AS tag,
+        |       union_extract(s.u, 'num') AS num_v
+        |FROM x ORDER BY id""".stripMargin),
+
+    // union_list.test: a LIST of unions — unnest and tally per tag
+    ("slt_union_list_tags",
+      """SELECT tag, count(*) AS n FROM (
+        |  SELECT explode(array('num', 'str', 'num', 'str', 'str')) AS tag) t
+        |GROUP BY tag ORDER BY tag""".stripMargin,
+      """WITH v AS (SELECT unnest([
+        |  union_value(num := 1)::UNION(num INTEGER, str VARCHAR),
+        |  union_value(str := 'a')::UNION(num INTEGER, str VARCHAR),
+        |  union_value(num := 2)::UNION(num INTEGER, str VARCHAR),
+        |  union_value(str := 'b')::UNION(num INTEGER, str VARCHAR),
+        |  union_value(str := 'c')::UNION(num INTEGER, str VARCHAR)]) AS u)
+        |SELECT CAST(union_tag(u) AS VARCHAR) AS tag, count(*) AS n
+        |FROM v GROUP BY CAST(union_tag(u) AS VARCHAR) ORDER BY tag""".stripMargin),
+
+    // union_limit_offset.test: LIMIT/OFFSET over an ordered union scan
+    ("slt_union_limit_offset",
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4 UNION ALL SELECT 5)
+        |SELECT id, CASE WHEN id % 2 = 0 THEN CAST(id AS STRING)
+        |                ELSE concat('s', CAST(id AS STRING)) END AS s
+        |FROM t ORDER BY id LIMIT 2 OFFSET 2""".stripMargin,
+      """WITH t(id) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4 UNION ALL SELECT 5),
+        |v AS (SELECT id, CASE WHEN id % 2 = 0
+        |    THEN union_value(num := id)::UNION(num INTEGER, str VARCHAR)
+        |    ELSE union_value(str := 's' || CAST(id AS VARCHAR))
+        |           ::UNION(num INTEGER, str VARCHAR) END AS u FROM t)
+        |SELECT id, CAST(u AS VARCHAR) AS s
+        |FROM v ORDER BY id LIMIT 2 OFFSET 2""".stripMargin)
   )
 
   val queries: Map[String, Q.Fn] =

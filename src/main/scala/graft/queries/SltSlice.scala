@@ -1224,7 +1224,111 @@ object SltSlice {
         |       isnan(CAST('NaN' AS DOUBLE)) AS nan_is,
         |       CAST('Infinity' AS DOUBLE) + 1 = CAST('Infinity' AS DOUBLE) AS inf_abs,
         |       isnan(CAST('Infinity' AS DOUBLE) - CAST('Infinity' AS DOUBLE)) AS inf_minus,
-        |       CAST('-Infinity' AS DOUBLE) < 0 AS neg_inf""".stripMargin
+        |       CAST('-Infinity' AS DOUBLE) < 0 AS neg_inf""".stripMargin,
+
+    // test/sql/order/order_by_all.test: ORDER BY ALL sorts by every
+    // select-list column left to right
+    "slt_order_by_all" ->
+      """WITH t(a, b) AS (SELECT 2, 'x' UNION ALL SELECT 1, 'z'
+        |  UNION ALL SELECT 2, 'a' UNION ALL SELECT 1, 'b')
+        |SELECT a, b FROM t ORDER BY ALL""".stripMargin,
+
+    // test/sql/aggregate/group/group_by_all.test: GROUP BY ALL groups by
+    // every non-aggregate select column
+    "slt_group_by_all" ->
+      """WITH t(g, h, v) AS (SELECT 'a', 1, 10 UNION ALL SELECT 'a', 1, 20
+        |  UNION ALL SELECT 'b', 2, 30 UNION ALL SELECT 'b', 3, 40)
+        |SELECT g, h, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |FROM t GROUP BY ALL ORDER BY g, h""".stripMargin,
+
+    // test/sql/subquery/any_all/test_in_null.test: three-valued IN — a
+    // NULL in the list makes a miss NULL (filtered), a hit stays TRUE;
+    // NOT IN against a list with NULL filters everything
+    "slt_in_list_null_3vl" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 4)
+        |SELECT
+        |  (SELECT count(*) FROM t WHERE v IN (1, 2)) AS plain_hits,
+        |  (SELECT count(*) FROM t WHERE v IN (1, NULL)) AS null_list_hits,
+        |  (SELECT count(*) FROM t WHERE v NOT IN (1, NULL)) AS not_in_null,
+        |  (SELECT count(*) FROM t WHERE (v IN (9, NULL)) IS NULL) AS unknown_rows""".stripMargin,
+
+    // test/sql/subquery/scalar/test_subquery_null.test: IN over a
+    // subquery whose result carries NULL — same 3VL through the MARK join
+    "slt_in_subquery_null" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |     s(x) AS (SELECT 1 UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT
+        |  (SELECT count(*) FROM t WHERE v IN (SELECT x FROM s)) AS in_hits,
+        |  (SELECT count(*) FROM t WHERE v NOT IN (SELECT x FROM s)) AS not_in_hits""".stripMargin,
+
+    // test/sql/expression/case/test_case.test: CASE without ELSE yields
+    // NULL; searched CASE stops at the first true arm
+    "slt_case_no_else" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT v,
+        |  CASE WHEN v = 1 THEN 'one' END AS no_else,
+        |  CASE WHEN v > 0 THEN 'pos' WHEN v > 1 THEN 'unreached' END AS first_arm
+        |FROM t ORDER BY v""".stripMargin,
+
+    // test/sql/function/numeric/test_mod.test: % takes the DIVIDEND's
+    // sign in both dialects
+    "slt_mod_sign" ->
+      """SELECT 7 % 3 AS pp, (-7) % 3 AS np, 7 % (-3) AS pn,
+        |       (-7) % (-3) AS nn""".stripMargin,
+
+    // test/sql/expression/test_between.test: BETWEEN with a NULL bound
+    // is NULL (row filtered), not an error
+    "slt_between_null_bound" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 5 UNION ALL SELECT 9)
+        |SELECT
+        |  (SELECT count(*) FROM t WHERE v BETWEEN 2 AND 8) AS plain,
+        |  (SELECT count(*) FROM t WHERE v BETWEEN CAST(NULL AS INT) AND 8) AS null_lo,
+        |  (SELECT count(*) FROM t
+        |   WHERE (v BETWEEN CAST(NULL AS INT) AND 8) IS NULL) AS unknown_lo""".stripMargin,
+
+    // test/sql/types/interval/interval_addition.test: month arithmetic
+    // clamps to the target month's last day (leap-aware)
+    // (DATE + INTERVAL is a TIMESTAMP in DuckDB, a DATE in Spark — the
+    // CAST pins the common type)
+    "slt_month_add_clamp" ->
+      """SELECT CAST(DATE '2024-01-31' + INTERVAL '1' MONTH AS DATE) AS leap_clamp,
+        |       CAST(DATE '2023-01-31' + INTERVAL '1' MONTH AS DATE) AS plain_clamp,
+        |       CAST(DATE '2024-02-29' + INTERVAL '12' MONTH AS DATE) AS year_hop""".stripMargin,
+
+    // test/sql/aggregate/group/test_grouping_sets.test: duplicate
+    // grouping sets produce duplicate result rows (bag semantics)
+    "slt_grouping_sets_dup" ->
+      """WITH t(g, v) AS (SELECT 'a', 1 UNION ALL SELECT 'b', 2)
+        |SELECT g, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |FROM t GROUP BY GROUPING SETS ((g), (g))
+        |ORDER BY g, s""".stripMargin,
+
+    // test/sql/limit/test_offset.test: OFFSET without LIMIT skips and
+    // streams the rest
+    "slt_offset_no_limit" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4 UNION ALL SELECT 5)
+        |SELECT v FROM t ORDER BY v OFFSET 3""".stripMargin,
+
+    // test/sql/setops/test_except.test: set ops treat NULLs as EQUAL
+    // (unlike =), so EXCEPT removes NULL rows present on both sides
+    "slt_setop_null_equal" ->
+      """WITH a(v) AS (SELECT 1 UNION ALL SELECT CAST(NULL AS INT)
+        |  UNION ALL SELECT 2),
+        |     b(v) AS (SELECT CAST(NULL AS INT) UNION ALL SELECT 2)
+        |SELECT v FROM a EXCEPT SELECT v FROM b""".stripMargin,
+
+    // test/sql/window/test_window_frame.test: a frame that ends before
+    // it starts is EMPTY — aggregates yield NULL/0, not the current row
+    "slt_win_empty_frame" ->
+      """WITH t(id, v) AS (SELECT 1, 10 UNION ALL SELECT 2, 20
+        |  UNION ALL SELECT 3, 30)
+        |SELECT id,
+        |  CAST(sum(v) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS run_prev,
+        |  count(*) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prev
+        |FROM t ORDER BY id""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =

@@ -95,6 +95,19 @@ object Sources {
   private[queries] val csvDateContent =
     "k,d\n1,2024/03/14\n2,1999/12/31\n3,2000/01/01\n"
 
+  /** Short-row fixture for NULL padding
+    * (test/sql/copy/csv/csv_null_padding.test): rows 2 and 4 are missing
+    * trailing columns.
+    */
+  private[queries] val csvNullPadContent =
+    "k,a,b\n1,x,y\n2,x\n3,p,q\n4\n5,m,n\n"
+
+  /** Quoted-empty vs bare-empty fixture
+    * (test/sql/copy/csv/empty_string_quote.test).
+    */
+  private[queries] val csvEmptyNullContent =
+    "k,a\n1,alpha\n2,\"\"\n3,\n4,beta\n"
+
   private[queries] def csvRejectsFixture(): String = {
     val path = java.nio.file.Paths.get(csvRejectsPath)
     val content =
@@ -304,6 +317,151 @@ object Sources {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))
         .orderBy(col("s_nationkey"))
+    },
+
+    // COPY TO with compression (test/sql/copy/csv/csv_write_gz.test_slow):
+    // gzip'd CSV write, codec-transparent read-back
+    "src_csv_gzip_roundtrip" -> { (s, d) =>
+      val dir = roundtripDir("csv_gz")
+      Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(dir)
+      s.read.option("header", "true")
+        .schema("s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE").csv(dir)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("s_name"))).cast("long").as("name_chars"),
+          round(sum(col("s_acctbal")), 2).as("bal"))
+    },
+
+    // PER_THREAD_OUTPUT ≙ one file per partition
+    // (test/sql/copy/per_thread_output.test): a 4-way repartitioned
+    // write must land 4 data files whose union is exactly the input
+    "src_csv_per_thread_output" -> { (s, d) =>
+      val dir = roundtripDir("csv_threads")
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .repartition(4)
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      val files = s.read.option("header", "true")
+        .schema("c_custkey BIGINT, c_acctbal DOUBLE").csv(dir)
+        .select(input_file_name().as("f"), col("c_custkey"), col("c_acctbal"))
+      files.agg(
+        countDistinct(col("f")).as("n_files"),
+        count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("bal"))
+    },
+
+    // ROW_GROUPS_PER_FILE ≙ maxRecordsPerFile
+    // (test/sql/copy/row_groups_per_file.test): bounded-size parquet
+    // files, loss-free union on read-back
+    "src_parquet_row_groups" -> { (s, d) =>
+      val dir = roundtripDir("pq_rowgroups")
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .coalesce(1)
+        .write.mode("overwrite").option("maxRecordsPerFile", 500).parquet(dir)
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
+    // parquet codec option (test/sql/copy/parquet round-trips): zstd
+    // write, transparent read
+    "src_parquet_codec_zstd" -> { (s, d) =>
+      val dir = roundtripDir("pq_zstd")
+      Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(substring(col("p_type"), 1, 5).as("ty"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("price"))
+        .orderBy(col("ty")).limit(50)
+    },
+
+    // COPY TO ... OVERWRITE (test/sql/copy/csv/copy_to_overwrite.test):
+    // the second write fully replaces the first — stale files must not
+    // leak into the read-back
+    "src_copy_overwrite" -> { (s, d) =>
+      val dir = roundtripDir("pq_overwrite")
+      val nation = Tables(s, d, "nation")
+      nation.filter(col("n_regionkey") <= 1)
+        .write.mode("overwrite").parquet(dir)
+      nation.filter(col("n_regionkey") >= 2)
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    // NULL_PADDING (test/sql/copy/csv/csv_null_padding.test): short rows
+    // fill missing trailing columns with NULL instead of erroring
+    "src_csv_null_padding" -> { (s, d) =>
+      val path = csvFixture("nullpad", csvNullPadContent)
+      s.read
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .schema("k INT, a STRING, b STRING")
+        .csv(path)
+        .agg(count(lit(1)).as("n"), count(col("a")).as("n_a"),
+          count(col("b")).as("n_b"),
+          sum(col("k")).cast("long").as("sum_k"))
+    },
+
+    // quoted-empty vs unquoted-empty (test/sql/copy/csv/
+    // empty_string_quote.test): under BOTH engines' default null
+    // dialects (Spark nullValue='', DuckDB allow_quoted_nulls=true) a
+    // quoted "" reads as NULL exactly like a bare empty field — the pin
+    // is that the two dialects agree, not that they preserve ""
+    "src_csv_empty_vs_null" -> { (s, d) =>
+      val path = csvFixture("emptynull", csvEmptyNullContent)
+      s.read
+        .option("header", "true")
+        .schema("k INT, a STRING")
+        .csv(path)
+        .select(col("k"), col("a"), col("a").isNull.as("is_null"),
+          (col("a") === lit("")).as("is_empty"))
+        .orderBy(col("k"))
+    },
+
+    // projection pushdown into the CSV scan (test/sql/copy/csv/
+    // csv_projection_pushdown.test): reading 1 of 3 declared columns
+    "src_csv_projection" -> { (s, d) =>
+      val path = csvFixture("noheader", csvNoHeaderContent)
+      s.read
+        .option("header", "false")
+        .schema("k BIGINT, name STRING, v DOUBLE")
+        .csv(path)
+        .select(col("v"))
+        .agg(round(sum(col("v")), 2).as("sum_v"), count(lit(1)).as("n"))
+    },
+
+    // format conversion chain (test/sql/copy/parquet/json_parquet.test):
+    // table -> JSON lines -> parquet -> aggregate, loss-free
+    "src_json_to_parquet" -> { (s, d) =>
+      val jsonDir = roundtripDir("conv_json")
+      val pqDir = roundtripDir("conv_pq")
+      Tables(s, d, "region").write.mode("overwrite").json(jsonDir)
+      s.read.json(jsonDir)
+        .select(col("r_regionkey").cast("int"), col("r_name"))
+        .write.mode("overwrite").parquet(pqDir)
+      s.read.parquet(pqDir)
+        .orderBy(col("r_regionkey"))
+        .select(col("r_regionkey"), col("r_name"))
+    },
+
+    // parquet bloom filters (test/sql/copy/parquet/bloom_filters.test):
+    // written per-column, equality scan over the filtered key stays exact
+    "src_parquet_bloom_filter" -> { (s, d) =>
+      val dir = roundtripDir("pq_bloom")
+      Tables(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_suppkey", "true")
+        .parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("l_suppkey") === 7)
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
     },
 
     // prepared-statement surface (reference §3.2) — named parameter
@@ -855,6 +1013,56 @@ object Sources {
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
         |FROM supplier WHERE s_nationkey < 10
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "src_csv_gzip_roundtrip" ->
+      """SELECT count(*) AS n,
+        | CAST(sum(length(s_name)) AS BIGINT) AS name_chars,
+        | round(sum(s_acctbal), 2) AS bal
+        |FROM supplier""".stripMargin,
+
+    "src_csv_per_thread_output" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n,
+        | round(sum(c_acctbal), 2) AS bal
+        |FROM customer""".stripMargin,
+
+    "src_parquet_row_groups" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders""".stripMargin,
+
+    "src_parquet_codec_zstd" ->
+      """SELECT substr(p_type, 1, 5) AS ty, count(*) AS n,
+        | round(sum(p_retailprice), 2) AS price
+        |FROM part GROUP BY substr(p_type, 1, 5) ORDER BY ty LIMIT 50""".stripMargin,
+
+    "src_copy_overwrite" ->
+      """SELECT n_regionkey, count(*) AS n FROM nation
+        |WHERE n_regionkey >= 2 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "src_csv_null_padding" ->
+      s"""SELECT count(*) AS n, count(a) AS n_a, count(b) AS n_b,
+        | CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM read_csv('${csvFixturePath("nullpad")}', header=true,
+        |  null_padding=true, auto_detect=false,
+        |  columns={'k': 'INTEGER', 'a': 'VARCHAR', 'b': 'VARCHAR'})""".stripMargin,
+
+    "src_csv_empty_vs_null" ->
+      s"""SELECT k, a, a IS NULL AS is_null, a = '' AS is_empty
+        |FROM read_csv('${csvFixturePath("emptynull")}', header=true,
+        |  columns={'k': 'INTEGER', 'a': 'VARCHAR'})
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_projection" ->
+      s"""SELECT round(sum(v), 2) AS sum_v, count(*) AS n
+        |FROM read_csv('${csvFixturePath("noheader")}', header=false,
+        |  columns={'k': 'BIGINT', 'name': 'VARCHAR', 'v': 'DOUBLE'})""".stripMargin,
+
+    "src_json_to_parquet" ->
+      """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "src_parquet_bloom_filter" ->
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem WHERE l_suppkey = 7""".stripMargin,
 
     "src_read_text" ->
       """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS n_chars,
