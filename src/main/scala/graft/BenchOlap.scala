@@ -36,7 +36,8 @@ object BenchOlap {
     println(f"probe_job_ms_before=${probeMs()}%.1f")
 
     val names = Seq("cb_top_groups", "cb_filter_multi_agg", "cb_regex_key",
-      "h2o_groupby_wide", "h2o_range_agg", "h2o_count_distinct")
+      "h2o_groupby_wide", "h2o_range_agg", "h2o_count_distinct",
+      "cb_like_count", "cb_like_group_min", "cb_like_distinct", "job_star_min")
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     var tot = 0.0
     names.foreach { name =>

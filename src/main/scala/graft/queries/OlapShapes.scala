@@ -81,7 +81,46 @@ object OlapShapes {
     "h2o_count_distinct" -> Q.sharedSql(Seq("lineitem"),
       """SELECT count(DISTINCT l_partkey) AS nd,
         | round(sum(l_quantity), 2) AS sv, count(*) AS n
-        |FROM lineitem""".stripMargin))
+        |FROM lineitem""".stripMargin),
+
+    // ClickBench q21 shape: full-scan substring predicate + count — the
+    // string-matching stress (LIKE runs in codegen over the whole text
+    // column; the scan prunes to one column via ReadSchema)
+    "cb_like_count" -> Q.sharedSql(Seq("documents"),
+      "SELECT count(*) AS c FROM documents WHERE text LIKE '%the%'"),
+
+    // ClickBench q22 shape: LIKE filter + group + MIN(string) aggregate,
+    // top-N by count with deterministic tie-break
+    "cb_like_group_min" -> Q.sharedSql(Seq("documents"),
+      """SELECT lang, min(source) AS msrc, count(*) AS c
+        |FROM documents WHERE text LIKE '%the%' AND source <> ''
+        |GROUP BY lang ORDER BY c DESC, lang LIMIT 10""".stripMargin),
+
+    // ClickBench q23 shape: positive + negative LIKE, MIN()s, count, and a
+    // grouped count(DISTINCT) in one aggregate
+    "cb_like_distinct" -> Q.sharedSql(Seq("documents"),
+      """SELECT source, min(doc_id) AS mid, min(lang) AS ml, count(*) AS c,
+        | count(DISTINCT lang) AS nl
+        |FROM documents
+        |WHERE text LIKE '%the%' AND text NOT LIKE '%robot%' AND source <> ''
+        |GROUP BY source ORDER BY c DESC, source LIMIT 10""".stripMargin),
+
+    // JOB/imdb 06a shape (benchmark/imdb_plan_cost/queries/06a.sql): a
+    // selective star join — LIKE filter on one dimension, equality
+    // literals on two others, MIN aggregates over the joined star. The
+    // JOB stress is join-order sensitivity under correlated selective
+    // filters; here Catalyst broadcast-joins the three filtered dims and
+    // AQE can re-order by runtime sizes. Comma-join syntax is shared SQL.
+    "job_star_min" -> Q.sharedSql(
+      Seq("lineitem", "part", "supplier", "orders", "customer", "nation"),
+      """SELECT min(p.p_name) AS pn, min(s.s_name) AS sn,
+        | min(o.o_orderdate) AS od, min(c.c_name) AS cn
+        |FROM lineitem l, part p, supplier s, orders o, customer c, nation n
+        |WHERE p.p_name LIKE '%red%' AND n.n_name = 'NATION_3'
+        | AND o.o_orderpriority = '1-URGENT'
+        | AND l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+        | AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        | AND c.c_nationkey = n.n_nationkey""".stripMargin))
 
   val queries: Map[String, Q.Fn] = shared.map { case (k, (fn, _)) => k -> fn }
   val oracle: Map[String, String] = shared.map { case (k, (_, sql)) => k -> sql }

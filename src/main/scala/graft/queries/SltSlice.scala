@@ -1328,7 +1328,246 @@ object SltSlice {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS run_prev,
         |  count(*) OVER (ORDER BY id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prev
-        |FROM t ORDER BY id""".stripMargin
+        |FROM t ORDER BY id""".stripMargin,
+
+    // ------------------------------------------- round-7 widening
+    // test/sql/window/test_percent_rank.test + cume_dist: tie groups
+    // share cume_dist (fraction ≤ peers) and percent_rank ((rank-1)/(n-1))
+    "slt_win_cume_dist_ties" ->
+      """WITH t(v) AS (SELECT 10 UNION ALL SELECT 20 UNION ALL SELECT 20
+        |  UNION ALL SELECT 30 UNION ALL SELECT 30 UNION ALL SELECT 40)
+        |SELECT v, round(cume_dist() OVER (ORDER BY v), 4) AS cd,
+        |       round(percent_rank() OVER (ORDER BY v), 4) AS pr,
+        |       rank() OVER (ORDER BY v) AS r, dense_rank() OVER (ORDER BY v) AS dr
+        |FROM t ORDER BY v, cd""".stripMargin,
+
+    // test/sql/window/test_ntile.test: uneven buckets — earlier buckets
+    // take the extra rows (7 rows / 3 buckets → 3,2,2)
+    "slt_win_ntile_uneven" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7)
+        |SELECT v, ntile(3) OVER (ORDER BY v) AS bucket FROM t ORDER BY v""".stripMargin,
+
+    // test/sql/window/test_range_frame.test: RANGE frame bounded by a
+    // calendar interval over a timestamp ordering
+    "slt_win_range_interval" ->
+      """WITH t(ts, v) AS (
+        |  SELECT TIMESTAMP '2024-01-01 00:00:00', 1
+        |  UNION ALL SELECT TIMESTAMP '2024-01-01 12:00:00', 2
+        |  UNION ALL SELECT TIMESTAMP '2024-01-02 06:00:00', 4
+        |  UNION ALL SELECT TIMESTAMP '2024-01-05 00:00:00', 8)
+        |SELECT ts, CAST(sum(v) OVER (ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |FROM t ORDER BY ts""".stripMargin,
+
+    // test/sql/window/test_lead_lag.test: offset-2 with a non-NULL default
+    "slt_win_lag_default_expr" ->
+      """WITH t(id, v) AS (SELECT 1, 10 UNION ALL SELECT 2, 20 UNION ALL SELECT 3, 30)
+        |SELECT id, lag(v, 2, -1) OVER (ORDER BY id) AS l2,
+        |       lead(v, 2, -1) OVER (ORDER BY id) AS f2
+        |FROM t ORDER BY id""".stripMargin,
+
+    // RANGE UNBOUNDED..CURRENT ROW includes ALL peers of the current row
+    // (ROWS would not) — the peer-inclusive running sum
+    "slt_win_range_current_peers" ->
+      """WITH t(g, v) AS (SELECT 1, 10 UNION ALL SELECT 1, 20 UNION ALL SELECT 2, 30
+        |  UNION ALL SELECT 2, 40 UNION ALL SELECT 3, 50)
+        |SELECT g, v, CAST(sum(v) OVER (ORDER BY g
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |FROM t ORDER BY g, v""".stripMargin,
+
+    // DESC NULLS LAST ordering inside a window ranks NULLs after all values
+    "slt_win_rank_desc_nulls_last" ->
+      """WITH t(v) AS (SELECT 10 UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT 30
+        |  UNION ALL SELECT 20 UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT v, rank() OVER (ORDER BY v DESC NULLS LAST) AS r
+        |FROM t ORDER BY r, v NULLS FIRST""".stripMargin,
+
+    // a NULL partition key forms its OWN partition (grouping equality,
+    // not = semantics)
+    "slt_win_partition_null_key" ->
+      """WITH t(g, v) AS (SELECT CAST(NULL AS INT), 10 UNION ALL SELECT CAST(NULL AS INT), 20
+        |  UNION ALL SELECT 1, 30 UNION ALL SELECT 1, 40)
+        |SELECT g, v, CAST(sum(v) OVER (PARTITION BY g) AS BIGINT) AS s,
+        |       count(*) OVER (PARTITION BY g) AS n
+        |FROM t ORDER BY g NULLS FIRST, v""".stripMargin,
+
+    // test/sql/window/test_nth_value.test: nth_value is frame-relative —
+    // NULL until the frame holds n rows
+    "slt_win_nth_value_frame" ->
+      """WITH t(id, v) AS (SELECT 1, 10 UNION ALL SELECT 2, 20 UNION ALL SELECT 3, 30
+        |  UNION ALL SELECT 4, 40)
+        |SELECT id, nth_value(v, 2) OVER (ORDER BY id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv
+        |FROM t ORDER BY id""".stripMargin,
+
+    // a frame strictly AFTER the current row; empty at the partition tail
+    "slt_win_rows_following_only" ->
+      """WITH t(id, v) AS (SELECT 1, 10 UNION ALL SELECT 2, 20 UNION ALL SELECT 3, 30
+        |  UNION ALL SELECT 4, 40)
+        |SELECT id, CAST(sum(v) OVER (ORDER BY id
+        |  ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS s
+        |FROM t ORDER BY id""".stripMargin,
+
+    // test/sql/aggregate/group/test_grouping_function.test: grouping()
+    // distinguishes a rollup-produced NULL from a data NULL (cast to INT
+    // — the dialects' native grouping() widths differ)
+    "slt_agg_grouping_func" ->
+      """WITH t(a, b, v) AS (SELECT 'x', CAST(NULL AS VARCHAR(8)), 1
+        |  UNION ALL SELECT 'x', 'p', 2 UNION ALL SELECT 'y', 'p', 4)
+        |SELECT a, b, CAST(grouping(a) AS INT) AS ga, CAST(grouping(b) AS INT) AS gb,
+        |       CAST(sum(v) AS BIGINT) AS s
+        |FROM t GROUP BY GROUPING SETS ((a, b), (a), ())
+        |ORDER BY ga, gb, a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    // FILTER composes with DISTINCT aggregation
+    "slt_agg_filter_distinct" ->
+      """WITH t(g, v) AS (SELECT 1, 10 UNION ALL SELECT 1, 10 UNION ALL SELECT 1, 20
+        |  UNION ALL SELECT 2, 30 UNION ALL SELECT 2, CAST(NULL AS INT))
+        |SELECT g, count(DISTINCT v) FILTER (WHERE v > 10) AS ndf,
+        |       count(*) FILTER (WHERE v IS NULL) AS nnull
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
+
+    // distinct aggregates over DIFFERENT columns in one SELECT (the
+    // multi-distinct Expand / specialized-plan shape)
+    "slt_agg_multi_distinct_cols" ->
+      """WITH t(a, b, c) AS (SELECT 1, 'x', 10 UNION ALL SELECT 1, 'y', 20
+        |  UNION ALL SELECT 2, 'x', 30 UNION ALL SELECT 2, 'x', 40)
+        |SELECT count(DISTINCT a) AS nda, count(DISTINCT b) AS ndb,
+        |       CAST(sum(c) AS BIGINT) AS sc, count(*) AS n
+        |FROM t""".stripMargin,
+
+    // min/max over strings use binary (codepoint) order — uppercase
+    // sorts before lowercase
+    "slt_agg_minmax_case_string" ->
+      """WITH t(s) AS (SELECT 'apple' UNION ALL SELECT 'Banana' UNION ALL SELECT 'cherry'
+        |  UNION ALL SELECT 'APPLE')
+        |SELECT min(s) AS mn, max(s) AS mx, count(DISTINCT s) AS nd FROM t""".stripMargin,
+
+    // bool_and/bool_or skip NULLs; all-NULL group yields NULL
+    "slt_agg_bool_and_or" ->
+      """WITH t(g, b) AS (SELECT 1, true UNION ALL SELECT 1, false UNION ALL SELECT 2, true
+        |  UNION ALL SELECT 2, CAST(NULL AS BOOLEAN) UNION ALL SELECT 3, CAST(NULL AS BOOLEAN))
+        |SELECT g, bool_and(b) AS ba, bool_or(b) AS bo FROM t GROUP BY g ORDER BY g""".stripMargin,
+
+    // test/sql/cast/string_to_integer_cast.test: numeric casts trim
+    // whitespace; TRY_CAST yields NULL on malformed/empty
+    "slt_cast_string_spaces" ->
+      """SELECT CAST(' 42 ' AS INT) AS a, CAST('42' AS INT) AS b,
+        | TRY_CAST('4x2' AS INT) AS c, TRY_CAST('' AS INT) AS d""".stripMargin,
+
+    // month/year arithmetic clamps to month end (Jan 31 + 1 month =
+    // Feb 29 in a leap year, Feb 28 otherwise); cast — the dialects'
+    // date+interval result types differ (DATE vs TIMESTAMP)
+    "slt_date_month_end_clamp" ->
+      """SELECT CAST(DATE '2024-01-31' + INTERVAL '1' MONTH AS DATE) AS feb,
+        | CAST(DATE '2024-02-29' + INTERVAL '1' YEAR AS DATE) AS nextyr,
+        | CAST(DATE '2023-01-31' + INTERVAL '1' MONTH AS DATE) AS feb23""".stripMargin,
+
+    // one CTE consumed twice (scan + aggregate) in the same query
+    "slt_cte_referenced_twice" ->
+      """WITH base(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |agg AS (SELECT CAST(sum(v) AS BIGINT) AS s FROM base)
+        |SELECT b.v, a.s FROM base b CROSS JOIN agg a ORDER BY b.v""".stripMargin,
+
+    // test/sql/setops/test_union_types.test: INT branches coerce to the
+    // decimal branch's type across UNION ALL
+    "slt_union_numeric_coercion" ->
+      """SELECT v, round(v * 2, 1) AS d FROM (
+        | SELECT 1 AS v UNION ALL SELECT 2.5 UNION ALL SELECT 3) u ORDER BY v""".stripMargin,
+
+    // INTERSECT treats NULLs as equal (set-op grouping equality)
+    "slt_intersect_null_equal" ->
+      """WITH a(v) AS (SELECT 1 UNION ALL SELECT CAST(NULL AS INT) UNION ALL SELECT 2),
+        | b(v) AS (SELECT CAST(NULL AS INT) UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT v FROM a INTERSECT SELECT v FROM b ORDER BY v NULLS FIRST""".stripMargin,
+
+    // test/sql/join/inner/test_using_join.test: USING merges the key into
+    // one unqualified output column
+    "slt_join_using_clause" ->
+      """WITH a(k, x) AS (SELECT 1, 'a1' UNION ALL SELECT 2, 'a2'),
+        | b(k, y) AS (SELECT 2, 'b2' UNION ALL SELECT 3, 'b3')
+        |SELECT k, x, y FROM a JOIN b USING (k) ORDER BY k""".stripMargin,
+
+    // NATURAL LEFT JOIN joins on the shared column names, padding misses
+    "slt_join_natural" ->
+      """WITH a(k, x) AS (SELECT 1, 'a1' UNION ALL SELECT 2, 'a2'),
+        | b(k, y) AS (SELECT 2, 'b2' UNION ALL SELECT 3, 'b3')
+        |SELECT k, x, y FROM a NATURAL LEFT JOIN b ORDER BY k""".stripMargin,
+
+    // IS NOT DISTINCT FROM as a join predicate matches NULL keys to each
+    // other (the NULL-safe equi-join)
+    "slt_join_not_distinct" ->
+      """WITH a(k, x) AS (SELECT 1, 'a1' UNION ALL SELECT CAST(NULL AS INT), 'an'),
+        | b(k, y) AS (SELECT 1, 'b1' UNION ALL SELECT CAST(NULL AS INT), 'bn')
+        |SELECT a.x, b.y FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k ORDER BY a.x""".stripMargin,
+
+    // three-valued IN: a NULL element makes non-matches NULL (not false),
+    // and NOT IN with a NULL element never returns true
+    "slt_in_list_null_semantics" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT v, (v IN (1, 3)) AS in13, (v IN (1, NULL)) AS in1n,
+        |       (v NOT IN (1, NULL)) AS notin1n
+        |FROM t ORDER BY v NULLS FIRST""".stripMargin,
+
+    // a correlated scalar subquery over an empty set yields NULL
+    "slt_scalar_subquery_empty" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2)
+        |SELECT v, (SELECT max(v) FROM t t2 WHERE t2.v > t.v) AS nxt FROM t ORDER BY v""".stripMargin,
+
+    // ORDER BY ordinal positions
+    "slt_order_by_ordinal" ->
+      """WITH t(a, b) AS (SELECT 'x', 3 UNION ALL SELECT 'y', 1 UNION ALL SELECT 'z', 2)
+        |SELECT a, b FROM t ORDER BY 2 DESC, 1""".stripMargin,
+
+    // ORDER BY an expression over columns NOT in the select list
+    "slt_order_by_unselected_expr" ->
+      """WITH t(a, b) AS (SELECT 1, 30 UNION ALL SELECT 2, 10 UNION ALL SELECT 3, 20)
+        |SELECT a FROM t ORDER BY a + b""".stripMargin,
+
+    // DISTINCT composes with ORDER BY + LIMIT (dedup before the top-N)
+    "slt_distinct_order_limit" ->
+      """WITH t(v) AS (SELECT 3 UNION ALL SELECT 1 UNION ALL SELECT 3 UNION ALL SELECT 2
+        |  UNION ALL SELECT 1)
+        |SELECT DISTINCT v FROM t ORDER BY v DESC LIMIT 2""".stripMargin,
+
+    // lpad/rpad TRUNCATE when the target length is shorter; length 0 → ''
+    "slt_string_pad_truncate" ->
+      """SELECT lpad('abc', 6, '*') AS lp, rpad('abc', 6, '*') AS rp,
+        | lpad('abcdef', 3, '*') AS lt, rpad('abcdef', 3, '*') AS rt,
+        | lpad('abc', 0, '*') AS lz""".stripMargin,
+
+    // LIKE with an explicit ESCAPE character makes _ and % literal
+    "slt_like_escape_clause" ->
+      """WITH t(s) AS (SELECT 'a_b' UNION ALL SELECT 'axb' UNION ALL SELECT 'a%b')
+        |SELECT s, (s LIKE 'a!_b' ESCAPE '!') AS underscore_lit,
+        |       (s LIKE 'a!%b' ESCAPE '!') AS pct_lit
+        |FROM t ORDER BY s""".stripMargin,
+
+    // greatest/least SKIP NULLs (return the extreme non-NULL; all-NULL → NULL)
+    "slt_greatest_least_nulls" ->
+      """SELECT greatest(1, 5, 3) AS g, least(1, 5, 3) AS l,
+        | greatest(1, NULL, 3) AS gn, least(NULL, CAST(NULL AS INT)) AS ln""".stripMargin,
+
+    // HAVING without GROUP BY aggregates the whole input as one group
+    "slt_having_no_groupby" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT CAST(sum(v) AS BIGINT) AS s FROM t HAVING count(*) > 2""".stripMargin,
+
+    // LIMIT 0 is a valid empty result (schema preserved)
+    "slt_limit_zero" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2)
+        |SELECT v FROM t ORDER BY v LIMIT 0""".stripMargin,
+
+    // split_part: out-of-range index → '', absent delimiter → whole string
+    "slt_split_part_edges" ->
+      """SELECT split_part('a,b,c', ',', 2) AS p2, split_part('a,b,c', ',', 5) AS p5,
+        | split_part('abc', ',', 1) AS whole""".stripMargin,
+
+    // position(): empty needle → 1, missing needle → 0, empty haystack → 0
+    "slt_position_empty" ->
+      """SELECT position('' IN 'abc') AS pe, position('b' IN 'abc') AS pb,
+        | position('z' IN 'abc') AS pz, position('a' IN '') AS pa""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =

@@ -51,12 +51,34 @@ QUERIES = {
       SELECT count(DISTINCT l_partkey) AS nd,
        round(sum(l_quantity), 2) AS sv, count(*) AS n
       FROM lineitem""",
+    "cb_like_count": """
+      SELECT count(*) AS c FROM documents WHERE text LIKE '%the%'""",
+    "cb_like_group_min": """
+      SELECT lang, min(source) AS msrc, count(*) AS c
+      FROM documents WHERE text LIKE '%the%' AND source <> ''
+      GROUP BY lang ORDER BY c DESC, lang LIMIT 10""",
+    "cb_like_distinct": """
+      SELECT source, min(doc_id) AS mid, min(lang) AS ml, count(*) AS c,
+       count(DISTINCT lang) AS nl
+      FROM documents
+      WHERE text LIKE '%the%' AND text NOT LIKE '%robot%' AND source <> ''
+      GROUP BY source ORDER BY c DESC, source LIMIT 10""",
+    "job_star_min": """
+      SELECT min(p.p_name) AS pn, min(s.s_name) AS sn,
+       min(o.o_orderdate) AS od, min(c.c_name) AS cn
+      FROM lineitem l, part p, supplier s, orders o, customer c, nation n
+      WHERE p.p_name LIKE '%red%' AND n.n_name = 'NATION_3'
+       AND o.o_orderpriority = '1-URGENT'
+       AND l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+       AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+       AND c.c_nationkey = n.n_nationkey""",
 }
 
 
 def main():
     con = duckdb.connect()  # in-memory, default threads
-    for t in ["lineitem", "events"]:
+    for t in ["lineitem", "events", "documents", "part", "supplier",
+              "orders", "customer", "nation"]:
         # driver testdata is one file per table; Spark-written datasets
         # (the ScaleData sf1 evidence set) are directories of part files
         path = f"{SF_DIR}/{t}.parquet"
