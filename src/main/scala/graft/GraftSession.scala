@@ -116,6 +116,12 @@ object Tables {
     * ordering, so windowed / sessionized analysis over the entity key
     * plans NO exchange and NO sort — the cache IS the index.
     */
+  /** Tables whose consumers are compute-bound per ROW (regex, tokenize,
+    * fingerprint — the text-analysis family), where byte- or row-count
+    * partition sizing undercounts the work by orders of magnitude.
+    */
+  private val computeHeavy: Set[String] = Set("documents")
+
   private val clusterKeys: Map[String, (Seq[String], Seq[String])] = Map(
     "lineitem" -> (Seq("l_orderkey") -> Seq("l_orderkey", "l_linenumber")),
     "orders" -> (Seq("o_custkey") -> Seq("o_custkey", "o_orderdate", "o_orderkey")),
@@ -183,7 +189,16 @@ object Tables {
       val want = (rows / 40000L).toInt + 1
       // an EXPLICIT cacheParts override wins in both regimes (dev A/B knob)
       val parts = cacheParts.map(p => math.max(1, math.min(p, want))).getOrElse {
-        if (rows > 800000L)
+        if (computeHeavy(name))
+          // text/blob tables: per-row work (regex, tokenization, feature
+          // extraction) dwarfs the scan, so ROWS are the cost unit and
+          // the bytes/128MB rule undercounts by orders of magnitude — a
+          // 50k-doc table is minutes of regex, not one task's worth of
+          // bytes. ~2k rows/task keeps every core busy without slivers
+          // (measured: sf1 text_quality 0.51 s -> ~0.1 s at full width).
+          math.min(spark.sparkContext.defaultParallelism,
+            math.max(4, (rows / 2000L).toInt))
+        else if (rows > 800000L)
           math.max(8, math.min(spark.sparkContext.defaultParallelism,
             (rows / 250000L).toInt + 1))
         else math.max(4, math.min(base, want))

@@ -182,6 +182,72 @@ object DistinctWithHll {
     }
   }
 
+  /** Open-addressing word→bits map (no boxing; OR-merge on an existing
+    * key). Keys are 64-key word indexes of a distinct-key bitmap, values
+    * the 64-bit occupancy of that word — the union of two key sets is a
+    * per-word OR and the cardinality a popcount sweep. Same slot
+    * discipline as [[LongSet]]: empty slots are key 0, the real word-0
+    * entry rides a sentinel field.
+    */
+  final class LongBitsMap(initialCapacity: Int = 1 << 10) {
+    private var mask = initialCapacity - 1
+    private var keys = new Array[Long](initialCapacity)
+    private var vals = new Array[Long](initialCapacity)
+    private var n = 0
+    private var zeroBits = 0L
+
+    /** populated words (sizing serialized blobs) */
+    def size: Int = n + (if (zeroBits != 0L) 1 else 0)
+
+    def or(w: Long, bits: Long): Unit = {
+      if (bits == 0L) return
+      if (w == 0L) { zeroBits |= bits; return }
+      var i = (scramble(w) & mask).toInt
+      var k = keys(i)
+      while (k != 0L) {
+        if (k == w) { vals(i) |= bits; return }
+        i = (i + 1) & mask
+        k = keys(i)
+      }
+      keys(i) = w; vals(i) = bits; n += 1
+      if (n * 2 > mask) grow()
+    }
+
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      if (zeroBits != 0L) f(0L, zeroBits)
+      var i = 0
+      while (i < keys.length) { if (keys(i) != 0L) f(keys(i), vals(i)); i += 1 }
+    }
+
+    def popCount: Long = {
+      var c = java.lang.Long.bitCount(zeroBits).toLong
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) != 0L) c += java.lang.Long.bitCount(vals(i))
+        i += 1
+      }
+      c
+    }
+
+    private def grow(): Unit = {
+      val oldKeys = keys
+      val oldVals = vals
+      mask = mask * 2 + 1
+      keys = new Array[Long](mask + 1)
+      vals = new Array[Long](mask + 1)
+      var i = 0
+      while (i < oldKeys.length) {
+        val k = oldKeys(i)
+        if (k != 0L) {
+          var j = (scramble(k) & mask).toInt
+          while (keys(j) != 0L) j = (j + 1) & mask
+          keys(j) = k; vals(j) = oldVals(i)
+        }
+        i += 1
+      }
+    }
+  }
+
   /** 64-bit finalizer (Murmur3 fmix64) — spreads sequential keys. Shared
     * with the columnar partial stage's bucket split (plans/FusedDistinct).
     */
@@ -235,8 +301,8 @@ object DistinctWithHll {
     bridge.column(HllUnion(bridge.expression(regs))
       .toAggregateExpression(isDistinct = false))
 
-  def set_blob_count(blob: Column): Column =
-    bridge.column(SetBlobCount(bridge.expression(blob))
+  def bit_chunk_count(blob: Column): Column =
+    bridge.column(BitChunkCount(bridge.expression(blob))
       .toAggregateExpression(isDistinct = false))
 
   def hll_union_regs(regs: Column): Column =
@@ -304,12 +370,21 @@ object DistinctWithHll {
       df.agg(distinct_with_hll(col(exactCol), col(approxCol)).as("d"))
         .select(col("d.n_exact").as("n_exact"), col("d.approx").as("approx"))
     } else {
+      // bucket count: each map task opens one compressed stream per
+      // reduce partition, and post-chunk-encoding the per-bucket merge
+      // is a popcount OR — a handful of reducers absorbs huge key
+      // domains, so cap by the session's shuffle width (same rationale
+      // as rules/FuseSingleDistinct)
+      // (caller's value stays an upper bound — buckets=1 is the pinned
+      // degenerate case)
+      val effBuckets = math.min(buckets, math.max(8,
+        df.sparkSession.sessionState.conf.numShufflePartitions / 4))
       val partial = bridge.ofRows(df.sparkSession,
-        graft.plans.FusedDistinctPartial(attr(exactCol), attr(approxCol), buckets, pruned))
+        graft.plans.FusedDistinctPartial(attr(exactCol), attr(approxCol), effBuckets, pruned))
       partial
-        .repartition(buckets, col("bucket"))
+        .repartition(effBuckets, col("bucket"))
         .groupBy(col("bucket"))
-        .agg(set_blob_count(col("set_blob")).as("n"),
+        .agg(bit_chunk_count(col("set_blob")).as("n"),
           hll_union_regs(col("hll")).as("hr"))
         .agg(sum(col("n")).cast("long").as("n_exact"),
           hll_union(col("hr")).as("approx"))
@@ -317,67 +392,73 @@ object DistinctWithHll {
   }
 }
 
-/** Parallel merge level for the bucketed fused-distinct shape: unions
-  * 8-byte-packed key blobs emitted by [[graft.plans.FusedDistinctPartialExec]]
-  * and counts the union. Within one group the blobs cover a disjoint
-  * key-hash slice, so per-group counts add exactly.
+/** Distinct-key count over word-aligned bitmap-chunk blobs — the fused
+  * single-distinct exchange format ([[graft.plans.SingleDistinctPartialExec]]
+  * emits it): concatenated little-endian (wordIndex: Long, bits: Long)
+  * pairs, 16 bytes per POPULATED 64-key word, so a dense surrogate-id
+  * domain ships ~0.25 bytes per distinct key instead of 8 (measured 30x
+  * off the sf1 exchange, PERF.md r7). The buffer ORs chunks per word
+  * ([[DistinctWithHll.LongBitsMap]]); the union is bitwise and the final
+  * count a popcount sweep — no per-key hashing on the merge path. Exact
+  * because each reducer's buckets hold DISJOINT word slices (bucketing is
+  * a deterministic function of the word index).
   */
-case class SetBlobCount(
+case class BitChunkCount(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[DistinctWithHll.LongSet] {
+  extends TypedImperativeAggregate[DistinctWithHll.LongBitsMap] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
-  override def prettyName: String = "set_blob_count"
+  override def prettyName: String = "bit_chunk_count"
 
-  override def createAggregationBuffer(): DistinctWithHll.LongSet =
-    new DistinctWithHll.LongSet(1 << 12)
+  override def createAggregationBuffer(): DistinctWithHll.LongBitsMap =
+    new DistinctWithHll.LongBitsMap(1 << 10)
 
-  override def update(buf: DistinctWithHll.LongSet, input: InternalRow)
-      : DistinctWithHll.LongSet = {
+  override def update(buf: DistinctWithHll.LongBitsMap, input: InternalRow)
+      : DistinctWithHll.LongBitsMap = {
     val v = child.eval(input)
     if (v != null) {
       val bytes = v.asInstanceOf[Array[Byte]]
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var i = 0
-      val n = bytes.length / 8
-      while (i < n) { buf.add(bb.getLong(8 * i)); i += 1 }
+      val n = bytes.length / 16
+      while (i < n) { buf.or(bb.getLong(16 * i), bb.getLong(16 * i + 8)); i += 1 }
     }
     buf
   }
 
-  override def merge(buf: DistinctWithHll.LongSet, other: DistinctWithHll.LongSet)
-      : DistinctWithHll.LongSet = {
-    other.foreach(buf.add)
+  override def merge(buf: DistinctWithHll.LongBitsMap, other: DistinctWithHll.LongBitsMap)
+      : DistinctWithHll.LongBitsMap = {
+    other.foreachEntry(buf.or)
     buf
   }
 
-  override def eval(buf: DistinctWithHll.LongSet): Any = buf.size.toLong
+  override def eval(buf: DistinctWithHll.LongBitsMap): Any = buf.popCount
 
-  override def serialize(buf: DistinctWithHll.LongSet): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 * buf.size)
+  override def serialize(buf: DistinctWithHll.LongBitsMap): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 * buf.size)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.foreach(v => bb.putLong(v))
+    buf.foreachEntry { (w, bits) => bb.putLong(w); bb.putLong(bits) }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): DistinctWithHll.LongSet = {
-    val n = bytes.length / 8
+  override def deserialize(bytes: Array[Byte]): DistinctWithHll.LongBitsMap = {
+    val n = bytes.length / 16
     var cap = 1 << 10
     while (cap < 2 * n) cap <<= 1
-    val buf = new DistinctWithHll.LongSet(cap)
+    val buf = new DistinctWithHll.LongBitsMap(cap)
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var i = 0
-    while (i < n) { buf.add(bb.getLong(8 * i)); i += 1 }
+    while (i < n) { buf.or(bb.getLong(16 * i), bb.getLong(16 * i + 8)); i += 1 }
     buf
   }
 
-  override def withNewMutableAggBufferOffset(o: Int): SetBlobCount =
+  override def withNewMutableAggBufferOffset(o: Int): BitChunkCount =
     copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): SetBlobCount =
+  override def withNewInputAggBufferOffset(o: Int): BitChunkCount =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c(0))

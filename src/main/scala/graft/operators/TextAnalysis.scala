@@ -34,12 +34,20 @@ object TextAnalysis {
 
   /** Whitespace token count + a BPE-ish regex token count
     * (letter runs / single digits / punctuation marks).
+    *
+    * Both counts run on the allocation-free [[graft.functions.RegexpCount]]
+    * kernel: size(split(s, re)) ≡ regexp_count(s, re) + 1 whenever the
+    * separator can't match empty (split with limit -1 keeps trailing
+    * empties, so every separator match adds exactly one element), and
+    * size(regexp_extract_all(..)) materialized every token string just to
+    * count it — at one token per ~3 chars that dominated the scan.
     */
-  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.StringExtraFunctions.{bpe_token_count, ws_token_count}
     df.select(col(idCol),
-      size(split(col(textCol), "\\s+")).cast("long").as("n_ws"),
-      size(regexp_extract_all(col(textCol),
-        lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
+      ws_token_count(col(textCol)).as("n_ws"),
+      bpe_token_count(col(textCol)).as("n_bpe"))
+  }
 
   /** Stopword-vote language ID. Returns (score, lang) argmax — the
     * `greatest` over (score, lang) structs compares score first, so ties

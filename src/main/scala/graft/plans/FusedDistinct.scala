@@ -99,13 +99,22 @@ final case class FusedDistinctPartialExec(
     * exactly one bucket on every partition.
     */
   private def emit(buf: DistinctWithHll.Buffer): Iterator[InternalRow] = {
+    // word-aligned bitmap-chunk blobs, bucketed by WORD index — the same
+    // exchange format as the single-distinct path (see
+    // [[graft.functions.BitChunkCount]]): 16 bytes per populated 64-key
+    // word instead of 8 per key, ~30x smaller on dense/clustered key
+    // domains; all 64 keys of a word share a bucket so reducer slices
+    // stay disjoint and counts still add
+    val words = new DistinctWithHll.LongBitsMap(1 << 10)
+    buf.set.foreach(v => words.or(v >> 6, 1L << (v & 63L).toInt))
+    def bucketOf(w: Long): Int =
+      math.floorMod(DistinctWithHll.scramble(w), buckets).toInt
     val counts = new Array[Int](buckets)
-    buf.set.foreach(v =>
-      counts(math.floorMod(DistinctWithHll.scramble(v), buckets).toInt) += 1)
-    val blobs = counts.map(n => java.nio.ByteBuffer.allocate(8 * n)
+    words.foreachEntry((w, _) => counts(bucketOf(w)) += 1)
+    val blobs = counts.map(n => java.nio.ByteBuffer.allocate(16 * n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN))
-    buf.set.foreach { v =>
-      blobs(math.floorMod(DistinctWithHll.scramble(v), buckets).toInt).putLong(v)
+    words.foreachEntry { (w, bits) =>
+      val bb = blobs(bucketOf(w)); bb.putLong(w); bb.putLong(bits)
     }
     val proj = UnsafeProjection.create(Array[DataType](
       IntegerType, BinaryType, BinaryType))
@@ -219,13 +228,13 @@ final case class FusedDistinctDriverExec(
       sparkContext.runJob(child.execute(), (rows: Iterator[InternalRow]) =>
         rows.map(r => (r.getBinary(1),
           if (r.isNullAt(2)) null else r.getBinary(2))).toArray)
-    val set = new DistinctWithHll.LongSet(1 << 16)
+    val words = new DistinctWithHll.LongBitsMap(1 << 12)
     var regs: Array[Byte] = null // sized from the partials' register width
     parts.foreach(_.foreach { case (blob, hll) =>
       val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var i = 0
-      val n = blob.length / 8
-      while (i < n) { set.add(bb.getLong(8 * i)); i += 1 }
+      val n = blob.length / 16
+      while (i < n) { words.or(bb.getLong(16 * i), bb.getLong(16 * i + 8)); i += 1 }
       if (hll != null) {
         if (regs == null) regs = new Array[Byte](hll.length)
         var j = 0
@@ -237,7 +246,7 @@ final case class FusedDistinctDriverExec(
     if (regs == null) regs = new Array[Byte](16384)
     val proj = UnsafeProjection.create(Array[DataType](LongType, LongType))
     val row = new GenericInternalRow(2)
-    row.update(0, set.size.toLong)
+    row.update(0, words.popCount)
     row.update(1, DistinctWithHll.estimateFrom(regs))
     Array(proj(row).copy())
   }

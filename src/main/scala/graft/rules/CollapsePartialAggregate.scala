@@ -54,7 +54,7 @@ object CollapsePartialAggregate extends Rule[SparkPlan] {
           aggregateExpressions = aggsP.map(_.copy(mode = Complete)),
           initialInputBufferOffset = 0,
           child = grandchild)
-      // same shape for TypedImperativeAggregate plans (set_blob_count,
+      // same shape for TypedImperativeAggregate plans (bit_chunk_count,
       // hll_union — the fused-distinct bucket merges): an adjacent
       // partial→final ObjectHashAggregate pair deserializes and rebuilds
       // every per-bucket object buffer twice per stage

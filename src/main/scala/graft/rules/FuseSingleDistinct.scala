@@ -1,6 +1,6 @@
 package graft.rules
 
-import graft.functions.SetBlobCount
+import graft.functions.BitChunkCount
 import graft.plans.SingleDistinctPartial
 
 import org.apache.spark.sql.catalyst.expressions._
@@ -100,7 +100,13 @@ object FuseSingleDistinct extends Rule[LogicalPlan] {
     val kinds: Seq[String] = classified.map(_.get._1)
     val inputs: Seq[Expression] = classified.map(_.get._2)
 
-    val buckets = math.max(1, math.min(conf.numShufflePartitions, 64))
+    // Bucket count trades merge parallelism against exchange stream count
+    // (each map task opens one compressed stream PER reduce partition —
+    // at bench scale those stream inits/commits dominate the sub-MB
+    // chunk payload). Post-chunk-encoding the merge is a popcount OR at
+    // GB/s, so a handful of reducers absorbs billions of distinct keys;
+    // scale the count with the session's shuffle width for wide clusters.
+    val buckets = math.max(8, math.min(conf.numShufflePartitions / 4, 64))
     val partialOut = freshOutput(kinds, inputs.map(_.dataType))
     val partial = SingleDistinctPartial(
       distinctExpr, inputs, kinds, buckets, a.child, partialOut)
@@ -133,7 +139,7 @@ object FuseSingleDistinct extends Rule[LogicalPlan] {
     // folds it into one Complete pass per bucket slice
     val repart = org.apache.spark.sql.catalyst.plans.logical
       .RepartitionByExpression(Seq(bucketAttr), partial, buckets)
-    val bn1 = Alias(agg(SetBlobCount(blobAttr)), "bn")()
+    val bn1 = Alias(agg(BitChunkCount(blobAttr)), "bn")()
     val slots1 = slotAttrs.zip(kinds).map { case ((v, c), k) =>
       (v.map(a0 => Alias(mergeOf(k, a0), a0.name)()), Alias(agg(Sum(c)), c.name)())
     }
