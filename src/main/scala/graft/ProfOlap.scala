@@ -42,7 +42,7 @@ object ProfOlap {
       else Seq("h2o_range_agg", "h2o_count_distinct", "cb_filter_multi_agg",
         "cb_top_groups")
     names.foreach { name =>
-      val fn = queries.OlapShapes.queries(name)
+      val fn = queries.OlapShapes.queries.getOrElse(name, SparkEntry.queries(name))
       (1 to 4).foreach(_ => fn(spark, sfDir).collect())
       val df = fn(spark, sfDir)
       val t0 = System.nanoTime()

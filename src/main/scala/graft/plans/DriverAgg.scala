@@ -189,6 +189,57 @@ object DriverAgg {
         else if (aggTypes(j) == FloatType) acc.doubles(di).toFloat else acc.doubles(di)
     }
 
+  // ---- columnar key extraction --------------------------------------
+  // The partial's row path pays ~250 ns/row at bench scale: a
+  // column-to-row materialization, two UnsafeProjections, and an
+  // UnsafeRow-keyed HashMap probe per input row. The gated shapes group
+  // by at most two parts, each a plain column or an hour-bucket — the
+  // reference's perfect-hash aggregate reads those straight off vectors
+  // (physical_perfecthash_aggregate.cpp). These specs describe group
+  // exprs a batch loop can evaluate without any row projection; string
+  // parts intern to small task-local ids, so the per-row key is one or
+  // two longs probed against an open-addressing table.
+  sealed trait ColKeyPart extends Serializable { def ord: Int }
+  final case class LongKeyPart(ord: Int, intWidth: Boolean, dt: DataType) extends ColKeyPart
+  final case class TruncKeyPart(ord: Int, unit: Long) extends ColKeyPart
+  final case class StringKeyPart(ord: Int) extends ColKeyPart
+
+  /** Columnar-translatable group keys: direct int/long/date/timestamp or
+    * string attributes, or the FastUtcDateTrunc arithmetic shape
+    * (`micros_to_timestamp(micros - pmod(micros, unit))`) over a direct
+    * timestamp column. At most 2 parts — the gated call sites' shapes.
+    */
+  private[plans] def colKeyParts(groupExprs: Seq[Expression],
+      childOut: Seq[Attribute]): Option[Seq[ColKeyPart]] = {
+    if (groupExprs.isEmpty || groupExprs.length > 2) return None
+    def ordOf(a: Attribute): Int = childOut.indexWhere(_.exprId == a.exprId)
+    val parts: Seq[Option[ColKeyPart]] = groupExprs.map { g =>
+      val e = g match { case a: Alias => a.child; case x => x }
+      e match {
+        case a: AttributeReference if ordOf(a) >= 0 => a.dataType match {
+          case IntegerType | DateType =>
+            Some(LongKeyPart(ordOf(a), intWidth = true, a.dataType))
+          case LongType | TimestampType | TimestampNTZType =>
+            Some(LongKeyPart(ordOf(a), intWidth = false, a.dataType))
+          case StringType => Some(StringKeyPart(ordOf(a)))
+          case _ => None
+        }
+        case MicrosToTimestamp(sub: Subtract) => (sub.left, sub.right) match {
+          case (UnixMicros(a: AttributeReference), p: Pmod) =>
+            (p.left, p.right) match {
+              case (UnixMicros(a2: AttributeReference), Literal(u: Long, LongType))
+                  if a.exprId == a2.exprId && ordOf(a) >= 0 && u > 0 =>
+                Some(TruncKeyPart(ordOf(a), u))
+              case _ => None
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    if (parts.forall(_.isDefined)) Some(parts.map(_.get)) else None
+  }
+
   private def isLongIsh(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType => true
@@ -370,13 +421,25 @@ final case class DriverGroupAggExec(
     output: Seq[Attribute],
     child: SparkPlan,
     fallback: LogicalPlan,
-    ansi: Boolean) extends UnaryExecNode {
+    ansi: Boolean,
+    // batch-direct partial (InsertCacheColumnarToRow peels the transition
+    // when the keys columnar-translate — see DriverAgg.colKeyParts)
+    columnarChild: Boolean = false) extends UnaryExecNode {
 
   import DriverAgg._
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
   override protected def withNewChildInternal(c: SparkPlan): DriverGroupAggExec =
     copy(child = c)
+
+  /** Batch-direct partial eligibility against a columnar child: every
+    * group key columnar-translates and the value projection's inputs
+    * resolve in the child's output (they always do — same attrs as the
+    * peeled transition's).
+    */
+  def columnarEligible(c: SparkPlan): Boolean =
+    DriverAgg.colKeyParts(groupExprs, c.output).isDefined &&
+      aggInputs.forall(_.references.subsetOf(c.outputSet))
 
   private def newAcc() = new Acc(new Array[Long](nL), new Array[Double](nD),
     new Array[Boolean](nF))
@@ -386,6 +449,215 @@ final case class DriverGroupAggExec(
 
   private def finalVal(j: Int, acc: Acc): Any =
     DriverAgg.finalValue(slots, aggTypes, j, acc)
+
+  /** Batch-direct partial: specialized key extraction off column vectors
+    * (long reads, hour-bucket arithmetic, string interning to task-local
+    * ids) into an open-addressing composite-long table; aggregate inputs
+    * evaluate through the ordinary value projection over the batch's row
+    * VIEW (no column-to-row materialization). Emits the same
+    * (key-row bytes, Acc) payload as the row path, so the driver merge
+    * is shared. Measured ~250 → ~70 ns/row on the sf1 tumbling partial
+    * (PERF.md r7).
+    */
+  private def runColumnarPartials(): Array[Array[(Array[Byte], Acc)]] = {
+    val partsSpec = DriverAgg.colKeyParts(groupExprs, child.output).get.toArray
+    val iExprs = aggInputs
+    val theSlots = slots
+    val childOut = child.output
+    val cap = maxGroups
+    val (accL, accD, accF) = (nL, nD, nF)
+    val ansiMode = ansi
+    val keyTypes = groupExprs.map(_.dataType).toArray
+    sparkContext.runJob(child.executeColumnar(),
+        (batches: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]) => {
+      import graft.functions.DistinctWithHll.scramble
+      val valProj = UnsafeProjection.create(iExprs, childOut)
+      val ups = DriverAgg.updaters(theSlots, iExprs, ansiMode)
+      def mkAcc() = new Acc(new Array[Long](accL), new Array[Double](accD),
+        new Array[Boolean](accF))
+      val nParts = partsSpec.length
+      val interns = new Array[java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, Integer]](nParts)
+      val internVals = new Array[ArrayBuffer[
+        org.apache.spark.unsafe.types.UTF8String]](nParts)
+      var c0 = 0
+      while (c0 < nParts) {
+        if (partsSpec(c0).isInstanceOf[DriverAgg.StringKeyPart]) {
+          interns(c0) = new java.util.HashMap()
+          internVals(c0) = new ArrayBuffer()
+        }
+        c0 += 1
+      }
+      // (k1, k2, nullBits) -> dense group index, open addressing
+      var mask = (1 << 10) - 1
+      var table = Array.fill(mask + 1)(-1)
+      var gk1 = new Array[Long](512)
+      var gk2 = new Array[Long](512)
+      var gnull = new Array[Byte](512)
+      val accs = new ArrayBuffer[Acc]()
+      def hashOf(k1: Long, k2: Long, nb: Int): Long =
+        scramble(k1 ^ (k2 * 0x9E3779B97F4A7C15L) ^ nb.toLong)
+      def growTable(): Unit = {
+        mask = mask * 2 + 1
+        table = Array.fill(mask + 1)(-1)
+        var g = 0
+        while (g < accs.length) {
+          var p = (hashOf(gk1(g), gk2(g), gnull(g)) & mask).toInt
+          while (table(p) != -1) p = (p + 1) & mask
+          table(p) = g
+          g += 1
+        }
+      }
+      def extract(spec: DriverAgg.ColKeyPart, ci: Int,
+          vec: org.apache.spark.sql.vectorized.ColumnVector, r: Int): Long =
+        spec match {
+          case DriverAgg.LongKeyPart(_, true, _) => vec.getInt(r).toLong
+          case DriverAgg.LongKeyPart(_, false, _) => vec.getLong(r)
+          case DriverAgg.TruncKeyPart(_, u) =>
+            val m = vec.getLong(r); m - Math.floorMod(m, u)
+          case _: DriverAgg.StringKeyPart =>
+            val s = vec.getUTF8String(r)
+            val boxed = interns(ci).get(s)
+            if (boxed != null) boxed.longValue()
+            else {
+              val copy = s.clone()
+              val id = internVals(ci).length
+              interns(ci).put(copy, Integer.valueOf(id))
+              internVals(ci) += copy
+              id.toLong
+            }
+        }
+      // when every aggregate input is a direct column, slots update
+      // straight off the vectors — no row view, no value projection
+      val directOrds: Array[Int] =
+        if (iExprs.forall(_.isInstanceOf[AttributeReference]))
+          iExprs.map(e => childOut.indexWhere(
+            _.exprId == e.asInstanceOf[AttributeReference].exprId)).toArray
+        else null
+      val addL = DriverAgg.longAdd(ansiMode)
+      batches.foreach { batch =>
+        val v0 = batch.column(partsSpec(0).ord)
+        val v1 = if (nParts > 1) batch.column(partsSpec(1).ord) else null
+        val inVecs: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+          if (directOrds == null) null else directOrds.map(batch.column)
+        def readVL(in: Int, r: Int): Long = iExprs(in).dataType match {
+          case ByteType => inVecs(in).getByte(r).toLong
+          case ShortType => inVecs(in).getShort(r).toLong
+          case IntegerType | DateType => inVecs(in).getInt(r).toLong
+          case _ => inVecs(in).getLong(r)
+        }
+        def readVD(in: Int, r: Int): Double = iExprs(in).dataType match {
+          case ByteType => inVecs(in).getByte(r).toDouble
+          case ShortType => inVecs(in).getShort(r).toDouble
+          case IntegerType | DateType => inVecs(in).getInt(r).toDouble
+          case LongType | TimestampType | TimestampNTZType => inVecs(in).getLong(r).toDouble
+          case FloatType => inVecs(in).getFloat(r).toDouble
+          case _ => inVecs(in).getDouble(r)
+        }
+        def vecUpdate(r: Int, acc: Acc): Unit = {
+          var j = 0
+          while (j < theSlots.length) {
+            theSlots(j) match {
+              case CountSlot(li, checked) =>
+                var ok = true
+                checked.foreach(in => if (inVecs(in).isNullAt(r)) ok = false)
+                if (ok) acc.longs(li) += 1
+              case SumLSlot(li, fi, in) => if (!inVecs(in).isNullAt(r)) {
+                val x = readVL(in, r)
+                acc.longs(li) = if (acc.flags(fi)) addL(acc.longs(li), x) else x
+                acc.flags(fi) = true
+              }
+              case SumDSlot(di, fi, in) => if (!inVecs(in).isNullAt(r)) {
+                acc.doubles(di) += readVD(in, r); acc.flags(fi) = true
+              }
+              case AvgSlot(di, li, in) => if (!inVecs(in).isNullAt(r)) {
+                acc.doubles(di) += readVD(in, r); acc.longs(li) += 1
+              }
+              case MinMaxLSlot(li, fi, in, isMin) => if (!inVecs(in).isNullAt(r)) {
+                val x = readVL(in, r)
+                if (!acc.flags(fi) ||
+                    (if (isMin) x < acc.longs(li) else x > acc.longs(li)))
+                  acc.longs(li) = x
+                acc.flags(fi) = true
+              }
+              case MinMaxDSlot(di, fi, in, isMin) => if (!inVecs(in).isNullAt(r)) {
+                val x = readVD(in, r)
+                val cc = java.lang.Double.compare(x, acc.doubles(di))
+                if (!acc.flags(fi) || (if (isMin) cc < 0 else cc > 0))
+                  acc.doubles(di) = x
+                acc.flags(fi) = true
+              }
+            }
+            j += 1
+          }
+        }
+        val n = batch.numRows()
+        var r = 0
+        while (r < n) {
+          var nb = 0
+          var k1 = 0L
+          var k2 = 0L
+          if (v0.isNullAt(r)) nb |= 1 else k1 = extract(partsSpec(0), 0, v0, r)
+          if (v1 != null) {
+            if (v1.isNullAt(r)) nb |= 2 else k2 = extract(partsSpec(1), 1, v1, r)
+          }
+          var p = (hashOf(k1, k2, nb) & mask).toInt
+          var idx = table(p)
+          while (idx != -1 &&
+              !(gk1(idx) == k1 && gk2(idx) == k2 && gnull(idx) == nb.toByte)) {
+            p = (p + 1) & mask
+            idx = table(p)
+          }
+          if (idx == -1) {
+            if (accs.length >= cap) throw new GroupCardinalityExceeded(
+              s"driver agg: group count exceeded maxGroups=$cap in one partition — " +
+                "key is not low-cardinality; falling back to the shuffled aggregate")
+            idx = accs.length
+            if (idx >= gk1.length) {
+              gk1 = java.util.Arrays.copyOf(gk1, gk1.length * 2)
+              gk2 = java.util.Arrays.copyOf(gk2, gk2.length * 2)
+              gnull = java.util.Arrays.copyOf(gnull, gnull.length * 2)
+            }
+            gk1(idx) = k1; gk2(idx) = k2; gnull(idx) = nb.toByte
+            accs += mkAcc()
+            table(p) = idx
+            if (accs.length * 2 > mask) growTable()
+          }
+          val acc = accs(idx)
+          if (inVecs != null) vecUpdate(r, acc)
+          else {
+            val v = valProj(batch.getRow(r))
+            var j = 0
+            while (j < ups.length) { ups(j)(v, acc); j += 1 }
+          }
+          r += 1
+        }
+      }
+      // same payload as the row path: exact-layout key rows + state
+      val keyProj = UnsafeProjection.create(keyTypes)
+      val krow = new GenericInternalRow(nParts)
+      val out = new Array[(Array[Byte], Acc)](accs.length)
+      var g = 0
+      while (g < accs.length) {
+        var ci = 0
+        while (ci < nParts) {
+          val isNull = ((gnull(g) >> ci) & 1) == 1
+          val kv = if (ci == 0) gk1(g) else gk2(g)
+          krow.update(ci,
+            if (isNull) null
+            else partsSpec(ci) match {
+              case DriverAgg.LongKeyPart(_, _, IntegerType | DateType) => kv.toInt
+              case _: DriverAgg.StringKeyPart => internVals(ci)(kv.toInt)
+              case _ => kv
+            })
+          ci += 1
+        }
+        out(g) = (keyProj(krow).copy().getBytes, accs(g))
+        g += 1
+      }
+      out
+    })
+  }
 
   /** The single distributed job + driver finalize. */
   private def finalRows(): Array[InternalRow] = {
@@ -398,7 +670,8 @@ final case class DriverGroupAggExec(
     val ansiMode = ansi
 
     val parts: Array[Array[(Array[Byte], Acc)]] =
-      sparkContext.runJob(child.execute(), (rows: Iterator[InternalRow]) => {
+      if (columnarChild) runColumnarPartials()
+      else sparkContext.runJob(child.execute(), (rows: Iterator[InternalRow]) => {
         val keyProj = UnsafeProjection.create(gExprs, childOut)
         val valProj = UnsafeProjection.create(iExprs, childOut)
         val ups = DriverAgg.updaters(theSlots, iExprs, ansiMode)

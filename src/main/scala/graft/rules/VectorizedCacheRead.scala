@@ -30,6 +30,10 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
   // GRAFT_NO_STREAM_WINDOW=1 reverts to WindowExec for A/B + differential specs
   @volatile var streamWindowEnabled =
     !sys.env.get("GRAFT_NO_STREAM_WINDOW").contains("1")
+  // driver-agg batch-direct partial (GRAFT_NO_DRIVERAGG_COLUMNAR=1
+  // reverts to the row partial for A/B + differential specs)
+  @volatile var driverAggColumnarEnabled =
+    !sys.env.get("GRAFT_NO_DRIVERAGG_COLUMNAR").contains("1")
   /** Wrap columnar-capable cache scans, skipping scans already under a
     * ColumnarToRowExec (AQE stage re-preparation or a second application
     * of this rule would otherwise double-wrap: the outer transition's
@@ -92,6 +96,17 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
           case c if c.supportsColumnar && s.columnarEligible(c) =>
             s.copy(columnarChild = true)
           case _ => s
+        }
+      // driver-finalized low-card aggregate: batch-direct partial when the
+      // group keys columnar-translate (plans/DriverAgg.colKeyParts)
+      case d: graft.plans.DriverGroupAggExec
+          if driverAggColumnarEnabled && !d.columnarChild =>
+        d.child match {
+          case ColumnarToRowExec(c) if c.supportsColumnar && d.columnarEligible(c) =>
+            d.copy(child = c, columnarChild = true)
+          case c if c.supportsColumnar && d.columnarEligible(c) =>
+            d.copy(columnarChild = true)
+          case _ => d
         }
     }
     // cross-execution dimension broadcast cache (warm mode, AQE off only —

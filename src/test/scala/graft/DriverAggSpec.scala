@@ -145,4 +145,45 @@ class DriverAggSpec extends AnyFunSuite {
     val back = spark.read.parquet(dir).orderBy(col("l_linestatus"))
     assert(rows(back) == rows(df))
   }
+
+  test("columnar partial equals the row partial, including null keys") {
+    // parquet scans are columnar-capable, so lowCard over a bare scan
+    // takes the batch-direct partial; flipping the rule flag pins the
+    // row partial — both must match the shuffled plan AND each other.
+    // Null string / int keys exercise the nullBits slot of the
+    // composite-key table, the trunc key the hour-bucket arithmetic.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dacol").toString
+    try {
+      spark.range(0, 5000).selectExpr(
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id % 3 AS STRING) END AS sk",
+        "CASE WHEN id % 11 = 0 THEN CAST(NULL AS INT) ELSE CAST(id % 4 AS INT) END AS ik",
+        "timestamp_micros(CAST(id * 1800000000 AS LONG)) AS ts",
+        "CAST(id AS DOUBLE) / 8 AS v")
+        .write.mode("overwrite").parquet(dir)
+      val t = spark.read.parquet(dir)
+      def shapes(df: DataFrame): Seq[(DataFrame, Seq[org.apache.spark.sql.Column])] = Seq(
+        (df.groupBy(col("sk"), col("ik")).agg(count(lit(1)).as("n"),
+          round(sum(col("v")), 4).as("s"), min(col("ik")).as("mn")),
+          Seq(col("sk").asc_nulls_first, col("ik").asc_nulls_first)),
+        (df.groupBy(date_trunc("hour", col("ts")).as("b"), col("sk"))
+          .agg(count(lit(1)).as("n"), round(avg(col("v")), 4).as("a")),
+          Seq(col("b"), col("sk").asc_nulls_first)))
+      val flag = graft.rules.InsertCacheColumnarToRow.driverAggColumnarEnabled
+      try {
+        shapes(t).foreach { case (g, s) =>
+          graft.rules.InsertCacheColumnarToRow.driverAggColumnarEnabled = true
+          val colRows = rows(DriverAgg.lowCard(g, s))
+          graft.rules.InsertCacheColumnarToRow.driverAggColumnarEnabled = false
+          val rowRows = rows(DriverAgg.lowCard(g, s))
+          val expected = rows(g.orderBy(s: _*))
+          assert(colRows == expected)
+          assert(rowRows == expected)
+        }
+      } finally {
+        graft.rules.InsertCacheColumnarToRow.driverAggColumnarEnabled = flag
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
