@@ -51,6 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.FuseSingleDistinct)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
+    // after RadixShuffleAgg: matches the radix pair it emits
+    e.injectQueryStagePrepRule(_ => graft.rules.TopNThroughAgg)
     e.injectPlanNormalizationRule(_ => graft.rules.RepairCachedOrdering)
     e.injectOptimizerRule(_ => graft.rules.RepairCachedOrdering)
     e.injectColumnar(_ => graft.rules.VectorizedCacheRead)

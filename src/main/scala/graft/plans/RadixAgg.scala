@@ -353,7 +353,52 @@ object RadixAgg {
   }
 }
 
+/** Emit-time key prune for [[RadixPartialAggExec]]: keep only the
+  * `limit` smallest (or largest, `desc`) keys per emitted map — the
+  * radix-path half of the top-N-through-aggregate pushdown
+  * ([[graft.rules.TopNThroughAgg]]). Sound because the long key order
+  * IS the group order for every [[RadixAgg.supportedKey]] type (lossless
+  * signed widening), keys are per-map unique (no ties), and the null
+  * group is never pruned (superset-safe: all its fragments survive in
+  * every partition, so its merged aggregate stays complete).
+  */
+final case class RadixTopN(limit: Int, desc: Boolean)
+
 object RadixPartialAggExec {
+  /** Bounded selection heap over primitive longs: retains the `cap`
+    * smallest (`max = true` → max-heap root is the retention threshold)
+    * or largest values offered. Keys are unique, so after `cap` offers
+    * the keep predicate `k <= threshold` (asc) / `k >= threshold` (desc)
+    * selects exactly the retained set.
+    */
+  private[plans] final class BoundedLongHeap(cap: Int, max: Boolean) {
+    private val arr = new Array[Long](cap)
+    private var n = 0
+    private def worse(a: Long, b: Long): Boolean = if (max) a > b else a < b
+    def full: Boolean = n == cap
+    def threshold: Long = arr(0)
+    def offer(k: Long): Unit = {
+      if (n < cap) {
+        var i = n; arr(i) = k; n += 1
+        while (i > 0 && worse(arr(i), arr((i - 1) >> 1))) {
+          val p = (i - 1) >> 1; val t = arr(i); arr(i) = arr(p); arr(p) = t; i = p
+        }
+      } else if (worse(arr(0), k)) {
+        arr(0) = k
+        var i = 0
+        var go = true
+        while (go) {
+          val l = 2 * i + 1; val r = l + 1
+          var m = i
+          if (l < n && worse(arr(l), arr(m))) m = l
+          if (r < n && worse(arr(r), arr(m))) m = r
+          if (m == i) go = false
+          else { val t = arr(i); arr(i) = arr(m); arr(m) = t; i = m }
+        }
+      }
+    }
+  }
+
   def freshOutput(): Seq[Attribute] = Seq(
     AttributeReference("bucket", IntegerType, nullable = false)(),
     AttributeReference("keys", BinaryType, nullable = false)(),
@@ -376,7 +421,9 @@ final case class RadixPartialAggExec(
     output: Seq[Attribute],
     child: SparkPlan,
     columnarChild: Boolean,
-    ansi: Boolean) extends UnaryExecNode {
+    ansi: Boolean,
+    // emit-time per-partition key prune (top-N-through-aggregate pushdown)
+    topN: Option[RadixTopN] = None) extends UnaryExecNode {
   import RadixAgg._
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
@@ -406,8 +453,20 @@ final case class RadixPartialAggExec(
     */
   private def emitRows(m: LongKeyMap, nullM: LongKeyMap): Iterator[InternalRow] = {
     val hasNull = nullM != null && nullM.size > 0
+    // top-N-through-aggregate: keys outside this partition's top-`limit`
+    // cannot reach the global top-`limit` (keys are unique; the group
+    // order is the key order), so don't ship their fragments at all.
+    // The null group's state travels separately and is never pruned.
+    val keep: Long => Boolean = topN match {
+      case Some(tn) if m.size > tn.limit =>
+        val heap = new RadixPartialAggExec.BoundedLongHeap(tn.limit, max = !tn.desc)
+        m.foreachEntry((k, _) => heap.offer(k))
+        val thr = heap.threshold
+        if (tn.desc) k => k >= thr else k => k <= thr
+      case _ => _ => true
+    }
     val counts = new Array[Int](buckets)
-    m.foreachEntry((k, _) => counts(bucketOf(k, buckets)) += 1)
+    m.foreachEntry((k, _) => if (keep(k)) counts(bucketOf(k, buckets)) += 1)
     val keyBufs = new Array[ByteBuffer](buckets)
     val stateBufs = new Array[ByteBuffer](buckets)
     var b = 0
@@ -421,9 +480,11 @@ final case class RadixPartialAggExec(
       b += 1
     }
     m.foreachEntry { (k, s) =>
-      val bk = bucketOf(k, buckets)
-      keyBufs(bk).putLong(k)
-      writeBlock(stateBufs(bk), m, s, nL, nD, nF)
+      if (keep(k)) {
+        val bk = bucketOf(k, buckets)
+        keyBufs(bk).putLong(k)
+        writeBlock(stateBufs(bk), m, s, nL, nD, nF)
+      }
     }
     if (hasNull) {
       var done = false

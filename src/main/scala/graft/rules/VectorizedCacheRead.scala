@@ -54,8 +54,13 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
     // shuffle (rules/RadixShuffleAgg). Under AQE this rule runs as a
     // query-stage-prep rule instead (here we only ever see single-stage
     // fragments whose exchanges are already stage boundaries).
+    // under AQE only TopNThroughAgg's sorted-input arm can act here (a
+    // stage fragment holds no raw exchanges; the radix/generic arms ran
+    // as query-stage-prep rules) — it must run HERE because the
+    // Complete-mode aggregate it matches is created by the collapse above
     val radixed =
-      if (conf.adaptiveExecutionEnabled) collapsed else RadixShuffleAgg(collapsed)
+      if (conf.adaptiveExecutionEnabled) TopNThroughAgg(collapsed)
+      else TopNThroughAgg(RadixShuffleAgg(collapsed))
     // lag-only windows evaluate streaming (runs after EnsureRequirements,
     // so the child's clustering/ordering are already window-correct)
     val windowed =
