@@ -842,7 +842,206 @@ object TpcdsShapes {
         |SELECT CAST(floor(rev / 50000) AS BIGINT) AS band, count(*) AS custs
         |FROM spend
         |GROUP BY floor(rev / 50000)
-        |ORDER BY band""".stripMargin)
+        |ORDER BY band""".stripMargin),
+
+    // q14.sql: cross-channel item INTERSECT drives the report filter, a
+    // scalar avg CTE gates the HAVING — items sold in BOTH channels,
+    // reported per channel, only above the global average revenue
+    ("qds_cross_channel_items", Seq("lineitem"),
+      """WITH cross_items AS (
+        |  SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+        |avg_rev AS (SELECT avg(l_extendedprice) * 4 AS a FROM lineitem)
+        |SELECT l_returnflag AS channel, l_partkey AS item,
+        |       round(sum(l_extendedprice), 2) AS rev, count(*) AS n
+        |FROM lineitem JOIN cross_items ON l_partkey = item
+        |GROUP BY l_returnflag, l_partkey
+        |HAVING sum(l_extendedprice) > (SELECT a FROM avg_rev)
+        |ORDER BY channel, rev DESC, item LIMIT 50""".stripMargin),
+
+    // q39.sql: coefficient-of-variation screen + consecutive-period
+    // self-join — (supplier, month) quantity stats joined month to
+    // month+1, both sides above the variability threshold
+    ("qds_cov_selfjoin", Seq("lineitem"),
+      """WITH inv AS (
+        |  SELECT l_suppkey AS sk, CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS m,
+        |         stddev_samp(l_quantity) AS sd, avg(l_quantity) AS mu, count(*) AS n
+        |  FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
+        |  GROUP BY l_suppkey, EXTRACT(MONTH FROM l_shipdate))
+        |SELECT i1.sk AS sk, i1.m AS m1, round(i1.sd / i1.mu, 4) AS cov1,
+        |       i2.m AS m2, round(i2.sd / i2.mu, 4) AS cov2
+        |FROM inv i1 JOIN inv i2 ON i1.sk = i2.sk AND i2.m = i1.m + 1
+        |WHERE i1.sd / i1.mu > 0.55 AND i2.sd / i2.mu > 0.55
+        |  AND i1.n > 3 AND i2.n > 3
+        |ORDER BY sk, m1 LIMIT 100""".stripMargin),
+
+    // q95.sql: multi-supplier orders with returns — EXISTS self-join on
+    // the order (another line from a DIFFERENT supplier) AND an EXISTS
+    // returns probe, the web-sales "shipped from more than one
+    // warehouse" shape
+    ("qds_order_multi_supplier", Seq("lineitem"),
+      """SELECT count(DISTINCT l1.l_orderkey) AS n_orders,
+        |       round(sum(l1.l_extendedprice), 2) AS rev
+        |FROM lineitem l1
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_returnflag = 'R')""".stripMargin),
+
+    // q94.sql: the NOT EXISTS complement — multi-supplier urgent orders
+    // with NO returned line
+    ("qds_order_no_returns", Seq("lineitem", "orders"),
+      """SELECT count(DISTINCT l1.l_orderkey) AS n_orders,
+        |       round(sum(l1.l_extendedprice), 2) AS rev
+        |FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_returnflag = 'R')""".stripMargin),
+
+    // q92.sql: "excess discount" — rows whose discount exceeds 1.3 × the
+    // correlated per-part average (scalar correlated subquery over the
+    // same fact, decorrelated by Catalyst)
+    ("qds_excess_discount", Seq("lineitem"),
+      """SELECT round(sum(l_extendedprice), 2) AS excess_rev, count(*) AS n
+        |FROM lineitem l1
+        |WHERE l_discount > (SELECT 1.3 * avg(l2.l_discount) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin),
+
+    // q21.sql: before/after-date quantity shift per (supplier, part)
+    // with a ratio band filter — CASE-split sums from one scan
+    ("qds_warehouse_shift", Seq("lineitem"),
+      """WITH w AS (
+        |  SELECT l_suppkey AS sk, l_partkey AS pk,
+        |         sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+        |                  THEN l_quantity ELSE 0 END) AS before_q,
+        |         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |                  THEN l_quantity ELSE 0 END) AS after_q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT sk, pk, CAST(before_q AS INT) AS bq, CAST(after_q AS INT) AS aq
+        |FROM w
+        |WHERE before_q > 0 AND after_q > 0
+        |  AND after_q / before_q BETWEEN 0.667 AND 1.5
+        |ORDER BY sk, pk LIMIT 100""".stripMargin),
+
+    // q22.sql / q18.sql: multi-aggregate report over a 3-level ROLLUP
+    // hierarchy with GROUPING() level tag (sums at native scale — the
+    // cb_filter_multi_agg post-mortem rules out rounded doubles' avgs)
+    ("qds_rollup_hierarchy", Seq("orders", "customer", "nation"),
+      """SELECT n_name, c_mktsegment AS seg, o_orderpriority AS prio,
+        |  CAST(grouping(n_name) + grouping(c_mktsegment)
+        |       + grouping(o_orderpriority) AS INT) AS lvl,
+        |  round(sum(o_totalprice), 2) AS rev, count(*) AS n
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment, o_orderpriority)
+        |ORDER BY lvl, n_name NULLS FIRST, seg NULLS FIRST, prio NULLS FIRST
+        |LIMIT 300""".stripMargin),
+
+    // q58.sql: three-way per-item channel balance — each channel's
+    // quantity within ±20% of the cross-channel mean (integer quantity
+    // sums keep the band compare exact)
+    ("qds_three_channel_balance", Seq("lineitem"),
+      """WITH r AS (
+        |  SELECT l_partkey AS item, l_returnflag AS ch,
+        |         sum(l_quantity) AS qv
+        |  FROM lineitem GROUP BY l_partkey, l_returnflag)
+        |SELECT a.item AS item, CAST(a.qv AS INT) AS qty_a,
+        |       CAST(n.qv AS INT) AS qty_n, CAST(rr.qv AS INT) AS qty_r
+        |FROM r a JOIN r n ON a.item = n.item JOIN r rr ON a.item = rr.item
+        |WHERE a.ch = 'A' AND n.ch = 'N' AND rr.ch = 'R'
+        |  AND a.qv BETWEEN 0.8 * (a.qv + n.qv + rr.qv) / 3
+        |             AND 1.2 * (a.qv + n.qv + rr.qv) / 3
+        |  AND n.qv BETWEEN 0.8 * (a.qv + n.qv + rr.qv) / 3
+        |             AND 1.2 * (a.qv + n.qv + rr.qv) / 3
+        |  AND rr.qv BETWEEN 0.8 * (a.qv + n.qv + rr.qv) / 3
+        |              AND 1.2 * (a.qv + n.qv + rr.qv) / 3
+        |ORDER BY item LIMIT 100""".stripMargin),
+
+    // q68.sql: per-(customer, order) report with CASE-split measure and
+    // a cross-dimension inequality (customer nation <> supplier nation),
+    // HAVING on the split measure, top-N by revenue
+    ("qds_cross_nation_orders", Seq("lineitem", "orders", "customer",
+      "supplier"),
+      """SELECT c_name, o_orderkey, round(sum(l_extendedprice), 2) AS rev,
+        |  round(sum(CASE WHEN l_returnflag = 'R'
+        |                 THEN l_extendedprice ELSE 0 END), 2) AS ret_rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE c_nationkey <> s_nationkey
+        |GROUP BY c_name, o_orderkey
+        |HAVING sum(CASE WHEN l_returnflag = 'R'
+        |               THEN l_extendedprice ELSE 0 END) > 0
+        |ORDER BY rev DESC, o_orderkey LIMIT 50""".stripMargin),
+
+    // q83.sql: per-item returned quantity across three consecutive
+    // windows, joined on item, each window's share of the total
+    ("qds_returns_window_share", Seq("lineitem"),
+      """WITH w1 AS (
+        |  SELECT l_partkey AS item, sum(l_quantity) AS q FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-05-01' GROUP BY l_partkey),
+        |w2 AS (
+        |  SELECT l_partkey AS item, sum(l_quantity) AS q FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1996-05-01'
+        |    AND l_shipdate < TIMESTAMP '1996-09-01' GROUP BY l_partkey),
+        |w3 AS (
+        |  SELECT l_partkey AS item, sum(l_quantity) AS q FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY l_partkey)
+        |SELECT w1.item AS item,
+        |  CAST(w1.q AS INT) AS q1, CAST(w2.q AS INT) AS q2,
+        |  CAST(w3.q AS INT) AS q3,
+        |  round(w1.q * 100.0 / (w1.q + w2.q + w3.q), 4) AS share1
+        |FROM w1 JOIN w2 ON w1.item = w2.item JOIN w3 ON w2.item = w3.item
+        |ORDER BY item LIMIT 100""".stripMargin),
+
+    // q45.sql: disjunctive reach — an IN-list dimension predicate OR an
+    // uncorrelated IN-subquery over the fact (the OR blocks a plain
+    // semi-join conversion)
+    ("qds_disjunctive_reach", Seq("orders", "customer", "lineitem"),
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey IN (1, 2, 3)
+        |   OR o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     WHERE l_quantity >= 49)
+        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin),
+
+    // q70.sql: rank-window subquery SELECTS the report's dimension
+    // members (top-5 nations by revenue), then a ROLLUP report over just
+    // those members
+    ("qds_top_nations_rollup", Seq("orders", "customer", "nation"),
+      """WITH top_nat AS (
+        |  SELECT nat FROM (
+        |    SELECT n_name AS nat,
+        |           rank() OVER (ORDER BY sum(o_totalprice) DESC) AS rnk
+        |    FROM orders
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    GROUP BY n_name) t
+        |  WHERE rnk <= 5)
+        |SELECT n_name, c_mktsegment AS seg,
+        |  CAST(grouping(n_name) + grouping(c_mktsegment) AS INT) AS lvl,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN (SELECT nat FROM top_nat)
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY lvl, n_name NULLS FIRST, seg NULLS FIRST""".stripMargin)
   )
 
   val queries: Map[String, Q.Fn] =
