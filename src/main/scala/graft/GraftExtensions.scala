@@ -50,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
     e.injectOptimizerRule(_ => graft.rules.FuseSingleDistinct)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
+    e.injectOptimizerRule(_ => graft.rules.FastRegexpExtract)
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
     // after RadixShuffleAgg: matches the radix pair it emits
     e.injectQueryStagePrepRule(_ => graft.rules.TopNThroughAgg)
