@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
     // after RadixShuffleAgg: matches the radix pair it emits
     e.injectQueryStagePrepRule(_ => graft.rules.TopNThroughAgg)
+    // warm-mode cross-execution broadcast cache under AQE (no-op
+    // otherwise; the non-AQE wrap lives in InsertCacheColumnarToRow)
+    e.injectQueryStagePrepRule(_ => graft.plans.CachedBroadcastPrep)
     e.injectPlanNormalizationRule(_ => graft.rules.RepairCachedOrdering)
     e.injectOptimizerRule(_ => graft.rules.RepairCachedOrdering)
     e.injectColumnar(_ => graft.rules.VectorizedCacheRead)

@@ -28,8 +28,10 @@ import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, LeafExecNo
   * re-scan of cached dimension rows, never real query compute
   * (aggregates/joins below the exchange stay uncached).
   *
-  * Enabled only in warm-engine mode ([[graft.Tables.cacheMode]]) with AQE
-  * off — under AQE the exchange must stay a query-stage boundary.
+  * Enabled only in warm-engine mode ([[graft.Tables.cacheMode]]). Non-AQE
+  * sessions wrap in `InsertCacheColumnarToRow`; AQE sessions wrap via
+  * [[CachedBroadcastPrep]] BEFORE stage carving, so the exchange never
+  * becomes a broadcast query stage and the hit path launches no job.
   */
 case class CachedBroadcastExec(inner: BroadcastExchangeExec) extends LeafExecNode {
   // DELIBERATELY a leaf: `SparkPlan.prepare()` walks `children` and
@@ -115,4 +117,26 @@ object CachedBroadcastExec {
     case f: FilterExec => f.condition.deterministic && eligible(f.child)
     case _ => false
   }
+}
+
+/** The AQE entry point for the broadcast cache: a query-stage-prep rule
+  * replacing eligible broadcast exchanges BEFORE stages are carved, so
+  * the exchange never becomes a BroadcastQueryStageExec and the hit path
+  * launches no build job. The wrapped node is a leaf, so AQE simply
+  * leaves it inside the consuming join's stage and the join's
+  * `executeBroadcast` is served from the cross-execution cache (built
+  * inline once on miss — the blocking build AQE would have run as a
+  * stage anyway). Non-AQE sessions get the same wrap from
+  * `InsertCacheColumnarToRow`; queryStagePrep rules only run under AQE,
+  * so the two paths never double-wrap. Warm-engine mode only.
+  */
+object CachedBroadcastPrep extends org.apache.spark.sql.catalyst.rules.Rule[SparkPlan] {
+  override def apply(plan: SparkPlan): SparkPlan =
+    if (!graft.Tables.cacheMode) plan
+    else plan.transformUp {
+      case b: BroadcastExchangeExec if CachedBroadcastExec.eligible(b.child) =>
+        val wrapped = CachedBroadcastExec(b)
+        b.logicalLink.foreach(wrapped.setLogicalLink)
+        wrapped
+    }
 }
