@@ -165,6 +165,25 @@ object Sources {
           round(sum(col("l_extendedprice")), 2).as("price"))
     },
 
+    // Parquet modular encryption roundtrip (reference: parquet_crypto
+    // .cpp + the `encryption_config` scan option, parquet_extension
+    // .cpp:376): footer key + a separate column key for the measures,
+    // read back decrypted and aggregated — the oracle runs the same
+    // aggregation on the plain table, so a value match proves the
+    // encrypt/decrypt roundtrip is lossless (sources/ParquetCrypto.scala)
+    "src_parquet_encrypted" -> { (s, d) =>
+      val dir = roundtripDir("pme")
+      graft.sources.ParquetCrypto.writeEncrypted(
+        Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag")),
+        dir, "kf", Map("kc" -> Seq("l_extendedprice", "l_quantity")))
+      graft.sources.ParquetCrypto.readEncrypted(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // generate_series over timestamps (reference: range.cpp:316)
     "fn_generate_series" -> { (s, d) =>
       s.range(1).select(explode(sequence(
@@ -947,6 +966,11 @@ object Sources {
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty,
         | round(sum(l_extendedprice), 2) AS price
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "src_parquet_encrypted" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        | round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "fn_generate_series" ->
       """SELECT ts, CAST(day(ts) AS BIGINT) AS dom
