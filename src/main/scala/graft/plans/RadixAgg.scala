@@ -117,6 +117,16 @@ object RadixAgg {
 
     def keyAt(slot: Int): Long = keys(slot)
 
+    /** Copy `srcSlot`'s state from `src` into this map under key `k`
+      * (fresh key — the slot is zero-initialized before the copy lands).
+      */
+    def copySlotFrom(src: LongKeyMap, srcSlot: Int, k: Long): Unit = {
+      val s = slotOf(k)
+      System.arraycopy(src.longs, srcSlot * nL, longs, s * nL, nL)
+      System.arraycopy(src.doubles, srcSlot * nD, doubles, s * nD, nD)
+      System.arraycopy(src.flags, srcSlot * nF, flags, s * nF, nF)
+    }
+
     /** Occupied slot indices, lazily — lets emission stream groups
       * without materializing the whole output alongside the map.
       */
@@ -509,6 +519,28 @@ final case class RadixPartialAggExec(
     val (aL, aD, aF, nBuckets) = (nL, nD, nF, buckets)
     val childOut = child.output
     val ansiMode = ansi
+    // top-N early reject: once the map has been pruned to its top
+    // `limit` keys, `thr` is the worst retained key and any worse row is
+    // dropped with one compare — its group already has `limit` distinct
+    // keys ahead of it IN THIS PARTITION, so it can't reach the global
+    // top-`limit` (the emit-time prune's argument, applied per row).
+    // thr starts at the always-pass extreme; pruning keeps the map
+    // bounded at ~2×limit so FlushCap never triggers alongside.
+    val tnDesc = topN.exists(_.desc)
+    val tnLimit = topN.map(_.limit).getOrElse(0)
+    val pruneTrigger = topN.map(t => math.max(2 * t.limit, 1024))
+      .getOrElse(Int.MaxValue)
+    def pruneLive(old: LongKeyMap, setThr: Long => Unit): LongKeyMap = {
+      val heap = new RadixPartialAggExec.BoundedLongHeap(tnLimit, max = !tnDesc)
+      old.foreachEntry((k, _) => heap.offer(k))
+      val t = heap.threshold
+      setThr(t)
+      val fresh = new LongKeyMap(aL, aD, aF, 2 * tnLimit)
+      old.foreachEntry { (k, s) =>
+        if (if (tnDesc) k >= t else k <= t) fresh.copySlotFrom(old, s, k)
+      }
+      fresh
+    }
     if (columnarChild) {
       val kOrd = keyExpr match {
         case a: Attribute => childOut.indexWhere(_.exprId == a.exprId)
@@ -517,8 +549,9 @@ final case class RadixPartialAggExec(
         childOut.indexWhere(_.exprId == a.exprId) }.toArray
       val dts = iExprs.map(_.dataType).toArray
       child.executeColumnar().mapPartitions { batches =>
-        val m = new LongKeyMap(aL, aD, aF)
+        var m = new LongKeyMap(aL, aD, aF)
         val nullM = new LongKeyMap(aL, aD, aF, 16)
+        var thr = if (tnDesc) Long.MinValue else Long.MaxValue
         val vecs = new Array[ColumnVector](ords.length)
         val ups = colUpdaters(theSlots, dts, vecs, aL, aD, aF, ansiMode)
         val kIsLong = isKeyLongRead(kT)
@@ -541,9 +574,12 @@ final case class RadixPartialAggExec(
               while (j < ups.length) { ups(j)(nullM, r, s); j += 1 }
             } else {
               val k = if (kIsLong) kv.getLong(r) else kv.getInt(r).toLong
-              val s = m.slotOf(k)
-              var j = 0
-              while (j < ups.length) { ups(j)(m, r, s); j += 1 }
+              if (if (tnDesc) k >= thr else k <= thr) {
+                val s = m.slotOf(k)
+                var j = 0
+                while (j < ups.length) { ups(j)(m, r, s); j += 1 }
+                if (m.size >= pruneTrigger) m = pruneLive(m, t => thr = t)
+              }
             }
             r += 1
           }
@@ -562,8 +598,9 @@ final case class RadixPartialAggExec(
         val keyProj = UnsafeProjection.create(Seq(keyExpr), childOut)
         val valProj = UnsafeProjection.create(iExprs, childOut)
         val ups = rowUpdaters(theSlots, iExprs, aL, aD, aF, ansiMode)
-        val m = new LongKeyMap(aL, aD, aF)
+        var m = new LongKeyMap(aL, aD, aF)
         val nullM = new LongKeyMap(aL, aD, aF, 16)
+        var thr = if (tnDesc) Long.MinValue else Long.MaxValue
         val readKey = keyRowReader(kT)
         val flushed = ArrayBuffer.empty[InternalRow]
         while (rows.hasNext) {
@@ -575,9 +612,13 @@ final case class RadixPartialAggExec(
             var j = 0
             while (j < ups.length) { ups(j)(nullM, v, s); j += 1 }
           } else {
-            val s = m.slotOf(readKey(kr))
-            var j = 0
-            while (j < ups.length) { ups(j)(m, v, s); j += 1 }
+            val k = readKey(kr)
+            if (if (tnDesc) k >= thr else k <= thr) {
+              val s = m.slotOf(k)
+              var j = 0
+              while (j < ups.length) { ups(j)(m, v, s); j += 1 }
+              if (m.size >= pruneTrigger) m = pruneLive(m, t => thr = t)
+            }
           }
           if (m.size >= FlushCap) { flushed ++= emitRows(m, null); m.reset() }
         }
