@@ -1,0 +1,78 @@
+package graft.rules
+
+import graft.plans.{DriverAgg, RadixAgg, SortedRunAggExec}
+
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.expressions.aggregate.Complete
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+
+/** Replace a collapsed Complete-mode hash aggregate over RUN-clustered
+  * input with the streaming [[SortedRunAggExec]].
+  *
+  * Matches when the child is sorted on a non-empty prefix of the
+  * grouping columns (equal-contiguity is the only requirement, so sort
+  * direction and null ordering are irrelevant), groups are whole per
+  * partition (child partitioning on a subset of the grouping columns —
+  * the property that let [[CollapsePartialAggregate]] elide the
+  * exchange), at most ONE grouping column remains beyond the sorted
+  * prefix and it widens losslessly to long, and every aggregate
+  * compiles to a [[DriverAgg.layout]] slot. Runs in
+  * `InsertCacheColumnarToRow` after the collapse (AQE per-stage and
+  * non-AQE); idempotent — the replacement is a custom exec.
+  */
+object SortedRunAggRule extends Rule[SparkPlan] {
+  // dev escape hatch for A/B timing + differential specs
+  @volatile var enabled = !sys.env.get("GRAFT_NO_SORTED_RUN_AGG").contains("1")
+
+  override def apply(plan: SparkPlan): SparkPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case agg @ HashAggregateExec(_, false, _, groupExprs, aggs, aggAttrs, _,
+            resultExprs, child)
+          if aggs.forall(_.mode == Complete) && groupExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[Attribute]) =>
+        val groupAttrs = groupExprs.map(_.toAttribute)
+        val wholeGroups = child.outputPartitioning match {
+          case SinglePartition => true
+          case hp: HashPartitioning => hp.expressions.forall {
+            case a: Attribute => groupAttrs.exists(_.exprId == a.exprId)
+            case _ => false
+          }
+          case _ => false
+        }
+        if (!wholeGroups) agg
+        else {
+          val prefix = child.outputOrdering.map(_.child).takeWhile {
+            case a: Attribute => groupAttrs.exists(_.exprId == a.exprId)
+            case _ => false
+          }.map(_.asInstanceOf[Attribute])
+          val prefixIds = prefix.map(_.exprId).toSet
+          val remainder = groupAttrs.filterNot(a => prefixIds.contains(a.exprId))
+          if (prefix.isEmpty || remainder.size > 1 ||
+            !remainder.forall(a => RadixAgg.supportedKey(a.dataType))) agg
+          else scala.util.Try(DriverAgg.layout(aggs)).toOption match {
+            case Some(lay) =>
+              val exec = SortedRunAggExec(prefix, remainder.headOption,
+                remainder.headOption.map(_.dataType)
+                  .getOrElse(org.apache.spark.sql.types.LongType),
+                lay.inputs, lay.slots, lay.nL, lay.nD, lay.nF,
+                lay.aggTypes, aggAttrs, resultExprs, agg.output, child,
+                ansi = conf.ansiEnabled)
+              // only rewrite when the batch-direct loop will engage: the
+              // row path loses to the codegen'd hash aggregate (measured
+              // ~1.5x slower at sf1), so a Filter/Project between the
+              // aggregate and the columnar scan keeps Spark's plan
+              val scan = child match {
+                case org.apache.spark.sql.execution.ColumnarToRowExec(c) => c
+                case c => c
+              }
+              if (scan.supportsColumnar && exec.columnarEligible(scan)) exec
+              else agg
+            case None => agg
+          }
+        }
+    }
+}

@@ -61,11 +61,15 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
     val radixed =
       if (conf.adaptiveExecutionEnabled) TopNThroughAgg(collapsed)
       else TopNThroughAgg(RadixShuffleAgg(collapsed))
+    // run-clustered Complete aggregates (created by the collapse above)
+    // stream per sorted-prefix run instead of building the whole
+    // partition's group map (plans/SortedRunAgg.scala)
+    val runAgged = SortedRunAggRule(radixed)
     // lag-only windows evaluate streaming (runs after EnsureRequirements,
     // so the child's clustering/ordering are already window-correct)
     val windowed =
-      if (!streamWindowEnabled) radixed
-      else radixed.transformUp {
+      if (!streamWindowEnabled) runAgged
+      else runAgged.transformUp {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if graft.plans.StreamingWindowExec.supports(w) =>
           graft.plans.StreamingWindowExec(
@@ -92,6 +96,16 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
           case c if c.supportsColumnar && r.columnarEligible(c) =>
             r.copy(columnarChild = true)
           case _ => r
+        }
+      // sorted-run aggregate: batch-direct when prefix/key/inputs are
+      // plain numeric columns of a columnar-capable child
+      case s: graft.plans.SortedRunAggExec if !s.columnarChild =>
+        s.child match {
+          case ColumnarToRowExec(c) if c.supportsColumnar && s.columnarEligible(c) =>
+            s.copy(child = c, columnarChild = true)
+          case c if c.supportsColumnar && s.columnarEligible(c) =>
+            s.copy(columnarChild = true)
+          case _ => s
         }
       // fused single-distinct partial: same batch-direct contract
       case s: graft.plans.SingleDistinctPartialExec if !s.columnarChild =>

@@ -40,10 +40,16 @@ class CollapseAggSpec extends AnyFunSuite {
       val plan = df.queryExecution.executedPlan
       assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
         plan.toString.take(1500))
+      // the collapse yields one Complete-mode aggregate; over the SORTED
+      // clustered cache the sorted-run rule then takes it one step
+      // further into the streaming run aggregate — either is the
+      // exchange-free single-pass shape this spec pins
       val hs = aggs(plan)
-      assert(hs.length == 1, s"expected one collapsed aggregate, got:\n$plan")
-      assert(hs.head.aggregateExpressions.forall(
-        _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete))
+      val runAggs = plan.collect { case s: graft.plans.SortedRunAggExec => s }
+      assert(hs.length + runAggs.length == 1,
+        s"expected one collapsed/run aggregate, got:\n$plan")
+      assert(hs.forall(_.aggregateExpressions.forall(
+        _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete)))
     }
   }
 

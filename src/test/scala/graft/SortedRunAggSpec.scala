@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** rules/SortedRunAggRule + plans/SortedRunAgg: Complete-mode aggregates
+  * over run-clustered input stream per sorted-prefix run,
+  * result-identical to the hash aggregate — NULL prefix runs, NULL run
+  * keys, NULL agg inputs, every slot type, AQE on/off, and the
+  * no-rewrite guards (unsorted child, >1 remaining key, unsupported key
+  * type).
+  */
+class SortedRunAggSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def withAqe[A](on: Boolean)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", on.toString)
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def withRule[A](on: Boolean)(f: => A): A = {
+    val prev = graft.rules.SortedRunAggRule.enabled
+    graft.rules.SortedRunAggRule.enabled = on
+    try f finally graft.rules.SortedRunAggRule.enabled = prev
+  }
+
+  // run-clustered: partitioned AND sorted by `a` (nulls included), with
+  // NULL run keys in `b` and NULL agg inputs in `d`. CACHED — like the
+  // production warm tables — so the ordering is a physical property of
+  // a COLUMNAR scan (the rule only rewrites when the batch path engages)
+  private lazy val base: DataFrame = {
+    val df = spark.range(60000).selectExpr(
+      "CASE WHEN id % 997 = 0 THEN NULL ELSE CAST(id % 5000 AS INT) END AS a",
+      "CASE WHEN id % 13 = 0 THEN NULL ELSE id % 7 END AS b",
+      "CASE WHEN id % 11 = 0 THEN NULL ELSE CAST(id % 9 AS DOUBLE) END AS d",
+      "id % 5 AS l")
+      .repartition(8, col("a")).sortWithinPartitions("a").cache()
+    df.count()
+    df
+  }
+
+  private def q(): DataFrame = base.groupBy("a", "b").agg(
+    count(lit(1)).as("n"), count(col("d")).as("nd"),
+    sum(col("d")).as("sd"), sum(col("l")).as("sl"), avg(col("l")).as("al"),
+    min(col("d")).as("mnd"), max(col("d")).as("mxd"))
+
+  test("run-streamed aggregate plans and is result-identical, AQE on/off") {
+    for (aqe <- Seq(false, true)) withAqe(aqe) {
+      def run(on: Boolean) = withRule(on) {
+        q().orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+          .collect().toSeq
+      }
+      val on = run(true)
+      val off = run(false)
+      assert(on.size == off.size && on == off, s"aqe=$aqe first diff: ${
+        on.zip(off).find { case (x, y) => x != y }}")
+      assert(on.size > 5000)
+      if (!aqe) withRule(true) {
+        val plan = q().queryExecution.executedPlan
+        assert(plan.collect { case s: graft.plans.SortedRunAggExec => s }.nonEmpty,
+          plan.toString.take(2000))
+      }
+    }
+  }
+
+  test("prefix-only grouping (no remaining key) streams too") {
+    withAqe(false) {
+      def run(on: Boolean) = withRule(on) {
+        base.groupBy("a").agg(sum(col("l")).as("s"), count(lit(1)).as("n"))
+          .orderBy(col("a").asc_nulls_first).collect().toSeq
+      }
+      withRule(true) {
+        val plan = base.groupBy("a").agg(sum(col("l")).as("s"))
+          .queryExecution.executedPlan
+        assert(plan.collect { case s: graft.plans.SortedRunAggExec => s }.nonEmpty,
+          plan.toString.take(2000))
+      }
+      assert(run(true) == run(false))
+    }
+  }
+
+  test("guards: unsorted child, two remaining keys, string remainder keep the hash aggregate") {
+    withAqe(false) { withRule(true) {
+      // unsorted: repartition only
+      val unsorted = spark.range(1000).selectExpr("CAST(id % 10 AS INT) AS a", "id AS v")
+        .repartition(4, col("a"))
+        .groupBy("a").agg(sum(col("v")).as("s"))
+      assert(unsorted.queryExecution.executedPlan.collect {
+        case s: graft.plans.SortedRunAggExec => s }.isEmpty)
+      // two remaining keys
+      val twoRem = base.groupBy("a", "b", "l").agg(sum(col("d")).as("s"))
+      assert(twoRem.queryExecution.executedPlan.collect {
+        case s: graft.plans.SortedRunAggExec => s }.isEmpty)
+      // string remainder
+      val strRem = spark.range(1000)
+        .selectExpr("CAST(id % 10 AS INT) AS a", "CAST(id % 3 AS STRING) AS s", "id AS v")
+        .repartition(4, col("a")).sortWithinPartitions("a")
+        .groupBy("a", "s").agg(sum(col("v")).as("sv"))
+      assert(strRem.queryExecution.executedPlan.collect {
+        case s: graft.plans.SortedRunAggExec => s }.isEmpty)
+    } }
+  }
+}
