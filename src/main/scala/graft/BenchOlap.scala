@@ -37,7 +37,9 @@ object BenchOlap {
 
     val names = Seq("cb_top_groups", "cb_filter_multi_agg", "cb_regex_key",
       "h2o_groupby_wide", "h2o_range_agg", "h2o_count_distinct",
-      "cb_like_count", "cb_like_group_min", "cb_like_distinct", "job_star_min")
+      "cb_like_count", "cb_like_group_min", "cb_like_distinct", "job_star_min",
+      "h2o_join_small", "h2o_join_medium", "h2o_join_left", "h2o_join_big",
+      "cb_date_histogram")
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     var tot = 0.0
     names.foreach { name =>

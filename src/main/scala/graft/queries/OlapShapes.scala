@@ -120,7 +120,48 @@ object OlapShapes {
         | AND o.o_orderpriority = '1-URGENT'
         | AND l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
         | AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
-        | AND c.c_nationkey = n.n_nationkey""".stripMargin))
+        | AND c.c_nationkey = n.n_nationkey""".stripMargin),
+
+    // h2oai db-benchmark JOIN suite shapes (benchmark/h2oai/join/): the
+    // groupby family above stresses aggregation; these stress the join
+    // data path at three build-side sizes. Fact = lineitem; small dim =
+    // supplier (broadcast), medium dim = part (broadcast at bench SF,
+    // degrades to shuffle at warehouse SF — deliberately unhinted), big
+    // side = orders (genuine shuffle join on differing cluster keys).
+    "h2o_join_small" -> Q.sharedSql(Seq("lineitem", "supplier"),
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS rev,
+        | round(sum(s_acctbal), 2) AS bal
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin),
+
+    "h2o_join_medium" -> Q.sharedSql(Seq("lineitem", "part"),
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS rev,
+        | round(sum(p_retailprice), 2) AS retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
+
+    // LEFT join with a filtered right side so unmatched rows exist and
+    // null-extension is exercised on the measure
+    "h2o_join_left" -> Q.sharedSql(Seq("lineitem", "part"),
+      """SELECT count(*) AS n, count(p_retailprice) AS matched,
+        | round(sum(l_quantity), 2) AS q, round(sum(p_retailprice), 2) AS retail
+        |FROM lineitem LEFT JOIN part
+        |  ON l_partkey = p_partkey AND p_size > 25""".stripMargin),
+
+    // big-big: both sides are fact-sized and clustered on DIFFERENT keys
+    // (lineitem on l_orderkey, orders on o_custkey) — a real shuffle join
+    "h2o_join_big" -> Q.sharedSql(Seq("lineitem", "orders"),
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS rev,
+        | round(sum(o_totalprice), 2) AS tot
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ClickBench date-histogram shape (q20-ish: counts per time bucket
+    // over the whole fact): date_trunc returns DATE in DuckDB and
+    // TIMESTAMP in Spark — CAST both to DATE for one shared text
+    "cb_date_histogram" -> Q.sharedSql(Seq("orders"),
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin))
 
   val queries: Map[String, Q.Fn] = shared.map { case (k, (fn, _)) => k -> fn }
   val oracle: Map[String, String] = shared.map { case (k, (_, sql)) => k -> sql }

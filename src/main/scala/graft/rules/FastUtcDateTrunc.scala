@@ -21,19 +21,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * Rewrite: `micros - pmod(micros, unit)` — pmod (not %) so pre-epoch
   * timestamps floor instead of truncating toward zero, matching
   * `date_trunc` semantics for negative micros.
+  *
+  * Calendar units (week/month/quarter/year) are ALSO zone-independent
+  * in UTC — the boundary is a fixed function of the epoch-day number —
+  * so they rewrite to the codegen'd civil-date kernel
+  * ([[graft.functions.DateTruncKernel]]) instead of the per-row
+  * java.time localization (~320 → ~10 ns/row).
   */
 object FastUtcDateTrunc extends Rule[LogicalPlan] {
+  // dev escape hatch for A/B + the differential specs
+  @volatile var enabled = !sys.env.get("GRAFT_NO_FAST_DATETIME").contains("1")
 
   private val unitMicros: Map[String, Long] = Map(
     "second" -> 1000000L,
     "minute" -> 60000000L,
     "hour" -> 3600000000L,
-    "day" -> 86400000000L)
+    "day" -> 86400000000L,
+    "dd" -> 86400000000L)
+
+  private val calendarKernel: Map[String, String] = Map(
+    "week" -> "truncWeek",
+    "month" -> "truncMonth", "mon" -> "truncMonth", "mm" -> "truncMonth",
+    "quarter" -> "truncQuarter",
+    "year" -> "truncYear", "yyyy" -> "truncYear", "yy" -> "truncYear")
 
   private val utcNames = Set("UTC", "Etc/UTC", "Z", "GMT", "+00:00")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!utcNames.contains(conf.sessionLocalTimeZone)) plan
+    if (!enabled || !utcNames.contains(conf.sessionLocalTimeZone)) plan
     else plan.transformAllExpressions {
       case TruncTimestamp(Literal(fmt: UTF8String, StringType), ts, tz)
           if ts.dataType == TimestampType &&
@@ -42,6 +57,21 @@ object FastUtcDateTrunc extends Rule[LogicalPlan] {
         val u = Literal(unitMicros(fmt.toString.toLowerCase(java.util.Locale.ROOT)))
         val micros = UnixMicros(ts)
         MicrosToTimestamp(Subtract(micros, Pmod(micros, u)))
+      case TruncTimestamp(Literal(fmt: UTF8String, StringType), ts, tz)
+          if ts.dataType == TimestampType &&
+            calendarKernel.contains(fmt.toString.toLowerCase(java.util.Locale.ROOT)) &&
+            tz.forall(utcNames.contains) =>
+        graft.functions.UtcCalendarTrunc(ts,
+          calendarKernel(fmt.toString.toLowerCase(java.util.Locale.ROOT)))
+      // in UTC the NTZ micros ARE the instant micros — skip the per-row
+      // LocalDateTime round-trip the cast otherwise performs
+      case Cast(e, TimestampType, _, _)
+          if e.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        graft.functions.UtcNtzReinterpret(e)
+      // instant → civil date in UTC is a floor-div, no zone rules
+      case Cast(e, org.apache.spark.sql.types.DateType, _, _)
+          if e.dataType == TimestampType =>
+        graft.functions.UtcMicrosToDate(e)
     }
   }
 }

@@ -72,6 +72,29 @@ QUERIES = {
        AND l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
        AND c.c_nationkey = n.n_nationkey""",
+    "h2o_join_small": """
+      SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS rev,
+       round(sum(s_acctbal), 2) AS bal
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+    "h2o_join_medium": """
+      SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS rev,
+       round(sum(p_retailprice), 2) AS retail
+      FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "h2o_join_left": """
+      SELECT count(*) AS n, count(p_retailprice) AS matched,
+       round(sum(l_quantity), 2) AS q, round(sum(p_retailprice), 2) AS retail
+      FROM lineitem LEFT JOIN part
+        ON l_partkey = p_partkey AND p_size > 25""",
+    "h2o_join_big": """
+      SELECT o_orderpriority, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS rev,
+       round(sum(o_totalprice), 2) AS tot
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "cb_date_histogram": """
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1 ORDER BY m""",
 }
 
 
