@@ -1020,6 +1020,68 @@ object TpcdsShapes {
         |                     WHERE l_quantity >= 49)
         |GROUP BY c_mktsegment ORDER BY seg""".stripMargin),
 
+    // q97.sql: channel-overlap audit — per-customer presence flags from
+    // two channel CTEs joined FULL OUTER, counting both/left-only/
+    // right-only buyers in one pass
+    ("qds_channel_overlap", Seq("orders"),
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey AS cust FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |relaxed AS (
+        |  SELECT DISTINCT o_custkey AS cust FROM orders
+        |  WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW'))
+        |SELECT
+        |  sum(CASE WHEN u.cust IS NOT NULL AND r.cust IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS both_channels,
+        |  sum(CASE WHEN u.cust IS NOT NULL AND r.cust IS NULL
+        |           THEN 1 ELSE 0 END) AS urgent_only,
+        |  sum(CASE WHEN u.cust IS NULL AND r.cust IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS relaxed_only
+        |FROM urgent u FULL OUTER JOIN relaxed r ON u.cust = r.cust""".stripMargin),
+
+    // q64.sql shape: a per-(item, year) stats CTE consumed TWICE — the
+    // same derived table self-joined across consecutive years with a
+    // price-movement condition
+    ("qds_item_year_chain", Seq("lineitem"),
+      """WITH iy AS (
+        |  SELECT l_partkey AS item,
+        |         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS yr,
+        |         count(*) AS n, sum(l_extendedprice) AS rev,
+        |         sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  GROUP BY l_partkey, EXTRACT(YEAR FROM l_shipdate))
+        |SELECT a.item AS item, a.yr AS y1, CAST(a.n AS INT) AS n1,
+        |       round(a.rev, 2) AS rev1, b.yr AS y2, CAST(b.n AS INT) AS n2,
+        |       round(b.rev, 2) AS rev2
+        |FROM iy a JOIN iy b ON a.item = b.item AND b.yr = a.yr + 1
+        |WHERE b.rev > 2 * a.rev AND a.n >= 2 AND b.n >= 2
+        |ORDER BY item, y1 LIMIT 100""".stripMargin),
+
+    // q78.sql shape: sales with returns netted out per item-year via a
+    // LEFT JOIN on the returns slice, ratio-gated
+    ("qds_net_of_returns", Seq("lineitem"),
+      """WITH sales AS (
+        |  SELECT l_partkey AS item, sum(l_quantity) AS sold
+        |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey),
+        |rets AS (
+        |  SELECT l_partkey AS item, sum(l_quantity) AS returned
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey)
+        |SELECT s.item AS item, CAST(s.sold AS INT) AS sold,
+        |       CAST(coalesce(r.returned, 0) AS INT) AS returned
+        |FROM sales s LEFT JOIN rets r ON s.item = r.item
+        |WHERE coalesce(r.returned, 0) < s.sold * 0.2
+        |ORDER BY s.sold DESC, s.item LIMIT 100""".stripMargin),
+
+    // h2oai groupby q9 shape: squared correlation per key pair — the
+    // moments/corr machinery under a grouped report
+    ("qds_corr_by_key", Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus,
+        |  round(pow(corr(l_quantity, l_extendedprice), 2), 4) AS r2,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
     // q70.sql: rank-window subquery SELECTS the report's dimension
     // members (top-5 nations by revenue), then a ROLLUP report over just
     // those members
