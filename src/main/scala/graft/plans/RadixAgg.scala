@@ -67,7 +67,8 @@ object RadixAgg {
     * Zero-initialized state is exactly the fresh-accumulator state
     * (longs 0, doubles 0, flags false), so insertion needs no init pass.
     */
-  final class LongKeyMap(nL: Int, nD: Int, nF: Int, initCap: Int = 1 << 12) {
+  final class LongKeyMap(nL: Int, nD: Int, nF: Int, initCap: Int = 1 << 12,
+      trackOccupied: Boolean = false) {
     private var cap = Integer.highestOneBit(math.max(initCap, 16))
     private var mask = cap - 1
     private var keys = new Array[Long](cap)
@@ -76,13 +77,20 @@ object RadixAgg {
     var longs = new Array[Long](cap * nL)
     var doubles = new Array[Double](cap * nD)
     var flags = new Array[Boolean](cap * nF)
+    // insertion-recorded slot list (trackOccupied): makes reset and
+    // iteration O(size) instead of O(cap) — essential for the per-RUN
+    // maps of the sorted-run aggregate, where millions of tiny runs
+    // would each pay a full-capacity clear
+    private var occ: Array[Int] = if (trackOccupied) new Array[Int](cap) else null
 
     def slotOf(k: Long): Int = {
       var i = (DistinctWithHll.scramble(k) & mask).toInt
       while (used(i) && keys(i) != k) i = (i + 1) & mask
       if (!used(i)) {
         if (size >= cap - (cap >> 2)) { grow(); return slotOf(k) }
-        used(i) = true; keys(i) = k; size += 1
+        used(i) = true; keys(i) = k
+        if (occ != null) occ(size) = i
+        size += 1
       }
       i
     }
@@ -95,6 +103,8 @@ object RadixAgg {
       longs = new Array[Long](cap * nL)
       doubles = new Array[Double](cap * nD)
       flags = new Array[Boolean](cap * nF)
+      if (occ != null) occ = new Array[Int](cap)
+      var n = 0
       var i = 0
       while (i < oc) {
         if (ou(i)) {
@@ -102,12 +112,33 @@ object RadixAgg {
           var j = (DistinctWithHll.scramble(k) & mask).toInt
           while (used(j)) j = (j + 1) & mask
           used(j) = true; keys(j) = k
+          if (occ != null) { occ(n) = j; n += 1 }
           System.arraycopy(oL, i * nL, longs, j * nL, nL)
           System.arraycopy(oD, i * nD, doubles, j * nD, nD)
           System.arraycopy(oF, i * nF, flags, j * nF, nF)
         }
         i += 1
       }
+    }
+
+    /** O(size) clear via the occupied list (trackOccupied only). */
+    def resetOccupied(): Unit = {
+      var i = 0
+      while (i < size) {
+        val s = occ(i)
+        used(s) = false
+        java.util.Arrays.fill(longs, s * nL, s * nL + nL, 0L)
+        java.util.Arrays.fill(doubles, s * nD, s * nD + nD, 0.0)
+        java.util.Arrays.fill(flags, s * nF, s * nF + nF, false)
+        i += 1
+      }
+      size = 0
+    }
+
+    /** O(size) slot iteration via the occupied list (trackOccupied only). */
+    def foreachOccupied(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < size) { f(occ(i)); i += 1 }
     }
 
     def foreachEntry(f: (Long, Int) => Unit): Unit = {

@@ -55,6 +55,13 @@ final case class SortedRunAggExec(
     columnarChild: Boolean = false) extends UnaryExecNode {
   import RadixAgg._
 
+  private def numericRead(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
   /** Batch path needs every read to be a direct numeric column: prefix
     * cols int/long-read, run key supported, agg inputs plain columns.
     */
@@ -63,15 +70,23 @@ final case class SortedRunAggExec(
       case a: Attribute => scan.output.exists(_.exprId == a.exprId)
       case _ => false
     }
-    def numericRead(dt: DataType): Boolean = dt match {
-      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType |
-           org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => true
-      case _ => false
-    }
     prefix.forall(a => direct(a) && numericRead(a.dataType)) &&
       runKey.forall(e => direct(e) && numericRead(runKeyType)) &&
       aggInputs.forall(direct)
+  }
+
+  /** Row fallback with DIRECT ordinal reads — prefix and run key read
+    * straight off the child row with a primitive boundary compare (no
+    * per-row prefix/key projections). Lets the rewrite cover a filtered
+    * child (codegen Filter over the columnar scan emits rows).
+    */
+  def rowDirectEligible: Boolean = {
+    def ord(e: Expression): Boolean = e match {
+      case a: Attribute => child.output.exists(_.exprId == a.exprId)
+      case _ => false
+    }
+    prefix.forall(a => ord(a) && numericRead(a.dataType)) &&
+      runKey.forall(e => ord(e) && numericRead(runKeyType))
   }
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
@@ -107,13 +122,14 @@ final case class SortedRunAggExec(
     val (kT, ansiMode) = (runKeyType, ansi)
     val pfxTypes = pfx.map(_.dataType)
     if (columnarChild) return runBatchDirect()
+    if (rowDirectEligible) return runRowDirect()
     child.execute().mapPartitions { rows =>
       val prefixProj = UnsafeProjection.create(pfx, childOut)
       val keyProj = rk.map(e => UnsafeProjection.create(Seq(e), childOut))
       val valProj = UnsafeProjection.create(iExprs, childOut)
       val ups = rowUpdaters(theSlots, iExprs, aL, aD, aF, ansiMode)
-      val m = new LongKeyMap(aL, aD, aF, 64)
-      val nullM = new LongKeyMap(aL, aD, aF, 16)
+      val m = new LongKeyMap(aL, aD, aF, 64, trackOccupied = true)
+      val nullM = new LongKeyMap(aL, aD, aF, 16, trackOccupied = true)
       val readKey: InternalRow => Long = kT match {
         case org.apache.spark.sql.types.ByteType => r => r.getByte(0).toLong
         case org.apache.spark.sql.types.ShortType => r => r.getShort(0).toLong
@@ -154,21 +170,21 @@ final case class SortedRunAggExec(
         while (i < pfxTypes.length) {
           evalRow.update(i, curPrefix.get(i, pfxTypes(i))); i += 1
         }
-        m.slotIterator.foreach { s =>
+        m.foreachOccupied { s =>
           load(m, s)
           if (rk.isDefined) evalRow.update(keyPos, keyValue(m.keyAt(s)))
           fillAggs()
           into += proj(evalRow).copy()
         }
         if (sawNull) {
-          nullM.slotIterator.foreach { s =>
+          nullM.foreachOccupied { s =>
             load(nullM, s)
             evalRow.update(keyPos, null)
             fillAggs()
             into += proj(evalRow).copy()
           }
         }
-        m.reset(); nullM.reset(); sawNull = false
+        m.resetOccupied(); nullM.resetOccupied(); sawNull = false
       }
       def consume(row: InternalRow): Unit = {
         val dst = if (keyProj.isDefined) {
@@ -213,12 +229,12 @@ final case class SortedRunAggExec(
     }
   }
 
-  /** Batch-direct loop: prefix and run key read straight off column
-    * vectors (int/long families), boundary compare is a primitive
-    * compare per prefix column, agg slots update via the columnar
-    * updaters. Same run semantics and emission as the row path.
+  /** Direct-ordinal row loop (filtered children): prefix/key read off
+    * the child row by ordinal with primitive boundary compares; only the
+    * aggregate inputs go through a projection. Same run semantics and
+    * emission as the batch loop.
     */
-  private def runBatchDirect(): RDD[InternalRow] = {
+  private def runRowDirect(): RDD[InternalRow] = {
     val (pfx, rk, iExprs, theSlots) = (prefix, runKey, aggInputs, slots)
     val (aL, aD, aF, types) = (nL, nD, nF, aggTypes)
     val (childOut, exprs, schema) = (child.output, resultExprs, evalSchema)
@@ -237,14 +253,11 @@ final case class SortedRunAggExec(
            org.apache.spark.sql.types.TimestampNTZType => true
       case _ => false
     }
-    val ords = iExprs.map { case a: Attribute =>
-      childOut.indexWhere(_.exprId == a.exprId) }.toArray
-    val dts = iExprs.map(_.dataType).toArray
-    child.executeColumnar().mapPartitions { batches =>
-      val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](ords.length)
-      val ups = colUpdaters(theSlots, dts, vecs, aL, aD, aF, ansiMode)
-      val m = new LongKeyMap(aL, aD, aF, 64)
-      val nullM = new LongKeyMap(aL, aD, aF, 16)
+    child.execute().mapPartitions { rows =>
+      val valProj = UnsafeProjection.create(iExprs, childOut)
+      val ups = rowUpdaters(theSlots, iExprs, aL, aD, aF, ansiMode)
+      val m = new LongKeyMap(aL, aD, aF, 64, trackOccupied = true)
+      val nullM = new LongKeyMap(aL, aD, aF, 16, trackOccupied = true)
       val proj = UnsafeProjection.create(exprs, schema)
       val evalRow = new GenericInternalRow(schema.length)
       val acc = new DriverAgg.Acc(new Array[Long](aL), new Array[Double](aD),
@@ -286,21 +299,168 @@ final case class SortedRunAggExec(
       def drainRun(into: ArrayBuffer[InternalRow]): Unit = {
         var i = 0
         while (i < nP) { evalRow.update(i, prefixValue(i)); i += 1 }
-        m.slotIterator.foreach { s =>
+        m.foreachOccupied { s =>
           load(m, s)
           if (rk.isDefined) evalRow.update(keyPos, keyValue(m.keyAt(s)))
           fillAggs()
           into += proj(evalRow).copy()
         }
         if (sawNull) {
-          nullM.slotIterator.foreach { s =>
+          nullM.foreachOccupied { s =>
             load(nullM, s)
             evalRow.update(keyPos, null)
             fillAggs()
             into += proj(evalRow).copy()
           }
         }
-        m.reset(); nullM.reset(); sawNull = false
+        m.resetOccupied(); nullM.resetOccupied(); sawNull = false
+      }
+      def differs(row: InternalRow): Boolean = {
+        var i = 0
+        while (i < nP) {
+          val nul = row.isNullAt(pOrds(i))
+          if (nul != curNull(i)) return true
+          if (!nul) {
+            val v = if (pLong(i)) row.getLong(pOrds(i)) else row.getInt(pOrds(i)).toLong
+            if (v != curP(i)) return true
+          }
+          i += 1
+        }
+        false
+      }
+      def updateCur(row: InternalRow): Unit = {
+        var j = 0
+        while (j < nP) {
+          curNull(j) = row.isNullAt(pOrds(j))
+          curP(j) = if (curNull(j)) 0L
+            else if (pLong(j)) row.getLong(pOrds(j)) else row.getInt(pOrds(j)).toLong
+          j += 1
+        }
+      }
+      def consume(row: InternalRow): Unit = {
+        val (tgt, s) =
+          if (kOrd < 0) (m, m.slotOf(0L))
+          else if (row.isNullAt(kOrd)) { sawNull = true; (nullM, nullM.slotOf(0L)) }
+          else (m, m.slotOf(
+            if (kLong) row.getLong(kOrd) else row.getInt(kOrd).toLong))
+        val v = valProj(row)
+        var j = 0
+        while (j < ups.length) { ups(j)(tgt, v, s); j += 1 }
+      }
+
+      new Iterator[InternalRow] {
+        private val outBuf = ArrayBuffer.empty[InternalRow]
+        private var outPos = 0
+        private var exhausted = false
+        def hasNext: Boolean = {
+          if (outPos < outBuf.length) return true
+          if (exhausted) return false
+          outBuf.clear(); outPos = 0
+          while (rows.hasNext && outBuf.isEmpty) {
+            val row = rows.next()
+            if (!curSet) { updateCur(row); curSet = true }
+            else if (differs(row)) { drainRun(outBuf); updateCur(row) }
+            consume(row)
+          }
+          if (outBuf.isEmpty && !rows.hasNext) {
+            exhausted = true
+            if (curSet) drainRun(outBuf)
+          }
+          outPos < outBuf.length
+        }
+        def next(): InternalRow = { val r = outBuf(outPos); outPos += 1; r }
+      }
+    }
+  }
+
+  /** Batch-direct loop: prefix and run key read straight off column
+    * vectors (int/long families), boundary compare is a primitive
+    * compare per prefix column, agg slots update via the columnar
+    * updaters. Same run semantics and emission as the row path.
+    */
+  private def runBatchDirect(): RDD[InternalRow] = {
+    val (pfx, rk, iExprs, theSlots) = (prefix, runKey, aggInputs, slots)
+    val (aL, aD, aF, types) = (nL, nD, nF, aggTypes)
+    val (childOut, exprs, schema) = (child.output, resultExprs, evalSchema)
+    val (kT, ansiMode) = (runKeyType, ansi)
+    val pfxTypes = pfx.map(_.dataType).toArray
+    val pOrds = pfx.map(a => childOut.indexWhere(_.exprId == a.exprId)).toArray
+    val pLong = pfxTypes.map {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    val kOrd = rk.map { case a: Attribute =>
+      childOut.indexWhere(_.exprId == a.exprId) }.getOrElse(-1)
+    val kLong = kT match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    val ords = iExprs.map { case a: Attribute =>
+      childOut.indexWhere(_.exprId == a.exprId) }.toArray
+    val dts = iExprs.map(_.dataType).toArray
+    child.executeColumnar().mapPartitions { batches =>
+      val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](ords.length)
+      val ups = colUpdaters(theSlots, dts, vecs, aL, aD, aF, ansiMode)
+      val m = new LongKeyMap(aL, aD, aF, 64, trackOccupied = true)
+      val nullM = new LongKeyMap(aL, aD, aF, 16, trackOccupied = true)
+      val proj = UnsafeProjection.create(exprs, schema)
+      val evalRow = new GenericInternalRow(schema.length)
+      val acc = new DriverAgg.Acc(new Array[Long](aL), new Array[Double](aD),
+        new Array[Boolean](aF))
+      val keyPos = pfx.length
+      val aggBase = pfx.length + (if (rk.isDefined) 1 else 0)
+      val nP = pOrds.length
+      val curP = new Array[Long](nP)
+      val curNull = new Array[Boolean](nP)
+      var curSet = false
+      var sawNull = false
+
+      def keyValue(k: Long): Any = kT match {
+        case org.apache.spark.sql.types.ByteType => k.toByte
+        case org.apache.spark.sql.types.ShortType => k.toShort
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => k.toInt
+        case _ => k
+      }
+      def prefixValue(i: Int): Any =
+        if (curNull(i)) null
+        else pfxTypes(i) match {
+          case org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DateType => curP(i).toInt
+          case _ => curP(i)
+        }
+      def load(src: LongKeyMap, s: Int): Unit = {
+        System.arraycopy(src.longs, s * aL, acc.longs, 0, aL)
+        System.arraycopy(src.doubles, s * aD, acc.doubles, 0, aD)
+        System.arraycopy(src.flags, s * aF, acc.flags, 0, aF)
+      }
+      def fillAggs(): Unit = {
+        var j = 0
+        while (j < theSlots.length) {
+          evalRow.update(aggBase + j, DriverAgg.finalValue(theSlots, types, j, acc))
+          j += 1
+        }
+      }
+      def drainRun(into: ArrayBuffer[InternalRow]): Unit = {
+        var i = 0
+        while (i < nP) { evalRow.update(i, prefixValue(i)); i += 1 }
+        m.foreachOccupied { s =>
+          load(m, s)
+          if (rk.isDefined) evalRow.update(keyPos, keyValue(m.keyAt(s)))
+          fillAggs()
+          into += proj(evalRow).copy()
+        }
+        if (sawNull) {
+          nullM.foreachOccupied { s =>
+            load(nullM, s)
+            evalRow.update(keyPos, null)
+            fillAggs()
+            into += proj(evalRow).copy()
+          }
+        }
+        m.resetOccupied(); nullM.resetOccupied(); sawNull = false
       }
 
       new Iterator[InternalRow] {

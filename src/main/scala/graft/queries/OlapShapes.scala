@@ -161,7 +161,34 @@ object OlapShapes {
     "cb_date_histogram" -> Q.sharedSql(Seq("orders"),
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
         | count(*) AS n, round(sum(o_totalprice), 2) AS rev
-        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin))
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin),
+
+    // ClickBench q24 shape: disjunctive LIKE filters over the text
+    // column with a grouped report
+    "cb_multi_like_or" -> Q.sharedSql(Seq("documents"),
+      """SELECT lang, count(*) AS c, min(doc_id) AS mid
+        |FROM documents
+        |WHERE text LIKE '%merge%' OR text LIKE '%batch%'
+        |   OR text LIKE '%window%'
+        |GROUP BY lang ORDER BY c DESC, lang LIMIT 10""".stripMargin),
+
+    // ClickBench q12/q17 shape: multi-column COUNT(DISTINCT pair) plus a
+    // plain distinct count from one scan. Dialect pin: Spark spells the
+    // pair as a multi-arg DISTINCT, DuckDB as a row-value DISTINCT —
+    // identical semantics (rows with any NULL component are excluded by
+    // Spark's multi-arg form, so the oracle filters them explicitly)
+    "cb_count_distinct_pairs" -> (({ (s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.Tables(s, d, "events").createOrReplaceTempView("events")
+      s.sql(
+        """SELECT count(DISTINCT user_id) AS users,
+          | count(DISTINCT user_id, event_type) AS pairs, count(*) AS n
+          |FROM events""".stripMargin)
+    }: Q.Fn),
+      """SELECT count(DISTINCT user_id) AS users,
+        | count(DISTINCT (user_id, event_type))
+        |   FILTER (user_id IS NOT NULL AND event_type IS NOT NULL) AS pairs,
+        | count(*) AS n
+        |FROM events""".stripMargin))
 
   val queries: Map[String, Q.Fn] = shared.map { case (k, (fn, _)) => k -> fn }
   val oracle: Map[String, String] = shared.map { case (k, (_, sql)) => k -> sql }

@@ -61,15 +61,28 @@ object SortedRunAggRule extends Rule[SparkPlan] {
                 lay.inputs, lay.slots, lay.nL, lay.nD, lay.nF,
                 lay.aggTypes, aggAttrs, resultExprs, agg.output, child,
                 ansi = conf.ansiEnabled)
-              // only rewrite when the batch-direct loop will engage: the
-              // row path loses to the codegen'd hash aggregate (measured
-              // ~1.5x slower at sf1), so a Filter/Project between the
-              // aggregate and the columnar scan keeps Spark's plan
+              // only rewrite when a DIRECT loop will engage: batch-direct
+              // over a bare columnar scan, or direct-ordinal rows over a
+              // deterministic Filter/Project chain above one (codegen
+              // emits rows there). The projection-heavy generic row path
+              // loses to the codegen'd hash aggregate (~1.5x at sf1) and
+              // is never planned.
+              def chainOverColumnar(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+                p match {
+                  case org.apache.spark.sql.execution.ColumnarToRowExec(c) =>
+                    c.supportsColumnar
+                  case f: org.apache.spark.sql.execution.FilterExec =>
+                    chainOverColumnar(f.child)
+                  case pr: org.apache.spark.sql.execution.ProjectExec =>
+                    chainOverColumnar(pr.child)
+                  case c => c.supportsColumnar
+                }
               val scan = child match {
                 case org.apache.spark.sql.execution.ColumnarToRowExec(c) => c
                 case c => c
               }
               if (scan.supportsColumnar && exec.columnarEligible(scan)) exec
+              else if (exec.rowDirectEligible && chainOverColumnar(child)) exec
               else agg
             case None => agg
           }

@@ -81,6 +81,25 @@ class SortedRunAggSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered child takes the direct-ordinal row path, results identical") {
+    withAqe(false) {
+      def fq() = base.filter(col("l") =!= 2).groupBy("a", "b").agg(
+        sum(col("d")).as("sd"), count(lit(1)).as("n"),
+        min(col("d")).as("mn"), avg(col("l")).as("al"))
+      val on = withRule(true)(fq()
+        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first).collect().toSeq)
+      val off = withRule(false)(fq()
+        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first).collect().toSeq)
+      assert(on == off, s"first diff: ${on.zip(off).find { case (x, y) => x != y }}")
+      withRule(true) {
+        val plan = fq().queryExecution.executedPlan
+        val execs = plan.collect { case s: graft.plans.SortedRunAggExec => s }
+        assert(execs.nonEmpty && execs.forall(e => !e.columnarChild && e.rowDirectEligible),
+          plan.toString.take(2000))
+      }
+    }
+  }
+
   test("guards: unsorted child, two remaining keys, string remainder keep the hash aggregate") {
     withAqe(false) { withRule(true) {
       // unsorted: repartition only
