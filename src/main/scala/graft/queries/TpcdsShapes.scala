@@ -1106,9 +1106,102 @@ object TpcdsShapes {
         |ORDER BY lvl, n_name NULLS FIRST, seg NULLS FIRST""".stripMargin)
   )
 
+  /** Shapes whose SQL cannot be dialect-shared (date arithmetic and
+    * percentile spellings differ): (name, tables, Spark SQL, DuckDB SQL).
+    * Semantics are hand-matched; both sides run live per round.
+    */
+  private val split: Seq[(String, Seq[String], String, String)] = Seq(
+
+    // q62/q99 shape: shipping-lag CASE buckets — days between order and
+    // ship date bucketed per return flag. Spark: datediff(end, start);
+    // DuckDB: date subtraction yields integer days.
+    ("qds_ship_lag_buckets", Seq("lineitem", "orders"),
+      """SELECT l_returnflag,
+        | sum(CASE WHEN datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) <= 30
+        |          THEN 1 ELSE 0 END) AS d30,
+        | sum(CASE WHEN datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))
+        |            BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS d60,
+        | sum(CASE WHEN datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) > 60
+        |          THEN 1 ELSE 0 END) AS dlate,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        | sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 30
+        |          THEN 1 ELSE 0 END) AS d30,
+        | sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |            BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS d60,
+        | sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 60
+        |          THEN 1 ELSE 0 END) AS dlate,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // q49-family median report: exact interpolated median of integer
+    // quantities per segment. Spark: percentile(); DuckDB:
+    // quantile_cont() — both exact interpolation, halves are exact.
+    ("qds_median_by_segment", Seq("lineitem", "orders", "customer"),
+      """SELECT c_mktsegment AS seg,
+        | round(percentile(l_quantity, 0.5), 1) AS med_qty,
+        | round(percentile(l_quantity, 0.9), 1) AS p90_qty, count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin,
+      """SELECT c_mktsegment AS seg,
+        | round(quantile_cont(l_quantity, 0.5), 1) AS med_qty,
+        | round(quantile_cont(l_quantity, 0.9), 1) AS p90_qty, count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin))
+
+  /** Shared-dialect additions that pair with `split` (same round). */
+  private val q2: Seq[(String, Seq[String], String)] = Seq(
+
+    // q82/q37 shape: items in a price band with activity in a date
+    // window — dimension band filter driving a fact semi-join report
+    ("qds_price_band_items", Seq("lineitem", "part"),
+      """SELECT p_brand, count(DISTINCT p_partkey) AS items,
+        | round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_retailprice BETWEEN 920 AND 960
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // two-level aggregation (q34/q73 "lines per ticket" histogram):
+    // aggregate per order, then a distribution over the aggregates
+    ("qds_lines_per_order_hist", Seq("lineitem"),
+      """WITH per_order AS (
+        |  SELECT l_orderkey, count(*) AS lines FROM lineitem
+        |  GROUP BY l_orderkey)
+        |SELECT CAST(lines AS INT) AS lines, count(*) AS orders
+        |FROM per_order
+        |GROUP BY lines ORDER BY lines""".stripMargin),
+
+    // NTILE decile profile over per-customer spend (q-family customer
+    // value stratification): window bucketing feeding an aggregate
+    ("qds_spend_decile_profile", Seq("orders"),
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders
+        |  GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT rev, CAST(ntile(10) OVER (ORDER BY rev, o_custkey) AS INT) AS decile
+        |  FROM spend)
+        |SELECT decile, count(*) AS custs, round(sum(rev), 2) AS rev
+        |FROM ranked GROUP BY decile ORDER BY decile""".stripMargin))
+
   val queries: Map[String, Q.Fn] =
-    q.map { case (name, tables, sql) => name -> Q.sharedSql(tables, sql)._1 }.toMap
+    (q ++ q2).map { case (name, tables, sql) => name -> Q.sharedSql(tables, sql)._1 }.toMap ++
+      split.map { case (name, tables, sparkSql, _) =>
+        name -> (((s: org.apache.spark.sql.SparkSession, d: String) => {
+          tables.foreach(t => graft.Tables(s, d, t).createOrReplaceTempView(t))
+          s.sql(sparkSql)
+        }): Q.Fn)
+      }.toMap
 
   val oracle: Map[String, String] =
-    q.map { case (name, _, sql) => name -> sql }.toMap
+    (q ++ q2).map { case (name, _, sql) => name -> sql }.toMap ++
+      split.map { case (name, _, _, duckSql) => name -> duckSql }.toMap
 }
