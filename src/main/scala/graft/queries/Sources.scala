@@ -165,6 +165,24 @@ object Sources {
           round(sum(col("l_extendedprice")), 2).as("price"))
     },
 
+    // COPY ... (ROW_GROUPS_PER_FILE / FILE_SIZE_BYTES) analog
+    // (reference: test/sql/copy/row_groups_per_file.test,
+    // file_size_bytes.test): bounded output files via maxRecordsPerFile,
+    // read back losslessly across the multi-file layout
+    "src_parquet_max_records" -> { (s, d) =>
+      val dir = roundtripDir("max_records")
+      Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write.mode("overwrite").option("maxRecordsPerFile", 128).parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      // the layout really is multi-file — fold the file count into the
+      // oracle-checked row so the property is value-gated, not spec-only
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("retail"),
+          lit(files >= 10).as("multi_file"))
+    },
+
     // Parquet modular encryption roundtrip (reference: parquet_crypto
     // .cpp + the `encryption_config` scan option, parquet_extension
     // .cpp:376): footer key + a separate column key for the measures,
@@ -971,6 +989,11 @@ object Sources {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
         | round(sum(l_extendedprice), 2) AS price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "src_parquet_max_records" ->
+      """SELECT count(*) AS n, round(sum(p_retailprice), 2) AS retail,
+        | true AS multi_file
+        |FROM part""".stripMargin,
 
     "fn_generate_series" ->
       """SELECT ts, CAST(day(ts) AS BIGINT) AS dom
