@@ -68,6 +68,48 @@ object Windows {
         .orderBy(col("o_orderkey")).limit(200)
     },
 
+    // EXCLUDE CURRENT ROW with NON-INVERTIBLE aggregates (reference:
+    // test/sql/window/test_window_exclude.test_slow): the sum-minus
+    // trick cannot express max/min, so the frame splits into its
+    // preceding and following halves and recombines via greatest/least
+    // (empty halves are NULL; greatest/least ignore NULLs, so an
+    // all-empty frame yields NULL exactly like the native EXCLUDE)
+    "window_exclude_minmax" -> { (s, d) =>
+      val before = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-3, -1)
+      val after = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(1, 3)
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          round(greatest(max(col("o_totalprice")).over(before),
+            max(col("o_totalprice")).over(after)), 2).as("mx_excl"),
+          round(least(min(col("o_totalprice")).over(before),
+            min(col("o_totalprice")).over(after)), 2).as("mn_excl"))
+        .orderBy(col("o_orderkey")).limit(300)
+    },
+
+    // GROUPS frame × EXCLUDE GROUP (Spark has neither): GROUPS BETWEEN 1
+    // PRECEDING AND 1 FOLLOWING EXCLUDE GROUP ≡ sum of the previous +
+    // next peer groups — per-group sums once, lag/lead over the group
+    // sequence, joined back to rows; both neighbors absent → NULL (the
+    // native empty-frame result)
+    "window_groups_exclude_group" -> { (s, d) =>
+      val gs = Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"), col("o_totalprice"))
+        .agg(sum(col("o_totalprice")).as("gsum"))
+      val wg = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      val neigh = gs.select(col("o_orderpriority"), col("o_totalprice"),
+        lag(col("gsum"), 1).over(wg).as("pg"),
+        lead(col("gsum"), 1).over(wg).as("ng"))
+      Tables(s, d, "orders")
+        .join(neigh, Seq("o_orderpriority", "o_totalprice"))
+        .select(col("o_orderkey"),
+          round(when(col("pg").isNull && col("ng").isNull, lit(null))
+            .otherwise(coalesce(col("pg"), lit(0.0)) + coalesce(col("ng"), lit(0.0))),
+            2).as("eg"))
+        .orderBy(col("o_orderkey")).limit(300)
+    },
+
     // IGNORE NULLS lag (reference: window_value_function.cpp); the oracle
     // emulates it via max_by over the preceding frame (DuckDB 1.0 lacks
     // the IGNORE NULLS syntax)
@@ -120,6 +162,36 @@ object Windows {
         |   ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 2) AS sum_excl
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "window_exclude_minmax" ->
+      """SELECT o_orderkey,
+        | round(max(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW), 2) AS mx_excl,
+        | round(min(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW), 2) AS mn_excl
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin,
+
+    // DuckDB 1.0 lacks GROUPS mode (same pin as window_groups_frame):
+    // the oracle emulates GROUPS -1..+1 EXCLUDE GROUP as the dense-rank
+    // RANGE frame minus the peer-group slice, NULL when only the own
+    // group is in frame
+    "window_groups_exclude_group" ->
+      """SELECT o_orderkey,
+        | round(CASE WHEN cnt3 > cntg THEN s3 - sg ELSE NULL END, 2) AS eg
+        |FROM (SELECT o_orderkey,
+        |       sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY dr
+        |         RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s3,
+        |       count(*) OVER (PARTITION BY o_orderpriority ORDER BY dr
+        |         RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS cnt3,
+        |       sum(o_totalprice) OVER (PARTITION BY o_orderpriority, dr) AS sg,
+        |       count(*) OVER (PARTITION BY o_orderpriority, dr) AS cntg
+        |      FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |             dense_rank() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice) AS dr
+        |            FROM orders) t) u
+        |ORDER BY o_orderkey LIMIT 300""".stripMargin,
 
     "window_ignore_nulls" ->
       """SELECT event_id,
