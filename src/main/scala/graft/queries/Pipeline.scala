@@ -18,6 +18,31 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   val queries: Map[String, Q.Fn] = Map[String, Q.Fn](
+    // REAL Structured Streaming execution, oracle-gated: fixture events
+    // feed a MemoryStream source in several micro-batches (the
+    // test-harness stand-in for Kafka — the driver-side collect feeds
+    // the SOURCE, never a compute path), the tumbling aggregation runs
+    // through the streaming engine in complete mode, and the FINAL
+    // result table must value-match the same batch SQL in DuckDB. This
+    // upgrades the streaming façade from unit-tested to gate-checked.
+    "stream_tumbling_counts" -> { (s, d) =>
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, d, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+        .as[(java.sql.Timestamp, String, Double)].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val name = "stream_tc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamingFacade
+        .tumblingCounts(ms.toDF().toDF("ts", "event_type", "value"))
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).orderBy(col("bucket"), col("event_type")).limit(50)
+    },
+
     "dedup_exact" -> { (s, d) =>
       Dedup.exact(Tables(s, d, "documents"), "doc_id", "text")
         .orderBy(col("content_hash")).limit(100)
@@ -243,6 +268,11 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        | count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 50""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY content_hash LIMIT 100""".stripMargin,
