@@ -117,6 +117,11 @@ object TopNThroughAgg extends Rule[SparkPlan] {
           if limit > 0 && limit <= MaxLimit &&
             aggs.forall(_.mode == Complete) && groupExprs.nonEmpty &&
             !aggChild.isInstanceOf[SortedPrefixLimitExec] &&
+            // an empty aggregate list (DISTINCT) makes the mode guard
+            // vacuous on BOTH arms — an exchange below means this is the
+            // final of a partial/final pair, which belongs to the
+            // generic arm, never a collapsed Complete aggregate
+            !aggChild.isInstanceOf[ShuffleExchangeExec] &&
             sortOrder.nonEmpty =>
         val groupAttrs = groupExprs.collect { case a: Attribute => a }
         val wholeGroups = aggChild.outputPartitioning match {

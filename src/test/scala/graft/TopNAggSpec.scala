@@ -157,6 +157,23 @@ class TopNAggSpec extends AnyFunSuite {
     }
   }
 
+  test("generic arm: DISTINCT + ORDER BY + LIMIT prunes too (empty aggregate list)") {
+    withAqe(false) {
+      spark.range(60000).selectExpr("CAST(id % 7000 AS INT) AS a",
+        "CAST(id % 3 AS INT) AS b").createOrReplaceTempView("topn_distinct")
+      def q() = spark.sql(
+        "SELECT DISTINCT a, b FROM topn_distinct ORDER BY a, b LIMIT 40")
+      val on = withRule(true)(q().collect().toSeq)
+      val off = withRule(false)(q().collect().toSeq)
+      assert(on == off && on.size == 40)
+      withRule(true) {
+        val plan = q().queryExecution.executedPlan
+        assert(plan.collect { case p: graft.plans.PartialTopNExec => p }.nonEmpty,
+          plan.toString.take(2000))
+      }
+    }
+  }
+
   test("generic arm: sort on aggregate column does not rewrite") {
     withAqe(false) {
       spark.range(1000).selectExpr("CAST(id % 40 AS INT) AS a", "CAST(id % 5 AS INT) AS b",
