@@ -1567,7 +1567,28 @@ object SltSlice {
     // position(): empty needle → 1, missing needle → 0, empty haystack → 0
     "slt_position_empty" ->
       """SELECT position('' IN 'abc') AS pe, position('b' IN 'abc') AS pb,
-        | position('z' IN 'abc') AS pz, position('a' IN '') AS pa""".stripMargin
+        | position('z' IN 'abc') AS pz, position('a' IN '') AS pa""".stripMargin,
+
+    // test/sql/aggregate/group/grouping_sets.test: grouping_id() bit
+    // vector disambiguates which columns a grouping-sets row aggregated
+    // away (bit order: first arg = most significant in BOTH dialects)
+    "slt_grouping_id_bits" ->
+      """WITH t(a, b, v) AS (
+        |  SELECT 'x', 1, 10 UNION ALL SELECT 'x', 2, 20
+        |  UNION ALL SELECT 'y', 1, 30)
+        |SELECT a, b, CAST(grouping_id(a, b) AS INT) AS gid,
+        |       CAST(sum(v) AS BIGINT) AS s
+        |FROM t GROUP BY GROUPING SETS ((a, b), (a), (b), ())
+        |ORDER BY gid, a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+
+    // bool_and / bool_or with FILTER clauses; empty filtered input → NULL
+    "slt_bool_agg_filter" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT bool_and(v > 0) AS all_pos,
+        |       bool_or(v > 2) AS any_big,
+        |       bool_and(v > 0) FILTER (WHERE v > 10) AS empty_and
+        |FROM t""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
