@@ -60,9 +60,15 @@ object PrefixExtractKernel {
       if (c == '\\') {
         if (i + 1 >= n) return None
         val e = pattern.charAt(i + 1)
-        if ("\\[]-^.".indexOf(e) < 0) return None
+        if ("\\[]-^.&".indexOf(e) < 0) return None
         c = e; i += 2
-      } else i += 1
+      } else {
+        // unescaped '[' opens a nested class and '&' can form '&&'
+        // (class intersection) under java.util.regex — outside the
+        // supported surface, fall back to the real engine
+        if (c == '[' || c == '&') return None
+        i += 1
+      }
       if (c >= 128) return None
       // range c-d (a trailing '-' is a literal)
       if (i + 1 < n && pattern.charAt(i) == '-' && pattern.charAt(i + 1) != ']') {

@@ -18,9 +18,9 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * partition's top-`limit` fragments by that order is a superset of
   * every group the refined global top-`limit` can emit: if a fragment
   * of group g is dropped here, this partition alone holds `limit`
-  * DISTINCT groups strictly before g in the total order (fragments are
-  * per-group-unique within a partition), so g cannot reach the global
-  * top-`limit` — and since the rule makes the downstream
+  * DISTINCT groups strictly before g in the total order (retention is
+  * by whole group, so duplicate fragments of one group never count
+  * twice nor split), so g cannot reach the global top-`limit` — and since the rule makes the downstream
   * TakeOrderedAndProject sort by the same total order, g is never
   * emitted with a partially-merged aggregate.
   *
@@ -47,19 +47,32 @@ final case class PartialTopNExec(
     val childOutput = child.output
     child.execute().mapPartitions({ it =>
       val cmp = new LazilyGeneratedOrdering(ord, childOutput)
-      // bounded max-heap: the root is the worst retained row; a new row
-      // displaces it when strictly better. Rows are reused by the
-      // upstream aggregate iterator — copy before retention.
-      val heap = new java.util.PriorityQueue[InternalRow](n, cmp.reverse)
+      // bounded ordered map keyed by the group total order: `sortOrder`
+      // extends the ORDER BY with the remaining grouping columns, so
+      // compare==0 ⇔ same group. Retaining/evicting whole KEYS (not
+      // single rows) keeps every fragment of a retained group together —
+      // the superset argument then holds even if the partial aggregate
+      // ever emits duplicate fragments per group (e.g. a passthrough /
+      // partial-skip mode). Normal case is one fragment per group, so
+      // state stays ≈ `limit` rows. Upstream row buffers are reused —
+      // copy before retention.
+      val groups = new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](cmp)
       while (it.hasNext) {
         val row = it.next()
-        if (heap.size < n) heap.offer(row.copy())
-        else if (cmp.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.offer(row.copy())
+        val existing = groups.get(row)
+        if (existing != null) existing.add(row.copy())
+        else if (groups.size < n ||
+            cmp.compare(row, groups.lastKey()) < 0) {
+          val key = row.copy()
+          val list = new java.util.ArrayList[InternalRow](1)
+          list.add(key)
+          groups.put(key, list)
+          if (groups.size > n) groups.pollLastEntry() // evict whole worst group
         }
       }
       // emission order is irrelevant — an exchange follows
-      scala.collection.JavaConverters.asScalaIterator(heap.iterator())
+      scala.collection.JavaConverters.asScalaIterator(groups.values().iterator())
+        .flatMap(l => scala.collection.JavaConverters.asScalaIterator(l.iterator()))
     }, preservesPartitioning = true)
   }
 }

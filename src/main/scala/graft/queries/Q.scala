@@ -3,7 +3,16 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Helpers for building `SparkEntry.queries` entries. */
+/** Helpers for building `SparkEntry.queries` entries.
+  *
+  * REPO CONVENTION — normalize integer-aggregate result types. The driver's
+  * oracle compare hashes the *rendered* values, and DuckDB widens integer
+  * `sum(...)` to HUGEINT (int128) while Spark returns BIGINT, so a bare
+  * `sum(CASE WHEN ... THEN 1 ELSE 0 END)` hash-mismatches even when every
+  * value is equal. Every shape that returns an integer aggregate must wrap
+  * it as `CAST(sum(...) AS BIGINT)` (or `CAST(... AS INT)` / `round(...)`)
+  * on BOTH dialect sides.
+  */
 object Q {
   type Fn = (SparkSession, String) => DataFrame
 

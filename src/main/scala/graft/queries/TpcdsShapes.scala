@@ -1031,12 +1031,12 @@ object TpcdsShapes {
         |  SELECT DISTINCT o_custkey AS cust FROM orders
         |  WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW'))
         |SELECT
-        |  sum(CASE WHEN u.cust IS NOT NULL AND r.cust IS NOT NULL
-        |           THEN 1 ELSE 0 END) AS both_channels,
-        |  sum(CASE WHEN u.cust IS NOT NULL AND r.cust IS NULL
-        |           THEN 1 ELSE 0 END) AS urgent_only,
-        |  sum(CASE WHEN u.cust IS NULL AND r.cust IS NOT NULL
-        |           THEN 1 ELSE 0 END) AS relaxed_only
+        |  CAST(sum(CASE WHEN u.cust IS NOT NULL AND r.cust IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+        |  CAST(sum(CASE WHEN u.cust IS NOT NULL AND r.cust IS NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS urgent_only,
+        |  CAST(sum(CASE WHEN u.cust IS NULL AND r.cust IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS relaxed_only
         |FROM urgent u FULL OUTER JOIN relaxed r ON u.cust = r.cust""".stripMargin),
 
     // q64.sql shape: a per-(item, year) stats CTE consumed TWICE — the
@@ -1117,22 +1117,22 @@ object TpcdsShapes {
     // DuckDB: date subtraction yields integer days.
     ("qds_ship_lag_buckets", Seq("lineitem", "orders"),
       """SELECT l_returnflag,
-        | sum(CASE WHEN datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) <= 30
-        |          THEN 1 ELSE 0 END) AS d30,
-        | sum(CASE WHEN datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))
-        |            BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS d60,
-        | sum(CASE WHEN datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) > 60
-        |          THEN 1 ELSE 0 END) AS dlate,
+        | CAST(sum(CASE WHEN datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) <= 30
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        | CAST(sum(CASE WHEN datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))
+        |            BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        | CAST(sum(CASE WHEN datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) > 60
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS dlate,
         | count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       """SELECT l_returnflag,
-        | sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 30
-        |          THEN 1 ELSE 0 END) AS d30,
-        | sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
-        |            BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS d60,
-        | sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 60
-        |          THEN 1 ELSE 0 END) AS dlate,
+        | CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 30
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        | CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |            BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        | CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 60
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS dlate,
         | count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),

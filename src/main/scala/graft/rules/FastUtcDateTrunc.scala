@@ -64,13 +64,17 @@ object FastUtcDateTrunc extends Rule[LogicalPlan] {
         graft.functions.UtcCalendarTrunc(ts,
           calendarKernel(fmt.toString.toLowerCase(java.util.Locale.ROOT)))
       // in UTC the NTZ micros ARE the instant micros — skip the per-row
-      // LocalDateTime round-trip the cast otherwise performs
-      case Cast(e, TimestampType, _, _)
-          if e.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+      // LocalDateTime round-trip the cast otherwise performs. The cast's
+      // own resolved timeZoneId must ALSO be UTC (mirroring the
+      // TruncTimestamp guards): a plan resolved under another zone (cached
+      // view, session TZ changed mid-session) keeps its original semantics.
+      case Cast(e, TimestampType, tz, _)
+          if e.dataType == org.apache.spark.sql.types.TimestampNTZType &&
+            tz.forall(utcNames.contains) =>
         graft.functions.UtcNtzReinterpret(e)
       // instant → civil date in UTC is a floor-div, no zone rules
-      case Cast(e, org.apache.spark.sql.types.DateType, _, _)
-          if e.dataType == TimestampType =>
+      case Cast(e, org.apache.spark.sql.types.DateType, tz, _)
+          if e.dataType == TimestampType && tz.forall(utcNames.contains) =>
         graft.functions.UtcMicrosToDate(e)
     }
   }

@@ -1,6 +1,5 @@
 package graft.sources
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.crypto.keytools.LocalWrapKmsClient
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -43,48 +42,57 @@ object ParquetCrypto {
       ",kc:" + b64.encodeToString("fedcba9876543210".getBytes)
   }
 
-  private def configure(conf: Configuration, keyList: String): Unit = {
-    // KeyToolkit caches KMS clients and unwrapped keys JVM-wide; a
-    // client initialized under an older conf would keep serving stale
-    // master keys after the key list changes — drop the caches on change
-    if (conf.get(KeyListConf) != null && conf.get(KeyListConf) != keyList)
+  // KeyToolkit caches KMS clients and unwrapped keys JVM-wide; a client
+  // initialized under an older key list would keep serving stale master
+  // keys after the list changes — drop the caches when it does. Guarded
+  // JVM-wide because the caches are.
+  private var lastKeyList: String = null
+  private def refreshKeyCaches(keyList: String): Unit = synchronized {
+    if (lastKeyList != null && lastKeyList != keyList)
       org.apache.parquet.crypto.keytools.KeyToolkit.removeCacheEntriesForAllTokens()
-    conf.set(FactoryConf, Factory)
-    conf.set(KmsConf, classOf[GraftKmsClient].getName)
-    conf.set(KeyListConf, keyList)
+    lastKeyList = keyList
   }
+
+  /** The crypto factory/KMS wiring as per-operation datasource options —
+    * Spark folds these into the job-local hadoop conf
+    * (`newHadoopConfWithOptions`), so nothing leaks into the session's
+    * shared `hadoopConfiguration` and concurrent plain-parquet writes in
+    * the same session are unaffected.
+    */
+  private def cryptoOptions(keyList: String): Map[String, String] = Map(
+    FactoryConf -> Factory,
+    KmsConf -> classOf[GraftKmsClient].getName,
+    KeyListConf -> keyList)
 
   /** Write `df` as PME-encrypted parquet: `footerKeyId` seals the
     * footer, `columnKeys` maps keyId → columns (unlisted columns are
-    * written with the footer key).
+    * written with the footer key). Thread-safe: all crypto properties
+    * travel as per-write options, never through the shared conf.
     */
   def writeEncrypted(df: DataFrame, path: String, footerKeyId: String,
       columnKeys: Map[String, Seq[String]], keyList: String = DemoKeys): Unit = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    configure(conf, keyList)
-    if (columnKeys.nonEmpty) {
-      conf.set("parquet.encryption.footer.key", footerKeyId)
-      conf.set("parquet.encryption.column.keys",
-        columnKeys.map { case (k, cols) => s"$k:${cols.mkString(",")}" }.mkString(";"))
-    } else
-      // footer-only: the factory requires column keys unless uniform
-      // encryption (one key for footer + all columns) is requested
-      conf.set("parquet.encryption.uniform.key", footerKeyId)
-    try df.write.mode("overwrite").parquet(path)
-    finally {
-      conf.unset("parquet.encryption.footer.key")
-      conf.unset("parquet.encryption.column.keys")
-      conf.unset("parquet.encryption.uniform.key")
-    }
+    refreshKeyCaches(keyList)
+    val keyOpts =
+      if (columnKeys.nonEmpty) Map(
+        "parquet.encryption.footer.key" -> footerKeyId,
+        "parquet.encryption.column.keys" ->
+          columnKeys.map { case (k, cols) => s"$k:${cols.mkString(",")}" }.mkString(";"))
+      else
+        // footer-only: the factory requires column keys unless uniform
+        // encryption (one key for footer + all columns) is requested
+        Map("parquet.encryption.uniform.key" -> footerKeyId)
+    df.write.mode("overwrite")
+      .options(cryptoOptions(keyList) ++ keyOpts)
+      .parquet(path)
   }
 
   /** Read PME-encrypted parquet (the factory reads key material from the
-    * footer and unwraps through the KMS client).
+    * footer and unwraps through the KMS client). Per-read options only.
     */
   def readEncrypted(spark: SparkSession, path: String,
       keyList: String = DemoKeys): DataFrame = {
-    configure(spark.sparkContext.hadoopConfiguration, keyList)
-    spark.read.parquet(path)
+    refreshKeyCaches(keyList)
+    spark.read.options(cryptoOptions(keyList)).parquet(path)
   }
 }
 

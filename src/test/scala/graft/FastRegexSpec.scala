@@ -33,7 +33,11 @@ class FastRegexSpec extends AnyFunSuite {
       "k.v([0-9]+)",       // unescaped metachar in prefix
       "k([0-9]+|[a-z]+)",  // alternation
       "ké([0-9]+)",        // non-ASCII prefix
-      "k([é]+)"))          // non-ASCII class
+      "k([é]+)",           // non-ASCII class
+      "k([a&&b]+)",        // '&&' = class intersection under java.util.regex
+      "k([a&b]+)",         // lone '&' — conservatively rejected with it
+      "k([a[]+)",          // unescaped '[' = nested class (PSE in Java)
+      "k([a[b]]+)"))       // nested class body
       assert(PrefixExtractKernel.compile(p).isEmpty, p)
   }
 
