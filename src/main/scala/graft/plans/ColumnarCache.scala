@@ -197,6 +197,27 @@ object GraftCacheSerializer {
   final case class BlobStore(blob: Array[Byte], offsets: Array[Int], nulls: Array[Boolean]) extends ColumnStore {
     def sizeInBytes: Long = blob.length + offsets.length * 4L
   }
+  /** Dictionary-encoded strings: distinct values in first-seen order in
+    * `dict` (offsets `dictOffsets`, length = entries + 1), per-row ids in
+    * `ids` (0 at null positions). The layout the reference engine's
+    * dictionary compression produces (reference:
+    * /root/reference/src/storage/compression/dictionary/) — and what lets
+    * [[CacheFilterExec]] evaluate string predicates once per distinct
+    * value instead of once per row. Built only while the builder's
+    * cardinality/byte valves hold; otherwise the column spills to
+    * [[BlobStore]]. */
+  final case class DictStore(dict: Array[Byte], dictOffsets: Array[Int],
+      ids: Array[Int], nulls: Array[Boolean]) extends ColumnStore {
+    def entries: Int = dictOffsets.length - 1
+    def sizeInBytes: Long = dict.length + dictOffsets.length * 4L + ids.length * 4L
+  }
+
+  /** Dictionary valves: a batch's string column dict-encodes only while
+    * it stays under both; beyond them the column is high-cardinality and
+    * the dense blob layout is the better trade (no valve tuning exposed —
+    * the spill is automatic and per batch). */
+  val MaxDictEntries = 1024
+  val MaxDictBytes = 1 << 20
 
   /** Append-side builders. */
   abstract class ColumnBuilder {
@@ -263,17 +284,103 @@ object GraftCacheSerializer {
         }
         def result() = DoubleStore(java.util.Arrays.copyOf(v, count), trimNulls())
       }
-      case StringType | BinaryType => new ColumnBuilder {
+      case StringType => new ColumnBuilder {
+        // dict-first: intern values into a bounded dictionary; when the
+        // batch turns out high-cardinality, replay into the plain blob
+        // layout once and append raw from then on. One-time cache-build
+        // cost either way; the dict pays for itself on every warm read
+        // via CacheFilterExec's per-entry predicate evaluation.
+        private var dictMap = new java.util.HashMap[UTF8String, Integer](64)
+        private var dictBlob = new Array[Byte](1024)
+        private var dictUsed = 0
+        private var dictOffsets = new Array[Int](MaxDictEntries + 1)
+        private var ids = new Array[Int](cap)
+        private var blob: Array[Byte] = null // non-null once spilled
+        private var used = 0
+        private var offsets: Array[Int] = null
+
+        private def writeBlob(bytes: Array[Byte]): Unit = {
+          if (used + bytes.length > blob.length)
+            blob = java.util.Arrays.copyOf(blob,
+              math.max(blob.length * 2, used + bytes.length))
+          System.arraycopy(bytes, 0, blob, used, bytes.length)
+          used += bytes.length
+        }
+
+        private def spill(): Unit = {
+          blob = new Array[Byte](math.max(cap * 8, dictUsed * 2))
+          offsets = new Array[Int](cap + 1)
+          var r = 0
+          while (r < count) {
+            if (nulls == null || !nulls(r)) {
+              val id = ids(r)
+              val s = dictOffsets(id)
+              val len = dictOffsets(id + 1) - s
+              if (used + len > blob.length)
+                blob = java.util.Arrays.copyOf(blob,
+                  math.max(blob.length * 2, used + len))
+              System.arraycopy(dictBlob, s, blob, used, len)
+              used += len
+            }
+            offsets(r + 1) = used
+            r += 1
+          }
+          dictMap = null; ids = null; dictBlob = null; dictOffsets = null
+        }
+
+        def append(r: InternalRow, i: Int): Unit = {
+          val isNull = r.isNullAt(i)
+          if (isNull) markNull(cap)
+          if (blob == null) {
+            if (!isNull) {
+              val s = r.getUTF8String(i)
+              var id = dictMap.get(s)
+              if (id == null) {
+                if (dictMap.size >= MaxDictEntries ||
+                    dictUsed + s.numBytes > MaxDictBytes) {
+                  spill()
+                  writeBlob(s.getBytes)
+                  offsets(count + 1) = used
+                  count += 1
+                  return
+                }
+                val bytes = s.getBytes
+                if (dictUsed + bytes.length > dictBlob.length)
+                  dictBlob = java.util.Arrays.copyOf(dictBlob,
+                    math.max(dictBlob.length * 2, dictUsed + bytes.length))
+                System.arraycopy(bytes, 0, dictBlob, dictUsed, bytes.length)
+                dictUsed += bytes.length
+                id = Integer.valueOf(dictMap.size)
+                dictOffsets(id + 1) = dictUsed
+                // the row's UTF8String is a view into a reused buffer —
+                // key the map with an owned copy
+                dictMap.put(UTF8String.fromBytes(bytes), id)
+              }
+              ids(count) = id
+            } // null rows keep ids(count) = 0
+          } else {
+            if (!isNull) writeBlob(r.getUTF8String(i).getBytes)
+            offsets(count + 1) = used
+          }
+          count += 1
+        }
+
+        def result(): ColumnStore =
+          if (blob == null)
+            DictStore(java.util.Arrays.copyOf(dictBlob, dictUsed),
+              java.util.Arrays.copyOf(dictOffsets, dictMap.size + 1),
+              java.util.Arrays.copyOf(ids, count), trimNulls())
+          else BlobStore(java.util.Arrays.copyOf(blob, used),
+            java.util.Arrays.copyOf(offsets, count + 1), trimNulls())
+      }
+      case BinaryType => new ColumnBuilder {
         private var blob = new Array[Byte](cap * 8)
         private var used = 0
         private val offsets = new Array[Int](cap + 1)
         def append(r: InternalRow, i: Int): Unit = {
           if (r.isNullAt(i)) markNull(cap)
           else {
-            val bytes = t match {
-              case StringType => r.getUTF8String(i).getBytes
-              case _ => r.getBinary(i)
-            }
+            val bytes = r.getBinary(i)
             if (used + bytes.length > blob.length) {
               blob = java.util.Arrays.copyOf(blob,
                 math.max(blob.length * 2, used + bytes.length))
@@ -332,7 +439,7 @@ object GraftCacheSerializer {
   */
 final class GraftColumnVector(
     t: DataType,
-    store: GraftCacheSerializer.ColumnStore,
+    val store: GraftCacheSerializer.ColumnStore,
     numRows: Int) extends ColumnVector(t) {
   import GraftCacheSerializer._
 
@@ -348,6 +455,8 @@ final class GraftColumnVector(
   private[this] var doubleV: Array[Double] = _
   private[this] var blob: Array[Byte] = _
   private[this] var offsets: Array[Int] = _
+  private[this] var dictBlob: Array[Byte] = _
+  private[this] var dictOffsets: Array[Int] = _
   store match {
     case BoolStore(v, _) => boolV = v
     case ByteStore(v, _) => byteV = v
@@ -357,6 +466,7 @@ final class GraftColumnVector(
     case FloatStore(v, _) => floatV = v
     case DoubleStore(v, _) => doubleV = v
     case BlobStore(b, o, _) => blob = b; offsets = o
+    case DictStore(d, o, ids, _) => dictBlob = d; dictOffsets = o; intV = ids
   }
 
   override def close(): Unit = ()
@@ -374,6 +484,10 @@ final class GraftColumnVector(
 
   override def getUTF8String(rowId: Int): UTF8String =
     if (nulls != null && nulls(rowId)) null
+    else if (dictBlob != null) {
+      val id = intV(rowId)
+      UTF8String.fromBytes(dictBlob, dictOffsets(id), dictOffsets(id + 1) - dictOffsets(id))
+    }
     else UTF8String.fromBytes(blob, offsets(rowId), offsets(rowId + 1) - offsets(rowId))
   override def getBinary(rowId: Int): Array[Byte] =
     if (nulls != null && nulls(rowId)) null

@@ -52,7 +52,11 @@ final case class SortedRunAggExec(
     ansi: Boolean,
     // batch-direct loop over a columnar child (set by the cache-read
     // rewire in rules/VectorizedCacheRead, like the radix partial)
-    columnarChild: Boolean = false) extends UnaryExecNode {
+    columnarChild: Boolean = false,
+    // selection pushed through from a folded CacheFilterExec: evaluated
+    // per batch via dictionary-id tables (plans/DictFilter.DictSelection)
+    // so filtered batch-direct aggregation never materializes rows
+    selection: Seq[Expression] = Nil) extends UnaryExecNode {
   import RadixAgg._
 
   private def numericRead(dt: DataType): Boolean = dt match {
@@ -400,7 +404,9 @@ final case class SortedRunAggExec(
     val ords = iExprs.map { case a: Attribute =>
       childOut.indexWhere(_.exprId == a.exprId) }.toArray
     val dts = iExprs.map(_.dataType).toArray
+    val selPreds = selection.toArray
     child.executeColumnar().mapPartitions { batches =>
+      val sel = if (selPreds.isEmpty) null else new DictSelection(selPreds, childOut)
       val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](ords.length)
       val ups = colUpdaters(theSlots, dts, vecs, aL, aD, aF, ansiMode)
       val m = new LongKeyMap(aL, aD, aF, 64, trackOccupied = true)
@@ -480,6 +486,7 @@ final case class SortedRunAggExec(
           while (i < ords.length) { vecs(i) = b.column(ords(i)); i += 1 }
           pVecs = pOrds.map(b.column)
           kVec = if (kOrd >= 0) b.column(kOrd) else null
+          if (sel != null) sel.reset(b)
           nRows = b.numRows(); rIdx = 0; haveBatch = true
           true
         }
@@ -533,9 +540,13 @@ final case class SortedRunAggExec(
             }
             while (rIdx < nRows && outBuf.isEmpty) {
               val r = rIdx
-              if (!curSet) { updateCur(r); curSet = true }
-              else if (differs(r)) { drainRun(outBuf); updateCur(r) }
-              consume(r)
+              // selection first: filtered-out rows neither open nor close
+              // a run (run boundaries are between PASSING rows only)
+              if (sel == null || sel.passes(r)) {
+                if (!curSet) { updateCur(r); curSet = true }
+                else if (differs(r)) { drainRun(outBuf); updateCur(r) }
+                consume(r)
+              }
               rIdx += 1
             }
           }

@@ -41,8 +41,16 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
     */
   private def insertTransitions(p: SparkPlan): SparkPlan = p match {
     case c @ ColumnarToRowExec(_: InMemoryTableScanExec) => c
+    case c @ ColumnarToRowExec(
+      _: org.apache.spark.sql.execution.adaptive.TableCacheQueryStageExec) => c
     case scan: InMemoryTableScanExec if scan.supportsColumnar =>
       ColumnarToRowExec(scan)
+    // AQE wraps the cache scan in a TableCacheQueryStageExec and serves
+    // it ROW-based to the parent fragment unless a transition is added —
+    // same vectorization gap as the bare scan, same fix
+    case stage: org.apache.spark.sql.execution.adaptive.TableCacheQueryStageExec
+        if stage.supportsColumnar =>
+      ColumnarToRowExec(stage)
     case other => other.withNewChildren(other.children.map(insertTransitions))
   }
 
@@ -77,7 +85,7 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
       }
     val vectorized =
       if (!enabled) windowed
-      else insertTransitions(windowed)
+      else DictFilterScan(insertTransitions(windowed))
     // fused-distinct partial stage consumes the cache's batches directly:
     // peel the just-inserted ColumnarToRow so the update loop runs over
     // long arrays instead of materialized rows (plans/FusedDistinct.scala)
@@ -98,9 +106,14 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
           case _ => r
         }
       // sorted-run aggregate: batch-direct when prefix/key/inputs are
-      // plain numeric columns of a columnar-capable child
+      // plain numeric columns of a columnar-capable child; a folded
+      // dict-filter pushes its selection INTO the batch loop so the
+      // filtered aggregation never materializes rows
       case s: graft.plans.SortedRunAggExec if !s.columnarChild =>
         s.child match {
+          case graft.plans.CacheFilterExec(_, conjuncts, c)
+              if c.supportsColumnar && s.columnarEligible(c) =>
+            s.copy(child = c, columnarChild = true, selection = conjuncts)
           case ColumnarToRowExec(c) if c.supportsColumnar && s.columnarEligible(c) =>
             s.copy(child = c, columnarChild = true)
           case c if c.supportsColumnar && s.columnarEligible(c) =>
