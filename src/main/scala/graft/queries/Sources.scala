@@ -79,6 +79,17 @@ object Sources {
     "3|\"two\nlines\"|3.5\n" +
     "4|plain|4.5\n"
 
+  /** Sniffer fixture: ';' dialect with embedded delimiters and doubled
+    * quotes — the query side passes NO dialect options
+    * (csv_scanner/sniffer/dialect_detection.cpp). */
+  private[queries] val csvSniffedContent =
+    "k;name;v\n" +
+    "1;\"al;pha\";1.5\n" +
+    "2;\"say \"\"hi\"\"\";2.25\n" +
+    "3;gamma;3.5\n" +
+    "4;\"delta\";4.75\n" +
+    "5;eps;5.0\n"
+
   /** Custom NULL-string fixture (test/sql/copy/csv/csv_nullstr_list.test). */
   private[queries] val csvNullstrContent =
     "k,s,v\n1,alpha,10\n2,NA,20\n3,gamma,NA\n4,NA,NA\n"
@@ -300,6 +311,19 @@ object Sources {
         .option("multiLine", "true")
         .option("inferSchema", "true")
         .csv(path)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("name"))).cast("long").as("name_chars"),
+          round(sum(col("v")), 2).as("sum_v"))
+    },
+
+    // dialect AUTO-detection (reference csv_scanner/sniffer/
+    // dialect_detection.cpp): ';' delimiter, embedded delimiters and
+    // doubled quotes inside quoted fields — read with NO explicit sep/
+    // quote/escape; sources/CsvSniffer scores the candidate dialects on
+    // a sample and feeds the winner to spark.read
+    "src_csv_sniffed" -> { (s, d) =>
+      val path = csvFixture("sniffed", csvSniffedContent)
+      graft.sources.CsvSniffer.read(s, path)
         .agg(count(lit(1)).as("n"),
           sum(length(col("name"))).cast("long").as("name_chars"),
           round(sum(col("v")), 2).as("sum_v"))
@@ -1035,6 +1059,14 @@ object Sources {
         | CAST(sum(length(name)) AS BIGINT) AS name_chars,
         | round(sum(v), 2) AS sum_v
         |FROM read_csv('${csvFixturePath("quoted")}', header=true, delim='|',
+        |  quote='"', escape='"',
+        |  columns={'k': 'INTEGER', 'name': 'VARCHAR', 'v': 'DOUBLE'})""".stripMargin,
+
+    "src_csv_sniffed" ->
+      s"""SELECT count(*) AS n,
+        | CAST(sum(length(name)) AS BIGINT) AS name_chars,
+        | round(sum(v), 2) AS sum_v
+        |FROM read_csv('${csvFixturePath("sniffed")}', header=true, delim=';',
         |  quote='"', escape='"',
         |  columns={'k': 'INTEGER', 'name': 'VARCHAR', 'v': 'DOUBLE'})""".stripMargin,
 

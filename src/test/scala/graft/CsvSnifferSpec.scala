@@ -1,0 +1,59 @@
+package graft
+
+import graft.sources.CsvSniffer
+import graft.sources.CsvSniffer.Dialect
+import org.scalatest.funsuite.AnyFunSuite
+
+/** sources/CsvSniffer: dialect detection lands on the generating dialect
+  * across the candidate space (delimiters, quote rules, embedded
+  * delimiters/quotes), and the end-to-end read needs no explicit options.
+  */
+class CsvSnifferSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def write(content: String): String = {
+    val p = java.nio.file.Files.createTempFile("sniff", ".csv")
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("detects each candidate delimiter from consistent samples") {
+    for (delim <- Seq(',', '|', ';', '\t')) {
+      val d = delim.toString
+      val path = write(
+        s"a${d}b${d}c\n1${d}x${d}2.5\n2${d}y${d}3.5\n3${d}z${d}4.5\n")
+      val got = CsvSniffer.sniff(spark, path)
+      assert(got.delimiter == delim, s"delim=<$delim> got $got")
+    }
+  }
+
+  test("embedded delimiters inside quotes do not fool the field counter") {
+    // under the wrong dialect (no quote awareness) rows would disagree
+    // on field counts; the right dialect scores consistent
+    val path = write(
+      "k;name;v\n1;\"a;b;c\";1.5\n2;\"d;e\";2.5\n3;plain;3.5\n")
+    val got = CsvSniffer.sniff(spark, path)
+    assert(got.delimiter == ';' && got.quote == '"', got.toString)
+  }
+
+  test("single-quote dialect detected") {
+    val path = write(
+      "k|name|v\n1|'a|pha'|1.5\n2|'be|ta'|2.5\n3|'ga|mma'|3.5\n")
+    val got = CsvSniffer.sniff(spark, path)
+    assert(got.delimiter == '|' && got.quote == '\'', got.toString)
+  }
+
+  test("field counter handles doubled quotes and partial tail rows") {
+    val counts = CsvSniffer.fieldCounts(
+      "a,b\n\"x\"\"y\",2\n\"q,q\",3\npartial", Dialect(',', '"', '"'))
+    assert(counts == Seq(2, 2, 2, 1))
+  }
+
+  test("end-to-end read with no explicit options matches the data") {
+    val path = write("k\tname\tv\n1\talpha\t1.5\n2\tbeta\t2.5\n")
+    val rows = CsvSniffer.read(spark, path).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("name")).toSet == Set("alpha", "beta"))
+    assert(rows.map(_.getAs[Double]("v")).sum == 4.0)
+  }
+}
