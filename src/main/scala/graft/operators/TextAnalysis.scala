@@ -17,19 +17,28 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "es", "en", "por", "que", "una", "con", "para"),
     "zh" -> Seq("的", "是", "不", "我", "了", "在", "人", "有", "他", "这"))
 
-  /** Quality metrics: alpha ratio, stopword ratio, average word length. */
+  /** Quality metrics: alpha ratio, stopword ratio, average word length.
+    *
+    * All five counters come from ONE pass over the text
+    * ([[graft.functions.TextQualityKernel]]) instead of two full-text
+    * regexp_replace materializations + three splits; the ratio
+    * arithmetic stays in Column expressions over the counts, so results
+    * are bit-identical to the unfused spelling (pinned in
+    * TokenizerKernelSpec's differential).
+    */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = split(col(textCol), "\\s+")
+    val c = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.TextQualityCounts(
+        org.apache.spark.sql.graft.bridge.expression(col(textCol))))
     df.select(col(idCol),
-      length(col(textCol)).cast("long").as("n_chars_m"),
-      size(words).cast("long").as("n_words"),
-      round(length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
-        length(col(textCol)), 6).as("alpha_ratio"),
-      round(size(filter(split(col(textCol), " "),
-        w => w.isin(stopwords("en"): _*))).cast("double") /
-        size(split(col(textCol), " ")), 6).as("stop_ratio"),
-      round(length(regexp_replace(col(textCol), " ", "")).cast("double") /
-        size(words), 6).as("avg_wlen"))
+      c.getField("chars").as("n_chars_m"),
+      c.getField("ws_words").as("n_words"),
+      round(c.getField("az").cast("double") / c.getField("chars"), 6)
+        .as("alpha_ratio"),
+      round(c.getField("stop_hits").cast("double") / (c.getField("spaces") + 1), 6)
+        .as("stop_ratio"),
+      round((c.getField("chars") - c.getField("spaces")).cast("double") /
+        c.getField("ws_words"), 6).as("avg_wlen"))
   }
 
   /** Whitespace token count + a BPE-ish regex token count

@@ -47,4 +47,36 @@ class TokenizerKernelSpec extends AnyFunSuite {
       checkBoth((0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
     }
   }
+
+  // --- fused text-quality counters vs their expression definitions ---
+
+  private val enStop =
+    Set("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  private def checkQuality(s: String): Unit = {
+    val row = graft.functions.TextQualityKernel
+      .counts(UTF8String.fromString(s))
+    val chars = s.codePointCount(0, s.length).toLong
+    assert(row.getLong(0) == chars, s"chars on <${s.take(60)}>")
+    assert(row.getLong(1) == s.split("\\s+", -1).length.toLong, s"ws_words on <${s.take(60)}>")
+    assert(row.getLong(2) == s.count(c => c >= 'a' && c <= 'z').toLong, s"az on <${s.take(60)}>")
+    assert(row.getLong(3) == s.count(_ == ' ').toLong, s"spaces on <${s.take(60)}>")
+    assert(row.getLong(4) == s.split(" ", -1).count(enStop).toLong, s"stop_hits on <${s.take(60)}>")
+  }
+
+  test("quality counters: fixed edges") {
+    Seq("", " ", "the", " the ", "the the the", "a", "thee", "THE the",
+      "of\tto", "to\nin", "is it that for", "x the", "the,", "  the  ",
+      "héllo the wörld", "日本語 the テスト", "a  b", "for").foreach(checkQuality)
+  }
+
+  test("quality counters: randomized") {
+    val pieces = Seq("the", "a", "and", "of", "to", "thx", "xyz", " ", "  ",
+      "\t", "\n", ".", "é", "日", "b", "1")
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val n = rnd.nextInt(30)
+      checkQuality((0 until n).map(_ => pieces(rnd.nextInt(pieces.length))).mkString)
+    }
+  }
 }
