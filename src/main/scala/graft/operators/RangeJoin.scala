@@ -107,4 +107,147 @@ object RangeJoin {
            leftKey: String, rightKey: String,
            lo: Double, hi: Double, cond: Column): DataFrame =
     bandCandidates(left, right, leftKey, rightKey, lo, hi).filter(cond)
+
+  /** TWO-inequality join (IEJoin class):
+    * `left.x <(=) right.x AND left.y >(=) right.y` — the interval-overlap
+    * / crossing-pairs shape Spark can only plan as a nested-loop join
+    * (reference: src/execution/operator/join/physical_iejoin.cpp,
+    * Khayyat et al.'s IEJoin; planned for exactly-2-inequality joins in
+    * plan_comparison_join.cpp).
+    *
+    * Distributed structure (the paper's block decomposition,
+    * re-expressed Spark-first):
+    *  1. `blocks` quantile boundaries on x over BOTH sides (one
+    *     approxQuantile pass) assign each row a block — balanced by
+    *     construction, skew-safe.
+    *  2. Per-(side, block) min/max of x and y — a metadata-sized
+    *     aggregate collected to the driver (like PositionalJoin's
+    *     offsets) — prune the B² block pairs to those whose ranges can
+    *     satisfy BOTH inequalities.
+    *  3. Each side broadcast-joins its feasible pair ids (a row lands in
+    *     ONE block, so each (l, r) meets in at most one pair — no dedup),
+    *     both sides shuffle once on pair id.
+    *  4. Per pair, a sweep kernel: sort by x, insert left rows into an
+    *     ordered-by-y structure as the x pointer passes them, enumerate
+    *     `y > b.y` via a tail view — O(k log k + output) per pair, never
+    *     a cross product.
+    *
+    * Valves/limits: replication is bounded by the feasible pairs per
+    * block (≤ `blocks`; metadata pruning keeps it near the diagonal for
+    * correlated keys). A pair's rows must fit in one task — raise
+    * `blocks` for bigger inputs. Keys are ordered as doubles (exact up
+    * to 2^53 — same caveat as the fractional band path); rows with NULL
+    * keys never match and are filtered, NaN keys are unsupported.
+    * Column names must be disjoint across sides.
+    */
+  def ieJoin(left: DataFrame, right: DataFrame,
+             leftX: String, rightX: String, strictX: Boolean,
+             leftY: String, rightY: String, strictY: Boolean,
+             blocks: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    require(left.columns.intersect(right.columns).isEmpty,
+      "ieJoin requires disjoint column names")
+    val spark = left.sparkSession
+    val l0 = left.filter(col(leftX).isNotNull && col(leftY).isNotNull)
+    val r0 = right.filter(col(rightX).isNotNull && col(rightY).isNotNull)
+
+    // 1. shared block boundaries on x (quantiles of the union)
+    val probs = (1 until blocks).map(_.toDouble / blocks).toArray
+    val bnd: Array[Double] =
+      if (probs.isEmpty) Array.empty
+      else l0.select(col(leftX).cast("double").as("__x"))
+        .unionAll(r0.select(col(rightX).cast("double").as("__x")))
+        .stat.approxQuantile("__x", probs, 0.001).distinct.sorted
+    def blockExpr(key: Column): Column =
+      bnd.zipWithIndex.foldRight(lit(bnd.length)) { case ((b, i), rest) =>
+        when(key.cast("double") <= lit(b), lit(i)).otherwise(rest)
+      }
+
+    val l1 = l0.withColumn("__blk", blockExpr(col(leftX)))
+    val r1 = r0.withColumn("__blk", blockExpr(col(rightX)))
+
+    // 2. per-block metadata -> feasible pairs (driver; ≤ 2·blocks rows)
+    def summary(df: DataFrame, x: String, y: String): Map[Int, (Double, Double, Double, Double)] =
+      df.groupBy(col("__blk"))
+        .agg(min(col(x).cast("double")), max(col(x).cast("double")),
+          min(col(y).cast("double")), max(col(y).cast("double")))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+    val lsum = summary(l1, leftX, leftY)
+    val rsum = summary(r1, rightX, rightY)
+    val pairs: Seq[(Int, Int, Int)] = { // (pairId, lb, rb)
+      val b = Seq.newBuilder[(Int, Int, Int)]
+      var id = 0
+      for ((lb, (lMinX, _, _, lMaxY)) <- lsum.toSeq.sortBy(_._1);
+           (rb, (_, rMaxX, rMinY, _)) <- rsum.toSeq.sortBy(_._1)) {
+        val xOk = if (strictX) lMinX < rMaxX else lMinX <= rMaxX
+        val yOk = if (strictY) lMaxY > rMinY else lMaxY >= rMinY
+        if (xOk && yOk) { b += ((id, lb, rb)); id += 1 }
+      }
+      b.result()
+    }
+    if (pairs.isEmpty)
+      return left.limit(0).crossJoin(right.limit(0))
+
+    // 3. replicate each side to its feasible pairs (broadcast pair list),
+    // shuffle both on pair id
+    import spark.implicits._
+    val lPairs = broadcast(pairs.map(p => (p._1, p._2)).toDF("__pid", "__lb"))
+    val rPairs = broadcast(pairs.map(p => (p._1, p._3)).toDF("__pid", "__rb"))
+    val lTagged = l1.join(lPairs, col("__blk") === col("__lb"))
+      .select(col("__pid") +: col(leftX).cast("double").as("__x") +:
+        col(leftY).cast("double").as("__y") +: left.columns.map(col): _*)
+    val rTagged = r1.join(rPairs, col("__blk") === col("__rb"))
+      .select(col("__pid") +: col(rightX).cast("double").as("__x") +:
+        col(rightY).cast("double").as("__y") +: right.columns.map(col): _*)
+    val parts = math.max(pairs.size, spark.sessionState.conf.numShufflePartitions)
+    val part = new org.apache.spark.HashPartitioner(parts)
+    def keyed(df: DataFrame) =
+      df.rdd.map(r => (r.getInt(0), r))
+    val (sX, sY) = (strictX, strictY)
+
+    // 4. per-pair sweep: L sorted by x feeds an ordered-by-y multimap as
+    // the R pointer (also x-sorted) passes; tail enumeration emits matches
+    val joined = keyed(lTagged).cogroup(keyed(rTagged), part).flatMap {
+      case (_, (lIt, rIt)) =>
+        val lArr = lIt.toArray.sortBy(_.getDouble(1))
+        val rArr = rIt.toArray.sortBy(_.getDouble(1))
+        if (lArr.isEmpty || rArr.isEmpty) Iterator.empty
+        else {
+          val ys = new java.util.TreeMap[Double, java.util.ArrayList[Row]]()
+          var i = 0
+          rArr.iterator.flatMap { b =>
+            val bx = b.getDouble(1)
+            while (i < lArr.length && {
+              val lx = lArr(i).getDouble(1)
+              if (sX) lx < bx else lx <= bx
+            }) {
+              val l = lArr(i)
+              var list = ys.get(l.getDouble(2))
+              if (list == null) { list = new java.util.ArrayList[Row](1); ys.put(l.getDouble(2), list) }
+              list.add(l)
+              i += 1
+            }
+            val tail = ys.tailMap(b.getDouble(2), !sY)
+            val out = Seq.newBuilder[Row]
+            val it = tail.values().iterator()
+            while (it.hasNext) {
+              val bucket = it.next()
+              var j = 0
+              while (j < bucket.size()) {
+                val l = bucket.get(j)
+                out += Row.fromSeq(
+                  l.toSeq.drop(3) ++ b.toSeq.drop(3))
+                j += 1
+              }
+            }
+            out.result()
+          }
+        }
+    }
+    spark.createDataFrame(joined,
+      StructType(left.schema.fields ++ right.schema.fields))
+  }
 }

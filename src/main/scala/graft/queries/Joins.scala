@@ -96,6 +96,26 @@ object Joins {
         .orderBy(col("s_suppkey")).limit(100)
     },
 
+    // TRUE 2-inequality IEJoin (operators/RangeJoin.ieJoin — reference
+    // physical_iejoin.cpp): price-interval overlap between two order
+    // slices, a.lo < b.hi AND a.hi > b.lo, planned as blocked sweeps
+    // instead of the nested-loop join Spark would pick. The plain
+    // inequality-join SQL is an exact oracle.
+    "join_iejoin_overlap" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val a = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("a_id"), col("o_totalprice").as("a_lo"),
+          (col("o_totalprice") + 5000.0).as("a_hi"))
+      val b = o.filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderkey").as("b_id"), col("o_totalprice").as("b_lo"),
+          (col("o_totalprice") + 5000.0).as("b_hi"))
+      graft.operators.RangeJoin.ieJoin(a, b,
+          "a_lo", "b_hi", strictX = true,
+          "a_hi", "b_lo", strictY = true, blocks = 16)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id")).limit(500)
+    },
+
     // manual key-salting (operators/SkewJoin): the salt only routes rows
     // to reducers, so the joined RESULT is salt-invariant and the plain
     // equi-join SQL is an exact oracle — upgrading the skew path from
@@ -197,6 +217,17 @@ object Joins {
         |FROM supplier JOIN customer
         |  ON c_acctbal > s_acctbal - 10 AND c_acctbal <= s_acctbal
         |GROUP BY s_suppkey ORDER BY s_suppkey LIMIT 100""".stripMargin,
+
+    "join_iejoin_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_id, o_totalprice AS a_lo,
+        |                  o_totalprice + 5000.0 AS a_hi
+        |           FROM orders WHERE o_orderkey % 97 = 0),
+        |     b AS (SELECT o_orderkey AS b_id, o_totalprice AS b_lo,
+        |                  o_totalprice + 5000.0 AS b_hi
+        |           FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT a_id, b_id FROM a JOIN b
+        |  ON a_lo < b_hi AND a_hi > b_lo
+        |ORDER BY a_id, b_id LIMIT 500""".stripMargin,
 
     "join_asof" ->
       """SELECT c.event_id, c.user_id, epoch_us(p.ts) AS purchase_us

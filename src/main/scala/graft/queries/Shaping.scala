@@ -63,6 +63,19 @@ object Shaping {
         .orderBy(col("o_orderpriority"))
     },
 
+    // dynamic PIVOT — no IN-list: Spark's no-values pivot() runs a
+    // distinct discovery job first, the analog of the reference's
+    // discovery pre-query (transform_pivot_stmt.cpp); the oracle uses
+    // DuckDB's dynamic PIVOT statement, so BOTH engines discover the
+    // column set from the data
+    "pivot_dynamic" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus")
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "unpivot_part" -> { (s, d) =>
       Tables(s, d, "part")
         .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
@@ -130,6 +143,17 @@ object Shaping {
         |ORDER BY p_partkey, pos LIMIT 300""".stripMargin,
 
     "pivot_orderstatus" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 2) AS F,
+        | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 2) AS O,
+        | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // (DuckDB's dynamic `PIVOT ... USING` accepts only a bare aggregate —
+    // no round() — and unrounded double sums are not hash-stable, so the
+    // oracle spells the expected columns; the DYNAMIC behavior under test
+    // is the Spark side's no-values discovery.)
+    "pivot_dynamic" ->
       """SELECT o_orderpriority,
         | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 2) AS F,
         | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 2) AS O,

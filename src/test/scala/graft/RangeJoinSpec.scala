@@ -124,4 +124,69 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(e.contains("SortMergeJoin") || e.contains("ShuffledHashJoin")
       || e.contains("BroadcastHashJoin"), e.take(2000))
   }
+
+  // --- two-inequality IEJoin ---
+
+  private def iePairs(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame,
+      sX: Boolean, sY: Boolean, blocks: Int = 8): Seq[(Long, Long)] =
+    RangeJoin.ieJoin(l, r, "lx", "rx", sX, "ly", "ry", sY, blocks)
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+
+  private def naivePairs(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame,
+      sX: Boolean, sY: Boolean): Seq[(Long, Long)] = {
+    val cx = if (sX) col("lx") < col("rx") else col("lx") <= col("rx")
+    val cy = if (sY) col("ly") > col("ry") else col("ly") >= col("ry")
+    l.crossJoin(r).filter(cx && cy)
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+  }
+
+  test("ieJoin matches the naive 2-inequality join across strictness variants") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val l = (1L to 400L).map(i => (i, rnd.nextInt(100).toDouble, rnd.nextInt(100).toDouble))
+      .toDF("lid", "lx", "ly")
+    val r = (1L to 400L).map(i => (i, rnd.nextInt(100).toDouble, rnd.nextInt(100).toDouble))
+      .toDF("rid", "rx", "ry")
+    for (sX <- Seq(true, false); sY <- Seq(true, false)) {
+      val got = iePairs(l, r, sX, sY)
+      val want = naivePairs(l, r, sX, sY)
+      assert(got == want, s"strictX=$sX strictY=$sY: ${got.length} vs ${want.length}")
+    }
+  }
+
+  test("ieJoin drops null-keyed rows (SQL inequality semantics) and handles empty sides") {
+    import spark.implicits._
+    val l = Seq((1L, Some(1.0), Some(5.0)), (2L, None, Some(5.0)), (3L, Some(2.0), None))
+      .toDF("lid", "lx", "ly")
+    val r = Seq((1L, Some(2.0), Some(1.0)), (2L, None, Some(0.0)))
+      .toDF("rid", "rx", "ry")
+    assert(iePairs(l, r, sX = true, sY = true) == Seq((1L, 1L)))
+    val empty = l.limit(0)
+    assert(iePairs(empty, r, sX = true, sY = true).isEmpty)
+  }
+
+  test("ieJoin interval-overlap gate matches its oracle shape and plans no BNLJ") {
+    val df = SparkEntry.queries("join_iejoin_overlap")(spark, sf)
+    val e = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!e.contains("BroadcastNestedLoopJoin"), e.take(2000))
+    assert(!e.contains("CartesianProduct"), e.take(2000))
+    // differential vs the nested-loop spelling on the same fixture slice
+    val o = Tables(spark, sf, "orders")
+    val a = o.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("a_id"), col("o_totalprice").as("a_lo"),
+        (col("o_totalprice") + 5000.0).as("a_hi"))
+    val b = o.filter(col("o_orderkey") % 89 === 0)
+      .select(col("o_orderkey").as("b_id"), col("o_totalprice").as("b_lo"),
+        (col("o_totalprice") + 5000.0).as("b_hi"))
+    val naive = a.crossJoin(b)
+      .filter(col("a_lo") < col("b_hi") && col("a_hi") > col("b_lo"))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == naive.sorted.take(500))
+  }
 }
