@@ -1588,7 +1588,74 @@ object SltSlice {
         |SELECT bool_and(v > 0) AS all_pos,
         |       bool_or(v > 2) AS any_big,
         |       bool_and(v > 0) FILTER (WHERE v > 10) AS empty_and
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // ------------------------------------------------- round-8 widening
+    // test/sql/function/string/test_left_right.test: zero length is
+    // empty, over-length clamps to the whole string
+    "slt_left_right_bounds" ->
+      """SELECT left('abcde', 2) AS l2, left('abcde', 0) AS l0,
+        | left('abcde', 99) AS lbig, right('abcde', 2) AS r2,
+        | right('abcde', 0) AS r0, right('abcde', 99) AS rbig,
+        | left('', 3) AS lempty""".stripMargin,
+
+    // test/sql/function/string/test_ascii.test + chr: code-point
+    // roundtrip, multi-byte first char
+    "slt_ascii_chr" ->
+      """SELECT ascii('A') AS a, ascii('abc') AS ab, chr(66) AS b,
+        | chr(233) AS eacute, ascii('é') AS ae""".stripMargin,
+
+    // contains() with empty needle (always true) and needle == haystack
+    "slt_contains_fn" ->
+      """SELECT contains('hello', 'ell') AS c1, contains('hello', '') AS c2,
+        | contains('', 'x') AS c3, contains('abc', 'abc') AS c4,
+        | contains('abc', 'abcd') AS c5""".stripMargin,
+
+    // test/sql/function/date/test_make_date.test: constructor functions,
+    // leap day, fractional seconds (compared via date/part extraction —
+    // timestamp rendering is engine-specific)
+    "slt_make_date_ts" ->
+      """SELECT make_date(2024, 2, 29) AS leap,
+        | make_date(1999, 12, 31) AS ymd,
+        | CAST(make_timestamp(2024, 2, 29, 23, 59, 59.5) AS DATE) AS ts_d,
+        | CAST(EXTRACT(HOUR FROM make_timestamp(2024, 2, 29, 23, 59, 59.5)) AS INT) AS ts_h""".stripMargin,
+
+    // cross-type DATE vs TIMESTAMP comparison promotes the date to
+    // midnight in both engines
+    "slt_date_ts_compare" ->
+      """SELECT DATE '2024-01-02' = TIMESTAMP '2024-01-02 00:00:00' AS eq,
+        | DATE '2024-01-02' < TIMESTAMP '2024-01-02 00:00:01' AS lt,
+        | DATE '2024-01-03' > TIMESTAMP '2024-01-02 23:59:59' AS gt""".stripMargin,
+
+    // upper/lower across ASCII and accented code points (ß excluded —
+    // the engines disagree on the capital-sharp-s mapping)
+    "slt_upper_lower_unicode" ->
+      """SELECT upper('héllo wörld') AS u, lower('HÉLLO WÖRLD') AS l,
+        | upper('') AS ue, length(upper('héllo')) AS ul""".stripMargin,
+
+    // test/sql/aggregate/aggregates/test_stddev.test: one row → sample
+    // stddev/var NULL, population forms 0
+    "slt_stddev_single_row" ->
+      """WITH t(x) AS (SELECT 5.0)
+        |SELECT stddev(x) AS sd, var_samp(x) AS vs,
+        | round(stddev_pop(x), 6) AS sp, round(var_pop(x), 6) AS vp,
+        | count(x) AS n
+        |FROM t""".stripMargin,
+
+    // boolean ↔ integer casts
+    "slt_bool_int_cast" ->
+      """SELECT CAST(true AS INT) AS t_i, CAST(false AS INT) AS f_i,
+        | CAST(1 AS BOOLEAN) AS i1_b, CAST(0 AS BOOLEAN) AS i0_b""".stripMargin,
+
+    // power() edges: 0^0 = 1, negative bases, fractional results
+    "slt_power_edges" ->
+      """SELECT round(power(0, 0), 6) AS p00, round(power(-2, 2), 6) AS pn2,
+        | round(power(2, -1), 6) AS pneg, round(power(9, 0.5), 6) AS phalf""".stripMargin,
+
+    // repeat with zero/negative counts is empty in both engines
+    "slt_repeat_edges" ->
+      """SELECT repeat('ab', 0) AS r0, repeat('ab', 3) AS r3,
+        | repeat('', 5) AS rempty, length(repeat('xy', 4)) AS rlen""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =

@@ -90,6 +90,17 @@ object Sources {
     "4;\"delta\";4.75\n" +
     "5;eps;5.0\n"
 
+  /** Mixed-type columns for the all_varchar / dtypes-override reads
+    * (test/sql/copy/csv/csv_dtypes.test): k LOOKS numeric — forcing it
+    * to string flips max() to lexicographic ('9' > '100'). */
+  private[queries] val csvTypedContent =
+    "k,v\n10,1.5\n9,2.5\n100,3.5\n2,4.5\n"
+
+  /** Windows line endings incl. a quoted field
+    * (test/sql/copy/csv/csv_windows_mixed_separators.test shape). */
+  private[queries] val csvCrlfContent =
+    "k,name,v\r\n1,\"al,pha\",1.5\r\n2,beta,2.5\r\n3,gamma,3.5\r\n"
+
   /** Custom NULL-string fixture (test/sql/copy/csv/csv_nullstr_list.test). */
   private[queries] val csvNullstrContent =
     "k,s,v\n1,alpha,10\n2,NA,20\n3,gamma,NA\n4,NA,NA\n"
@@ -329,6 +340,45 @@ object Sources {
           round(sum(col("v")), 2).as("sum_v"))
     },
 
+    // ALL_VARCHAR ≙ inferSchema=false: every column reads as string, so
+    // max() on the numeric-looking key goes lexicographic
+    // (test/sql/copy/csv/csv_dtypes.test's all-varchar arm)
+    "src_csv_all_varchar" -> { (s, d) =>
+      val path = csvFixture("typed", csvTypedContent)
+      s.read.option("header", "true").option("inferSchema", "false").csv(path)
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"),
+          min(col("v")).as("min_v"))
+    },
+
+    // explicit per-column type override beats inference: k pinned to
+    // VARCHAR while v stays numeric (csv_dtypes.test)
+    "src_csv_dtypes" -> { (s, d) =>
+      val path = csvFixture("typed", csvTypedContent)
+      s.read.option("header", "true").schema("k STRING, v DOUBLE").csv(path)
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"),
+          round(sum(col("v")), 2).as("sum_v"))
+    },
+
+    // Windows \r\n line endings with a quoted embedded comma
+    "src_csv_crlf" -> { (s, d) =>
+      val path = csvFixture("crlf", csvCrlfContent)
+      s.read.option("header", "true").option("inferSchema", "true").csv(path)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("name"))).cast("long").as("name_chars"),
+          round(sum(col("v")), 2).as("sum_v"))
+    },
+
+    // filename column ≙ read_csv(filename=true): group by the file's
+    // basename (full paths are engine-prefixed, the basename is shared)
+    "src_csv_filename" -> { (s, d) =>
+      val path = csvFixture("typed", csvTypedContent)
+      s.read.option("header", "true").option("inferSchema", "true").csv(path)
+        .select(element_at(split(col("_metadata").getField("file_path"), "/"), -1)
+          .as("fname"))
+        .groupBy(col("fname")).agg(count(lit(1)).as("n"))
+        .orderBy(col("fname"))
+    },
+
     // custom NULL marker: 'NA' in any column reads as NULL, in both the
     // string and the numeric column
     "src_csv_nullstr" -> { (s, d) =>
@@ -438,6 +488,84 @@ object Sources {
         .groupBy(substring(col("p_type"), 1, 5).as("ty"))
         .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("price"))
         .orderBy(col("ty")).limit(50)
+    },
+
+    // gzip + snappy codecs in one pass: each codec dir holds one full
+    // copy, the union read doubles every count (reference: parquet COPY
+    // COMPRESSION option, test/sql/copy/parquet/*)
+    "src_parquet_codec_gzip_snappy" -> { (s, d) =>
+      val base = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      val dirG = roundtripDir("pq_gzip")
+      val dirS = roundtripDir("pq_snappy")
+      base.write.mode("overwrite").option("compression", "gzip").parquet(dirG)
+      base.write.mode("overwrite").option("compression", "snappy").parquet(dirS)
+      s.read.parquet(dirG, dirS)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("price"))
+        .orderBy(col("p_brand")).limit(50)
+    },
+
+    // DECIMAL column round-trip + predicate over the decimal stats
+    // (reference: test/sql/copy/parquet/decimal_filter.test)
+    "src_parquet_decimal_filter" -> { (s, d) =>
+      val dir = roundtripDir("pq_decimal")
+      Tables(s, d, "part")
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("decimal(12,2)").as("price_dec"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("price_dec") > lit(new java.math.BigDecimal("1500.00")))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price_dec")).cast("double"), 2).as("total"))
+    },
+
+    // nested STRUCT + LIST columns round-trip (reference: parquet nested
+    // type tests, test/sql/copy/parquet/writer/): field access and list
+    // length survive the format
+    "src_parquet_nested_roundtrip" -> { (s, d) =>
+      val dir = roundtripDir("pq_nested")
+      Tables(s, d, "part")
+        .select(col("p_partkey"),
+          struct(col("p_brand").as("brand"), col("p_retailprice").as("price")).as("info"),
+          split(col("p_name"), " ").as("words"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("info").getField("brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("info").getField("price")), 2).as("price"),
+          sum(size(col("words"))).cast("long").as("n_words"))
+        .orderBy(col("brand")).limit(50)
+    },
+
+    // all-NULL typed column + TIMESTAMP column round-trip (storage-type
+    // coverage: test/sql/storage/ read shapes): null count and the
+    // date-cast extremes survive
+    "src_parquet_allnull_ts" -> { (s, d) =>
+      val dir = roundtripDir("pq_nullts")
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          lit(null).cast("int").as("hole"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n"), count(col("hole")).as("n_hole"),
+          min(col("o_orderdate").cast("date")).cast("string").as("d_min"),
+          max(col("o_orderdate").cast("date")).cast("string").as("d_max"))
+    },
+
+    // nested-object JSON lines: schema inference recovers the struct,
+    // field access aggregates match the flat source
+    "src_json_nested" -> { (s, d) =>
+      val dir = roundtripDir("json_nested")
+      Tables(s, d, "part")
+        .select(col("p_partkey"),
+          struct(col("p_brand").as("brand"), col("p_retailprice").as("price")).as("info"))
+        .write.mode("overwrite").json(dir)
+      s.read.json(dir)
+        .groupBy(col("info").getField("brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("info").getField("price")), 2).as("price"))
+        .orderBy(col("brand")).limit(50)
     },
 
     // COPY TO ... OVERWRITE (test/sql/copy/csv/copy_to_overwrite.test):
@@ -1112,6 +1240,53 @@ object Sources {
       """SELECT substr(p_type, 1, 5) AS ty, count(*) AS n,
         | round(sum(p_retailprice), 2) AS price
         |FROM part GROUP BY substr(p_type, 1, 5) ORDER BY ty LIMIT 50""".stripMargin,
+
+    "src_parquet_codec_gzip_snappy" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS price
+        |FROM (SELECT * FROM part UNION ALL SELECT * FROM part) t
+        |GROUP BY p_brand ORDER BY p_brand LIMIT 50""".stripMargin,
+
+    "src_parquet_decimal_filter" ->
+      """SELECT count(*) AS n,
+        | round(CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+        |FROM part WHERE CAST(p_retailprice AS DECIMAL(12,2)) > 1500.00""".stripMargin,
+
+    "src_parquet_nested_roundtrip" ->
+      """SELECT p_brand AS brand, count(*) AS n,
+        | round(sum(p_retailprice), 2) AS price,
+        | CAST(sum(len(string_split(p_name, ' '))) AS BIGINT) AS n_words
+        |FROM part GROUP BY p_brand ORDER BY brand LIMIT 50""".stripMargin,
+
+    "src_parquet_allnull_ts" ->
+      """SELECT count(*) AS n, CAST(0 AS BIGINT) AS n_hole,
+        | CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS d_min,
+        | CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS d_max
+        |FROM orders""".stripMargin,
+
+    "src_json_nested" ->
+      """SELECT p_brand AS brand, count(*) AS n, round(sum(p_retailprice), 2) AS price
+        |FROM part GROUP BY p_brand ORDER BY brand LIMIT 50""".stripMargin,
+
+    "src_csv_all_varchar" ->
+      s"""SELECT count(*) AS n, max(k) AS max_k, min(v) AS min_v
+        |FROM read_csv('${csvFixturePath("typed")}', header=true, all_varchar=true)""".stripMargin,
+
+    "src_csv_dtypes" ->
+      s"""SELECT count(*) AS n, max(k) AS max_k, round(sum(v), 2) AS sum_v
+        |FROM read_csv('${csvFixturePath("typed")}', header=true,
+        |  columns={'k': 'VARCHAR', 'v': 'DOUBLE'})""".stripMargin,
+
+    "src_csv_crlf" ->
+      s"""SELECT count(*) AS n,
+        | CAST(sum(length(name)) AS BIGINT) AS name_chars,
+        | round(sum(v), 2) AS sum_v
+        |FROM read_csv('${csvFixturePath("crlf")}', header=true)""".stripMargin,
+
+    "src_csv_filename" ->
+      s"""SELECT fname, count(*) AS n FROM (
+        |  SELECT (string_split(filename, '/'))[-1] AS fname
+        |  FROM read_csv('${csvFixturePath("typed")}', header=true, filename=true)) t
+        |GROUP BY fname ORDER BY fname""".stripMargin,
 
     "src_copy_overwrite" ->
       """SELECT n_regionkey, count(*) AS n FROM nation
