@@ -13,6 +13,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[CacheFilterExec]] and the selection-pushed batch loops
   * ([[SortedRunAggExec]]). Instantiate once per task, `reset` per
   * batch, then `passes(r)` per row.
+  *
+  * Three evaluation tiers per (conjunct, batch):
+  *  1. DICT — the column is dictionary-encoded: evaluate once per
+  *     distinct value, test rows by id lookup.
+  *  2. BLOB — the column spilled to the dense blob layout and the
+  *     conjunct is a (possibly negated) Contains / StartsWith /
+  *     EndsWith / EqualTo against a literal (Catalyst rewrites
+  *     `LIKE '%x%'` to Contains): evaluate directly over the
+  *     contiguous (blob, offsets) arrays. Contains searches the WHOLE
+  *     blob once, mapping hits to rows with a running row pointer and
+  *     skipping the rest of a matched row — no per-row UTF8String
+  *     allocation, no per-row call. Byte-level search is exact on
+  *     UTF-8 (self-synchronizing). The reference runs the same
+  *     string-pushdown over its compressed string segments.
+  *  3. ROW — anything else: a compiled predicate on the batch row.
   */
 final class DictSelection(
     preds: Array[Expression],
@@ -30,19 +45,47 @@ final class DictSelection(
     preds.map(p => Predicate.create(p, childOutput))
   private val probe = new GenericInternalRow(1)
 
-  private val idTables = new Array[Array[Boolean]](k) // null => row fallback
+  // (op, needle, negated) for blob-direct conjuncts; op: 0=contains,
+  // 1=startswith, 2=endswith, 3=equals, 4=isnotnull (5=isnull via negate)
+  private val blobOps: Array[(Int, Array[Byte], Boolean)] = preds.map { p =>
+    import org.apache.spark.sql.catalyst.expressions.{Contains, EndsWith, EqualTo, IsNotNull, IsNull, Literal, Not, StartsWith}
+    def lit(e: Expression): Option[Array[Byte]] = e match {
+      case Literal(s: UTF8String, _) if s != null => Some(s.getBytes)
+      case _ => None
+    }
+    def base(e: Expression): Option[(Int, Array[Byte])] = e match {
+      case Contains(_: Attribute, l) => lit(l).map((0, _))
+      case StartsWith(_: Attribute, l) => lit(l).map((1, _))
+      case EndsWith(_: Attribute, l) => lit(l).map((2, _))
+      case EqualTo(_: Attribute, l) => lit(l).map((3, _))
+      case EqualTo(l, _: Attribute) => lit(l).map((3, _))
+      case IsNotNull(_: Attribute) => Some((4, Array.emptyByteArray))
+      case _ => None
+    }
+    (p match {
+      case IsNull(_: Attribute) => Some((5, Array.emptyByteArray, false))
+      case Not(inner) => base(inner).map { case (op, n) => (op, n, true) }
+      case other => base(other).map { case (op, n) => (op, n, false) }
+    }).orNull
+  }
+
+  private val idTables = new Array[Array[Boolean]](k) // per-dict-id pass table
   private val nullPass = new Array[Boolean](k)
   private val idCols = new Array[Array[Int]](k)
   private val nullMasks = new Array[Array[Boolean]](k)
+  private val rowMasks = new Array[Array[Boolean]](k) // blob-direct per-row result
   private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
   /** Classify each conjunct for this batch: dict-id table when the
-    * column dict-encoded, row fallback otherwise. */
+    * column dict-encoded, blob-direct mask for literal string ops on a
+    * spilled column, row fallback otherwise. */
   def reset(b: org.apache.spark.sql.vectorized.ColumnarBatch): Unit = {
     batch = b
+    val n = b.numRows()
     var i = 0
     while (i < k) {
       idTables(i) = null
+      rowMasks(i) = null
       b.column(ordinals(i)) match {
         case g: GraftColumnVector => g.store match {
           case d: GraftCacheSerializer.DictStore =>
@@ -60,6 +103,8 @@ final class DictSelection(
             idTables(i) = ok
             idCols(i) = d.ids
             nullMasks(i) = d.nulls
+          case bs: GraftCacheSerializer.BlobStore if blobOps(i) != null =>
+            rowMasks(i) = DictSelection.blobMask(bs, n, blobOps(i))
           case _ =>
         }
         case _ =>
@@ -72,14 +117,113 @@ final class DictSelection(
     var pass = true
     var i = 0
     while (pass && i < k) {
-      val tbl = idTables(i)
-      if (tbl != null) {
-        val nm = nullMasks(i)
-        pass = if (nm != null && nm(r)) nullPass(i) else tbl(idCols(i)(r))
-      } else pass = fallback(i).eval(batch.getRow(r))
+      val mask = rowMasks(i)
+      if (mask != null) pass = mask(r)
+      else {
+        val tbl = idTables(i)
+        if (tbl != null) {
+          val nm = nullMasks(i)
+          pass = if (nm != null && nm(r)) nullPass(i) else tbl(idCols(i)(r))
+        } else pass = fallback(i).eval(batch.getRow(r))
+      }
       i += 1
     }
     pass
+  }
+}
+
+object DictSelection {
+  import GraftCacheSerializer.BlobStore
+
+  /** Per-row result of a literal string op over the dense blob layout.
+    * NULL rows are false regardless of negation (SQL: NULL predicate
+    * never passes a filter).
+    */
+  private[graft] def blobMask(bs: BlobStore, n: Int,
+      op: (Int, Array[Byte], Boolean)): Array[Boolean] = {
+    val (kind, needle, negated) = op
+    val (blob, offsets, nulls) = (bs.blob, bs.offsets, bs.nulls)
+    val mask = new Array[Boolean](n)
+    val len = needle.length
+    kind match {
+      case 0 if len == 0 => // contains('') is true for every non-null row
+        var r = 0
+        while (r < n) { mask(r) = true; r += 1 }
+      case 0 =>
+        // single pass over the contiguous blob; running row pointer maps
+        // hit positions to rows, a matched row is skipped past entirely
+        var r = 0
+        var p = 0
+        val last = blob.length - len
+        val b0 = needle(0)
+        while (p <= last) {
+          if (blob(p) == b0) {
+            var j = 1
+            while (j < len && blob(p + j) == needle(j)) j += 1
+            if (j == len) {
+              while (offsets(r + 1) <= p) r += 1
+              if (p + len <= offsets(r + 1)) { mask(r) = true; p = offsets(r + 1) - 1 }
+              // else: the hit crosses the row end; any fitting hit in
+              // row r would have started earlier — move on
+            }
+          }
+          p += 1
+        }
+      case 1 => // startswith
+        var r = 0
+        while (r < n) {
+          val s = offsets(r)
+          if (offsets(r + 1) - s >= len) {
+            var j = 0
+            while (j < len && blob(s + j) == needle(j)) j += 1
+            mask(r) = j == len
+          }
+          r += 1
+        }
+      case 2 => // endswith
+        var r = 0
+        while (r < n) {
+          val e = offsets(r + 1)
+          if (e - offsets(r) >= len) {
+            val s = e - len
+            var j = 0
+            while (j < len && blob(s + j) == needle(j)) j += 1
+            mask(r) = j == len
+          }
+          r += 1
+        }
+      case 4 => // isnotnull: true everywhere, the null pass below clears
+        var r = 0
+        while (r < n) { mask(r) = true; r += 1 }
+      case 5 => // isnull: ONLY null rows pass — returns directly (the
+        // shared null-clearing pass below must not apply)
+        if (nulls != null) {
+          var r = 0
+          while (r < n) { mask(r) = nulls(r); r += 1 }
+        }
+        return mask
+      case 3 => // equals
+        var r = 0
+        while (r < n) {
+          val s = offsets(r)
+          if (offsets(r + 1) - s == len) {
+            var j = 0
+            while (j < len && blob(s + j) == needle(j)) j += 1
+            mask(r) = j == len
+          }
+          r += 1
+        }
+    }
+    if (negated) {
+      var r = 0
+      while (r < n) { mask(r) = !mask(r); r += 1 }
+    }
+    // NULL rows never pass, negated or not
+    if (nulls != null) {
+      var r = 0
+      while (r < n) { if (nulls(r)) mask(r) = false; r += 1 }
+    }
+    mask
   }
 }
 
