@@ -1519,7 +1519,138 @@ object TpcdsShapes {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal BETWEEN 1000 AND 5000
-        |GROUP BY n_name ORDER BY n_name""".stripMargin))
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // q28.sql: six-bucket profile — independent single-row aggregate
+    // subqueries over disjoint value bands (avg + count + count DISTINCT
+    // each), cross-joined into one report row
+    ("qds_bucketed_distinct_profile", Seq("lineitem"),
+      """SELECT round(b1.a, 4) AS a1, b1.n AS n1, b1.nd AS nd1,
+        |       round(b2.a, 4) AS a2, b2.n AS n2, b2.nd AS nd2,
+        |       round(b3.a, 4) AS a3, b3.n AS n3, b3.nd AS nd3
+        |FROM
+        | (SELECT avg(l_extendedprice) AS a, count(*) AS n,
+        |         count(DISTINCT l_partkey) AS nd
+        |  FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) b1,
+        | (SELECT avg(l_extendedprice) AS a, count(*) AS n,
+        |         count(DISTINCT l_partkey) AS nd
+        |  FROM lineitem WHERE l_quantity BETWEEN 11 AND 25) b2,
+        | (SELECT avg(l_extendedprice) AS a, count(*) AS n,
+        |         count(DISTINCT l_partkey) AS nd
+        |  FROM lineitem WHERE l_quantity BETWEEN 26 AND 50) b3""".stripMargin),
+
+    // q19.sql: OR of conjunctive arms constraining BOTH the dimension
+    // and the fact in each arm (brand × quantity band pairs)
+    ("qds_multi_or_bands_join", Seq("lineitem", "part"),
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |       count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_size BETWEEN 6 AND 15 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_size BETWEEN 16 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    // q29.sql/q25.sql: three-phase movement chain — sold, returned, and
+    // open quantities per item from three filtered slices of the same
+    // fact, inner-joined (items present in all three)
+    ("qds_three_phase_chain", Seq("lineitem"),
+      """WITH sold AS (
+        |  SELECT l_partkey AS item, sum(l_quantity) AS q FROM lineitem
+        |  WHERE l_returnflag = 'N' GROUP BY l_partkey),
+        |returned AS (
+        |  SELECT l_partkey AS item, sum(l_quantity) AS q FROM lineitem
+        |  WHERE l_returnflag = 'R' GROUP BY l_partkey),
+        |open_ AS (
+        |  SELECT l_partkey AS item, sum(l_quantity) AS q FROM lineitem
+        |  WHERE l_linestatus = 'O' GROUP BY l_partkey)
+        |SELECT s.item AS item, CAST(s.q AS INT) AS sold_q,
+        |       CAST(r.q AS INT) AS ret_q, CAST(o.q AS INT) AS open_q
+        |FROM sold s JOIN returned r ON s.item = r.item
+        |JOIN open_ o ON s.item = o.item
+        |ORDER BY item LIMIT 100""".stripMargin),
+
+    // q41.sql: correlated count over the DIMENSION itself — parts whose
+    // brand carries at least 4 distinct types
+    ("qds_dim_self_count", Seq("part"),
+      """SELECT DISTINCT p_name AS name
+        |FROM part p1
+        |WHERE p_retailprice BETWEEN 900 AND 1100
+        |  AND (SELECT count(DISTINCT p2.p_type) FROM part p2
+        |       WHERE p2.p_brand = p1.p_brand) >= 4
+        |ORDER BY name LIMIT 100""".stripMargin),
+
+    // q46.sql/q79.sql: consecutive-order attribute change per customer —
+    // lag window over the order stream, changes counted per segment
+    ("qds_order_pair_change", Seq("orders", "customer"),
+      """WITH seq AS (
+        |  SELECT c_mktsegment AS seg, o_custkey,
+        |         o_orderpriority AS prio,
+        |         lag(o_orderpriority) OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev_prio
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT seg,
+        |  CAST(sum(CASE WHEN prev_prio IS NOT NULL AND prio <> prev_prio
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+        |  CAST(sum(CASE WHEN prev_prio IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS pairs
+        |FROM seq GROUP BY seg ORDER BY seg""".stripMargin),
+
+    // q91.sql: returns-loss report over two dimensions with a HAVING
+    // loss threshold
+    ("qds_returns_loss_report", Seq("lineitem", "orders", "customer", "nation"),
+      """SELECT n_name, c_mktsegment AS seg,
+        |       round(sum(l_extendedprice), 2) AS loss, count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY n_name, c_mktsegment
+        |HAVING sum(l_extendedprice) > 100000
+        |ORDER BY n_name, seg""".stripMargin),
+
+    // q96.sql: narrow selective count through a dimension chain
+    ("qds_narrow_count", Seq("orders", "customer", "nation"),
+      """SELECT count(*) AS n
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND n_regionkey = 1""".stripMargin),
+
+    // q18.sql: multi-measure average profile under ROLLUP with numeric
+    // casts (the DS "catalog purchase profile" report)
+    ("qds_avg_profile_rollup", Seq("lineitem", "orders", "customer"),
+      """SELECT c_mktsegment AS seg, l_returnflag AS rf,
+        |  CAST(grouping(c_mktsegment) + grouping(l_returnflag) AS INT) AS lvl,
+        |  round(avg(CAST(l_quantity AS DOUBLE)), 4) AS aq,
+        |  round(avg(CAST(l_extendedprice AS DOUBLE)), 4) AS ap,
+        |  round(avg(CAST(l_discount AS DOUBLE)), 6) AS ad,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, l_returnflag)
+        |ORDER BY lvl, seg NULLS FIRST, rf NULLS FIRST""".stripMargin),
+
+    // q56.sql/q60.sql: cross-channel item report — three channel CTEs of
+    // per-item revenue UNION ALL'd, re-summed, top-N by total
+    ("qds_union_topn_items", Seq("lineitem"),
+      """WITH c1 AS (
+        |  SELECT l_partkey AS item, sum(l_extendedprice) AS rev
+        |  FROM lineitem WHERE l_linenumber = 1 GROUP BY l_partkey),
+        |c2 AS (
+        |  SELECT l_partkey AS item, sum(l_extendedprice) AS rev
+        |  FROM lineitem WHERE l_linenumber = 2 GROUP BY l_partkey),
+        |c3 AS (
+        |  SELECT l_partkey AS item, sum(l_extendedprice) AS rev
+        |  FROM lineitem WHERE l_linenumber >= 3 GROUP BY l_partkey)
+        |SELECT item, round(sum(rev), 2) AS total
+        |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |      UNION ALL SELECT * FROM c3) u
+        |GROUP BY item
+        |ORDER BY total DESC, item LIMIT 100""".stripMargin))
 
   val queries: Map[String, Q.Fn] =
     (q ++ q2 ++ q3).map { case (name, tables, sql) => name -> Q.sharedSql(tables, sql)._1 }.toMap ++
