@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Interleaved A/B of the dict/blob cache filter (dev only): alternates
+  * rules.DictFilterScan on/off within one JVM over the filter-heavy OLAP
+  * shapes, so VM phase drift cancels; reports per-query medians.
+  */
+object BenchABDict {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.tune(SparkSession.builder()
+        .master("local[32]")
+        .config("spark.ui.enabled", "false"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.cacheMode = true
+    val probe = spark.sparkContext.parallelize(1 to 32, 32)
+    (1 to 120).foreach(_ => probe.count())
+
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val df = fn(spark, sfDir)
+      df.queryExecution.executedPlan
+      val t0 = System.nanoTime()
+      df.collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("cb_filter_multi_agg", "cb_regex_key", "cb_like_count",
+        "cb_like_group_min", "cb_like_distinct")
+    names.foreach { name =>
+      val fn = queries.OlapShapes.queries(name)
+      graft.rules.DictFilterScan.enabled = true
+      (1 to 3).foreach(_ => timed(fn))
+      graft.rules.DictFilterScan.enabled = false
+      (1 to 3).foreach(_ => timed(fn))
+      val a = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to 9).foreach { _ =>
+        graft.rules.DictFilterScan.enabled = true
+        a += timed(fn)
+        graft.rules.DictFilterScan.enabled = false
+        b += timed(fn)
+      }
+      val am = a.sorted.apply(a.length / 2); val bm = b.sorted.apply(b.length / 2)
+      println(f"$name%-24s dict=${am}%7.1f ms  off=${bm}%7.1f ms  (${am / bm}%.2fx)")
+    }
+    graft.rules.DictFilterScan.enabled = true
+    spark.stop()
+  }
+}
