@@ -1655,7 +1655,133 @@ object SltSlice {
     // repeat with zero/negative counts is empty in both engines
     "slt_repeat_edges" ->
       """SELECT repeat('ab', 0) AS r0, repeat('ab', 3) AS r3,
-        | repeat('', 5) AS rempty, length(repeat('xy', 4)) AS rlen""".stripMargin
+        | repeat('', 5) AS rempty, length(repeat('xy', 4)) AS rlen""".stripMargin,
+
+    // -------------------------------------- round-8b join/cte widening
+    // test/sql/join/inner/test_join_is_distinct.test: IS DISTINCT FROM as
+    // a secondary join predicate — unlike '!=', a (NULL, 1) pair MATCHES
+    "slt_join_is_distinct_pred" ->
+      """WITH t(k, v) AS (
+        |  SELECT 1, 0 UNION ALL SELECT 1, 1 UNION ALL SELECT 1, CAST(NULL AS INT))
+        |SELECT x.v AS xv, y.v AS yv, 'd' AS op
+        |FROM t x JOIN t y ON x.k = y.k AND x.v IS DISTINCT FROM y.v
+        |UNION ALL
+        |SELECT x.v AS xv, y.v AS yv, 'n' AS op
+        |FROM t x JOIN t y ON x.k = y.k AND x.v <> y.v
+        |ORDER BY op, xv NULLS FIRST, yv NULLS FIRST""".stripMargin,
+
+    // test/sql/join/test_join_on_aggregates.test: joining two grouped
+    // aggregate subqueries on an aggregate output; the NULL-holding group
+    // still joins (sum skips NULLs, the key itself is non-NULL)
+    "slt_join_on_aggregates" ->
+      """WITH g(i, j) AS (
+        |  SELECT 1, 1 UNION ALL SELECT 2, 1 UNION ALL SELECT 3, 2
+        |  UNION ALL SELECT CAST(NULL AS INT), 2)
+        |SELECT a.j AS j, CAST(a.x AS BIGINT) AS x, a.y AS ay, b.y AS yb
+        |FROM (SELECT j, min(i) AS y, sum(i) AS x FROM g GROUP BY j) a
+        |JOIN (SELECT j, min(i) AS y, sum(i) AS x FROM g GROUP BY j) b
+        |  ON a.j = b.j AND a.x = b.x
+        |ORDER BY j""".stripMargin,
+
+    // test/sql/join/full_outer/test_full_outer_join_inequality.test:
+    // FULL OUTER on '<>' — a self-equal pair danglings BOTH sides; an
+    // empty right side still emits every left row null-padded
+    "slt_join_full_inequality" ->
+      """WITH l(i, j) AS (SELECT 1, 1 UNION ALL SELECT 2, 2),
+        |r(k, m) AS (SELECT 1, 10)
+        |SELECT i, j, k, m FROM l FULL OUTER JOIN r ON l.i <> r.k
+        |UNION ALL
+        |SELECT i, j, k, m
+        |FROM l FULL OUTER JOIN (SELECT * FROM r WHERE 1 = 0) r2(k, m)
+        |  ON l.i <> r2.k
+        |ORDER BY i NULLS FIRST, j NULLS FIRST, k NULLS FIRST, m NULLS FIRST""".stripMargin,
+
+    // test/sql/join/inner/test_unequal_join_duplicates.test: duplicate
+    // values on both sides of a '<' join multiply pairwise
+    "slt_join_lt_duplicates" ->
+      """WITH l(a) AS (SELECT 1 UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |r(b) AS (SELECT 2 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT a, b, count(*) AS n
+        |FROM l JOIN r ON l.a < r.b
+        |GROUP BY a, b ORDER BY a, b""".stripMargin,
+
+    // test/sql/join/test_complex_join_expr.test: join keys that are
+    // expressions over each side (arithmetic + abs), not bare columns
+    "slt_join_expr_keys" ->
+      """WITH l(a) AS (SELECT 1 UNION ALL SELECT -2 UNION ALL SELECT 3),
+        |r(b) AS (SELECT 4 UNION ALL SELECT 2 UNION ALL SELECT 8)
+        |SELECT a, b FROM l JOIN r ON abs(l.a) * 2 = r.b
+        |ORDER BY a, b""".stripMargin,
+
+    // test/sql/join/inner/test_eq_ineq_join.test: one equality plus one
+    // inequality predicate — the hash join keeps the equality, the
+    // residual filters; NULLs in the inequality column never match
+    "slt_join_eq_ineq" ->
+      """WITH l(k, v) AS (
+        |  SELECT 1, 10 UNION ALL SELECT 1, 20 UNION ALL SELECT 2, CAST(NULL AS INT)),
+        |r(k, w) AS (
+        |  SELECT 1, 15 UNION ALL SELECT 1, 5 UNION ALL SELECT 2, 100)
+        |SELECT l.k AS k, l.v AS v, r.w AS w
+        |FROM l JOIN r ON l.k = r.k AND l.v > r.w
+        |ORDER BY k, v, w""".stripMargin,
+
+    // test/sql/join/inner/test_varchar_join.test: string keys are
+    // case-sensitive and the empty string is a real key distinct from NULL
+    "slt_join_varchar_keys" ->
+      """WITH l(k, lv) AS (
+        |  SELECT 'a', 1 UNION ALL SELECT 'A', 2 UNION ALL SELECT '', 3
+        |  UNION ALL SELECT CAST(NULL AS STRING), 4),
+        |r(k, rv) AS (
+        |  SELECT 'a', 10 UNION ALL SELECT '', 30 UNION ALL SELECT CAST(NULL AS STRING), 40)
+        |SELECT l.lv AS lv, r.rv AS rv
+        |FROM l JOIN r ON l.k = r.k
+        |ORDER BY lv""".stripMargin,
+
+    // test/sql/join/left_outer/test_left_join_on_true.test: LEFT JOIN ON
+    // TRUE multiplies by every right row; an empty right side null-pads
+    "slt_join_left_on_true" ->
+      """WITH l(a) AS (SELECT 1 UNION ALL SELECT 2),
+        |r(b) AS (SELECT 10 UNION ALL SELECT 20),
+        |e(b) AS (SELECT CAST(NULL AS INT) WHERE 1 = 0)
+        |SELECT a, b, 'full' AS src FROM l LEFT JOIN r ON true
+        |UNION ALL
+        |SELECT a, b, 'empty' AS src FROM l LEFT JOIN e ON true
+        |ORDER BY src, a, b NULLS FIRST""".stripMargin,
+
+    // test/sql/join/right_outer/right_join_complex_null.test: RIGHT JOIN
+    // preserves unmatched right rows incl. a NULL-keyed one
+    "slt_join_null_keys_right" ->
+      """WITH l(k, lv) AS (SELECT 1, 'l1'),
+        |r(k, rv) AS (
+        |  SELECT 1, 'r1' UNION ALL SELECT CAST(NULL AS INT), 'rn'
+        |  UNION ALL SELECT 2, 'r2')
+        |SELECT l.lv AS lv, r.k AS rk, r.rv AS rv
+        |FROM l RIGHT JOIN r ON l.k = r.k
+        |ORDER BY rk NULLS FIRST, rv""".stripMargin,
+
+    // test/sql/cte/test_cte_in_cte.test: a WITH nested inside a CTE
+    // definition, plus a CTE consumed by a later CTE and by the outer query
+    "slt_cte_in_cte" ->
+      """WITH cte1 AS (WITH b AS (SELECT 42 AS j) SELECT j FROM b),
+        |cte2 AS (WITH c AS (SELECT ref.j + 1 AS k FROM cte1 AS ref) SELECT k FROM c)
+        |SELECT cte1.j AS j, cte2.k AS k FROM cte1, cte2""".stripMargin,
+
+    // test/sql/cte/test_cte_in_cte.test: the same CTE referenced from a
+    // derived table AND from a scalar-subquery expression in one query
+    "slt_cte_subquery_refs" ->
+      """WITH cte1 AS (SELECT 40 AS j UNION ALL SELECT 42)
+        |SELECT f.j AS j
+        |FROM (SELECT max(j) AS j FROM cte1) f
+        |WHERE f.j = (SELECT max(j) FROM cte1)""".stripMargin,
+
+    // test/sql/cte/test_cte.test: one CTE feeding both branches of a
+    // UNION ALL and both sides of a self-join
+    "slt_cte_multi_consumer" ->
+      """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM (
+        |  SELECT a.v AS v FROM t a JOIN t b ON a.v = b.v
+        |  UNION ALL
+        |  SELECT v FROM t WHERE v > 1) u""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
