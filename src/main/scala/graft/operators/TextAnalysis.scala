@@ -73,6 +73,61 @@ object TextAnalysis {
       best.getField("score").cast("long").as("votes"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1), the
+    * standard pre-training repetition filters: the fraction of word
+    * instances that are repeats, and for word 2-grams the duplicated
+    * coverage (instances of grams occurring more than once), the
+    * beyond-first repeat fraction, and the most-frequent-gram share.
+    *
+    * Everything is computed INSIDE the row from sorted-array adjacency —
+    * no explode, no per-gram shuffle — so at 100 TB this is a pure map
+    * stage: repeats = instances − distinct falls out of one
+    * `array_sort` + neighbour-equality pass, coverage marks elements
+    * equal to either neighbour, and the top-gram share is the longest
+    * equal run via `aggregate` carrying (run, best, prev) struct state.
+    * Words here are whitespace tokens; docs under 2 words report zero
+    * fractions. (Sort order: Spark compares java Strings (UTF-16 units),
+    * DuckDB bytes — identical verdicts for any choice of order since
+    * only equality of neighbours is consumed.)
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+    val nW = size(words)
+    val grams = transform(sequence(lit(1), nW - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    val sorted = array_sort(grams)
+    val g = size(sorted)
+    // eqf(i) = 1 iff sorted(i) == sorted(i+1); length g-1
+    val eqf = zip_with(slice(sorted, lit(1), g - 1), slice(sorted, lit(2), g - 1),
+      (a, b) => when(a === b, 1).otherwise(0))
+    val repeats = aggregate(eqf, lit(0), (acc, x) => acc + x)
+    // an instance is "covered" if equal to either sorted neighbour
+    val covered = aggregate(
+      zip_with(concat(array(lit(0)), eqf), concat(eqf, array(lit(0))),
+        (p, n) => greatest(p, n)),
+      lit(0), (acc, x) => acc + x)
+    val topRun = aggregate(sorted,
+      struct(lit(0).as("run"), lit(0).as("best"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(1)
+        struct(run.as("run"),
+          greatest(acc.getField("best"), run).as("best"), x.as("prev"))
+      },
+      acc => acc.getField("best"))
+    val gd = g.cast("double")
+    def frac(c: Column): Column =
+      when(g > 0, round(c.cast("double") / gd, 6)).otherwise(lit(0.0))
+    df.select(col(idCol),
+      nW.cast("long").as("n_words"),
+      when(nW > 0, round((nW - size(array_distinct(words))).cast("double") /
+        nW.cast("double"), 6)).otherwise(lit(0.0)).as("rep_word_frac"),
+      frac(covered).as("dup_2gram_frac"),
+      frac(repeats).as("rep_2gram_frac"),
+      frac(topRun).as("top_2gram_frac"))
+  }
+
   /** Content fingerprints: an exact normalized-content key plus a min-hash
     * over word 3-gram shingles (stable under small edits).
     */

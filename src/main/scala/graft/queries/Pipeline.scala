@@ -206,6 +206,13 @@ object Pipeline {
         .orderBy(col("doc_id")).limit(200)
     },
 
+    // Gopher-style repetition filters — per-row array computation, no
+    // explode/shuffle; the oracle recomputes via grouped unnest
+    "text_repetition" -> { (s, d) =>
+      TextAnalysis.repetition(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")).limit(200)
+    },
+
     // typed Dataset mapPartitions path (stubbed decode) — the oracle
     // checks the byte-level outputs computed inside the partition mapper
     "mm_binary_features" -> { (s, d) =>
@@ -351,6 +358,31 @@ object Pipeline {
         |         i -> array_to_string(w[i+1:i+3], ' ')) AS sh
         |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) x) t
         |ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
+        |           i -> w[i-1] || ' ' || w[i])) AS gram
+        |  FROM d WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+        |r AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6)
+        |      AS dup_2gram_frac,
+        |    round(CAST(sum(n - 1) AS DOUBLE) / sum(n), 6) AS rep_2gram_frac,
+        |    round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_2gram_frac
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+        |  round(CAST(len(d.w) - len(list_distinct(d.w)) AS DOUBLE) / len(d.w), 6)
+        |    AS rep_word_frac,
+        |  coalesce(r.dup_2gram_frac, 0.0) AS dup_2gram_frac,
+        |  coalesce(r.rep_2gram_frac, 0.0) AS rep_2gram_frac,
+        |  coalesce(r.top_2gram_frac, 0.0) AS top_2gram_frac
+        |FROM d LEFT JOIN r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id LIMIT 200""".stripMargin,
 
     "mm_binary_features" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -12,6 +12,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * value is equal. Every shape that returns an integer aggregate must wrap
   * it as `CAST(sum(...) AS BIGINT)` (or `CAST(... AS INT)` / `round(...)`)
   * on BOTH dialect sides.
+  *
+  * SECOND CONVENTION — beware `round(sum(double), 2)` boundary values. A
+  * double sum's last ulp depends on accumulation order, and the engines'
+  * round() implementations differ exactly at a .005 representation
+  * boundary (observed: 60066.165 → 60066.16 in Spark, 60066.17 in
+  * DuckDB on qds_quarter_deviation). When a query feeds a money sum into
+  * round(), sum exact integer cents instead —
+  * `CAST(sum(CAST(round(x * 100) AS BIGINT)) AS BIGINT)` — or round to 1
+  * decimal if the shape tolerates it. round(sum(..), 2) stays acceptable
+  * for sums later divided/averaged across many rows (boundary collisions
+  * there are measure-zero and caught by the per-round gate).
   */
 object Q {
   type Fn = (SparkSession, String) => DataFrame

@@ -1457,18 +1457,21 @@ object TpcdsShapes {
     // q53.sql/q63.sql: quarterly deviation screen — per-item quarterly
     // revenue vs its avg-over-year window, keeping quarters that deviate
     // more than 60%
+    // Money is summed as exact integer cents: a double sum's last ulp is
+    // accumulation-order-dependent, and round(x, 2) right at a .005
+    // boundary then diverges between engines (observed: 60066.165)
     ("qds_quarter_deviation", Seq("lineitem"),
       """WITH qrev AS (
         |  SELECT l_partkey AS item,
         |         CAST(EXTRACT(QUARTER FROM l_shipdate) AS INT) AS qtr,
-        |         sum(l_extendedprice) AS rev
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
         |  FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
         |  GROUP BY 1, 2)
-        |SELECT item, qtr, round(rev, 2) AS rev, round(avg_rev, 2) AS avg_rev
-        |FROM (SELECT item, qtr, rev,
-        |             avg(rev) OVER (PARTITION BY item) AS avg_rev
+        |SELECT item, qtr, rev_c, CAST(round(avg_c) AS BIGINT) AS avg_rev_c
+        |FROM (SELECT item, qtr, rev_c,
+        |             avg(rev_c) OVER (PARTITION BY item) AS avg_c
         |      FROM qrev) t
-        |WHERE abs(rev - avg_rev) / avg_rev > 0.6
+        |WHERE abs(rev_c - avg_c) / avg_c > 0.6
         |ORDER BY item, qtr LIMIT 100""".stripMargin),
 
     // q12.sql/q20.sql/q98.sql: revenue share within class — per-item
