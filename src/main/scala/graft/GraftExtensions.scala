@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
     e.injectOptimizerRule(_ => graft.rules.FuseSingleDistinct)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
+    // after FastUtcDateTrunc: proves calendar-bucket group-bys
+    // low-cardinality from column day-range stats and routes
+    // ORDER BY-over-aggregate into the single-job driver-finalized plan
+    e.injectOptimizerRule(_ => graft.rules.BoundedKeyDriverAgg)
     e.injectOptimizerRule(_ => graft.rules.FastRegexpExtract)
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
     // after RadixShuffleAgg: matches the radix pair it emits

@@ -185,7 +185,53 @@ object Tables {
         .getOrElse(math.max(4, spark.sparkContext.defaultParallelism / 4))
       // floor of 4 keeps compute-heavy small tables (regex-heavy document
       // scans) parallel; cap of `base` keeps task dispatch amortized
-      val rows = df.count()
+      // One stats pass replaces the former bare count(): row count plus
+      // per-date/timestamp-column day ranges, attached as graft.minDay/
+      // graft.maxDay column metadata — the zone-map/catalog statistics a
+      // warehouse table carries, consumed by
+      // [[graft.rules.BoundedKeyDriverAgg]] to prove calendar-bucket
+      // group-bys low-cardinality. Same single scan, same cost.
+      val dateCols = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.DateType ||
+          f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+      }.toSeq
+      // NDV sketches for the group-key-shaped columns (strings and
+      // narrow ints): an approx distinct count per column, one HLL each,
+      // same scan. rsd 0.02 + the ×1.1+64 slack below keeps the recorded
+      // value an upper BOUND with overwhelming probability — and the
+      // consumer's runtime valve (DriverAgg maxGroups) makes a bound
+      // violation cost one aborted scan, never a wrong answer.
+      val ndvCols = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType ||
+          f.dataType == org.apache.spark.sql.types.ByteType => f.name
+      }.toSeq
+      val statsRow = {
+        import org.apache.spark.sql.functions.{approx_count_distinct, count, lit, max, min, unix_date}
+        df.select((count(lit(1)) +: dateCols.flatMap(n => Seq(
+          min(unix_date(org.apache.spark.sql.functions.col(n)
+            .cast(org.apache.spark.sql.types.DateType))),
+          max(unix_date(org.apache.spark.sql.functions.col(n)
+            .cast(org.apache.spark.sql.types.DateType)))))) ++
+          ndvCols.map(n => approx_count_distinct(
+            org.apache.spark.sql.functions.col(n), 0.02)): _*).head()
+      }
+      val rows = statsRow.getLong(0)
+      val ndvBase = 1 + 2 * dateCols.length
+      val withDates = dateCols.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+        if (statsRow.isNullAt(1 + 2 * i)) d
+        else d.withMetadata(n, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.minDay", statsRow.getInt(1 + 2 * i).toLong)
+          .putLong("graft.maxDay", statsRow.getInt(2 + 2 * i).toLong)
+          .build())
+      }
+      val df0 = ndvCols.zipWithIndex.foldLeft(withDates) { case (d, (n, i)) =>
+        val ndv = statsRow.getLong(ndvBase + i)
+        d.withMetadata(n, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.ndvBound", (ndv * 1.1).toLong + 64L).build())
+      }
       val want = (rows / 40000L).toInt + 1
       // an EXPLICIT cacheParts override wins in both regimes (dev A/B knob)
       val parts = cacheParts.map(p => math.max(1, math.min(p, want))).getOrElse {
@@ -213,11 +259,11 @@ object Tables {
         // this size the exchange costs more than parallelism buys; past
         // the threshold the hash-clustered layout below takes over.
         case Some((_, sk)) if rows <= singlePartMaxRows =>
-          df.coalesce(1).sortWithinPartitions(sk.map(col): _*).cache()
+          df0.coalesce(1).sortWithinPartitions(sk.map(col): _*).cache()
         case Some((pk, sk)) =>
-          df.repartition(parts, pk.map(col): _*)
+          df0.repartition(parts, pk.map(col): _*)
             .sortWithinPartitions(sk.map(col): _*).cache()
-        case None => df.repartition(parts).cache()
+        case None => df0.repartition(parts).cache()
       }
       c.count() // materialize
       // serve queries a DataFrame whose plan IS the InMemoryRelation:

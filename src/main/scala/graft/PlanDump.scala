@@ -15,6 +15,8 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_CACHE=1: plan against the warm clustered cache (bench state)
+    if (sys.env.get("GRAFT_CACHE").contains("1")) Tables.cacheMode = true
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val df = fn(spark, sfDir)

@@ -52,6 +52,15 @@ object DriverAgg {
     */
   final class GroupCardinalityExceeded(msg: String) extends RuntimeException(msg)
 
+  /** True while the valve fallback re-plans its retained shuffled plan.
+    * [[graft.rules.BoundedKeyDriverAgg]] checks it: re-routing the
+    * fallback into another driver agg (same stats, same wrong proof)
+    * would recurse forever.
+    */
+  private[graft] val replanning = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   /** Per-aggregate accumulator layout. `li`/`di`/`fi` index into the
     * long/double/flag state arrays; `in` indexes the value projection.
     */
@@ -203,6 +212,23 @@ object DriverAgg {
   final case class LongKeyPart(ord: Int, intWidth: Boolean, dt: DataType) extends ColKeyPart
   final case class TruncKeyPart(ord: Int, unit: Long) extends ColKeyPart
   final case class StringKeyPart(ord: Int) extends ColKeyPart
+  /** Calendar (non-fixed-width) trunc of a micros column via the codegen
+    * kernels; `asDate` additionally floors micros → epoch days (the
+    * `CAST(date_trunc(..) AS DATE)` histogram shape).
+    */
+  final case class CalendarKeyPart(ord: Int, kernel: String, asDate: Boolean)
+      extends ColKeyPart {
+    @transient private lazy val fn: Long => Long = kernel match {
+      case "truncWeek" => graft.functions.DateTruncKernel.truncWeek
+      case "truncMonth" => graft.functions.DateTruncKernel.truncMonth
+      case "truncQuarter" => graft.functions.DateTruncKernel.truncQuarter
+      case "truncYear" => graft.functions.DateTruncKernel.truncYear
+    }
+    def eval(us: Long): Long = {
+      val t = fn(us)
+      if (asDate) Math.floorDiv(t, 86400000000L) else t
+    }
+  }
 
   /** Columnar-translatable group keys: direct int/long/date/timestamp or
     * string attributes, or the FastUtcDateTrunc arithmetic shape
@@ -213,6 +239,16 @@ object DriverAgg {
       childOut: Seq[Attribute]): Option[Seq[ColKeyPart]] = {
     if (groupExprs.isEmpty || groupExprs.length > 2) return None
     def ordOf(a: Attribute): Int = childOut.indexWhere(_.exprId == a.exprId)
+    // the micros source of a calendar trunc: a timestamp column, or an
+    // NTZ column through the UTC reinterpret (both store micros longs in
+    // the column vector)
+    def calSrcAttr(src: Expression): Option[AttributeReference] = src match {
+      case a: AttributeReference
+          if a.dataType == TimestampType || a.dataType == TimestampNTZType => Some(a)
+      case graft.functions.UtcNtzReinterpret(a: AttributeReference)
+          if a.dataType == TimestampNTZType => Some(a)
+      case _ => None
+    }
     val parts: Seq[Option[ColKeyPart]] = groupExprs.map { g =>
       val e = g match { case a: Alias => a.child; case x => x }
       e match {
@@ -224,6 +260,12 @@ object DriverAgg {
           case StringType => Some(StringKeyPart(ordOf(a)))
           case _ => None
         }
+        case graft.functions.UtcMicrosToDate(graft.functions.UtcCalendarTrunc(src, k)) =>
+          calSrcAttr(src).filter(a => ordOf(a) >= 0)
+            .map(a => CalendarKeyPart(ordOf(a), k, asDate = true))
+        case graft.functions.UtcCalendarTrunc(src, k) =>
+          calSrcAttr(src).filter(a => ordOf(a) >= 0)
+            .map(a => CalendarKeyPart(ordOf(a), k, asDate = false))
         case MicrosToTimestamp(sub: Subtract) => (sub.left, sub.right) match {
           case (UnixMicros(a: AttributeReference), p: Pmod) =>
             (p.left, p.right) match {
@@ -302,6 +344,42 @@ object DriverAgg {
       case other => throw new IllegalArgumentException(
         s"DriverAgg.lowCard needs a bare groupBy().agg() plan, got ${other.nodeName}")
     }
+    // let the ANALYZER resolve the sort columns against the aggregate's
+    // output (Spark 4 Columns are lazy ColumnNodes — manual resolution
+    // would re-implement the analyzer); the analyzed Sort is thrown away,
+    // only its resolved SortOrder list is kept
+    val order: Seq[SortOrder] =
+      if (sortCols.isEmpty) Nil
+      else grouped.orderBy(sortCols: _*).queryExecution.analyzed match {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.order
+        case other => throw new IllegalArgumentException(
+          s"sort columns must resolve against the aggregate output alone, got ${other.nodeName}")
+      }
+
+    // the result-identical shuffled plan, retained verbatim: when the
+    // low-cardinality claim fails at runtime the exec re-plans THIS
+    // (fresh QueryExecution, ordinary partial→exchange→final aggregate)
+    // instead of dying
+    val fallbackDf = {
+      val sorted = if (sortCols.isEmpty) grouped else grouped.orderBy(sortCols: _*)
+      if (limit >= 0) sorted.limit(limit) else sorted
+    }
+
+    org.apache.spark.sql.graft.bridge.ofRows(spark,
+      fromAggregate(agg, order, limit, maxGroups,
+        fallbackDf.queryExecution.analyzed,
+        spark.sessionState.conf.ansiEnabled))
+  }
+
+  /** Plan-level core of [[lowCard]]: convert an analyzed/optimized bare
+    * Aggregate (plus a resolved total order and optional limit) into a
+    * [[DriverGroupAggPlan]]. Throws for any aggregate outside the slot
+    * surface (DISTINCT/FILTER/decimals/exotic functions) — callers that
+    * must not fail (the auto-routing rule) wrap in Try.
+    */
+  private[graft] def fromAggregate(agg: Aggregate, order: Seq[SortOrder],
+      limit: Int, maxGroups: Int, fallback: LogicalPlan,
+      ansi: Boolean): DriverGroupAggPlan = {
     val groupExprs = agg.groupingExpressions
     val resultExprs = agg.aggregateExpressions
     val out = resultExprs.map(_.toAttribute)
@@ -340,33 +418,9 @@ object DriverAgg {
       }
     }
 
-    // let the ANALYZER resolve the sort columns against the aggregate's
-    // output (Spark 4 Columns are lazy ColumnNodes — manual resolution
-    // would re-implement the analyzer); the analyzed Sort is thrown away,
-    // only its resolved SortOrder list is kept
-    val order: Seq[SortOrder] =
-      if (sortCols.isEmpty) Nil
-      else grouped.orderBy(sortCols: _*).queryExecution.analyzed match {
-        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.order
-        case other => throw new IllegalArgumentException(
-          s"sort columns must resolve against the aggregate output alone, got ${other.nodeName}")
-      }
-
-    // the result-identical shuffled plan, retained verbatim: when the
-    // low-cardinality claim fails at runtime the exec re-plans THIS
-    // (fresh QueryExecution, ordinary partial→exchange→final aggregate)
-    // instead of dying
-    val fallbackDf = {
-      val sorted = if (sortCols.isEmpty) grouped else grouped.orderBy(sortCols: _*)
-      if (limit >= 0) sorted.limit(limit) else sorted
-    }
-
-    org.apache.spark.sql.graft.bridge.ofRows(spark,
-      DriverGroupAggPlan(groupExprs, lay.inputs, lay.slots, lay.aggTypes,
-        finalExprs, order, limit, maxGroups,
-        lay.nL, lay.nD, lay.nF, agg.child, out,
-        fallbackDf.queryExecution.analyzed,
-        spark.sessionState.conf.ansiEnabled))
+    DriverGroupAggPlan(groupExprs, lay.inputs, lay.slots, lay.aggTypes,
+      finalExprs, order, limit, maxGroups,
+      lay.nL, lay.nD, lay.nF, agg.child, out, fallback, ansi)
   }
 }
 
@@ -515,6 +569,7 @@ final case class DriverGroupAggExec(
           case DriverAgg.LongKeyPart(_, false, _) => vec.getLong(r)
           case DriverAgg.TruncKeyPart(_, u) =>
             val m = vec.getLong(r); m - Math.floorMod(m, u)
+          case c: DriverAgg.CalendarKeyPart => c.eval(vec.getLong(r))
           case _: DriverAgg.StringKeyPart =>
             val s = vec.getUTF8String(r)
             val boxed = interns(ci).get(s)
@@ -647,6 +702,7 @@ final case class DriverGroupAggExec(
             if (isNull) null
             else partsSpec(ci) match {
               case DriverAgg.LongKeyPart(_, _, IntegerType | DateType) => kv.toInt
+              case DriverAgg.CalendarKeyPart(_, _, true) => kv.toInt
               case _: DriverAgg.StringKeyPart => internVals(ci)(kv.toInt)
               case _ => kv
             })
@@ -760,8 +816,10 @@ final case class DriverGroupAggExec(
       case t: Throwable if cardinalityExceeded(t) =>
         logWarning(s"DriverAgg maxGroups=$maxGroups exceeded; re-running the " +
           "retained shuffled aggregate plan")
-        org.apache.spark.sql.graft.bridge.ofRows(session, fallback)
+        DriverAgg.replanning.set(java.lang.Boolean.TRUE)
+        try org.apache.spark.sql.graft.bridge.ofRows(session, fallback)
           .queryExecution.executedPlan.executeCollect()
+        finally DriverAgg.replanning.set(java.lang.Boolean.FALSE)
     }
 
   override def executeCollect(): Array[InternalRow] = rowsWithFallback()
