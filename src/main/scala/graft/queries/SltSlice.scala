@@ -1781,7 +1781,87 @@ object SltSlice {
         |SELECT CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM (
         |  SELECT a.v AS v FROM t a JOIN t b ON a.v = b.v
         |  UNION ALL
-        |  SELECT v FROM t WHERE v > 1) u""".stripMargin
+        |  SELECT v FROM t WHERE v > 1) u""".stripMargin,
+
+    // ------------------------------------------ round-8c decimal slice
+    // (test/sql/types/decimal/, 22 files, previously one pin). Result
+    // types are always forced with CAST — the engines' arithmetic
+    // result-scale rules differ even where values agree. Known
+    // UNPINNABLE divergences (deliberately absent): decimal→int casts
+    // round in DuckDB but truncate in Spark; DuckDB renders 0<x<1
+    // decimals without the leading zero ('.5').
+    // test_decimal_from_string.test: exact string parse + half-up at the
+    // target scale (no double in the path)
+    "slt_dec_cast_string" ->
+      """SELECT CAST('1.005' AS DECIMAL(10,2)) AS up,
+        | CAST('-1.005' AS DECIMAL(10,2)) AS dn,
+        | CAST('  42.42  ' AS DECIMAL(10,2)) AS sp,
+        | CAST('0.00' AS DECIMAL(4,2)) AS z""".stripMargin,
+
+    // decimal_arithmetic.test: addition across scales and with integers
+    "slt_dec_add_scales" ->
+      """SELECT CAST(CAST('0.5' AS DECIMAL(1,1)) + CAST('100.0' AS DECIMAL(4,1))
+        |   AS DECIMAL(10,1)) AS s,
+        | CAST(CAST('0.54321' AS DECIMAL(6,5)) + 10000 AS DECIMAL(12,5)) AS t,
+        | CAST(CAST('0.5' AS DECIMAL(1,1)) + (-1) AS DECIMAL(10,1)) AS neg""".stripMargin,
+
+    // decimal multiplication: scale accumulates, sign carries
+    "slt_dec_mul_scales" ->
+      """SELECT CAST(CAST('1.25' AS DECIMAL(5,2)) * CAST('0.40' AS DECIMAL(5,2))
+        |   AS DECIMAL(10,4)) AS m,
+        | CAST(CAST('-1.5' AS DECIMAL(5,1)) * 3 AS DECIMAL(10,1)) AS n,
+        | CAST(CAST('0.1' AS DECIMAL(2,1)) * CAST('0.1' AS DECIMAL(2,1))
+        |   AS DECIMAL(6,2)) AS tiny""".stripMargin,
+
+    // decimal_try_cast.test: overflow → NULL under TRY_CAST, value fits →
+    // rounds to target scale
+    "slt_dec_try_overflow" ->
+      """SELECT TRY_CAST(1000 AS DECIMAL(3,0)) AS of1,
+        | TRY_CAST(100 AS DECIMAL(3,0)) AS ok1,
+        | TRY_CAST('12.345' AS DECIMAL(4,2)) AS rnd,
+        | TRY_CAST(CAST('99.99' AS DECIMAL(4,2)) AS DECIMAL(3,2)) AS of2""".stripMargin,
+
+    // decimal_aggregates.test: sum/avg/min/max over decimals, types forced
+    "slt_dec_agg_forced" ->
+      """WITH t(v) AS (
+        |  SELECT CAST('1.10' AS DECIMAL(6,2)) UNION ALL
+        |  SELECT CAST('2.05' AS DECIMAL(6,2)) UNION ALL
+        |  SELECT CAST('-0.15' AS DECIMAL(6,2)))
+        |SELECT CAST(sum(v) AS DECIMAL(12,2)) AS s,
+        | CAST(avg(v) AS DECIMAL(12,4)) AS a,
+        | CAST(min(v) AS DECIMAL(6,2)) AS mn, CAST(max(v) AS DECIMAL(6,2)) AS mx,
+        | count(v) AS n
+        |FROM t""".stripMargin,
+
+    // test_decimal_ops.test: comparisons across scales compare VALUES
+    // (1.10 = 1.1), mixed with integer literals
+    "slt_dec_compare_mixed" ->
+      """SELECT CAST('1.10' AS DECIMAL(5,2)) = CAST('1.1' AS DECIMAL(3,1)) AS eq,
+        | CAST('0.5' AS DECIMAL(1,1)) < 1 AS lt,
+        | CAST('2.50' AS DECIMAL(5,2))
+        |   BETWEEN CAST('2.5' AS DECIMAL(2,1)) AND 3 AS bt,
+        | CAST('-0.5' AS DECIMAL(2,1)) > CAST('-1.5' AS DECIMAL(2,1)) AS gt""".stripMargin,
+
+    // floor/ceil toward ±infinity, abs, unary minus on decimals
+    "slt_dec_floor_ceil_abs" ->
+      """SELECT CAST(floor(CAST('-1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS f,
+        | CAST(ceil(CAST('-1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS c,
+        | CAST(abs(CAST('-1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS ab,
+        | CAST(-(CAST('1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS neg""".stripMargin,
+
+    // round() on decimals: half away from zero at positive digits,
+    // negative digits round whole places
+    "slt_dec_round_scales" ->
+      """SELECT CAST(round(CAST('2.345' AS DECIMAL(6,3)), 2) AS DECIMAL(6,2)) AS r1,
+        | CAST(round(CAST('-2.345' AS DECIMAL(6,3)), 2) AS DECIMAL(6,2)) AS r2,
+        | CAST(round(CAST('125' AS DECIMAL(4,0)), -1) AS DECIMAL(6,0)) AS r3""".stripMargin,
+
+    // mod over decimals keeps the dividend's sign
+    "slt_dec_mod_sign" ->
+      """SELECT CAST(mod(CAST('7.5' AS DECIMAL(4,1)), CAST('2.0' AS DECIMAL(4,1)))
+        |   AS DECIMAL(6,1)) AS m1,
+        | CAST(mod(CAST('-7.5' AS DECIMAL(4,1)), CAST('2.0' AS DECIMAL(4,1)))
+        |   AS DECIMAL(6,1)) AS m2""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
