@@ -1861,7 +1861,58 @@ object SltSlice {
       """SELECT CAST(mod(CAST('7.5' AS DECIMAL(4,1)), CAST('2.0' AS DECIMAL(4,1)))
         |   AS DECIMAL(6,1)) AS m1,
         | CAST(mod(CAST('-7.5' AS DECIMAL(4,1)), CAST('2.0' AS DECIMAL(4,1)))
-        |   AS DECIMAL(6,1)) AS m2""".stripMargin
+        |   AS DECIMAL(6,1)) AS m2""".stripMargin,
+
+    // -------------------------------------- round-8c timestamp edges
+    // (test/sql/types/timestamp/). Dialect notes: EXTRACT(SECOND) is an
+    // integer in DuckDB but DECIMAL(8,6) in Spark (CAST-forced below);
+    // epoch()/TIME arithmetic/interval rendering stay out (no shared
+    // spelling).
+    // test_incorrect_timestamp.test: invalid month/day and the non-leap
+    // Feb 29 → NULL under TRY_CAST; real leap day parses
+    "slt_ts_try_invalid" ->
+      """SELECT TRY_CAST('2026-13-40 00:00:00' AS TIMESTAMP) AS bad_month,
+        | TRY_CAST('not a timestamp' AS TIMESTAMP) AS garbage,
+        | TRY_CAST('2026-02-29 00:00:00' AS TIMESTAMP) AS nonleap,
+        | TRY_CAST('2024-02-29 12:00:00' AS TIMESTAMP) AS leap""".stripMargin,
+
+    // test_timestamp_auto_casting.test / alternative_timestamp_casts:
+    // date-only → midnight, ISO 'T' separator, fractional micros survive
+    "slt_ts_parse_forms" ->
+      """SELECT CAST('2026-08-14' AS TIMESTAMP) AS dateonly,
+        | CAST('2026-08-14T05:06:07' AS TIMESTAMP) AS tform,
+        | CAST('2026-08-14 05:06:07.123456' AS TIMESTAMP) AS micros""".stripMargin,
+
+    // test_timestamp.test: part extraction; SECOND truncated to INT on
+    // both sides (Spark's EXTRACT(SECOND) is DECIMAL(8,6))
+    "slt_ts_extract_int" ->
+      """SELECT CAST(EXTRACT(YEAR FROM TIMESTAMP '2026-08-14 05:06:07.123456') AS INT) AS y,
+        | CAST(EXTRACT(MONTH FROM TIMESTAMP '2026-08-14 05:06:07') AS INT) AS mo,
+        | CAST(EXTRACT(DAY FROM TIMESTAMP '2026-08-14 05:06:07') AS INT) AS d,
+        | CAST(EXTRACT(HOUR FROM TIMESTAMP '2026-08-14 05:06:07') AS INT) AS h,
+        | CAST(EXTRACT(MINUTE FROM TIMESTAMP '2026-08-14 05:06:07') AS INT) AS mi,
+        | CAST(EXTRACT(SECOND FROM TIMESTAMP '2026-08-14 05:06:07.999999') AS INT) AS s""".stripMargin,
+
+    // timestamp ↔ date comparison coerces the date to midnight
+    "slt_ts_date_compare" ->
+      """SELECT TIMESTAMP '2026-08-14 00:00:00' = CAST(DATE '2026-08-14' AS TIMESTAMP) AS eq,
+        | TIMESTAMP '2026-08-14 00:00:01' > DATE '2026-08-14' AS gt,
+        | TIMESTAMP '2026-08-13 23:59:59' < DATE '2026-08-14' AS lt""".stripMargin,
+
+    // sub-day date_trunc floors (minute/second/hour) — pins the micros
+    // arithmetic fast path against the oracle, fractional seconds dropped
+    "slt_ts_trunc_subday" ->
+      """SELECT date_trunc('minute', TIMESTAMP '2026-08-14 05:06:37.9') AS tmin,
+        | date_trunc('second', TIMESTAMP '2026-08-14 05:06:37.9') AS tsec,
+        | date_trunc('hour', TIMESTAMP '2026-08-14 05:36:37') AS thr""".stripMargin,
+
+    // timestamp_limits.test shape: extreme pre-1970 and far-future
+    // instants cast to DATE (negative-micros floor division)
+    "slt_ts_extreme_range" ->
+      """SELECT CAST(TIMESTAMP '0001-01-01 00:00:00' AS DATE) AS lo,
+        | CAST(TIMESTAMP '1754-08-30 22:43:41' AS DATE) AS pre_epoch,
+        | CAST(TIMESTAMP '9999-12-31 23:59:59' AS DATE) AS hi,
+        | CAST(TIMESTAMP '1969-12-31 23:59:59' AS DATE) AS eve""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
