@@ -128,6 +128,43 @@ object TextAnalysis {
       frac(topRun).as("top_2gram_frac"))
   }
 
+  /** PII redaction for training corpora: emails, IPv4 addresses and
+    * long digit runs (phone/account numbers) replace with typed tags.
+    * Pure `regexp_replace` chain over a common RE2/Java regex subset —
+    * codegen'd, shuffle-free, order of passes fixed (emails before
+    * digit runs so the user part of an address never half-redacts).
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = regexp_replace(col(textCol),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+    val digits = regexp_replace(ip, "\\b[0-9]{7,}\\b", "<NUM>")
+    df.select(col(idCol), digits.as("redacted"),
+      (length(col(textCol)) - length(digits)).cast("long").as("delta_chars"))
+  }
+
+  /** Sequence packing (pre-training sample packing): assign documents to
+    * fixed-token-budget bins by a running token sum, PER SHARD — the
+    * window partitions on `shardCol`, so at 100 TB this shuffles once on
+    * the shard key instead of forcing a global single-partition
+    * prefix-sum. Bin boundaries are deterministic (docs in `idCol`
+    * order; a doc opens a new bin when the running sum would pass
+    * `binTokens`, oversized docs own their bin) under the standard
+    * contiguous-greedy scheme: bin = floor(cumulative_before / budget).
+    */
+  def packSequences(df: DataFrame, idCol: String, shardCol: String,
+      textCol: String, binTokens: Int): DataFrame = {
+    import graft.functions.StringExtraFunctions.ws_token_count
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = ws_token_count(col(textCol))
+    val before = sum(n).over(w) - n
+    df.select(col(shardCol), col(idCol), n.as("n_tokens"),
+      floor(before / binTokens).cast("int").as("bin"))
+  }
+
   /** Content fingerprints: an exact normalized-content key plus a min-hash
     * over word 3-gram shingles (stable under small edits).
     */

@@ -213,6 +213,32 @@ object Pipeline {
         .orderBy(col("doc_id")).limit(200)
     },
 
+    // PII redaction over documents plus crafted rows that actually hold
+    // emails/IPs/long digit runs (the fixture corpus is clean)
+    "text_redact_pii" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 20)
+      val crafted = Seq(
+        (9001L, "contact me at alice.smith+spam@example.co.uk or bob@test.io today"),
+        (9002L, "server 192.168.0.1 and 10.0.255.7 ping 8.8.8.8"),
+        (9003L, "call 5551234567 ext 12345 account 98765432109"),
+        (9004L, "mixed: eve@corp.net from 172.16.4.20 card 4111111111111111")
+      ).toDF("doc_id", "text")
+      TextAnalysis.redactPii(docs.unionByName(crafted), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // sample packing: per-language running token sum into 512-token bins
+    "pipeline_pack_sequences" -> { (s, d) =>
+      TextAnalysis.packSequences(Tables(s, d, "documents"),
+          "doc_id", "lang", "text", 512)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tokens")).cast("long").as("tokens"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
     // typed Dataset mapPartitions path (stubbed decode) — the oracle
     // checks the byte-level outputs computed inside the partition mapper
     "mm_binary_features" -> { (s, d) =>
@@ -383,6 +409,37 @@ object Pipeline {
         |  coalesce(r.top_2gram_frac, 0.0) AS top_2gram_frac
         |FROM d LEFT JOIN r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id LIMIT 200""".stripMargin,
+
+    "text_redact_pii" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (9001, 'contact me at alice.smith+spam@example.co.uk or bob@test.io today'),
+        |    (9002, 'server 192.168.0.1 and 10.0.255.7 ping 8.8.8.8'),
+        |    (9003, 'call 5551234567 ext 12345 account 98765432109'),
+        |    (9004, 'mixed: eve@corp.net from 172.16.4.20 card 4111111111111111'))
+        |    v(doc_id, text)),
+        |r AS (
+        |  SELECT doc_id, text, regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{7,}\b', '<NUM>', 'g') AS redacted FROM src)
+        |SELECT doc_id, redacted,
+        |  CAST(length(text) - length(redacted) AS BIGINT) AS delta_chars
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "pipeline_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, len(regexp_split_to_array(text, '\s+')) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, doc_id, n,
+        |    CAST(floor((sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n) / 512) AS INT) AS bin
+        |  FROM t)
+        |SELECT lang, bin, count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "mm_binary_features" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
