@@ -48,12 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.FusedDistinctStrategy)
     e.injectPlannerStrategy(_ => graft.plans.DriverAggStrategy)
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
+    // BEFORE FuseSingleDistinct: when the group keys AND a distinct
+    // child are statistics-bounded, the single-job driver-finalized
+    // route (exact set slot) beats the fused two-phase distinct; the
+    // rule declines without a proof and FuseSingleDistinct then applies
+    e.injectOptimizerRule(_ => graft.rules.BoundedKeyDriverAgg)
     e.injectOptimizerRule(_ => graft.rules.FuseSingleDistinct)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
-    // after FastUtcDateTrunc: proves calendar-bucket group-bys
-    // low-cardinality from column day-range stats and routes
-    // ORDER BY-over-aggregate into the single-job driver-finalized plan
-    e.injectOptimizerRule(_ => graft.rules.BoundedKeyDriverAgg)
     e.injectOptimizerRule(_ => graft.rules.FastRegexpExtract)
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
     // after RadixShuffleAgg: matches the radix pair it emits

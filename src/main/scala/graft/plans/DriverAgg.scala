@@ -71,13 +71,44 @@ object DriverAgg {
   final case class AvgSlot(di: Int, li: Int, in: Int) extends Slot
   final case class MinMaxLSlot(li: Int, fi: Int, in: Int, isMin: Boolean) extends Slot
   final case class MinMaxDSlot(di: Int, fi: Int, in: Int, isMin: Boolean) extends Slot
+  /** Exact per-group distinct set for `count(DISTINCT x)` over a child
+    * whose value domain is statistics-bounded. OPT-IN via
+    * `layout(allowDistinct = true)` — ONLY the driver-finalized exec can
+    * carry it (set state has no radix columnar encoding); the radix and
+    * sorted-run call sites keep the default and still reject DISTINCT.
+    */
+  final case class CountDistinctSlot(si: Int, in: Int) extends Slot
+  /** min/max over strings — state is a detached UTF8String in the Acc's
+    * object array (strings have no long/double encoding).
+    */
+  final case class MinMaxSSlot(oi: Int, in: Int, isMin: Boolean) extends Slot
 
   final case class Layout(slots: Seq[Slot], aggTypes: Seq[DataType],
-                          inputs: Seq[Expression], nL: Int, nD: Int, nF: Int)
+                          inputs: Seq[Expression], nL: Int, nD: Int, nF: Int,
+                          nS: Int = 0, nO: Int = 0)
 
   /** Mutable per-group state (serializable: it is the task-result payload). */
   final class Acc(val longs: Array[Long], val doubles: Array[Double],
-                  val flags: Array[Boolean]) extends Serializable
+                  val flags: Array[Boolean],
+                  val sets: Array[java.util.HashSet[AnyRef]] = null,
+                  val objs: Array[AnyRef] = null)
+    extends Serializable
+
+  /** Fresh distinct-set array for an Acc (null when the layout has none —
+    * the common case pays nothing).
+    */
+  private[graft] def newSets(nS: Int): Array[java.util.HashSet[AnyRef]] =
+    if (nS == 0) null else Array.fill(nS)(new java.util.HashSet[AnyRef]())
+
+  private[graft] def newObjs(nO: Int): Array[AnyRef] =
+    if (nO == 0) null else new Array[AnyRef](nO)
+
+  /** Distinct sets are driver-merged task state: cap each one like the
+    * group table so a false ndv bound aborts into the fallback, never
+    * OOMs the driver.
+    */
+  private[plans] val maxDistinctCap = 1 << 16
+  private def maxDistinctPerGroup = maxDistinctCap
 
   /** Long addition per the session's eval mode, decided at PLAN time:
     * ANSI throws on overflow (Math.addExact), default Spark wraps —
@@ -144,7 +175,40 @@ object DriverAgg {
           if (!acc.flags(fi) || (if (isMin) c < 0 else c > 0)) acc.doubles(di) = x
           acc.flags(fi) = true
         }
+      case CountDistinctSlot(si, in) =>
+        val rd = readBoxed(iExprs(in).dataType, in)
+        (v, acc) => if (!v.isNullAt(in)) {
+          val s = acc.sets(si)
+          if (s.add(rd(v)) && s.size() > maxDistinctPerGroup)
+            throw new GroupCardinalityExceeded(
+              s"driver agg: distinct set exceeded $maxDistinctPerGroup in one " +
+                "group — child is not low-cardinality; falling back")
+        }
+      case MinMaxSSlot(oi, in, isMin) =>
+        (v, acc) => if (!v.isNullAt(in)) {
+          val x = v.getUTF8String(in)
+          val cur = acc.objs(oi).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          if (cur == null || (if (isMin) x.compareTo(cur) < 0 else x.compareTo(cur) > 0))
+            acc.objs(oi) = x.clone()
+        }
     }.toArray
+  }
+
+  /** Boxed (hashable, buffer-detached) read of column `i` for distinct
+    * sets. UTF8String clones off the row buffer; primitives box.
+    */
+  private def readBoxed(dt: DataType, i: Int): UnsafeRow => AnyRef = dt match {
+    case ByteType => r => java.lang.Long.valueOf(r.getByte(i).toLong)
+    case ShortType => r => java.lang.Long.valueOf(r.getShort(i).toLong)
+    case IntegerType | DateType => r => java.lang.Long.valueOf(r.getInt(i).toLong)
+    case LongType | TimestampType | TimestampNTZType =>
+      r => java.lang.Long.valueOf(r.getLong(i))
+    case FloatType => r => java.lang.Double.valueOf(r.getFloat(i).toDouble)
+    case DoubleType => r => java.lang.Double.valueOf(r.getDouble(i))
+    case BooleanType => r => java.lang.Boolean.valueOf(r.getBoolean(i))
+    case StringType => r => r.getUTF8String(i).clone()
+    case other => throw new UnsupportedOperationException(
+      s"driver agg: distinct over ${other.simpleString} unsupported")
   }
 
   /** Merge one partial state into an accumulator (shared by the
@@ -173,6 +237,18 @@ object DriverAgg {
       if (!cur.flags(fi) || (if (isMin) c < 0 else c > 0)) cur.doubles(di) = in.doubles(di)
       cur.flags(fi) = true
     }
+    case CountDistinctSlot(si, _) =>
+      val s = cur.sets(si)
+      s.addAll(in.sets(si))
+      if (s.size() > maxDistinctPerGroup) throw new GroupCardinalityExceeded(
+        s"driver agg: merged distinct set exceeded $maxDistinctPerGroup — " +
+          "child is not low-cardinality; falling back")
+    case MinMaxSSlot(oi, _, isMin) =>
+      val x = in.objs(oi).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val c0 = cur.objs(oi).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      if (x != null &&
+          (c0 == null || (if (isMin) x.compareTo(c0) < 0 else x.compareTo(c0) > 0)))
+        cur.objs(oi) = x
   }
 
   /** Final value of aggregate `j` as a catalyst value of `aggTypes(j)`. */
@@ -196,6 +272,8 @@ object DriverAgg {
       case MinMaxDSlot(di, fi, _, _) =>
         if (!acc.flags(fi)) null
         else if (aggTypes(j) == FloatType) acc.doubles(di).toFloat else acc.doubles(di)
+      case CountDistinctSlot(si, _) => acc.sets(si).size().toLong
+      case MinMaxSSlot(oi, _, _) => acc.objs(oi)
     }
 
   // ---- columnar key extraction --------------------------------------
@@ -293,20 +371,28 @@ object DriverAgg {
   /** Slot layout for the distinct AggregateExpressions in `resultExprs`
     * (in first-occurrence order), or throw for unsupported aggregates.
     */
-  private[graft] def layout(aggs: Seq[AggregateExpression]): Layout = {
+  private[graft] def layout(aggs: Seq[AggregateExpression],
+      allowDistinct: Boolean = false): Layout = {
     val inputs = ArrayBuffer.empty[Expression]
     def inputIdx(e: Expression): Int = {
       val i = inputs.indexWhere(_.semanticEquals(e))
       if (i >= 0) i else { inputs += e; inputs.length - 1 }
     }
-    var nL = 0; var nD = 0; var nF = 0
+    var nL = 0; var nD = 0; var nF = 0; var nS = 0; var nO = 0
     def longSlot(): Int = { nL += 1; nL - 1 }
     def dblSlot(): Int = { nD += 1; nD - 1 }
     def flag(): Int = { nF += 1; nF - 1 }
+    def setSlot(): Int = { nS += 1; nS - 1 }
+    def objSlot(): Int = { nO += 1; nO - 1 }
     val slots = aggs.map { ae =>
-      require(!ae.isDistinct && ae.filter.isEmpty,
+      require((allowDistinct || !ae.isDistinct) && ae.filter.isEmpty,
         s"driver agg: DISTINCT/FILTER unsupported in ${ae.sql}")
-      ae.aggregateFunction match {
+      if (ae.isDistinct) ae.aggregateFunction match {
+        case Count(Seq(c)) => CountDistinctSlot(setSlot(), inputIdx(c))
+        case other => throw new UnsupportedOperationException(
+          s"driver agg: DISTINCT supported only for single-child count, got ${other.prettyName}")
+      }
+      else ae.aggregateFunction match {
         case Count(children) => CountSlot(longSlot(),
           children.filterNot(c => c.foldable && c.eval() != null).map(inputIdx))
         case Sum(c, _) if isLongIsh(c.dataType) => SumLSlot(longSlot(), flag(), inputIdx(c))
@@ -319,6 +405,10 @@ object DriverAgg {
           MinMaxLSlot(longSlot(), flag(), inputIdx(c), isMin = false)
         case Min(c) if isDoubleIsh(c.dataType) =>
           MinMaxDSlot(dblSlot(), flag(), inputIdx(c), isMin = true)
+        case Min(c) if c.dataType == StringType =>
+          MinMaxSSlot(objSlot(), inputIdx(c), isMin = true)
+        case Max(c) if c.dataType == StringType =>
+          MinMaxSSlot(objSlot(), inputIdx(c), isMin = false)
         case Max(c) if isDoubleIsh(c.dataType) =>
           MinMaxDSlot(dblSlot(), flag(), inputIdx(c), isMin = false)
         case other => throw new UnsupportedOperationException(
@@ -326,7 +416,7 @@ object DriverAgg {
             s"${other.children.map(_.dataType.simpleString).mkString(", ")}")
       }
     }
-    Layout(slots, aggs.map(_.dataType), inputs.toSeq, nL, nD, nF)
+    Layout(slots, aggs.map(_.dataType), inputs.toSeq, nL, nD, nF, nS, nO)
   }
 
   /** Rebuild `grouped` (which must be a plain `groupBy(...).agg(...)`
@@ -379,7 +469,7 @@ object DriverAgg {
     */
   private[graft] def fromAggregate(agg: Aggregate, order: Seq[SortOrder],
       limit: Int, maxGroups: Int, fallback: LogicalPlan,
-      ansi: Boolean): DriverGroupAggPlan = {
+      ansi: Boolean, allowDistinct: Boolean = false): DriverGroupAggPlan = {
     val groupExprs = agg.groupingExpressions
     val resultExprs = agg.aggregateExpressions
     val out = resultExprs.map(_.toAttribute)
@@ -389,7 +479,7 @@ object DriverAgg {
       case ae: AggregateExpression if !aggs.exists(_.semanticEquals(ae)) => aggs += ae
       case _ =>
     })
-    val lay = layout(aggs.toSeq)
+    val lay = layout(aggs.toSeq, allowDistinct)
 
     // rewrite the result expressions over the driver-side merged row
     // [key fields ++ final aggregate values] — after this, the plan holds
@@ -420,7 +510,7 @@ object DriverAgg {
 
     DriverGroupAggPlan(groupExprs, lay.inputs, lay.slots, lay.aggTypes,
       finalExprs, order, limit, maxGroups,
-      lay.nL, lay.nD, lay.nF, agg.child, out, fallback, ansi)
+      lay.nL, lay.nD, lay.nF, lay.nS, lay.nO, agg.child, out, fallback, ansi)
   }
 }
 
@@ -433,7 +523,7 @@ final case class DriverGroupAggPlan(
     sortOrder: Seq[SortOrder],
     limit: Int,
     maxGroups: Int,
-    nL: Int, nD: Int, nF: Int,
+    nL: Int, nD: Int, nF: Int, nS: Int, nO: Int,
     child: LogicalPlan,
     output: Seq[Attribute],
     // NOT a child: the analyzed shuffled groupBy→orderBy→limit plan the
@@ -456,7 +546,7 @@ object DriverAggStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: DriverGroupAggPlan =>
       DriverGroupAggExec(p.groupExprs, p.aggInputs, p.slots, p.aggTypes,
-        p.finalExprs, p.sortOrder, p.limit, p.maxGroups, p.nL, p.nD, p.nF,
+        p.finalExprs, p.sortOrder, p.limit, p.maxGroups, p.nL, p.nD, p.nF, p.nS, p.nO,
         p.output, planLater(p.child), p.fallback, p.ansi) :: Nil
     case _ => Nil
   }
@@ -471,7 +561,7 @@ final case class DriverGroupAggExec(
     sortOrder: Seq[SortOrder],
     limit: Int,
     maxGroups: Int,
-    nL: Int, nD: Int, nF: Int,
+    nL: Int, nD: Int, nF: Int, nS: Int, nO: Int,
     output: Seq[Attribute],
     child: SparkPlan,
     fallback: LogicalPlan,
@@ -496,7 +586,7 @@ final case class DriverGroupAggExec(
       aggInputs.forall(_.references.subsetOf(c.outputSet))
 
   private def newAcc() = new Acc(new Array[Long](nL), new Array[Double](nD),
-    new Array[Boolean](nF))
+    new Array[Boolean](nF), DriverAgg.newSets(nS), DriverAgg.newObjs(nO))
 
   private def mergeInto(cur: Acc, in: Acc): Unit =
     DriverAgg.mergeAcc(slots, cur, in, ansi)
@@ -519,7 +609,7 @@ final case class DriverGroupAggExec(
     val theSlots = slots
     val childOut = child.output
     val cap = maxGroups
-    val (accL, accD, accF) = (nL, nD, nF)
+    val (accL, accD, accF, accS, accO) = (nL, nD, nF, nS, nO)
     val ansiMode = ansi
     val keyTypes = groupExprs.map(_.dataType).toArray
     sparkContext.runJob(child.executeColumnar(),
@@ -528,7 +618,7 @@ final case class DriverGroupAggExec(
       val valProj = UnsafeProjection.create(iExprs, childOut)
       val ups = DriverAgg.updaters(theSlots, iExprs, ansiMode)
       def mkAcc() = new Acc(new Array[Long](accL), new Array[Double](accD),
-        new Array[Boolean](accF))
+        new Array[Boolean](accF), DriverAgg.newSets(accS), DriverAgg.newObjs(accO))
       val nParts = partsSpec.length
       val interns = new Array[java.util.HashMap[
         org.apache.spark.unsafe.types.UTF8String, Integer]](nParts)
@@ -642,6 +732,31 @@ final case class DriverGroupAggExec(
                   acc.doubles(di) = x
                 acc.flags(fi) = true
               }
+              case MinMaxSSlot(oi, in, isMin) => if (!inVecs(in).isNullAt(r)) {
+                val x = inVecs(in).getUTF8String(r)
+                val cur = acc.objs(oi)
+                  .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                if (cur == null ||
+                    (if (isMin) x.compareTo(cur) < 0 else x.compareTo(cur) > 0))
+                  acc.objs(oi) = x.clone()
+              }
+              case CountDistinctSlot(si, in) => if (!inVecs(in).isNullAt(r)) {
+                val boxed: AnyRef = iExprs(in).dataType match {
+                  case StringType => inVecs(in).getUTF8String(r).clone()
+                  case FloatType =>
+                    java.lang.Double.valueOf(inVecs(in).getFloat(r).toDouble)
+                  case DoubleType =>
+                    java.lang.Double.valueOf(inVecs(in).getDouble(r))
+                  case BooleanType =>
+                    java.lang.Boolean.valueOf(inVecs(in).getBoolean(r))
+                  case _ => java.lang.Long.valueOf(readVL(in, r))
+                }
+                val set = acc.sets(si)
+                if (set.add(boxed) && set.size() > DriverAgg.maxDistinctCap)
+                  throw new GroupCardinalityExceeded(
+                    "driver agg: distinct set exceeded cap in one group — " +
+                      "child is not low-cardinality; falling back")
+              }
             }
             j += 1
           }
@@ -722,7 +837,7 @@ final case class DriverGroupAggExec(
     val theSlots = slots
     val childOut = child.output
     val cap = maxGroups
-    val (accL, accD, accF) = (nL, nD, nF)
+    val (accL, accD, accF, accS, accO) = (nL, nD, nF, nS, nO)
     val ansiMode = ansi
 
     val parts: Array[Array[(Array[Byte], Acc)]] =
@@ -732,7 +847,7 @@ final case class DriverGroupAggExec(
         val valProj = UnsafeProjection.create(iExprs, childOut)
         val ups = DriverAgg.updaters(theSlots, iExprs, ansiMode)
         def mkAcc() = new Acc(new Array[Long](accL), new Array[Double](accD),
-          new Array[Boolean](accF))
+          new Array[Boolean](accF), DriverAgg.newSets(accS), DriverAgg.newObjs(accO))
         val m = new java.util.HashMap[UnsafeRow, Acc]()
         while (rows.hasNext) {
           val row = rows.next()

@@ -3,6 +3,7 @@ package graft.rules
 import graft.functions.{UtcCalendarTrunc, UtcMicrosToDate, UtcNtzReinterpret}
 import graft.plans.DriverAgg
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DateType, StringType}
@@ -178,7 +179,30 @@ object BoundedKeyDriverAgg extends Rule[LogicalPlan] {
           if (grounded) keys.map(groupBound) else Seq(None)
         val product = if (bounds.forall(_.isDefined))
           Some(bounds.flatten.product) else None
+        // count(DISTINCT x) is admissible when x's own domain is ALSO
+        // statistics-bounded — the exec then carries an exact per-group
+        // distinct set (CountDistinctSlot), still valve-protected
+        val distincts = {
+          val acc = scala.collection.mutable.ArrayBuffer.empty[AggregateExpression]
+          agg0.aggregateExpressions.foreach(_.foreach {
+            case ae: AggregateExpression if ae.isDistinct => acc += ae
+            case _ =>
+          })
+          acc.toSeq
+        }
+        val distinctOk = distincts.forall { ae =>
+          ae.filter.isEmpty && (ae.aggregateFunction match {
+            case org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(c)) =>
+              val sub = c.transformUp {
+                case a: AttributeReference if aliasMap.contains(a.exprId) =>
+                  aliasMap(a.exprId)
+              }
+              groupBound(sub).exists(_ <= maxBound)
+            case _ => false
+          })
+        }
         product match {
+          case _ if !distinctOk => s
           case Some(b) if b > 0 && b <= maxBound =>
             // re-inline the pulled-out Project: with the group chain back
             // in the aggregate and the exec sitting directly on the cache
@@ -213,7 +237,8 @@ object BoundedKeyDriverAgg extends Rule[LogicalPlan] {
             }
             scala.util.Try(DriverAgg.fromAggregate(aggInlined, order, limit = -1,
               maxGroups = 1 << 16, fallback = s,
-              ansi = conf.ansiEnabled)).getOrElse(s)
+              ansi = conf.ansiEnabled,
+              allowDistinct = distincts.nonEmpty)).getOrElse(s)
           case _ => s
         }
     }

@@ -137,6 +137,48 @@ class BoundedDriverAggSpec extends AnyFunSuite {
     assert(q.collect().toSeq.map(_.toString) == offRows(spark.sql(sql)))
   }
 
+  test("bounded count(DISTINCT) carries an exact set slot and matches") {
+    val dim = spark.range(0, 4000)
+      .select((col("id") % 7).cast("string").as("k"),
+        (col("id") % 11).cast("string").as("lang"),
+        col("id").as("v"))
+      .withMetadata("k", new MetadataBuilder().putLong("graft.ndvBound", 8L).build())
+      .withMetadata("lang", new MetadataBuilder().putLong("graft.ndvBound", 12L).build())
+      .cache()
+    dim.createOrReplaceTempView("bd_cd")
+    // the cb_like_distinct shape: plain aggs + a grouped count(DISTINCT)
+    val sql =
+      """SELECT k, min(lang) AS ml, count(*) AS c, count(DISTINCT lang) AS nl
+        |FROM bd_cd WHERE v % 3 != 1 GROUP BY k ORDER BY c DESC, k""".stripMargin
+    val q = spark.sql(sql)
+    assert(fired(q), "bounded distinct child should route")
+    assert(q.collect().toSeq.map(_.toString) == offRows(spark.sql(sql)))
+  }
+
+  test("count(DISTINCT) over an unbounded child stays untouched") {
+    val dim = spark.range(0, 1000)
+      .select((col("id") % 5).cast("string").as("k"), col("id").as("v"))
+      .withMetadata("k", new MetadataBuilder().putLong("graft.ndvBound", 6L).build())
+      .cache()
+    dim.createOrReplaceTempView("bd_cd_unbounded")
+    val q = spark.sql(
+      "SELECT k, count(DISTINCT v) AS nd FROM bd_cd_unbounded GROUP BY k ORDER BY k")
+    assert(!fired(q))
+  }
+
+  test("lying distinct-child ndv: the set valve falls back, rows stay exact") {
+    val wide = spark.range(0, 70000)
+      .select(lit("g").as("k"), col("id").as("v"))
+      .withMetadata("k", new MetadataBuilder().putLong("graft.ndvBound", 2L).build())
+      .withMetadata("v", new MetadataBuilder().putLong("graft.ndvBound", 3L).build())
+      .cache()
+    wide.createOrReplaceTempView("bd_cd_lying")
+    val sql = "SELECT k, count(DISTINCT v) AS nd FROM bd_cd_lying GROUP BY k ORDER BY k"
+    val q = spark.sql(sql)
+    assert(fired(q), "the lying ndv should route")
+    assert(q.collect().toSeq.map(_.toString) == offRows(spark.sql(sql)))
+  }
+
   test("aggregates outside the slot surface (distinct) stay untouched") {
     withStats(facts).createOrReplaceTempView("bd_distinct")
     val q = spark.sql(
