@@ -1906,6 +1906,16 @@ object SltSlice {
         | date_trunc('second', TIMESTAMP '2026-08-14 05:06:37.9') AS tsec,
         | date_trunc('hour', TIMESTAMP '2026-08-14 05:36:37') AS thr""".stripMargin,
 
+    // test/sql/function/string/test_trim.test: character-set trim in the
+    // BOTH/LEADING/TRAILING FROM form (every char in the set strips).
+    // (overlay()/initcap() are absent from the oracle engine; concat()'s
+    // NULL handling and empty-pad lpad() diverge — none pinnable.)
+    "slt_trim_charset" ->
+      """SELECT trim(BOTH 'xy' FROM 'xyhixyx') AS b,
+        | trim(LEADING 'x' FROM 'xxhix') AS l,
+        | trim(TRAILING 'x' FROM 'xxhix') AS t,
+        | trim(BOTH 'x' FROM 'xxx') AS empty_all""".stripMargin,
+
     // timestamp_limits.test shape: extreme pre-1970 and far-future
     // instants cast to DATE (negative-micros floor division)
     "slt_ts_extreme_range" ->
