@@ -179,6 +179,21 @@ class BoundedDriverAggSpec extends AnyFunSuite {
     assert(q.collect().toSeq.map(_.toString) == offRows(spark.sql(sql)))
   }
 
+  test("AQE on/off: the routed plan returns identical rows") {
+    withStats(facts).createOrReplaceTempView("bd_aqe")
+    val sql =
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS m, count(*) AS n,
+        | round(sum(v), 2) AS s
+        |FROM bd_aqe GROUP BY 1 ORDER BY m""".stripMargin
+    val on = spark.sql(sql).collect().toSeq.map(_.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.sql(sql)
+      assert(fired(q), "route must fire with AQE off too")
+      assert(q.collect().toSeq.map(_.toString) == on)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("aggregates outside the slot surface (distinct) stay untouched") {
     withStats(facts).createOrReplaceTempView("bd_distinct")
     val q = spark.sql(
