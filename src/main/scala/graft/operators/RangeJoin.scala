@@ -135,9 +135,18 @@ object RangeJoin {
     * Valves/limits: replication is bounded by the feasible pairs per
     * block (≤ `blocks`; metadata pruning keeps it near the diagonal for
     * correlated keys). A pair's rows must fit in one task — raise
-    * `blocks` for bigger inputs. Keys are ordered as doubles (exact up
-    * to 2^53 — same caveat as the fractional band path); rows with NULL
-    * keys never match and are filtered, NaN keys are unsupported.
+    * `blocks` for bigger inputs.
+    *
+    * Exactness: the sweep orders keys as doubles, which collapses
+    * distinct int64/decimal values beyond 2^53 — so the sweep and the
+    * block pruning both run NON-strict (a monotone cast guarantees
+    * `a < b ⇒ d(a) <= d(b)`, making the double-keyed candidates a
+    * SUPERSET of the true matches) and the exact typed predicate on the
+    * original columns is re-applied as a final filter. −0.0 keys are
+    * normalized to 0.0 on insert and probe (java.lang.Double orders
+    * −0.0 below 0.0; SQL says they are equal). Rows with NULL keys
+    * never match and are filtered; NaN keys are unsupported (the
+    * double sweep and Spark's NaN total order disagree).
     * Column names must be disjoint across sides.
     */
   def ieJoin(left: DataFrame, right: DataFrame,
@@ -182,8 +191,12 @@ object RangeJoin {
       var id = 0
       for ((lb, (lMinX, _, _, lMaxY)) <- lsum.toSeq.sortBy(_._1);
            (rb, (_, rMaxX, rMinY, _)) <- rsum.toSeq.sortBy(_._1)) {
-        val xOk = if (strictX) lMinX < rMaxX else lMinX <= rMaxX
-        val yOk = if (strictY) lMaxY > rMinY else lMaxY >= rMinY
+        // non-strict even under strict predicates: double min/max may
+        // collapse adjacent exact values, so pruning must keep any pair
+        // the exact predicate could match (candidates are a superset;
+        // the exact post-filter settles strictness)
+        val xOk = lMinX <= rMaxX
+        val yOk = lMaxY >= rMinY
         if (xOk && yOk) { b += ((id, lb, rb)); id += 1 }
       }
       b.result()
@@ -206,10 +219,14 @@ object RangeJoin {
     val part = new org.apache.spark.HashPartitioner(parts)
     def keyed(df: DataFrame) =
       df.rdd.map(r => (r.getInt(0), r))
-    val (sX, sY) = (strictX, strictY)
-
     // 4. per-pair sweep: L sorted by x feeds an ordered-by-y multimap as
-    // the R pointer (also x-sorted) passes; tail enumeration emits matches
+    // the R pointer (also x-sorted) passes; tail enumeration emits
+    // CANDIDATES. Both bounds run NON-strict here (even when the
+    // predicate is strict) so double rounding beyond 2^53 can only add
+    // false positives, never drop a true match — the exact typed filter
+    // below settles strictness. Keys normalize −0.0 → 0.0 (TreeMap's
+    // Double order puts −0.0 below 0.0; SQL equates them).
+    def normKey(v: Double): Double = if (v == 0.0) 0.0 else v
     val joined = keyed(lTagged).cogroup(keyed(rTagged), part).flatMap {
       case (_, (lIt, rIt)) =>
         val lArr = lIt.toArray.sortBy(_.getDouble(1))
@@ -220,17 +237,15 @@ object RangeJoin {
           var i = 0
           rArr.iterator.flatMap { b =>
             val bx = b.getDouble(1)
-            while (i < lArr.length && {
-              val lx = lArr(i).getDouble(1)
-              if (sX) lx < bx else lx <= bx
-            }) {
+            while (i < lArr.length && lArr(i).getDouble(1) <= bx) {
               val l = lArr(i)
-              var list = ys.get(l.getDouble(2))
-              if (list == null) { list = new java.util.ArrayList[Row](1); ys.put(l.getDouble(2), list) }
+              val k = normKey(l.getDouble(2))
+              var list = ys.get(k)
+              if (list == null) { list = new java.util.ArrayList[Row](1); ys.put(k, list) }
               list.add(l)
               i += 1
             }
-            val tail = ys.tailMap(b.getDouble(2), !sY)
+            val tail = ys.tailMap(normKey(b.getDouble(2)), true)
             val out = Seq.newBuilder[Row]
             val it = tail.values().iterator()
             while (it.hasNext) {
@@ -247,7 +262,13 @@ object RangeJoin {
           }
         }
     }
+    // exact post-filter on the ORIGINAL typed columns: the double sweep
+    // produced a candidate superset; this settles strictness and any
+    // beyond-2^53 collapse (cheap — candidates only)
+    val xCond = if (strictX) col(leftX) < col(rightX) else col(leftX) <= col(rightX)
+    val yCond = if (strictY) col(leftY) > col(rightY) else col(leftY) >= col(rightY)
     spark.createDataFrame(joined,
-      StructType(left.schema.fields ++ right.schema.fields))
+        StructType(left.schema.fields ++ right.schema.fields))
+      .filter(xCond && yCond)
   }
 }

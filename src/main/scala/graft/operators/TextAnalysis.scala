@@ -93,12 +93,21 @@ object TextAnalysis {
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
     val nW = size(words)
-    val grams = transform(sequence(lit(1), nW - 1),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    // Guard the gram build: for nW < 2, sequence(1, nW-1) would step
+    // DOWNWARD ([1, 0]) and element_at(words, 0) throws — one-word and
+    // empty docs must fall to an empty gram array instead (CaseWhen only
+    // evaluates the matched branch, so the bad sequence never runs).
+    val grams = when(nW >= 2,
+      transform(sequence(lit(1), nW - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+      .otherwise(array().cast("array<string>"))
     val sorted = array_sort(grams)
     val g = size(sorted)
-    // eqf(i) = 1 iff sorted(i) == sorted(i+1); length g-1
-    val eqf = zip_with(slice(sorted, lit(1), g - 1), slice(sorted, lit(2), g - 1),
+    // eqf(i) = 1 iff sorted(i) == sorted(i+1); length g-1 (clamped ≥0:
+    // slice() rejects negative lengths and g=0 for sub-2-word docs)
+    val eqf = zip_with(
+      slice(sorted, lit(1), greatest(g - 1, lit(0))),
+      slice(sorted, lit(2), greatest(g - 1, lit(0))),
       (a, b) => when(a === b, 1).otherwise(0))
     val repeats = aggregate(eqf, lit(0), (acc, x) => acc + x)
     // an instance is "covered" if equal to either sorted neighbour

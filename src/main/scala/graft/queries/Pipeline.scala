@@ -207,9 +207,18 @@ object Pipeline {
     },
 
     // Gopher-style repetition filters — per-row array computation, no
-    // explode/shuffle; the oracle recomputes via grouped unnest
+    // explode/shuffle; the oracle recomputes via grouped unnest. The
+    // crafted negative-id rows pin the sub-2-word edge (empty /
+    // whitespace-only / one-word / all-dup docs must report zero or
+    // exact fractions, not throw — the sequence(1, nW-1) guard).
     "text_repetition" -> { (s, d) =>
-      TextAnalysis.repetition(Tables(s, d, "documents"), "doc_id", "text")
+      import s.implicits._
+      val crafted = Seq(
+        (-5L, "   "), (-4L, ""), (-3L, "solo"), (-2L, "a a"),
+        (-1L, "x y x y x")
+      ).toDF("doc_id", "text")
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis.repetition(docs.unionByName(crafted), "doc_id", "text")
         .orderBy(col("doc_id")).limit(200)
     },
 
@@ -386,9 +395,14 @@ object Pipeline {
         |ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "text_repetition" ->
-      """WITH d AS (
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (-5, '   '), (-4, ''), (-3, 'solo'),
+        |    (-2, 'a a'), (-1, 'x y x y x')) v(doc_id, text)),
+        |d AS (
         |  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
-        |  FROM documents),
+        |  FROM src),
         |g AS (
         |  SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
         |           i -> w[i-1] || ' ' || w[i])) AS gram

@@ -1472,8 +1472,10 @@ object SltSlice {
 
     // test/sql/setops/test_union_types.test: INT branches coerce to the
     // decimal branch's type across UNION ALL
+    // the INT∪DECIMAL coercion under test happens inside the subquery;
+    // cells rendered as DOUBLE per the third Q.scala convention
     "slt_union_numeric_coercion" ->
-      """SELECT v, round(v * 2, 1) AS d FROM (
+      """SELECT CAST(v AS DOUBLE) AS v, CAST(round(v * 2, 1) AS DOUBLE) AS d FROM (
         | SELECT 1 AS v UNION ALL SELECT 2.5 UNION ALL SELECT 3) u ORDER BY v""".stripMargin,
 
     // INTERSECT treats NULLs as equal (set-op grouping equality)
@@ -1791,35 +1793,37 @@ object SltSlice {
     // round in DuckDB but truncate in Spark; DuckDB renders 0<x<1
     // decimals without the leading zero ('.5').
     // test_decimal_from_string.test: exact string parse + half-up at the
-    // target scale (no double in the path)
+    // target scale (no double in the path). Result cells rendered as
+    // DOUBLE per the third Q.scala convention (DECIMAL cells are
+    // driver-hash-unstable); the parse+round under test stays decimal.
     "slt_dec_cast_string" ->
-      """SELECT CAST('1.005' AS DECIMAL(10,2)) AS up,
-        | CAST('-1.005' AS DECIMAL(10,2)) AS dn,
-        | CAST('  42.42  ' AS DECIMAL(10,2)) AS sp,
-        | CAST('0.00' AS DECIMAL(4,2)) AS z""".stripMargin,
+      """SELECT CAST(CAST('1.005' AS DECIMAL(10,2)) AS DOUBLE) AS up,
+        | CAST(CAST('-1.005' AS DECIMAL(10,2)) AS DOUBLE) AS dn,
+        | CAST(CAST('  42.42  ' AS DECIMAL(10,2)) AS DOUBLE) AS sp,
+        | CAST(CAST('0.00' AS DECIMAL(4,2)) AS DOUBLE) AS z""".stripMargin,
 
     // decimal_arithmetic.test: addition across scales and with integers
     "slt_dec_add_scales" ->
-      """SELECT CAST(CAST('0.5' AS DECIMAL(1,1)) + CAST('100.0' AS DECIMAL(4,1))
-        |   AS DECIMAL(10,1)) AS s,
-        | CAST(CAST('0.54321' AS DECIMAL(6,5)) + 10000 AS DECIMAL(12,5)) AS t,
-        | CAST(CAST('0.5' AS DECIMAL(1,1)) + (-1) AS DECIMAL(10,1)) AS neg""".stripMargin,
+      """SELECT CAST(CAST(CAST('0.5' AS DECIMAL(1,1)) + CAST('100.0' AS DECIMAL(4,1))
+        |   AS DECIMAL(10,1)) AS DOUBLE) AS s,
+        | CAST(CAST(CAST('0.54321' AS DECIMAL(6,5)) + 10000 AS DECIMAL(12,5)) AS DOUBLE) AS t,
+        | CAST(CAST(CAST('0.5' AS DECIMAL(1,1)) + (-1) AS DECIMAL(10,1)) AS DOUBLE) AS neg""".stripMargin,
 
     // decimal multiplication: scale accumulates, sign carries
     "slt_dec_mul_scales" ->
-      """SELECT CAST(CAST('1.25' AS DECIMAL(5,2)) * CAST('0.40' AS DECIMAL(5,2))
-        |   AS DECIMAL(10,4)) AS m,
-        | CAST(CAST('-1.5' AS DECIMAL(5,1)) * 3 AS DECIMAL(10,1)) AS n,
-        | CAST(CAST('0.1' AS DECIMAL(2,1)) * CAST('0.1' AS DECIMAL(2,1))
-        |   AS DECIMAL(6,2)) AS tiny""".stripMargin,
+      """SELECT CAST(CAST(CAST('1.25' AS DECIMAL(5,2)) * CAST('0.40' AS DECIMAL(5,2))
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS m,
+        | CAST(CAST(CAST('-1.5' AS DECIMAL(5,1)) * 3 AS DECIMAL(10,1)) AS DOUBLE) AS n,
+        | CAST(CAST(CAST('0.1' AS DECIMAL(2,1)) * CAST('0.1' AS DECIMAL(2,1))
+        |   AS DECIMAL(6,2)) AS DOUBLE) AS tiny""".stripMargin,
 
     // decimal_try_cast.test: overflow → NULL under TRY_CAST, value fits →
     // rounds to target scale
     "slt_dec_try_overflow" ->
-      """SELECT TRY_CAST(1000 AS DECIMAL(3,0)) AS of1,
-        | TRY_CAST(100 AS DECIMAL(3,0)) AS ok1,
-        | TRY_CAST('12.345' AS DECIMAL(4,2)) AS rnd,
-        | TRY_CAST(CAST('99.99' AS DECIMAL(4,2)) AS DECIMAL(3,2)) AS of2""".stripMargin,
+      """SELECT CAST(TRY_CAST(1000 AS DECIMAL(3,0)) AS DOUBLE) AS of1,
+        | CAST(TRY_CAST(100 AS DECIMAL(3,0)) AS DOUBLE) AS ok1,
+        | CAST(TRY_CAST('12.345' AS DECIMAL(4,2)) AS DOUBLE) AS rnd,
+        | CAST(TRY_CAST(CAST('99.99' AS DECIMAL(4,2)) AS DECIMAL(3,2)) AS DOUBLE) AS of2""".stripMargin,
 
     // decimal_aggregates.test: sum/avg/min/max over decimals, types forced
     "slt_dec_agg_forced" ->
@@ -1827,9 +1831,10 @@ object SltSlice {
         |  SELECT CAST('1.10' AS DECIMAL(6,2)) UNION ALL
         |  SELECT CAST('2.05' AS DECIMAL(6,2)) UNION ALL
         |  SELECT CAST('-0.15' AS DECIMAL(6,2)))
-        |SELECT CAST(sum(v) AS DECIMAL(12,2)) AS s,
-        | CAST(avg(v) AS DECIMAL(12,4)) AS a,
-        | CAST(min(v) AS DECIMAL(6,2)) AS mn, CAST(max(v) AS DECIMAL(6,2)) AS mx,
+        |SELECT CAST(CAST(sum(v) AS DECIMAL(12,2)) AS DOUBLE) AS s,
+        | CAST(CAST(avg(v) AS DECIMAL(12,4)) AS DOUBLE) AS a,
+        | CAST(CAST(min(v) AS DECIMAL(6,2)) AS DOUBLE) AS mn,
+        | CAST(CAST(max(v) AS DECIMAL(6,2)) AS DOUBLE) AS mx,
         | count(v) AS n
         |FROM t""".stripMargin,
 
@@ -1844,24 +1849,24 @@ object SltSlice {
 
     // floor/ceil toward ±infinity, abs, unary minus on decimals
     "slt_dec_floor_ceil_abs" ->
-      """SELECT CAST(floor(CAST('-1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS f,
-        | CAST(ceil(CAST('-1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS c,
-        | CAST(abs(CAST('-1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS ab,
-        | CAST(-(CAST('1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS neg""".stripMargin,
+      """SELECT CAST(CAST(floor(CAST('-1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS DOUBLE) AS f,
+        | CAST(CAST(ceil(CAST('-1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS DOUBLE) AS c,
+        | CAST(CAST(abs(CAST('-1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS DOUBLE) AS ab,
+        | CAST(CAST(-(CAST('1.5' AS DECIMAL(4,1))) AS DECIMAL(6,1)) AS DOUBLE) AS neg""".stripMargin,
 
     // round() on decimals: half away from zero at positive digits,
     // negative digits round whole places
     "slt_dec_round_scales" ->
-      """SELECT CAST(round(CAST('2.345' AS DECIMAL(6,3)), 2) AS DECIMAL(6,2)) AS r1,
-        | CAST(round(CAST('-2.345' AS DECIMAL(6,3)), 2) AS DECIMAL(6,2)) AS r2,
-        | CAST(round(CAST('125' AS DECIMAL(4,0)), -1) AS DECIMAL(6,0)) AS r3""".stripMargin,
+      """SELECT CAST(CAST(round(CAST('2.345' AS DECIMAL(6,3)), 2) AS DECIMAL(6,2)) AS DOUBLE) AS r1,
+        | CAST(CAST(round(CAST('-2.345' AS DECIMAL(6,3)), 2) AS DECIMAL(6,2)) AS DOUBLE) AS r2,
+        | CAST(CAST(round(CAST('125' AS DECIMAL(4,0)), -1) AS DECIMAL(6,0)) AS DOUBLE) AS r3""".stripMargin,
 
     // mod over decimals keeps the dividend's sign
     "slt_dec_mod_sign" ->
-      """SELECT CAST(mod(CAST('7.5' AS DECIMAL(4,1)), CAST('2.0' AS DECIMAL(4,1)))
-        |   AS DECIMAL(6,1)) AS m1,
-        | CAST(mod(CAST('-7.5' AS DECIMAL(4,1)), CAST('2.0' AS DECIMAL(4,1)))
-        |   AS DECIMAL(6,1)) AS m2""".stripMargin,
+      """SELECT CAST(CAST(mod(CAST('7.5' AS DECIMAL(4,1)), CAST('2.0' AS DECIMAL(4,1)))
+        |   AS DECIMAL(6,1)) AS DOUBLE) AS m1,
+        | CAST(CAST(mod(CAST('-7.5' AS DECIMAL(4,1)), CAST('2.0' AS DECIMAL(4,1)))
+        |   AS DECIMAL(6,1)) AS DOUBLE) AS m2""".stripMargin,
 
     // -------------------------------------- round-8c timestamp edges
     // (test/sql/types/timestamp/). Dialect notes: EXTRACT(SECOND) is an
@@ -1917,12 +1922,15 @@ object SltSlice {
         | trim(BOTH 'x' FROM 'xxx') AS empty_all""".stripMargin,
 
     // timestamp_limits.test shape: extreme pre-1970 and far-future
-    // instants cast to DATE (negative-micros floor division)
+    // instants cast to DATE (negative-micros floor division). Cells
+    // rendered as ISO strings per the third Q.scala convention —
+    // extreme/pre-Gregorian DATE cells hit the driver hash's parquet
+    // date-rebase divergence; the ts→DATE floor under test is unchanged.
     "slt_ts_extreme_range" ->
-      """SELECT CAST(TIMESTAMP '0001-01-01 00:00:00' AS DATE) AS lo,
-        | CAST(TIMESTAMP '1754-08-30 22:43:41' AS DATE) AS pre_epoch,
-        | CAST(TIMESTAMP '9999-12-31 23:59:59' AS DATE) AS hi,
-        | CAST(TIMESTAMP '1969-12-31 23:59:59' AS DATE) AS eve""".stripMargin
+      """SELECT CAST(CAST(TIMESTAMP '0001-01-01 00:00:00' AS DATE) AS STRING) AS lo,
+        | CAST(CAST(TIMESTAMP '1754-08-30 22:43:41' AS DATE) AS STRING) AS pre_epoch,
+        | CAST(CAST(TIMESTAMP '9999-12-31 23:59:59' AS DATE) AS STRING) AS hi,
+        | CAST(CAST(TIMESTAMP '1969-12-31 23:59:59' AS DATE) AS STRING) AS eve""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =

@@ -152,6 +152,63 @@ object Windows {
               .rangeBetween(-1, 0)))
         .select(col("o_orderkey"), col("cnt_g"))
         .orderBy(col("o_orderkey")).limit(300)
+    },
+
+    // DISTINCT aggregates over an UNBOUNDED window frame (reference:
+    // src/function/window/window_distinct_aggregator.cpp — a dedicated
+    // executor; Spark rejects DISTINCT in window aggregates outright).
+    // Emulation: collect_set over the partition IS the distinct multiset
+    // — size() gives count(DISTINCT), aggregate() folds sum(DISTINCT).
+    // NULL handling matches natively: collect_set drops NULLs exactly
+    // like DISTINCT aggregates ignore them.
+    "window_distinct_agg" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          size(collect_set(col("o_orderpriority")).over(w)).cast("long").as("n_prio"),
+          aggregate(collect_set(month(col("o_orderdate"))).over(w),
+            lit(0L), (a, x) => a + x.cast("long")).as("sum_months"))
+        .orderBy(col("o_orderkey")).limit(300)
+    },
+
+    // RUNNING count(DISTINCT) — ROWS UNBOUNDED PRECEDING frame — via the
+    // sum-of-first-occurrence identity: a row raises the running distinct
+    // count iff it is the FIRST occurrence of its value in the partition
+    // order, so row_number() = 1 per (partition, value) marks +1 and a
+    // running sum of the marks reproduces the distinct count at every
+    // row. Both windows share one total order (date, orderkey) so the
+    // frame is engine-independent.
+    "window_distinct_running" -> { (s, d) =>
+      val firstSeen = Window
+        .partitionBy(col("o_custkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders")
+        .withColumn("first_occ",
+          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+        .select(col("o_orderkey"),
+          sum(col("first_occ")).over(run).cast("long").as("run_prio"))
+        .orderBy(col("o_orderkey")).limit(300)
+    },
+
+    // FILTER (WHERE ...) on a WINDOWED aggregate (reference binds it for
+    // window aggregates too — bind_aggregate_expression.cpp:122-125;
+    // Spark rejects the clause on window functions). CASE-rewrite: sum
+    // over `CASE WHEN c THEN x END` (empty filtered frame → NULL, same
+    // as native FILTER) and count as a 0/1 running sum (empty → 0).
+    "window_filter_clause" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          round(sum(when(col("o_orderpriority") === "1-URGENT",
+            col("o_totalprice"))).over(w), 2).as("urgent_sum"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+            .over(w).cast("long").as("urgent_n"))
+        .orderBy(col("o_orderkey")).limit(300)
     }
   )
 
@@ -221,6 +278,29 @@ object Windows {
         |FROM (SELECT o_orderkey, o_orderpriority,
         |       dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS dr
         |      FROM orders) t
+        |ORDER BY o_orderkey LIMIT 300""".stripMargin,
+
+    // oracle runs the NATIVE window DISTINCT aggregates
+    "window_distinct_agg" ->
+      """SELECT o_orderkey,
+        | CAST(count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_prio,
+        | CAST(sum(DISTINCT EXTRACT(MONTH FROM o_orderdate))
+        |   OVER (PARTITION BY o_custkey) AS BIGINT) AS sum_months
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin,
+
+    "window_distinct_running" ->
+      """SELECT o_orderkey,
+        | CAST(count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_prio
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin,
+
+    // oracle runs the NATIVE FILTER clause on the windowed aggregate
+    "window_filter_clause" ->
+      """SELECT o_orderkey,
+        | round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT') OVER w, 2) AS urgent_sum,
+        | CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') OVER w AS BIGINT) AS urgent_n
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
         |ORDER BY o_orderkey LIMIT 300""".stripMargin
   )
 }

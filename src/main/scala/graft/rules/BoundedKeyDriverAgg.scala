@@ -177,8 +177,14 @@ object BoundedKeyDriverAgg extends Rule[LogicalPlan] {
           .forall(_.references.subsetOf(agg0.child.outputSet))
         val bounds =
           if (grounded) keys.map(groupBound) else Seq(None)
+        // overflow-checked product: several large per-key bounds can wrap
+        // a plain Long product to a small positive value, firing the
+        // route without a valid proof (the valve keeps results correct
+        // but pays an aborted scan + replan)
         val product = if (bounds.forall(_.isDefined))
-          Some(bounds.flatten.product) else None
+          scala.util.Try(bounds.flatten.foldLeft(1L)(Math.multiplyExact))
+            .toOption
+        else None
         // count(DISTINCT x) is admissible when x's own domain is ALSO
         // statistics-bounded — the exec then carries an exact per-group
         // distinct set (CountDistinctSlot), still valve-protected

@@ -67,7 +67,14 @@ object CsvSniffer {
         case '\n' =>
           if (rowHadData || fields > 1) counts += fields
           fields = 1; rowHadData = false
-        case '\r' => // swallowed (paired \n ends the row)
+        case '\r' =>
+          // \r\n: swallow, the \n ends the row; a BARE \r (classic-Mac
+          // line ending) must itself terminate the row or the whole
+          // sample collapses into one row and dialect scoring degrades
+          if (!(i + 1 < n && sample.charAt(i + 1) == '\n')) {
+            if (rowHadData || fields > 1) counts += fields
+            fields = 1; rowHadData = false
+          }
         case _ => rowHadData = true
       }
       i += 1

@@ -49,6 +49,17 @@ class CsvSnifferSpec extends AnyFunSuite {
     assert(counts == Seq(2, 2, 2, 1))
   }
 
+  test("bare-\\r (classic-Mac) line endings terminate rows for scoring") {
+    // without the bare-\r terminator the whole sample collapses into one
+    // row and the delimiter can't be scored by per-row consistency
+    val path = write("a|b|c\r1|x|2.5\r2|y|3.5\r3|z|4.5\r")
+    val got = CsvSniffer.sniff(spark, path)
+    assert(got.delimiter == '|', got.toString)
+    // \r\n must still count each row ONCE (the \n ends it)
+    val crlf = write("a|b|c\r\n1|x|2.5\r\n2|y|3.5\r\n")
+    assert(CsvSniffer.sniff(spark, crlf).delimiter == '|')
+  }
+
   test("end-to-end read with no explicit options matches the data") {
     val path = write("k\tname\tv\n1\talpha\t1.5\n2\tbeta\t2.5\n")
     val rows = CsvSniffer.read(spark, path).collect()

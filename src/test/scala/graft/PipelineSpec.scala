@@ -47,6 +47,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
   }
 
+  test("repetition handles empty/one-word docs and exact all-dup fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ""), (2L, "   "), (3L, "solo"),       // sub-2-word: no grams
+      (4L, "a a"),                               // one gram, no repeats
+      (5L, "x y x y x")                          // all grams duplicated
+    ).toDF("id", "text")
+    val got = TextAnalysis.repetition(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // empty/whitespace text splits to [""] (n_words 1), zero fractions
+    assert(got(1L) == (1L, 0.0, 0.0, 0.0, 0.0))
+    assert(got(2L) == (1L, 0.0, 0.0, 0.0, 0.0))
+    assert(got(3L) == (1L, 0.0, 0.0, 0.0, 0.0))
+    // "a a": rep_word 1/2; grams ["a a"] — no dup, top share 1.0
+    assert(got(4L) == (2L, 0.5, 0.0, 0.0, 1.0))
+    // "x y x y x": grams [x y, y x, x y, y x] — all covered, half repeats
+    assert(got(5L) == (5L, 0.6, 1.0, 0.5, 0.5))
+  }
+
   test("doc-frequency valve prunes stop-word-only candidate pairs") {
     import spark.implicits._
     // "the" appears in every doc; each real near-dup pair also shares a

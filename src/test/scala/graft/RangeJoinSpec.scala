@@ -158,6 +158,46 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("ieJoin is exact on long keys beyond 2^53 (double collapse post-filtered)") {
+    import spark.implicits._
+    // 2^53 = 9007199254740992: base+0 and base+1 collapse to the SAME
+    // double, so a double-only strict sweep would both emit false pairs
+    // and (with strict bounds applied on doubles) drop true ones — the
+    // non-strict sweep + exact typed post-filter must return the naive
+    // answer
+    val base = 9007199254740992L
+    val l = Seq((1L, base, base + 3L), (2L, base + 1L, base + 1L),
+        (3L, base + 2L, base + 5L))
+      .toDF("lid", "lxL", "lyL")
+      .select(col("lid"), col("lxL").as("lx"), col("lyL").as("ly"))
+    val r = Seq((1L, base + 1L, base + 2L), (2L, base + 2L, base + 1L),
+        (3L, base + 5L, base + 4L))
+      .toDF("rid", "rxL", "ryL")
+      .select(col("rid"), col("rxL").as("rx"), col("ryL").as("ry"))
+    for (sX <- Seq(true, false); sY <- Seq(true, false)) {
+      val got = RangeJoin.ieJoin(l, r, "lx", "rx", sX, "ly", "ry", sY, blocks = 4)
+        .select(col("lid"), col("rid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val cx = if (sX) col("lx") < col("rx") else col("lx") <= col("rx")
+      val cy = if (sY) col("ly") > col("ry") else col("ly") >= col("ry")
+      val want = l.crossJoin(r).filter(cx && cy)
+        .select(col("lid"), col("rid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got == want, s"strictX=$sX strictY=$sY: $got vs $want")
+    }
+  }
+
+  test("ieJoin keeps matches at the -0.0/0.0 boundary (normalized keys)") {
+    import spark.implicits._
+    // SQL: -0.0 = 0.0, so with a non-strict y bound the -0.0-keyed left
+    // row must match a 0.0 probe (java.lang.Double orders -0.0 BELOW
+    // 0.0 — an unnormalized TreeMap tail view would drop it)
+    val l = Seq((1L, 1.0, -0.0), (2L, 1.0, 0.0)).toDF("lid", "lx", "ly")
+    val r = Seq((1L, 2.0, 0.0), (2L, 2.0, -0.0)).toDF("rid", "rx", "ry")
+    val got = iePairs(l, r, sX = true, sY = false)
+    assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)), got.toString)
+  }
+
   test("ieJoin drops null-keyed rows (SQL inequality semantics) and handles empty sides") {
     import spark.implicits._
     val l = Seq((1L, Some(1.0), Some(5.0)), (2L, None, Some(5.0)), (3L, Some(2.0), None))
