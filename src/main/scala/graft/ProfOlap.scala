@@ -44,6 +44,11 @@ object ProfOlap {
     names.foreach { name =>
       val fn = queries.OlapShapes.queries.getOrElse(name, SparkEntry.queries(name))
       (1 to 4).foreach(_ => fn(spark, sfDir).collect())
+      if (sys.env.contains("GRAFT_EXPLAIN")) {
+        val dfx = fn(spark, sfDir)
+        dfx.collect()
+        println(dfx.queryExecution.executedPlan.toString.take(5000))
+      }
       val df = fn(spark, sfDir)
       val t0 = System.nanoTime()
       df.collect()

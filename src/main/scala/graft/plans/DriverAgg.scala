@@ -276,6 +276,42 @@ object DriverAgg {
       case MinMaxSSlot(oi, _, _) => acc.objs(oi)
     }
 
+  /** Typed twin of [[finalValue]]: writes aggregate `j` straight into a
+    * mutable row via primitive setters. With a SpecificInternalRow
+    * target this is allocation-free — the sorted-run aggregate's drain
+    * emits one row per GROUP, so the boxed `update(Any)` path costs a
+    * Long/Double box per aggregate per group (tens of millions of
+    * objects on groups≈rows shapes, pure GC churn).
+    */
+  def writeFinal(slots: Seq[Slot], aggTypes: Seq[DataType], j: Int, acc: Acc,
+      row: org.apache.spark.sql.catalyst.InternalRow, pos: Int): Unit =
+    slots(j) match {
+      case CountSlot(li, _) => row.setLong(pos, acc.longs(li))
+      case SumLSlot(li, fi, _) =>
+        if (acc.flags(fi)) row.setLong(pos, acc.longs(li)) else row.setNullAt(pos)
+      case SumDSlot(di, fi, _) =>
+        if (!acc.flags(fi)) row.setNullAt(pos)
+        else if (aggTypes(j) == FloatType) row.setFloat(pos, acc.doubles(di).toFloat)
+        else row.setDouble(pos, acc.doubles(di))
+      case AvgSlot(di, li, _) =>
+        if (acc.longs(li) > 0) row.setDouble(pos, acc.doubles(di) / acc.longs(li))
+        else row.setNullAt(pos)
+      case MinMaxLSlot(li, fi, _, _) =>
+        if (!acc.flags(fi)) row.setNullAt(pos)
+        else aggTypes(j) match {
+          case ByteType => row.setByte(pos, acc.longs(li).toByte)
+          case ShortType => row.setShort(pos, acc.longs(li).toShort)
+          case IntegerType | DateType => row.setInt(pos, acc.longs(li).toInt)
+          case _ => row.setLong(pos, acc.longs(li))
+        }
+      case MinMaxDSlot(di, fi, _, _) =>
+        if (!acc.flags(fi)) row.setNullAt(pos)
+        else if (aggTypes(j) == FloatType) row.setFloat(pos, acc.doubles(di).toFloat)
+        else row.setDouble(pos, acc.doubles(di))
+      case CountDistinctSlot(si, _) => row.setLong(pos, acc.sets(si).size().toLong)
+      case MinMaxSSlot(oi, _, _) => row.update(pos, acc.objs(oi))
+    }
+
   // ---- columnar key extraction --------------------------------------
   // The partial's row path pays ~250 ns/row at bench scale: a
   // column-to-row materialization, two UnsafeProjections, and an

@@ -141,6 +141,11 @@ object RadixAgg {
       while (i < size) { f(occ(i)); i += 1 }
     }
 
+    /** i-th occupied slot, insertion order (trackOccupied only) — lets
+      * the sorted-run drain emit groups lazily without a closure.
+      */
+    def occAt(i: Int): Int = occ(i)
+
     def foreachEntry(f: (Long, Int) => Unit): Unit = {
       var i = 0
       while (i < cap) { if (used(i)) f(keys(i), i); i += 1 }

@@ -26,6 +26,78 @@ import org.apache.spark.sql.execution.aggregate.HashAggregateExec
 object SortedRunAggRule extends Rule[SparkPlan] {
   // dev escape hatch for A/B timing + differential specs
   @volatile var enabled = !sys.env.get("GRAFT_NO_SORTED_RUN_AGG").contains("1")
+  // separate hatch for the fused top-n (A/B the heap against the plain
+  // drain + TakeOrderedAndProject pair)
+  @volatile var topNEnabled = !sys.env.get("GRAFT_NO_SRA_TOPN").contains("1")
+
+  /** Fuse a TakeOrderedAndProject above a direct-loop [[SortedRunAggExec]]
+    * into its drain (see [[SortedRunAggExec.TopNSpec]]). Conditions:
+    * every sort key reads off drain primitives (a prefix column, the run
+    * key, or a long/double-valued aggregate slot BEFORE any result
+    * rewriting — `c DESC` where `c = count(1)` qualifies, `round(sum)`
+    * does not), and the keys cover ALL grouping columns so the order is
+    * total and per-partition pruning to `limit` is exact. The parent
+    * TakeOrderedAndProject stays for the cross-partition merge.
+    */
+  def fuseTopN(plan: SparkPlan): SparkPlan =
+    if (!enabled || !topNEnabled) plan
+    else plan.transformUp {
+      case t @ org.apache.spark.sql.execution.TakeOrderedAndProjectExec(
+            limit, sortOrder, _, s: SortedRunAggExec, _)
+          if s.topN.isEmpty && limit > 0 && limit <= 100000 &&
+            (s.columnarChild || s.rowDirectEligible) =>
+        topNSpecFor(limit, sortOrder, s) match {
+          case Some(spec) => t.withNewChildren(Seq(s.copy(topN = Some(spec))))
+          case None => t
+        }
+    }
+
+  private def primitiveSlot(s: DriverAgg.Slot): Boolean = s match {
+    case DriverAgg.CountSlot(_, _) | DriverAgg.SumLSlot(_, _, _) |
+         DriverAgg.SumDSlot(_, _, _) | DriverAgg.AvgSlot(_, _, _) |
+         DriverAgg.MinMaxLSlot(_, _, _, _) | DriverAgg.MinMaxDSlot(_, _, _, _) => true
+    case _ => false
+  }
+
+  private def topNSpecFor(limit: Int,
+      order: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+      s: SortedRunAggExec): Option[SortedRunAggExec.TopNSpec] = {
+    import SortedRunAggExec._
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, NullsFirst}
+    val outIdx = s.output.map(_.exprId).zipWithIndex.toMap
+    val runKeyId = s.runKey.collect { case a: Attribute => a.exprId }
+    val srcs: Seq[Option[TopKeySrc]] = order.map { so =>
+      so.child match {
+        case a: Attribute => outIdx.get(a.exprId).flatMap { p =>
+          val e = s.resultExprs(p) match {
+            case al: Alias => al.child
+            case x => x
+          }
+          e match {
+            case ar: AttributeReference =>
+              val pi = s.prefix.indexWhere(_.exprId == ar.exprId)
+              if (pi >= 0) Some(PrefixTopKey(pi))
+              else if (runKeyId.contains(ar.exprId)) Some(RunTopKey)
+              else {
+                val j = s.aggAttrs.indexWhere(_.exprId == ar.exprId)
+                if (j >= 0 && primitiveSlot(s.slots(j))) Some(AggTopKey(j))
+                else None
+              }
+            case _ => None
+          }
+        }
+        case _ => None
+      }
+    }
+    if (srcs.exists(_.isEmpty)) return None
+    val got = srcs.map(_.get)
+    val prefixCovered = s.prefix.indices.forall(i => got.contains(PrefixTopKey(i)))
+    val keyCovered = s.runKey.isEmpty || got.contains(RunTopKey)
+    if (!prefixCovered || !keyCovered) None
+    else Some(TopNSpec(limit, got,
+      order.map(_.direction == Descending),
+      order.map(_.nullOrdering == NullsFirst)))
+  }
 
   override def apply(plan: SparkPlan): SparkPlan =
     if (!enabled) plan

@@ -100,6 +100,59 @@ class SortedRunAggSpec extends AnyFunSuite {
     }
   }
 
+  private def withTopN[A](on: Boolean)(f: => A): A = {
+    val prev = graft.rules.SortedRunAggRule.topNEnabled
+    graft.rules.SortedRunAggRule.topNEnabled = on
+    try f finally graft.rules.SortedRunAggRule.topNEnabled = prev
+  }
+
+  test("fused top-n drain matches the unfused TakeOrdered pair (total orders)") {
+    withAqe(false) {
+      // total orders (keys cover a AND b) across directions, null
+      // orderings, long and double sort slots, limits below and above
+      // the per-partition group count
+      val orders = Seq(
+        Seq(col("n").desc, col("a").asc_nulls_first, col("b").asc_nulls_first),
+        Seq(col("sd").desc_nulls_last, col("a").desc_nulls_last, col("b").asc_nulls_first),
+        Seq(col("al").asc_nulls_first, col("b").desc_nulls_first, col("a").asc_nulls_last))
+      for (ord <- orders; limit <- Seq(7, 400)) {
+        def run(on: Boolean) = withTopN(on) {
+          q().orderBy(ord: _*).limit(limit).collect().toSeq
+        }
+        val fusedPlan = withTopN(true) {
+          val df = q().orderBy(ord: _*).limit(limit)
+          df.collect()
+          df.queryExecution.executedPlan
+        }
+        assert(fusedPlan.collect {
+          case s: graft.plans.SortedRunAggExec if s.topN.isDefined => s
+        }.nonEmpty, fusedPlan.toString.take(2000))
+        assert(run(true) == run(false), s"ord=$ord limit=$limit")
+      }
+    }
+  }
+
+  test("top-n fusion declines non-total orders and rewritten sort keys") {
+    withAqe(false) {
+      // n DESC alone is not total over the groups — pruning could drop
+      // tied rows the global heap would keep
+      val p1 = q().orderBy(col("n").desc).limit(5)
+      p1.collect()
+      assert(p1.queryExecution.executedPlan.collect {
+        case s: graft.plans.SortedRunAggExec if s.topN.isDefined => s
+      }.isEmpty)
+      // a key through round() is a REWRITTEN aggregate, not a raw slot
+      val p2 = base.groupBy("a", "b")
+        .agg(round(sum(col("d")), 2).as("rs"))
+        .orderBy(col("rs").desc, col("a").asc_nulls_first, col("b").asc_nulls_first)
+        .limit(5)
+      p2.collect()
+      assert(p2.queryExecution.executedPlan.collect {
+        case s: graft.plans.SortedRunAggExec if s.topN.isDefined => s
+      }.isEmpty)
+    }
+  }
+
   test("guards: unsorted child, two remaining keys, string remainder keep the hash aggregate") {
     withAqe(false) { withRule(true) {
       // unsorted: repartition only
