@@ -276,6 +276,13 @@ object DriverAgg {
       case MinMaxSSlot(oi, _, _) => acc.objs(oi)
     }
 
+  /** Dev escape hatch for the typed-drain A/B (graft.BenchABDrain): when
+    * false, [[writeFinal]] routes through the boxed finalValue +
+    * update(Any) path it replaced, so the allocation cut can be
+    * attributed interleaved same-JVM per the PERF.md protocol.
+    */
+  @volatile var typedDrain = true
+
   /** Typed twin of [[finalValue]]: writes aggregate `j` straight into a
     * mutable row via primitive setters. With a SpecificInternalRow
     * target this is allocation-free — the sorted-run aggregate's drain
@@ -285,7 +292,10 @@ object DriverAgg {
     */
   def writeFinal(slots: Seq[Slot], aggTypes: Seq[DataType], j: Int, acc: Acc,
       row: org.apache.spark.sql.catalyst.InternalRow, pos: Int): Unit =
-    slots(j) match {
+    if (!typedDrain) {
+      val v = finalValue(slots, aggTypes, j, acc)
+      if (v == null) row.setNullAt(pos) else row.update(pos, v)
+    } else slots(j) match {
       case CountSlot(li, _) => row.setLong(pos, acc.longs(li))
       case SumLSlot(li, fi, _) =>
         if (acc.flags(fi)) row.setLong(pos, acc.longs(li)) else row.setNullAt(pos)

@@ -65,6 +65,14 @@ object SortedRunAggExec {
     * in parallel arrays. `cand*` hold the current candidate's tuple;
     * `admits` is the per-group fast path (one compare against the worst
     * entry), `insert` materializes a winner.
+    *
+    * The worst entry is tracked by a binary max-heap ("max" = orders
+    * last) over the entry slots: `heap(0)` is the worst once at
+    * capacity, so a replace is an O(log cap) sift-down — a linear worst
+    * rescan would degrade to O(groups·cap) when input arrives in
+    * improving order (every group admits), exactly the regime the fuse
+    * targets. Same shape as the reference's per-thread TopN heaps
+    * (physical_top_n.cpp).
     */
   final class GroupTopN(cap: Int, nK: Int, isD: Array[Boolean],
       desc: Array[Boolean], nullsFirst: Array[Boolean]) {
@@ -76,7 +84,7 @@ object SortedRunAggExec {
     val candD = new Array[Double](nK)
     val candN = new Array[Boolean](nK)
     var size = 0
-    private var worst = -1
+    private val heap = new Array[Int](cap)
 
     // <0 iff the candidate orders strictly before entry e
     private def cmpCand(e: Int): Int = {
@@ -112,21 +120,174 @@ object SortedRunAggExec {
       }
       false
     }
-    def admits: Boolean = size < cap || cmpCand(worst) < 0
+    def admits: Boolean = size < cap || cmpCand(heap(0)) < 0
+    private def siftUp(pos0: Int): Unit = {
+      var pos = pos0
+      while (pos > 0) {
+        val parent = (pos - 1) >> 1
+        if (!entryAfter(heap(pos), heap(parent))) return
+        val t = heap(pos); heap(pos) = heap(parent); heap(parent) = t
+        pos = parent
+      }
+    }
+    private def siftDown(pos0: Int): Unit = {
+      var pos = pos0
+      while (true) {
+        val l = 2 * pos + 1
+        if (l >= size) return
+        var c = l
+        val r = l + 1
+        if (r < size && entryAfter(heap(r), heap(l))) c = r
+        if (!entryAfter(heap(c), heap(pos))) return
+        val t = heap(pos); heap(pos) = heap(c); heap(c) = t
+        pos = c
+      }
+    }
     /** Materialize the current candidate (call only when `admits`). */
     def insert(row: InternalRow): Unit = {
-      val idx = if (size < cap) { size += 1; size - 1 } else worst
+      val atCap = size == cap
+      val idx = if (atCap) heap(0) else size
       rows(idx) = row
       var d = 0
       while (d < nK) {
         vL(d)(idx) = candL(d); vD(d)(idx) = candD(d); vN(d)(idx) = candN(d)
         d += 1
       }
-      if (size == cap) {
-        var w = 0; var i = 1
-        while (i < size) { if (entryAfter(i, w)) w = i; i += 1 }
-        worst = w
+      if (atCap) siftDown(0)
+      else { heap(size) = idx; size += 1; siftUp(size - 1) }
+    }
+  }
+
+  /** Machinery for the fused top-n drain shared by the batch and row
+    * loops ([[SortedRunAggExec]].runBatchTopN / runRowTopN) — the
+    * candidate fill, heap admit, and winner materialization are
+    * byte-identical between the two, and the per-slot type table here
+    * must stay in lockstep with [[DriverAgg.writeFinal]], so it lives in
+    * ONE place. Owns the heap and the output projection; the loops own
+    * only the child reads (column vectors vs rows) and run-boundary
+    * detection. Construct executor-side (holds an UnsafeProjection).
+    */
+  final class TopNDrain(
+      spec: TopNSpec,
+      theSlots: Seq[DriverAgg.Slot], types: Seq[DataType],
+      aL: Int, aD: Int, aF: Int,
+      exprs: Seq[NamedExpression], schema: Seq[Attribute],
+      pfxTypes: Array[DataType], hasKey: Boolean, kInt: Boolean,
+      m: RadixAgg.LongKeyMap, nullM: RadixAgg.LongKeyMap,
+      curP: Array[Long], curNull: Array[Boolean]) {
+    private val tSrcs = spec.srcs.toArray
+    // whether each sort key is a double-valued slot (else compares long)
+    private val tIsD: Array[Boolean] = tSrcs.map {
+      case AggTopKey(j) => theSlots(j) match {
+        case DriverAgg.SumDSlot(_, _, _) | DriverAgg.MinMaxDSlot(_, _, _, _) |
+             DriverAgg.AvgSlot(_, _, _) => true
+        case _ => false
       }
+      case _ => false
+    }
+    val h = new GroupTopN(spec.limit, tSrcs.length, tIsD,
+      spec.desc.toArray, spec.nullsFirst.toArray)
+    private val proj = UnsafeProjection.create(exprs, schema)
+    private val evalRow = new SpecificInternalRow(schema.map(_.dataType))
+    private val acc = new DriverAgg.Acc(new Array[Long](aL),
+      new Array[Double](aD), new Array[Boolean](aF))
+    private val nP = pfxTypes.length
+    private val keyPos = nP
+    private val aggBase = nP + (if (hasKey) 1 else 0)
+    private val pInt = pfxTypes.map {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+    var sawNull = false
+
+    // candidate tuple straight off the map's flat state — no Acc copy
+    private def fillCand(src: RadixAgg.LongKeyMap, s: Int, key: Long,
+        keyNull: Boolean): Unit = {
+      var d = 0
+      while (d < tSrcs.length) {
+        tSrcs(d) match {
+          case PrefixTopKey(i) => h.candN(d) = curNull(i); h.candL(d) = curP(i)
+          case RunTopKey => h.candN(d) = keyNull; h.candL(d) = key
+          case AggTopKey(j) => theSlots(j) match {
+            case DriverAgg.CountSlot(li, _) =>
+              h.candN(d) = false; h.candL(d) = src.longs(s * aL + li)
+            case DriverAgg.SumLSlot(li, fi, _) =>
+              h.candN(d) = !src.flags(s * aF + fi)
+              h.candL(d) = src.longs(s * aL + li)
+            case DriverAgg.MinMaxLSlot(li, fi, _, _) =>
+              h.candN(d) = !src.flags(s * aF + fi)
+              h.candL(d) = src.longs(s * aL + li)
+            case DriverAgg.SumDSlot(di, fi, _) =>
+              h.candN(d) = !src.flags(s * aF + fi)
+              val v = src.doubles(s * aD + di)
+              h.candD(d) = if (v == 0.0) 0.0 else v // -0.0 → 0.0 (UnsafeRow norm)
+            case DriverAgg.MinMaxDSlot(di, fi, _, _) =>
+              h.candN(d) = !src.flags(s * aF + fi)
+              val v = src.doubles(s * aD + di)
+              h.candD(d) = if (v == 0.0) 0.0 else v
+            case DriverAgg.AvgSlot(di, li, _) =>
+              val c = src.longs(s * aL + li)
+              h.candN(d) = c == 0
+              val v = if (c == 0) 0.0 else src.doubles(s * aD + di) / c
+              h.candD(d) = if (v == 0.0) 0.0 else v
+            case other =>
+              throw new IllegalStateException(s"non-primitive top-n slot $other")
+          }
+        }
+        d += 1
+      }
+    }
+    private def load(src: RadixAgg.LongKeyMap, s: Int): Unit = {
+      System.arraycopy(src.longs, s * aL, acc.longs, 0, aL)
+      System.arraycopy(src.doubles, s * aD, acc.doubles, 0, aD)
+      System.arraycopy(src.flags, s * aF, acc.flags, 0, aF)
+    }
+    private def fillAggs(): Unit = {
+      var j = 0
+      while (j < theSlots.length) {
+        DriverAgg.writeFinal(theSlots, types, j, acc, evalRow, aggBase + j)
+        j += 1
+      }
+    }
+    /** Drain the closed run's groups against the heap and reset the maps.
+      * Tuples are compared BEFORE any row exists; only heap winners are
+      * projected and copied.
+      */
+    def drainRunToHeap(): Unit = {
+      var wrotePrefix = false
+      def materialize(src: RadixAgg.LongKeyMap, s: Int, keyNull: Boolean): Unit = {
+        if (!wrotePrefix) {
+          var i = 0
+          while (i < nP) {
+            if (curNull(i)) evalRow.setNullAt(i)
+            else if (pInt(i)) evalRow.setInt(i, curP(i).toInt)
+            else evalRow.setLong(i, curP(i))
+            i += 1
+          }
+          wrotePrefix = true
+        }
+        load(src, s)
+        if (hasKey) {
+          if (keyNull) evalRow.setNullAt(keyPos)
+          else {
+            val k = src.keyAt(s)
+            if (kInt) evalRow.setInt(keyPos, k.toInt)
+            else evalRow.setLong(keyPos, k)
+          }
+        }
+        fillAggs()
+        h.insert(proj(evalRow).copy())
+      }
+      m.foreachOccupied { s =>
+        fillCand(m, s, m.keyAt(s), keyNull = false)
+        if (h.admits) materialize(m, s, keyNull = false)
+      }
+      if (sawNull) nullM.foreachOccupied { s =>
+        fillCand(nullM, s, 0L, keyNull = true)
+        if (h.admits) materialize(nullM, s, keyNull = true)
+      }
+      m.resetOccupied(); nullM.resetOccupied(); sawNull = false
     }
   }
 }
@@ -706,27 +867,13 @@ final case class SortedRunAggExec(
     }
   }
 
-  /** Per-dim metadata for the fused top-n: whether the sort key is a
-    * double-valued slot (everything else compares as long).
-    */
-  private def topNIsDouble(spec: SortedRunAggExec.TopNSpec): Array[Boolean] = {
-    import SortedRunAggExec._
-    spec.srcs.map {
-      case AggTopKey(j) => slots(j) match {
-        case DriverAgg.SumDSlot(_, _, _) | DriverAgg.MinMaxDSlot(_, _, _, _) |
-             DriverAgg.AvgSlot(_, _, _) => true
-        case _ => false
-      }
-      case _ => false
-    }.toArray
-  }
-
   /** Batch-direct loop with the TakeOrderedAndProject fused in: consume
     * everything, drain each closing run's groups against the bounded
     * heap (tuple read straight off the map's primitive state — no
     * accumulator copy, no projection, no row), emit the ≤limit winners
     * at partition end. The parent TakeOrderedAndProject still does the
-    * cross-partition merge.
+    * cross-partition merge. Drain machinery shared with the row twin
+    * via [[SortedRunAggExec.TopNDrain]].
     */
   private def runBatchTopN(): RDD[InternalRow] = {
     import SortedRunAggExec._
@@ -735,11 +882,6 @@ final case class SortedRunAggExec(
     val (childOut, exprs, schema) = (child.output, resultExprs, evalSchema)
     val (kT, ansiMode) = (runKeyType, ansi)
     val spec = topN.get
-    val tSrcs = spec.srcs.toArray
-    val tIsD = topNIsDouble(spec)
-    val tDesc = spec.desc.toArray
-    val tNF = spec.nullsFirst.toArray
-    val tCap = spec.limit
     val pfxTypes = pfx.map(_.dataType).toArray
     val pOrds = pfx.map(a => childOut.indexWhere(_.exprId == a.exprId)).toArray
     val pLong = pfxTypes.map {
@@ -764,112 +906,17 @@ final case class SortedRunAggExec(
       val ups = colUpdaters(theSlots, dts, vecs, aL, aD, aF, ansiMode)
       val m = new LongKeyMap(aL, aD, aF, 64, trackOccupied = true)
       val nullM = new LongKeyMap(aL, aD, aF, 16, trackOccupied = true)
-      val proj = UnsafeProjection.create(exprs, schema)
-      val evalRow = new SpecificInternalRow(schema.map(_.dataType))
-      val acc = new DriverAgg.Acc(new Array[Long](aL), new Array[Double](aD),
-        new Array[Boolean](aF))
-      val keyPos = pfx.length
-      val aggBase = pfx.length + (if (rk.isDefined) 1 else 0)
       val nP = pOrds.length
       val curP = new Array[Long](nP)
       val curNull = new Array[Boolean](nP)
-      val pInt = pfxTypes.map {
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.DateType => true
-        case _ => false
-      }
       val kInt = kT match {
         case org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.DateType => true
         case _ => false
       }
       var curSet = false
-      var sawNull = false
-      val h = new GroupTopN(tCap, tSrcs.length, tIsD, tDesc, tNF)
-
-      // candidate tuple straight off the map's flat state — no Acc copy
-      def fillCand(src: LongKeyMap, s: Int, key: Long, keyNull: Boolean): Unit = {
-        var d = 0
-        while (d < tSrcs.length) {
-          tSrcs(d) match {
-            case PrefixTopKey(i) => h.candN(d) = curNull(i); h.candL(d) = curP(i)
-            case RunTopKey => h.candN(d) = keyNull; h.candL(d) = key
-            case AggTopKey(j) => theSlots(j) match {
-              case DriverAgg.CountSlot(li, _) =>
-                h.candN(d) = false; h.candL(d) = src.longs(s * aL + li)
-              case DriverAgg.SumLSlot(li, fi, _) =>
-                h.candN(d) = !src.flags(s * aF + fi)
-                h.candL(d) = src.longs(s * aL + li)
-              case DriverAgg.MinMaxLSlot(li, fi, _, _) =>
-                h.candN(d) = !src.flags(s * aF + fi)
-                h.candL(d) = src.longs(s * aL + li)
-              case DriverAgg.SumDSlot(di, fi, _) =>
-                h.candN(d) = !src.flags(s * aF + fi)
-                val v = src.doubles(s * aD + di)
-                h.candD(d) = if (v == 0.0) 0.0 else v // -0.0 → 0.0 (UnsafeRow norm)
-              case DriverAgg.MinMaxDSlot(di, fi, _, _) =>
-                h.candN(d) = !src.flags(s * aF + fi)
-                val v = src.doubles(s * aD + di)
-                h.candD(d) = if (v == 0.0) 0.0 else v
-              case DriverAgg.AvgSlot(di, li, _) =>
-                val c = src.longs(s * aL + li)
-                h.candN(d) = c == 0
-                val v = if (c == 0) 0.0 else src.doubles(s * aD + di) / c
-                h.candD(d) = if (v == 0.0) 0.0 else v
-              case other =>
-                throw new IllegalStateException(s"non-primitive top-n slot $other")
-            }
-          }
-          d += 1
-        }
-      }
-      def load(src: LongKeyMap, s: Int): Unit = {
-        System.arraycopy(src.longs, s * aL, acc.longs, 0, aL)
-        System.arraycopy(src.doubles, s * aD, acc.doubles, 0, aD)
-        System.arraycopy(src.flags, s * aF, acc.flags, 0, aF)
-      }
-      def fillAggs(): Unit = {
-        var j = 0
-        while (j < theSlots.length) {
-          DriverAgg.writeFinal(theSlots, types, j, acc, evalRow, aggBase + j)
-          j += 1
-        }
-      }
-      def drainRunToHeap(): Unit = {
-        var wrotePrefix = false
-        def materialize(src: LongKeyMap, s: Int, keyNull: Boolean): Unit = {
-          if (!wrotePrefix) {
-            var i = 0
-            while (i < nP) {
-              if (curNull(i)) evalRow.setNullAt(i)
-              else if (pInt(i)) evalRow.setInt(i, curP(i).toInt)
-              else evalRow.setLong(i, curP(i))
-              i += 1
-            }
-            wrotePrefix = true
-          }
-          load(src, s)
-          if (rk.isDefined) {
-            if (keyNull) evalRow.setNullAt(keyPos)
-            else {
-              val k = src.keyAt(s)
-              if (kInt) evalRow.setInt(keyPos, k.toInt)
-              else evalRow.setLong(keyPos, k)
-            }
-          }
-          fillAggs()
-          h.insert(proj(evalRow).copy())
-        }
-        m.foreachOccupied { s =>
-          fillCand(m, s, m.keyAt(s), keyNull = false)
-          if (h.admits) materialize(m, s, keyNull = false)
-        }
-        if (sawNull) nullM.foreachOccupied { s =>
-          fillCand(nullM, s, 0L, keyNull = true)
-          if (h.admits) materialize(nullM, s, keyNull = true)
-        }
-        m.resetOccupied(); nullM.resetOccupied(); sawNull = false
-      }
+      val drain = new TopNDrain(spec, theSlots, types, aL, aD, aF,
+        exprs, schema, pfxTypes, rk.isDefined, kInt, m, nullM, curP, curNull)
 
       val pVecsHolder = new Array[org.apache.spark.sql.vectorized.ColumnVector](nP)
       var kVec: org.apache.spark.sql.vectorized.ColumnVector = null
@@ -899,7 +946,7 @@ final case class SortedRunAggExec(
       def consume(r: Int): Unit = {
         val (tgt, s) =
           if (kVec == null) (m, m.slotOf(0L))
-          else if (kVec.isNullAt(r)) { sawNull = true; (nullM, nullM.slotOf(0L)) }
+          else if (kVec.isNullAt(r)) { drain.sawNull = true; (nullM, nullM.slotOf(0L)) }
           else (m, m.slotOf(if (kLong) kVec.getLong(r) else kVec.getInt(r).toLong))
         var j = 0
         while (j < ups.length) { ups(j)(tgt, r, s); j += 1 }
@@ -919,13 +966,14 @@ final case class SortedRunAggExec(
         while (r < nRows) {
           if (sel == null || sel.passes(r)) {
             if (!curSet) { updateCur(r); curSet = true }
-            else if (differs(r)) { drainRunToHeap(); updateCur(r) }
+            else if (differs(r)) { drain.drainRunToHeap(); updateCur(r) }
             consume(r)
           }
           r += 1
         }
       }
-      if (curSet && (m.size > 0 || sawNull)) drainRunToHeap()
+      if (curSet && (m.size > 0 || drain.sawNull)) drain.drainRunToHeap()
+      val h = drain.h
       new Iterator[InternalRow] {
         private var i = 0
         def hasNext: Boolean = i < h.size
@@ -942,11 +990,6 @@ final case class SortedRunAggExec(
     val (childOut, exprs, schema) = (child.output, resultExprs, evalSchema)
     val (kT, ansiMode) = (runKeyType, ansi)
     val spec = topN.get
-    val tSrcs = spec.srcs.toArray
-    val tIsD = topNIsDouble(spec)
-    val tDesc = spec.desc.toArray
-    val tNF = spec.nullsFirst.toArray
-    val tCap = spec.limit
     val pfxTypes = pfx.map(_.dataType).toArray
     val pOrds = pfx.map(a => childOut.indexWhere(_.exprId == a.exprId)).toArray
     val pLong = pfxTypes.map {
@@ -966,111 +1009,18 @@ final case class SortedRunAggExec(
       val ups = rowUpdaters(theSlots, iExprs, aL, aD, aF, ansiMode)
       val m = new LongKeyMap(aL, aD, aF, 64, trackOccupied = true)
       val nullM = new LongKeyMap(aL, aD, aF, 16, trackOccupied = true)
-      val proj = UnsafeProjection.create(exprs, schema)
-      val evalRow = new SpecificInternalRow(schema.map(_.dataType))
-      val acc = new DriverAgg.Acc(new Array[Long](aL), new Array[Double](aD),
-        new Array[Boolean](aF))
-      val keyPos = pfx.length
-      val aggBase = pfx.length + (if (rk.isDefined) 1 else 0)
       val nP = pOrds.length
       val curP = new Array[Long](nP)
       val curNull = new Array[Boolean](nP)
-      val pInt = pfxTypes.map {
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.DateType => true
-        case _ => false
-      }
       val kInt = kT match {
         case org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.DateType => true
         case _ => false
       }
       var curSet = false
-      var sawNull = false
-      val h = new GroupTopN(tCap, tSrcs.length, tIsD, tDesc, tNF)
+      val drain = new TopNDrain(spec, theSlots, types, aL, aD, aF,
+        exprs, schema, pfxTypes, rk.isDefined, kInt, m, nullM, curP, curNull)
 
-      def fillCand(src: LongKeyMap, s: Int, key: Long, keyNull: Boolean): Unit = {
-        var d = 0
-        while (d < tSrcs.length) {
-          tSrcs(d) match {
-            case PrefixTopKey(i) => h.candN(d) = curNull(i); h.candL(d) = curP(i)
-            case RunTopKey => h.candN(d) = keyNull; h.candL(d) = key
-            case AggTopKey(j) => theSlots(j) match {
-              case DriverAgg.CountSlot(li, _) =>
-                h.candN(d) = false; h.candL(d) = src.longs(s * aL + li)
-              case DriverAgg.SumLSlot(li, fi, _) =>
-                h.candN(d) = !src.flags(s * aF + fi)
-                h.candL(d) = src.longs(s * aL + li)
-              case DriverAgg.MinMaxLSlot(li, fi, _, _) =>
-                h.candN(d) = !src.flags(s * aF + fi)
-                h.candL(d) = src.longs(s * aL + li)
-              case DriverAgg.SumDSlot(di, fi, _) =>
-                h.candN(d) = !src.flags(s * aF + fi)
-                val v = src.doubles(s * aD + di)
-                h.candD(d) = if (v == 0.0) 0.0 else v
-              case DriverAgg.MinMaxDSlot(di, fi, _, _) =>
-                h.candN(d) = !src.flags(s * aF + fi)
-                val v = src.doubles(s * aD + di)
-                h.candD(d) = if (v == 0.0) 0.0 else v
-              case DriverAgg.AvgSlot(di, li, _) =>
-                val c = src.longs(s * aL + li)
-                h.candN(d) = c == 0
-                val v = if (c == 0) 0.0 else src.doubles(s * aD + di) / c
-                h.candD(d) = if (v == 0.0) 0.0 else v
-              case other =>
-                throw new IllegalStateException(s"non-primitive top-n slot $other")
-            }
-          }
-          d += 1
-        }
-      }
-      def load(src: LongKeyMap, s: Int): Unit = {
-        System.arraycopy(src.longs, s * aL, acc.longs, 0, aL)
-        System.arraycopy(src.doubles, s * aD, acc.doubles, 0, aD)
-        System.arraycopy(src.flags, s * aF, acc.flags, 0, aF)
-      }
-      def fillAggs(): Unit = {
-        var j = 0
-        while (j < theSlots.length) {
-          DriverAgg.writeFinal(theSlots, types, j, acc, evalRow, aggBase + j)
-          j += 1
-        }
-      }
-      def drainRunToHeap(): Unit = {
-        var wrotePrefix = false
-        def materialize(src: LongKeyMap, s: Int, keyNull: Boolean): Unit = {
-          if (!wrotePrefix) {
-            var i = 0
-            while (i < nP) {
-              if (curNull(i)) evalRow.setNullAt(i)
-              else if (pInt(i)) evalRow.setInt(i, curP(i).toInt)
-              else evalRow.setLong(i, curP(i))
-              i += 1
-            }
-            wrotePrefix = true
-          }
-          load(src, s)
-          if (rk.isDefined) {
-            if (keyNull) evalRow.setNullAt(keyPos)
-            else {
-              val k = src.keyAt(s)
-              if (kInt) evalRow.setInt(keyPos, k.toInt)
-              else evalRow.setLong(keyPos, k)
-            }
-          }
-          fillAggs()
-          h.insert(proj(evalRow).copy())
-        }
-        m.foreachOccupied { s =>
-          fillCand(m, s, m.keyAt(s), keyNull = false)
-          if (h.admits) materialize(m, s, keyNull = false)
-        }
-        if (sawNull) nullM.foreachOccupied { s =>
-          fillCand(nullM, s, 0L, keyNull = true)
-          if (h.admits) materialize(nullM, s, keyNull = true)
-        }
-        m.resetOccupied(); nullM.resetOccupied(); sawNull = false
-      }
       def differs(row: InternalRow): Boolean = {
         var i = 0
         while (i < nP) {
@@ -1096,7 +1046,7 @@ final case class SortedRunAggExec(
       def consume(row: InternalRow): Unit = {
         val (tgt, s) =
           if (kOrd < 0) (m, m.slotOf(0L))
-          else if (row.isNullAt(kOrd)) { sawNull = true; (nullM, nullM.slotOf(0L)) }
+          else if (row.isNullAt(kOrd)) { drain.sawNull = true; (nullM, nullM.slotOf(0L)) }
           else (m, m.slotOf(
             if (kLong) row.getLong(kOrd) else row.getInt(kOrd).toLong))
         val v = valProj(row)
@@ -1107,10 +1057,11 @@ final case class SortedRunAggExec(
       while (rows.hasNext) {
         val row = rows.next()
         if (!curSet) { updateCur(row); curSet = true }
-        else if (differs(row)) { drainRunToHeap(); updateCur(row) }
+        else if (differs(row)) { drain.drainRunToHeap(); updateCur(row) }
         consume(row)
       }
-      if (curSet && (m.size > 0 || sawNull)) drainRunToHeap()
+      if (curSet && (m.size > 0 || drain.sawNull)) drain.drainRunToHeap()
+      val h = drain.h
       new Iterator[InternalRow] {
         private var i = 0
         def hasNext: Boolean = i < h.size

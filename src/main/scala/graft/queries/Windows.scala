@@ -161,6 +161,31 @@ object Windows {
     // — size() gives count(DISTINCT), aggregate() folds sum(DISTINCT).
     // NULL handling matches natively: collect_set drops NULLs exactly
     // like DISTINCT aggregates ignore them.
+    // SCALE VALVE (Dedup-style note): the emulation materializes the
+    // per-partition distinct set as an array value — bounded by the
+    // DISTINCT column's per-partition cardinality, NOT the row count
+    // (unbounded frames evaluate once per partition in WindowExec). Fine
+    // for low-cardinality columns like these; a high-cardinality DISTINCT
+    // over a hot key would balloon — route that through a two-level
+    // groupBy(part, value) + count instead.
+    // DISTINCT aggregate over a BOUNDED sliding frame (reference handles
+    // arbitrary frames in window_distinct_aggregator.cpp via a merge-sort
+    // tree; here the frame is small and explicit, so the per-row distinct
+    // set over the sliding collect_list is exact and O(frame) per row —
+    // the cost is bounded by the FRAME size, not the partition).
+    "window_distinct_bounded" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          size(array_distinct(collect_list(col("o_orderpriority")).over(w)))
+            .cast("long").as("w_prio"),
+          aggregate(array_distinct(collect_list(month(col("o_orderdate"))).over(w)),
+            lit(0L), (a, x) => a + x.cast("long")).as("w_sum_months"))
+        .orderBy(col("o_orderkey")).limit(300)
+    },
+
     "window_distinct_agg" -> { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
       Tables(s, d, "orders")
@@ -202,10 +227,14 @@ object Windows {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // money summed as exact integer cents (Q.scala second convention):
+      // a running double sum vs DuckDB's segment-tree sum need not agree
+      // in the last ulp, and round(.., 2) diverges at .005 boundaries
       Tables(s, d, "orders")
         .select(col("o_orderkey"),
-          round(sum(when(col("o_orderpriority") === "1-URGENT",
-            col("o_totalprice"))).over(w), 2).as("urgent_sum"),
+          sum(when(col("o_orderpriority") === "1-URGENT",
+            round(col("o_totalprice") * 100).cast("long"))).over(w)
+            .cast("long").as("urgent_cents"),
           sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
             .over(w).cast("long").as("urgent_n"))
         .orderBy(col("o_orderkey")).limit(300)
@@ -281,6 +310,14 @@ object Windows {
         |ORDER BY o_orderkey LIMIT 300""".stripMargin,
 
     // oracle runs the NATIVE window DISTINCT aggregates
+    "window_distinct_bounded" ->
+      """SELECT o_orderkey,
+        | CAST(count(DISTINCT o_orderpriority) OVER w AS BIGINT) AS w_prio,
+        | CAST(sum(DISTINCT EXTRACT(MONTH FROM o_orderdate)) OVER w AS BIGINT) AS w_sum_months
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey LIMIT 300""".stripMargin,
+
     "window_distinct_agg" ->
       """SELECT o_orderkey,
         | CAST(count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_prio,
@@ -297,7 +334,8 @@ object Windows {
     // oracle runs the NATIVE FILTER clause on the windowed aggregate
     "window_filter_clause" ->
       """SELECT o_orderkey,
-        | round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT') OVER w, 2) AS urgent_sum,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |   FILTER (WHERE o_orderpriority = '1-URGENT') OVER w AS BIGINT) AS urgent_cents,
         | CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') OVER w AS BIGINT) AS urgent_n
         |FROM orders WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)

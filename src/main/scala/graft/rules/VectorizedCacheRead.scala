@@ -141,12 +141,12 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
           case _ => d
         }
     }
-    // cross-execution dimension broadcast cache (warm mode, AQE off only —
     // a TakeOrderedAndProject directly above a direct-loop sorted-run
     // aggregate fuses into its drain as a partition-local bounded heap
     // (runs AFTER the batch/row wiring above — the fused paths exist
     // only for the direct loops)
     val topFused = SortedRunAggRule.fuseTopN(fusedColumnar)
+    // cross-execution dimension broadcast cache (warm mode, AQE off only —
     // see plans/CachedBroadcast.scala)
     if (!graft.Tables.cacheMode || conf.adaptiveExecutionEnabled) topFused
     else topFused.transformUp {

@@ -132,6 +132,42 @@ class SortedRunAggSpec extends AnyFunSuite {
     }
   }
 
+  test("GroupTopN heap keeps exactly the best cap tuples on improving, worsening, and random streams") {
+    import graft.plans.SortedRunAggExec.GroupTopN
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val cap = 100
+    // dim0: long DESC nulls last; dim1: double ASC nulls first
+    val (isD, desc, nf) = (Array(false, true), Array(true, false), Array(false, true))
+    def cmp(a: (Boolean, Long, Double), b: (Boolean, Long, Double)): Int = {
+      val c0 =
+        if (a._1 || b._1) { if (a._1 == b._1) 0 else if (a._1) 1 else -1 } // null last
+        else -java.lang.Long.compare(a._2, b._2) // desc
+      if (c0 != 0) c0 else java.lang.Double.compare(a._3, b._3)
+    }
+    def check(stream: IndexedSeq[(Boolean, Long, Double)]): Unit = {
+      val h = new GroupTopN(cap, 2, isD, desc, nf)
+      stream.zipWithIndex.foreach { case ((n0, l0, d1), i) =>
+        h.candN(0) = n0; h.candL(0) = if (n0) 0L else l0
+        h.candN(1) = false; h.candD(1) = d1
+        if (h.admits) h.insert(new GenericInternalRow(Array[Any](i)))
+      }
+      val got = (0 until h.size).map(i => stream(h.rows(i).getInt(0)))
+        .sortWith(cmp(_, _) < 0)
+      val want = stream.sortWith(cmp(_, _) < 0).take(cap)
+      assert(got == want, s"heap survivors diverge (n=${stream.length})")
+    }
+    // improving order (the ADVICE r9 cliff: EVERY candidate admits — a
+    // linear worst-rescan would be O(n*cap) here; the heap is O(n log cap))
+    check((0 until 5000).map(i => (false, i.toLong, -i.toDouble)))
+    // worsening order (only the first cap admit)
+    check((0 until 5000).map(i => (false, -i.toLong, i.toDouble)))
+    // random with nulls and ties in both dims
+    val rnd = new scala.util.Random(42)
+    check((0 until 5000).map { _ =>
+      (rnd.nextInt(50) == 0, rnd.nextInt(300).toLong, rnd.nextInt(40).toDouble)
+    })
+  }
+
   test("top-n fusion declines non-total orders and rewritten sort keys") {
     withAqe(false) {
       // n DESC alone is not total over the groups — pruning could drop
