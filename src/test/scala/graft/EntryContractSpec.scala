@@ -18,8 +18,8 @@ class EntryContractSpec extends AnyFunSuite {
     "Extensions" -> Extensions.queries, "Pipeline" -> Pipeline.queries,
     "Shaping" -> Shaping.queries, "Sources" -> Sources.queries,
     "Tpch" -> Tpch.queries, "SltSlice" -> SltSlice.queries,
-    "TpcdsShapes" -> TpcdsShapes.queries, "NestedSlice" -> NestedSlice.queries,
-    "OlapShapes" -> OlapShapes.queries)
+    "TpcdsShapes" -> TpcdsShapes.queries, "TpcdsVerbatim" -> TpcdsVerbatim.queries,
+    "NestedSlice" -> NestedSlice.queries, "OlapShapes" -> OlapShapes.queries)
 
   test("query names are unique across families") {
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }
