@@ -1930,7 +1930,233 @@ object SltSlice {
       """SELECT CAST(CAST(TIMESTAMP '0001-01-01 00:00:00' AS DATE) AS STRING) AS lo,
         | CAST(CAST(TIMESTAMP '1754-08-30 22:43:41' AS DATE) AS STRING) AS pre_epoch,
         | CAST(CAST(TIMESTAMP '9999-12-31 23:59:59' AS DATE) AS STRING) AS hi,
-        | CAST(CAST(TIMESTAMP '1969-12-31 23:59:59' AS DATE) AS STRING) AS eve""".stripMargin
+        | CAST(CAST(TIMESTAMP '1969-12-31 23:59:59' AS DATE) AS STRING) AS eve""".stripMargin,
+
+    // ------------------------------------------ r10 widening: interval
+    // & date edges (test/sql/types/interval/, test/sql/types/date/).
+    // DATE + INTERVAL returns TIMESTAMP in the oracle engine but DATE in
+    // Spark, so date-valued results are CAST AS DATE on the shared text.
+    // test/sql/types/interval/test_interval_addition.test: month-end
+    // clamping, leap-year anniversaries, sub-day rollover across
+    // midnight / year boundaries
+    "slt_interval_add_clamp" ->
+      """SELECT CAST(DATE '2000-01-31' + INTERVAL '1' MONTH AS DATE) AS month_clamp,
+        | CAST(DATE '2000-02-29' + INTERVAL '1' YEAR AS DATE) AS leap_anniv,
+        | CAST(DATE '1999-12-31' + INTERVAL '2' MONTH AS DATE) AS year_cross,
+        | TIMESTAMP '2000-01-01 23:30:00' + INTERVAL '45' MINUTE AS minute_roll,
+        | TIMESTAMP '2000-12-31 23:59:30' + INTERVAL '31' SECOND AS year_tick""".stripMargin,
+
+    // test/sql/types/date/date_parts.test: ISO WEEK spans year
+    // boundaries (2000-01-01 is week 52 of 1999, 1999-01-01 week 53 of
+    // 1998); DOY, QUARTER. (DOW is NOT pinnable: the oracle counts
+    // Sunday=0, Spark Sunday=1.)
+    "slt_date_iso_week_edges" ->
+      """SELECT EXTRACT(WEEK FROM DATE '2001-01-01') AS w_jan1,
+        | EXTRACT(WEEK FROM DATE '2000-01-01') AS w_prev52,
+        | EXTRACT(WEEK FROM DATE '1999-01-01') AS w_prev53,
+        | EXTRACT(WEEK FROM DATE '1998-12-31') AS w_dec31,
+        | EXTRACT(DOY FROM DATE '2001-02-01') AS doy,
+        | EXTRACT(QUARTER FROM DATE '2001-05-01') AS qtr""".stripMargin,
+
+    // test/sql/types/test_date_cast.test: lenient string→DATE casts
+    // (single-digit fields, surrounding whitespace) and DATE→STRING ISO
+    "slt_date_lenient_cast" ->
+      """SELECT CAST('2001-2-3' AS DATE) AS single_digit,
+        | CAST('  2001-02-03  ' AS DATE) AS padded,
+        | CAST(DATE '2001-02-03' AS STRING) AS iso_render,
+        | make_date(2001, 2, 3) AS made""".stripMargin,
+
+    // test/sql/functions/date/test_date_trunc.test + last_day leap edges
+    "slt_date_trunc_lastday" ->
+      """SELECT CAST(date_trunc('quarter', DATE '2001-05-15') AS DATE) AS q2,
+        | CAST(date_trunc('year', DATE '2001-05-15') AS DATE) AS y,
+        | CAST(date_trunc('week', DATE '2001-05-17') AS DATE) AS wk_monday,
+        | last_day(DATE '2000-02-01') AS leap_feb,
+        | last_day(DATE '1900-02-01') AS century_feb""".stripMargin,
+
+    // date_add over int days, negative into a leap day
+    "slt_date_add_days" ->
+      """SELECT date_add(DATE '2000-01-01', 90) AS fwd,
+        | date_add(DATE '2000-03-01', -1) AS leap_back,
+        | date_add(DATE '1999-12-31', 1) AS y2k""".stripMargin,
+
+    // --------------------------------------------- r10: string edges
+    // (test/sql/function/string/). Negative-start substring counts from
+    // the end in BOTH dialects; start 0 is NOT pinnable (the oracle
+    // consumes length from position 0, Spark treats 0 as 1).
+    "slt_str_substring_neg" ->
+      """SELECT substring('abcdef', -2) AS last2,
+        | substring('abcdef', -3, 2) AS mid_from_end,
+        | substring('abcdef', 2) AS from2,
+        | substring('abcdef', 3, 200) AS overrun""".stripMargin,
+
+    // test/sql/function/string/test_split_part: 1-based, out-of-range
+    // yields empty string, negative counts from the end
+    "slt_str_split_part" ->
+      """SELECT split_part('a,b,c', ',', 2) AS mid,
+        | split_part('a,b,c', ',', 9) AS past_end,
+        | split_part('a,b,c', ',', -1) AS from_end,
+        | split_part('abc', ',', 1) AS no_delim""".stripMargin,
+
+    // test/sql/function/string/test_pad.test: lpad truncates when the
+    // target is SHORTER, repeats the pad string, empties on negative
+    "slt_str_pad_edges" ->
+      """SELECT lpad('abc', 2, 'x') AS truncated,
+        | lpad('abc', 6, 'xy') AS repeated,
+        | lpad('abc', -1, 'x') AS negative,
+        | rpad('abc', 5, 'z') AS right_pad,
+        | rpad('', 3, 'ab') AS from_empty""".stripMargin,
+
+    // test/sql/function/string/test_repeat.test + reverse composition
+    "slt_str_repeat_reverse" ->
+      """SELECT repeat('ab', 0) AS zero,
+        | repeat('ab', -1) AS negative,
+        | repeat('xy', 3) AS thrice,
+        | reverse(repeat('ab', 2)) AS rev_comp,
+        | reverse('') AS rev_empty""".stripMargin,
+
+    // test/sql/function/string/test_translate.test: shrinking map drops
+    // unmatched source chars
+    "slt_str_translate" ->
+      """SELECT translate('abcba', 'ab', 'xy') AS swap,
+        | translate('abc', 'abc', 'x') AS shrink,
+        | translate('abc', '', '') AS identity""".stripMargin,
+
+    // test/sql/function/string/test_position.test: 1-based instr, empty
+    // needle matches at 1, miss yields 0 — both spellings
+    "slt_str_position_instr" ->
+      """SELECT instr('abcb', 'b') AS first_hit,
+        | instr('abc', 'z') AS miss,
+        | position('b' IN 'abcb') AS pos_syntax,
+        | position('' IN 'abc') AS empty_needle""".stripMargin,
+
+    // trailing-space comparisons are SIGNIFICANT (no CHAR padding)
+    "slt_str_space_semantics" ->
+      """SELECT 'ab' < 'ab ' AS shorter_lt,
+        | 'ab' = 'ab ' AS not_eq,
+        | length('  a  ') AS len_spaced,
+        | length(trim('  a  ')) AS len_trimmed,
+        | length('') AS len_empty""".stripMargin,
+
+    // test/sql/function/string/test_levenshtein.test
+    "slt_str_levenshtein" ->
+      """SELECT levenshtein('kitten', 'sitting') AS classic,
+        | levenshtein('abc', 'abc') AS same,
+        | levenshtein('', 'abc') AS from_empty,
+        | levenshtein('Case', 'case') AS case_sensitive""".stripMargin,
+
+    // || NULL-propagates in BOTH dialects (unlike concat(), whose NULL
+    // skipping diverges and is not pinnable)
+    "slt_str_pipe_concat" ->
+      """SELECT 'a' || NULL AS null_prop,
+        | 'a' || 'b' || 'c' AS chain,
+        | '' || 'x' AS empty_lead,
+        | CAST(42 AS STRING) || '!' AS from_int""".stripMargin,
+
+    // test/sql/function/string/test_ascii.test: ascii('') is 0; chr
+    // round-trips
+    "slt_str_ascii_chr" ->
+      """SELECT ascii('') AS empty_zero,
+        | ascii('A') AS upper_a,
+        | chr(66) AS b_char,
+        | chr(ascii('z')) AS round_trip""".stripMargin,
+
+    // LIKE with an explicit ESCAPE character (test/sql/function/string/
+    // test_like.test): escaped % and _ match literally
+    "slt_str_like_escape" ->
+      """SELECT '50%' LIKE '50!%' ESCAPE '!' AS pct_literal,
+        | 'a_b' LIKE 'a!_b' ESCAPE '!' AS underscore_literal,
+        | 'axb' LIKE 'a!_b' ESCAPE '!' AS no_wildcard,
+        | 'axb' LIKE 'a_b' AS wildcard_works""".stripMargin,
+
+    // positive left/right incl. oversize take (negative counts DIVERGE:
+    // the oracle drops |n| from the opposite end, Spark yields empty)
+    "slt_str_left_right" ->
+      """SELECT left('abcdef', 2) AS l2,
+        | right('abcdef', 2) AS r2,
+        | left('ab', 10) AS l_oversize,
+        | right('', 3) AS r_empty""".stripMargin,
+
+    // ------------------------------------------------ r10: blob edges
+    // (test/sql/types/blob/). BLOB literals aren't shared syntax, but
+    // unhex/hex are identical bridges; blob comparison is bytewise
+    "slt_blob_hex_roundtrip" ->
+      """SELECT hex(unhex('aabb')) AS upper_render,
+        | hex(unhex('AABB')) AS case_insensitive_in,
+        | octet_length(unhex('aabbcc')) AS three_bytes,
+        | octet_length(unhex('')) AS empty""".stripMargin,
+
+    "slt_blob_compare" ->
+      """SELECT unhex('00') < unhex('01') AS bytewise_lt,
+        | unhex('0a') = unhex('0A') AS eq_same_bytes,
+        | unhex('ff') > unhex('00ff') AS length_after_prefix""".stripMargin,
+
+    // ------------------------------------------------ r10: math edges
+    // (test/sql/function/numeric/). round() is HALF AWAY FROM ZERO in
+    // both dialects for decimal AND double at representable halves
+    "slt_math_round_half" ->
+      """SELECT CAST(round(2.5) AS BIGINT) AS dec_up,
+        | CAST(round(3.5) AS BIGINT) AS dec_up2,
+        | CAST(round(-2.5) AS BIGINT) AS dec_away,
+        | round(CAST(2.5 AS DOUBLE)) AS dbl_up,
+        | round(CAST(3.5 AS DOUBLE)) AS dbl_up2""".stripMargin,
+
+    // floor/ceiling on negatives, decimal and double forms
+    "slt_math_floor_ceiling" ->
+      """SELECT CAST(floor(-1.5) AS BIGINT) AS flr_neg,
+        | CAST(ceiling(-1.5) AS BIGINT) AS ceil_neg,
+        | CAST(ceil(1.5) AS BIGINT) AS ceil_pos,
+        | CAST(floor(CAST(-1.5 AS DOUBLE)) AS BIGINT) AS flr_dbl""".stripMargin,
+
+    // bitwise AND/OR and % sign (follows the dividend in both)
+    "slt_math_bit_mod" ->
+      """SELECT 5 & 3 AS b_and,
+        | 5 | 3 AS b_or,
+        | 12 % 5 AS pos_mod,
+        | -12 % 5 AS neg_mod,
+        | mod(-7, 3) AS mod_fn,
+        | mod(7, -3) AS mod_fn2""".stripMargin,
+
+    // log family identities (exact at these points in ieee754)
+    "slt_math_log_family" ->
+      """SELECT log(2, 8) AS log2_8,
+        | log10(1000) AS log10_1k,
+        | ln(1) AS ln_1,
+        | exp(0) AS exp_0,
+        | exp(1) BETWEEN 2.718 AND 2.719 AS e_band""".stripMargin,
+
+    // power/sqrt exact points + rounded trig (bit-identical libm results
+    // are NOT assumed — 10-digit round is)
+    "slt_math_power_trig" ->
+      """SELECT power(2, 10) AS p1024,
+        | sqrt(16) AS four,
+        | round(pi(), 8) AS pi8,
+        | round(sin(1), 10) AS sin1,
+        | round(cos(1), 10) AS cos1,
+        | round(atan2(1, 2), 10) AS at2""".stripMargin,
+
+    // greatest/least type promotion and non-numeric orderings
+    "slt_math_greatest_promote" ->
+      """SELECT CAST(greatest(1, 2.5) AS DOUBLE) AS int_vs_dec,
+        | greatest(DATE '2001-01-01', DATE '2002-01-01') AS later_date,
+        | least('b', 'a', 'c') AS min_string,
+        | least(3, NULL, 1) AS null_skipped""".stripMargin,
+
+    // ------------------------------------------- r10: misc semantics
+    // IN with a NULL member: hit → true, miss → NULL (not false)
+    "slt_in_list_null" ->
+      """SELECT 1 IN (1, NULL) AS hit_true,
+        | 1 IN (2, NULL) AS miss_null,
+        | NULL IN (1, 2) AS null_lhs,
+        | 1 NOT IN (2, NULL) AS not_in_null""".stripMargin,
+
+    // if()/ifnull()/nullif() shared conditional spellings
+    "slt_cond_if_ifnull" ->
+      """SELECT if(1 < 2, 'y', 'n') AS if_true,
+        | ifnull(NULL, 7) AS from_null,
+        | ifnull(3, 7) AS not_null,
+        | nullif(3, 3) AS to_null,
+        | coalesce(NULL, nullif(1, 1), 9) AS chained""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
