@@ -116,6 +116,42 @@ object BenchFloor {
     }
     report("q1_floor_1job", q1Floor())
 
+    // sessionize current (lag window + filter + agg off the user-
+    // clustered cache) vs its hand-rolled single-job floor: the cache is
+    // hash-partitioned AND sorted by (user_id, ts, event_id), so one
+    // mapPartitions pass counts session starts per user with no window
+    // machinery at all; driver merges O(users) partials and takes 10.
+    def sess = queries.Headline.queries("events_sessionize_lag")(spark, sfDir)
+    report("sessionize_current", { val df = sess; df.queryExecution.executedPlan; df.collect() })
+
+    def sessFloor(): Unit = {
+      val proj = ev.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val rdd = proj.queryExecution.toRdd
+      val parts = spark.sparkContext.runJob(rdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          val m = new java.util.HashMap[Long, Array[Long]]()
+          var curUser = Long.MinValue
+          var prevUs = 0L
+          var cur: Array[Long] = null
+          while (it.hasNext) {
+            val r = it.next()
+            val u = r.getLong(0); val us = r.getLong(1)
+            if (u != curUser) {
+              curUser = u
+              cur = m.get(u)
+              if (cur == null) { cur = new Array[Long](1); m.put(u, cur) }
+              cur(0) += 1 // first event of the user in this partition
+            } else if (us - prevUs > 1800000000L) cur(0) += 1
+            prevUs = us
+          }
+          m
+        })
+      val merged = new java.util.HashMap[Long, Long]()
+      parts.foreach(_.forEach { (k, v) => merged.merge(k, v(0), _ + _) })
+      assert(merged.size > 0)
+    }
+    report("sessionize_floor_1job", sessFloor())
+
     spark.stop()
   }
 }

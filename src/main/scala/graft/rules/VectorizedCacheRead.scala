@@ -83,9 +83,12 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
           graft.plans.StreamingWindowExec(
             w.windowExpression, w.partitionSpec, w.orderSpec, w.child)
       }
+    // lag-gap sessionize count collapses to one primitive loop (runs
+    // after the streaming-window rewrite it matches on)
+    val sessionFused = SessionCountRule(windowed)
     val vectorized =
-      if (!enabled) windowed
-      else DictFilterScan(insertTransitions(windowed))
+      if (!enabled) sessionFused
+      else DictFilterScan(insertTransitions(sessionFused))
     // fused-distinct partial stage consumes the cache's batches directly:
     // peel the just-inserted ColumnarToRow so the update loop runs over
     // long arrays instead of materialized rows (plans/FusedDistinct.scala)

@@ -75,12 +75,25 @@ class StreamingWindowSpec extends AnyFunSuite {
   }
 
   test("sessionize and rank/running-total queries plan the streaming operator") {
-    for (q <- Seq("events_sessionize_lag", "window_rank_running")) {
-      val plan = withAqeOff(withRule(on = true)(
-        SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan))
-      assert(plan.collect {
-        case s: graft.plans.StreamingWindowExec => s }.nonEmpty, s"$q: ${plan.toString.take(1500)}")
-    }
+    val plan = withAqeOff(withRule(on = true)(
+      SparkEntry.queries("window_rank_running")(spark, sf).queryExecution.executedPlan))
+    assert(plan.collect {
+      case s: graft.plans.StreamingWindowExec => s }.nonEmpty, plan.toString.take(1500))
+    // sessionize fuses PAST the streaming window into the session-count
+    // loop (rules/SessionCountRule); with that fuse off it still plans
+    // the streaming window
+    val fused = withAqeOff(withRule(on = true)(
+      SparkEntry.queries("events_sessionize_lag")(spark, sf).queryExecution.executedPlan))
+    assert(fused.collect {
+      case s: graft.plans.SessionCountExec => s }.nonEmpty, fused.toString.take(1500))
+    val prev = graft.rules.SessionCountRule.enabled
+    graft.rules.SessionCountRule.enabled = false
+    try {
+      val unfused = withAqeOff(withRule(on = true)(
+        SparkEntry.queries("events_sessionize_lag")(spark, sf).queryExecution.executedPlan))
+      assert(unfused.collect {
+        case s: graft.plans.StreamingWindowExec => s }.nonEmpty, unfused.toString.take(1500))
+    } finally graft.rules.SessionCountRule.enabled = prev
   }
 
   test("object-typed running aggregates are correct over reused cache rows") {
