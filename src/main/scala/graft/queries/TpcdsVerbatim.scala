@@ -47,8 +47,12 @@ object TpcdsVerbatim {
     "dsq39" -> Seq("inventory", "item", "warehouse", "date_dim"),
     "dsq41" -> Seq("item"),
     "dsq42" -> Seq("date_dim", "store_sales", "item"),
+    "dsq44" -> Seq("store_sales", "item"),
     "dsq52" -> Seq("date_dim", "store_sales", "item"),
     "dsq55" -> Seq("date_dim", "store_sales", "item"),
+    "dsq58" -> Seq("store_sales", "catalog_sales", "web_sales", "item", "date_dim"),
+    "dsq74" -> Seq("customer", "store_sales", "web_sales", "date_dim"),
+    "dsq82" -> Seq("item", "inventory", "date_dim", "store_sales"),
     "dsq86" -> Seq("web_sales", "date_dim", "item"),
     "dsq87" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer"),
     "dsq92" -> Seq("web_sales", "item", "date_dim"),
@@ -950,6 +954,54 @@ ORDER BY sum(ss_ext_sales_price) DESC,dt.d_year,
                                       item.i_category_id,
                                       item.i_category
 LIMIT 100 """,
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/44.sql (see patch notes above)
+    "dsq44" -> """SELECT asceding.rnk,
+       i1.i_product_name best_performing,
+       i2.i_product_name worst_performing
+FROM
+  (SELECT *
+   FROM
+     (SELECT item_sk,
+             rank() OVER (
+                          ORDER BY rank_col ASC) rnk
+      FROM
+        (SELECT ss_item_sk item_sk,
+                avg(ss_net_profit) rank_col
+         FROM store_sales ss1
+         WHERE ss_store_sk = 4
+         GROUP BY ss_item_sk
+         HAVING avg(ss_net_profit) > 0.9*
+           (SELECT avg(ss_net_profit) rank_col
+            FROM store_sales
+            WHERE ss_store_sk = 4
+              AND ss_addr_sk IS NULL
+            GROUP BY ss_store_sk))V1)V11
+   WHERE rnk < 11) asceding,
+  (SELECT *
+   FROM
+     (SELECT item_sk,
+             rank() OVER (
+                          ORDER BY rank_col DESC) rnk
+      FROM
+        (SELECT ss_item_sk item_sk,
+                avg(ss_net_profit) rank_col
+         FROM store_sales ss1
+         WHERE ss_store_sk = 4
+         GROUP BY ss_item_sk
+         HAVING avg(ss_net_profit) > 0.9*
+           (SELECT avg(ss_net_profit) rank_col
+            FROM store_sales
+            WHERE ss_store_sk = 4
+              AND ss_addr_sk IS NULL
+            GROUP BY ss_store_sk))V2)V21
+   WHERE rnk < 11) descending,
+     item i1,
+     item i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.i_item_sk=asceding.item_sk
+  AND i2.i_item_sk=descending.item_sk
+ORDER BY asceding.rnk
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/52.sql (see patch notes above)
     "dsq52" -> """SELECT dt.d_year,
        item.i_brand_id brand_id,
@@ -987,6 +1039,165 @@ GROUP BY i_brand,
 ORDER BY ext_price DESC,
          i_brand_id
 LIMIT 100 """,
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/58.sql (see patch notes above)
+    "dsq58" -> """WITH ss_items AS
+  (SELECT i_item_id item_id,
+          sum(ss_ext_sales_price) ss_item_rev
+   FROM store_sales,
+        item,
+        date_dim
+   WHERE ss_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date
+        FROM date_dim
+        WHERE d_week_seq =
+            (SELECT d_week_seq
+             FROM date_dim
+             WHERE d_date = '2000-01-03'))
+     AND ss_sold_date_sk = d_date_sk
+   GROUP BY i_item_id),
+     cs_items AS
+  (SELECT i_item_id item_id,
+          sum(cs_ext_sales_price) cs_item_rev
+   FROM catalog_sales,
+        item,
+        date_dim
+   WHERE cs_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date
+        FROM date_dim
+        WHERE d_week_seq =
+            (SELECT d_week_seq
+             FROM date_dim
+             WHERE d_date = '2000-01-03'))
+     AND cs_sold_date_sk = d_date_sk
+   GROUP BY i_item_id),
+     ws_items AS
+  (SELECT i_item_id item_id,
+          sum(ws_ext_sales_price) ws_item_rev
+   FROM web_sales,
+        item,
+        date_dim
+   WHERE ws_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date
+        FROM date_dim
+        WHERE d_week_seq =
+            (SELECT d_week_seq
+             FROM date_dim
+             WHERE d_date = '2000-01-03'))
+     AND ws_sold_date_sk = d_date_sk
+   GROUP BY i_item_id)
+SELECT ss_items.item_id,
+       ss_item_rev,
+       ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ss_dev,
+       cs_item_rev,
+       cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 cs_dev,
+       ws_item_rev,
+       ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ws_dev,
+       (ss_item_rev+cs_item_rev+ws_item_rev)/3 average
+FROM ss_items,
+     cs_items,
+     ws_items
+WHERE ss_items.item_id=cs_items.item_id
+  AND ss_items.item_id=ws_items.item_id
+  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+ORDER BY ss_items.item_id NULLS FIRST,
+         ss_item_rev NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/74.sql (see patch notes above)
+    "dsq74" -> """WITH year_total AS
+  (SELECT c_customer_id customer_id,
+          c_first_name customer_first_name,
+          c_last_name customer_last_name,
+          d_year AS year_,
+          sum(ss_net_paid) year_total,
+          's' sale_type
+   FROM customer,
+        store_sales,
+        date_dim
+   WHERE c_customer_sk = ss_customer_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND d_year IN (2001,
+                    2001+1)
+   GROUP BY c_customer_id,
+            c_first_name,
+            c_last_name,
+            d_year
+   UNION ALL SELECT c_customer_id customer_id,
+                    c_first_name customer_first_name,
+                    c_last_name customer_last_name,
+                    d_year AS year_,
+                    sum(ws_net_paid) year_total,
+                    'w' sale_type
+   FROM customer,
+        web_sales,
+        date_dim
+   WHERE c_customer_sk = ws_bill_customer_sk
+     AND ws_sold_date_sk = d_date_sk
+     AND d_year IN (2001,
+                    2001+1)
+   GROUP BY c_customer_id,
+            c_first_name,
+            c_last_name,
+            d_year)
+SELECT t_s_secyear.customer_id,
+       t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear,
+     year_total t_s_secyear,
+     year_total t_w_firstyear,
+     year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.year_ = 2001
+  AND t_s_secyear.year_ = 2001+1
+  AND t_w_firstyear.year_ = 2001
+  AND t_w_secyear.year_ = 2001+1
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE
+          WHEN t_w_firstyear.year_total > 0 THEN t_w_secyear.year_total / t_w_firstyear.year_total
+          ELSE NULL
+      END > CASE
+                WHEN t_s_firstyear.year_total > 0 THEN t_s_secyear.year_total / t_s_firstyear.year_total
+                ELSE NULL
+            END
+ORDER BY 1 NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/82.sql (see patch notes above)
+    "dsq82" -> """SELECT i_item_id ,
+       i_item_desc ,
+       i_current_price
+FROM item,
+     inventory,
+     date_dim,
+     store_sales
+WHERE i_current_price BETWEEN 62 AND 62+30
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk=inv_date_sk
+  AND d_date BETWEEN cast('2000-05-25' AS date) AND cast('2000-07-24' AS date)
+  AND i_manufact_id IN (129,
+                        270,
+                        821,
+                        423)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND ss_item_sk = i_item_sk
+GROUP BY i_item_id,
+         i_item_desc,
+         i_current_price
+ORDER BY i_item_id
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/86.sql (see patch notes above)
     "dsq86" -> """SELECT sum(ws_net_paid) AS total_sum ,
        i_category ,

@@ -169,52 +169,72 @@ object TpcdsFixture {
 
     // hot arms: ~1/5 of rows hit the 40 hot items and ~1/3 the hot day
     // window — their overlap concentrates (item, day) cells past q23's
-    // count(*) > 4
+    // count(*) > 4. Rows 1000..1019 of EVERY sales channel are the q58
+    // plant: same day (2000-01-03's week), same item (101..120), same
+    // ext_sales_price per id — cross-channel per-item revenues agree
+    // exactly, satisfying q58's mutual ±10% bands. ~1/19 of ss_addr_sk
+    // is NULL (q44's baseline subquery averages the NULL-addr slice).
+    val q58day = 732 // datediff('2000-01-03', '1998-01-01')
+    def q58(col: String, other: String): String =
+      s"CASE WHEN id BETWEEN 1000 AND 1019 THEN $col ELSE $other END"
     write("store_sales", spark.range(300000).selectExpr(
-      s"""CAST($DskBase + CASE WHEN ${hm(301, 3)} = 0
+      s"""CAST($DskBase + ${q58(q58day.toString,
+           s"""CASE WHEN ${hm(301, 3)} = 0
          |  THEN $HotStoreDay + ${hm(303, 30)}
-         |  ELSE ${hm(305, NDays)} END AS INT) AS ss_sold_date_sk""".stripMargin,
-      s"""CAST(CASE WHEN ${hm(307, 5)} = 0 THEN 1 + ${hm(309, 40)}
-         |  ELSE 1 + ${hm(311, NItem)} END AS INT) AS ss_item_sk""".stripMargin,
+         |  ELSE ${hm(305, NDays)} END""".stripMargin)} AS INT) AS ss_sold_date_sk""",
+      s"""CAST(${q58("101 + id - 1000",
+           s"""CASE WHEN ${hm(307, 5)} = 0 THEN 1 + ${hm(309, 40)}
+         |  ELSE 1 + ${hm(311, NItem)} END""".stripMargin)} AS INT) AS ss_item_sk""",
       s"CASE WHEN ${hm(313, 97)} = 0 THEN NULL ELSE CAST(1 + ${hm(315, NCust)} AS INT) END AS ss_customer_sk",
       s"CAST(1 + ${hm(317, 12)} AS INT) AS ss_store_sk",
-      s"CAST(1 + ${hm(319, 800)} AS INT) AS ss_addr_sk",
+      s"CASE WHEN ${hm(337, 19)} = 0 THEN NULL ELSE CAST(1 + ${hm(319, 800)} AS INT) END AS ss_addr_sk",
       s"CAST(1 + ${hm(321, 100)} AS INT) AS ss_quantity",
       s"CAST(1 + ${hm(323, 200)} AS DOUBLE) AS ss_list_price",
       s"CAST(1 + ${hm(325, 150)} AS DOUBLE) AS ss_sales_price",
-      s"CAST((1 + ${hm(325, 150)}) * (1 + ${hm(321, 100)}) AS DOUBLE) AS ss_ext_sales_price",
+      s"CAST(${q58("500 + (id - 1000) * 7",
+        s"(1 + ${hm(325, 150)}) * (1 + ${hm(321, 100)})")} AS DOUBLE) AS ss_ext_sales_price",
       s"CAST((1 + ${hm(323, 200)}) * (1 + ${hm(321, 100)}) AS DOUBLE) AS ss_ext_list_price",
       s"CAST(1 + ${hm(327, 90)} AS DOUBLE) AS ss_wholesale_cost",
       s"CAST((1 + ${hm(327, 90)}) * (1 + ${hm(321, 100)}) AS DOUBLE) AS ss_ext_wholesale_cost",
       s"CAST(${hm(329, 250)} AS DOUBLE) AS ss_ext_discount_amt",
       s"CAST(${hm(331, 1500)} AS DOUBLE) AS ss_coupon_amt",
       s"CAST(${hm(333, 2000)} AS DOUBLE) AS ss_net_paid",
-      s"CAST(${hm(335, 1000)} - 200 AS DOUBLE) AS ss_net_profit"))
+      // wide range: q44 ranks items by avg(ss_net_profit) and joins the
+      // asc/desc ranks — an exact avg TIE makes rank() pairs ambiguous
+      // between engines (observed at range 1000), so collisions must be
+      // improbable at ~25-row per-item samples
+      s"CAST(${hm(335, 100000)} - 20000 AS DOUBLE) AS ss_net_profit"))
 
     write("catalog_sales", spark.range(150000).selectExpr(
-      s"""CAST($DskBase + CASE WHEN ${hm(401, 3)} = 0
+      s"""CAST($DskBase + ${q58(q58day.toString,
+           s"""CASE WHEN ${hm(401, 3)} = 0
          |  THEN $HotCatalogDay + ${hm(403, 25)}
-         |  ELSE ${hm(405, NDays)} END AS INT) AS cs_sold_date_sk""".stripMargin,
-      s"""CAST(CASE WHEN ${hm(407, 5)} = 0 THEN 1 + ${hm(409, 40)}
-         |  ELSE 1 + ${hm(411, NItem)} END AS INT) AS cs_item_sk""".stripMargin,
+         |  ELSE ${hm(405, NDays)} END""".stripMargin)} AS INT) AS cs_sold_date_sk""",
+      s"""CAST(${q58("101 + id - 1000",
+           s"""CASE WHEN ${hm(407, 5)} = 0 THEN 1 + ${hm(409, 40)}
+         |  ELSE 1 + ${hm(411, NItem)} END""".stripMargin)} AS INT) AS cs_item_sk""",
       s"CAST(1 + ${hm(413, NCust)} AS INT) AS cs_bill_customer_sk",
       s"CAST(1 + ${hm(415, 100)} AS INT) AS cs_quantity",
       s"CAST(1 + ${hm(417, 190)} AS DOUBLE) AS cs_list_price",
-      s"CAST((1 + ${hm(419, 140)}) * (1 + ${hm(415, 100)}) AS DOUBLE) AS cs_ext_sales_price",
+      s"CAST(${q58("500 + (id - 1000) * 7",
+        s"(1 + ${hm(419, 140)}) * (1 + ${hm(415, 100)})")} AS DOUBLE) AS cs_ext_sales_price",
       s"CAST((1 + ${hm(417, 190)}) * (1 + ${hm(415, 100)}) AS DOUBLE) AS cs_ext_list_price",
       s"CAST((1 + ${hm(421, 85)}) * (1 + ${hm(415, 100)}) AS DOUBLE) AS cs_ext_wholesale_cost",
       s"CAST(${hm(423, 600)} AS DOUBLE) AS cs_ext_discount_amt"))
 
     write("web_sales", spark.range(150000).selectExpr(
-      s"""CAST($DskBase + CASE WHEN ${hm(501, 3)} = 0
+      s"""CAST($DskBase + ${q58(q58day.toString,
+           s"""CASE WHEN ${hm(501, 3)} = 0
          |  THEN $HotCatalogDay + ${hm(503, 25)}
-         |  ELSE ${hm(505, NDays)} END AS INT) AS ws_sold_date_sk""".stripMargin,
-      s"""CAST(CASE WHEN ${hm(507, 5)} = 0 THEN 1 + ${hm(509, 40)}
-         |  ELSE 1 + ${hm(511, NItem)} END AS INT) AS ws_item_sk""".stripMargin,
+         |  ELSE ${hm(505, NDays)} END""".stripMargin)} AS INT) AS ws_sold_date_sk""",
+      s"""CAST(${q58("101 + id - 1000",
+           s"""CASE WHEN ${hm(507, 5)} = 0 THEN 1 + ${hm(509, 40)}
+         |  ELSE 1 + ${hm(511, NItem)} END""".stripMargin)} AS INT) AS ws_item_sk""",
       s"CAST(1 + ${hm(513, NCust)} AS INT) AS ws_bill_customer_sk",
       s"CAST(1 + ${hm(515, 100)} AS INT) AS ws_quantity",
       s"CAST(1 + ${hm(517, 185)} AS DOUBLE) AS ws_list_price",
-      s"CAST((1 + ${hm(519, 145)}) * (1 + ${hm(515, 100)}) AS DOUBLE) AS ws_ext_sales_price",
+      s"CAST(${q58("500 + (id - 1000) * 7",
+        s"(1 + ${hm(519, 145)}) * (1 + ${hm(515, 100)})")} AS DOUBLE) AS ws_ext_sales_price",
       s"CAST((1 + ${hm(517, 185)}) * (1 + ${hm(515, 100)}) AS DOUBLE) AS ws_ext_list_price",
       s"CAST((1 + ${hm(521, 80)}) * (1 + ${hm(515, 100)}) AS DOUBLE) AS ws_ext_wholesale_cost",
       s"CAST(${hm(523, 550)} AS DOUBLE) AS ws_ext_discount_amt",

@@ -32,8 +32,12 @@ TABLES = {
     39: ["inventory", "item", "warehouse", "date_dim"],
     41: ["item"],
     42: ["date_dim", "store_sales", "item"],
+    44: ["store_sales", "item"],
     52: ["date_dim", "store_sales", "item"],
     55: ["date_dim", "store_sales", "item"],
+    58: ["store_sales", "catalog_sales", "web_sales", "item", "date_dim"],
+    74: ["customer", "store_sales", "web_sales", "date_dim"],
+    82: ["item", "inventory", "date_dim", "store_sales"],
     86: ["web_sales", "date_dim", "item"],
     87: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer"],
     92: ["web_sales", "item", "date_dim"],
