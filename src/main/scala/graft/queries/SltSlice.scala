@@ -2156,7 +2156,86 @@ object SltSlice {
         | ifnull(NULL, 7) AS from_null,
         | ifnull(3, 7) AS not_null,
         | nullif(3, 3) AS to_null,
-        | coalesce(NULL, nullif(1, 1), 9) AS chained""".stripMargin
+        | coalesce(NULL, nullif(1, 1), 9) AS chained""".stripMargin,
+
+    // ------------------------------------------- r10 batch 2 widening
+    // test/sql/types/timestamp/: string→TIMESTAMP casts with fractional
+    // seconds; TIMESTAMP vs DATE comparisons coerce
+    "slt_ts_cast_compare" ->
+      """SELECT CAST('2001-02-03 04:05:06' AS TIMESTAMP) AS plain,
+        | CAST('2001-02-03 04:05:06.789' AS TIMESTAMP) AS fractional,
+        | TIMESTAMP '2001-02-03 00:00:00' = DATE '2001-02-03' AS midnight_eq,
+        | TIMESTAMP '2001-02-03 01:00:00' > DATE '2001-02-03' AS later_gt""".stripMargin,
+
+    // EXTRACT over time fields; SECOND is cast (the oracle yields int,
+    // Spark DECIMAL(8,6) — the known type-sensitive cell)
+    "slt_ts_extract_time" ->
+      """SELECT EXTRACT(HOUR FROM TIMESTAMP '2001-02-03 04:05:06') AS hr,
+        | EXTRACT(MINUTE FROM TIMESTAMP '2001-02-03 04:05:06') AS mi,
+        | CAST(EXTRACT(SECOND FROM TIMESTAMP '2001-02-03 04:05:06') AS BIGINT) AS sec,
+        | quarter(DATE '2001-05-06') AS qtr,
+        | weekofyear(DATE '2001-01-01') AS woy""".stripMargin,
+
+    // sub-day date_trunc; 'day' returns DATE in the oracle engine and
+    // TIMESTAMP in Spark → CAST on the shared text
+    "slt_ts_trunc_subday" ->
+      """SELECT CAST(date_trunc('day', TIMESTAMP '2001-02-03 04:05:06') AS TIMESTAMP) AS d,
+        | date_trunc('hour', TIMESTAMP '2001-02-03 04:35:06') AS h,
+        | date_trunc('minute', TIMESTAMP '2001-02-03 04:05:36') AS m""".stripMargin,
+
+    // test/sql/function/string/regex: same regexp_extract(str, re, grp)
+    // signature — group 0 is the whole match, no-match yields ''
+    "slt_regexp_extract_groups" ->
+      """SELECT regexp_extract('a123b', '([0-9]+)', 1) AS grp1,
+        | regexp_extract('abc', '([0-9]+)', 1) AS no_match,
+        | regexp_extract('a123b', '[0-9]+', 0) AS whole""".stripMargin,
+
+    // three-valued logic short circuits: NULL AND false IS false,
+    // NULL OR true IS true
+    "slt_bool_three_valued" ->
+      """SELECT (NULL AND false) AS and_false,
+        | (NULL AND true) AS and_true,
+        | (NULL OR true) AS or_true,
+        | (NULL OR false) AS or_false,
+        | (NOT CAST(NULL AS BOOLEAN)) AS not_null""".stripMargin,
+
+    // test/sql/types/float/: Infinity/NaN casts; NaN compares EQUAL to
+    // itself and largest in both engines
+    "slt_float_inf_nan_cast" ->
+      """SELECT CAST('Infinity' AS DOUBLE) > 1e308 AS inf_big,
+        | CAST('-Infinity' AS DOUBLE) < -1e308 AS ninf_small,
+        | CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS nan_self_eq,
+        | isnan(CAST('NaN' AS DOUBLE)) AS is_nan""".stripMargin,
+
+    // round to NEGATIVE digits (tens/hundreds), decimal + double
+    "slt_math_round_negative_digits" ->
+      """SELECT CAST(round(1234.5, -2) AS BIGINT) AS dec_hundreds,
+        | round(CAST(1234.5 AS DOUBLE), -2) AS dbl_hundreds,
+        | CAST(round(1555.0, -1) AS BIGINT) AS dec_tens""".stripMargin,
+
+    // power edges: 0^0 is 1, negative bases, negative exponents
+    "slt_math_power_edges" ->
+      """SELECT power(0, 0) AS zero_zero,
+        | power(-2, 3) AS neg_base,
+        | power(2, -1) AS neg_exp""".stripMargin,
+
+    // bitwise NOT and shifts share operator spellings
+    "slt_math_bitnot_shift" ->
+      """SELECT ~5 AS not5, ~0 AS not0,
+        | 1 << 4 AS shl, 256 >> 3 AS shr""".stripMargin,
+
+    // ILIKE (case-insensitive) vs LIKE; NULL pattern/input propagate
+    "slt_str_ilike" ->
+      """SELECT 'AbC' ILIKE 'abc' AS ci_eq,
+        | 'AbC' ILIKE 'a%' AS ci_prefix,
+        | 'AbC' LIKE 'abc' AS cs_ne,
+        | ('a' LIKE NULL) AS null_pattern,
+        | (NULL LIKE 'a') AS null_input""".stripMargin,
+
+    // VARCHAR ordering is lexicographic, not numeric
+    "slt_str_lexicographic_max" ->
+      """WITH t(x) AS (SELECT '10' UNION ALL SELECT '9' UNION ALL SELECT '100')
+        |SELECT max(x) AS mx, min(x) AS mn FROM t""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =
