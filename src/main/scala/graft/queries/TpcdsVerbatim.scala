@@ -30,27 +30,40 @@ import graft.sources.TpcdsFixture
   */
 object TpcdsVerbatim {
   private val tablesFor: Map[String, Seq[String]] = Map(
+    "dsq01" -> Seq("store_returns", "date_dim", "store", "customer"),
     "dsq02" -> Seq("web_sales", "catalog_sales", "date_dim"),
     "dsq03" -> Seq("date_dim", "store_sales", "item"),
     "dsq04" -> Seq("customer", "store_sales", "catalog_sales", "web_sales", "date_dim"),
+    "dsq06" -> Seq("customer_address", "customer", "store_sales", "date_dim", "item"),
+    "dsq08" -> Seq("store_sales", "date_dim", "store", "customer_address", "customer"),
     "dsq11" -> Seq("customer", "store_sales", "web_sales", "date_dim"),
     "dsq12" -> Seq("web_sales", "item", "date_dim"),
     "dsq14" -> Seq("item", "store_sales", "catalog_sales", "web_sales", "date_dim"),
+    "dsq15" -> Seq("catalog_sales", "customer", "customer_address", "date_dim"),
+    "dsq19" -> Seq("date_dim", "store_sales", "item", "customer", "customer_address", "store"),
     "dsq20" -> Seq("catalog_sales", "item", "date_dim"),
     "dsq21" -> Seq("inventory", "warehouse", "item", "date_dim"),
     "dsq22" -> Seq("inventory", "date_dim", "item"),
     "dsq23" -> Seq("store_sales", "catalog_sales", "web_sales", "customer", "date_dim", "item"),
+    "dsq24" -> Seq("store_sales", "store_returns", "store", "item", "customer", "customer_address"),
     "dsq28" -> Seq("store_sales"),
     "dsq32" -> Seq("catalog_sales", "item", "date_dim"),
+    "dsq36" -> Seq("store_sales", "date_dim", "item", "store"),
     "dsq37" -> Seq("item", "inventory", "date_dim", "catalog_sales"),
     "dsq38" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer"),
     "dsq39" -> Seq("inventory", "item", "warehouse", "date_dim"),
     "dsq41" -> Seq("item"),
     "dsq42" -> Seq("date_dim", "store_sales", "item"),
+    "dsq43" -> Seq("date_dim", "store_sales", "store"),
     "dsq44" -> Seq("store_sales", "item"),
+    "dsq45" -> Seq("web_sales", "customer", "customer_address", "date_dim", "item"),
+    "dsq47" -> Seq("item", "store_sales", "date_dim", "store"),
+    "dsq50" -> Seq("store_sales", "store_returns", "store", "date_dim"),
     "dsq52" -> Seq("date_dim", "store_sales", "item"),
     "dsq55" -> Seq("date_dim", "store_sales", "item"),
     "dsq58" -> Seq("store_sales", "catalog_sales", "web_sales", "item", "date_dim"),
+    "dsq59" -> Seq("store_sales", "date_dim", "store"),
+    "dsq65" -> Seq("store", "item", "store_sales", "date_dim"),
     "dsq74" -> Seq("customer", "store_sales", "web_sales", "date_dim"),
     "dsq82" -> Seq("item", "inventory", "date_dim", "store_sales"),
     "dsq86" -> Seq("web_sales", "date_dim", "item"),
@@ -61,6 +74,30 @@ object TpcdsVerbatim {
   )
 
   private val texts: Map[String, String] = Map(
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/01.sql (see patch notes above)
+    "dsq01" -> """WITH customer_total_return AS
+  (SELECT sr_customer_sk AS ctr_customer_sk,
+          sr_store_sk AS ctr_store_sk,
+          sum(sr_return_amt) AS ctr_total_return
+   FROM store_returns,
+        date_dim
+   WHERE sr_returned_date_sk = d_date_sk
+     AND d_year = 2000
+   GROUP BY sr_customer_sk,
+            sr_store_sk)
+SELECT c_customer_id
+FROM customer_total_return ctr1,
+     store,
+     customer
+WHERE ctr1.ctr_total_return >
+    (SELECT avg(ctr_total_return)*1.2
+     FROM customer_total_return ctr2
+     WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+  AND s_store_sk = ctr1.ctr_store_sk
+  AND s_state = 'TN'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/02.sql (see patch notes above)
     "dsq02" -> """WITH wscs AS
   (SELECT sold_date_sk,
@@ -279,6 +316,460 @@ ORDER BY t_s_secyear.customer_id NULLS FIRST,
          t_s_secyear.customer_first_name NULLS FIRST,
          t_s_secyear.customer_last_name NULLS FIRST,
          t_s_secyear.customer_preferred_cust_flag NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/06.sql (see patch notes above)
+    "dsq06" -> """SELECT a.ca_state state,
+       count(*) cnt
+FROM customer_address a ,
+     customer c ,
+     store_sales s ,
+     date_dim d ,
+     item i
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_month_seq =
+    (SELECT DISTINCT (d_month_seq)
+     FROM date_dim
+     WHERE d_year = 2001
+       AND d_moy = 1 )
+  AND i.i_current_price > 1.2 *
+    (SELECT avg(j.i_current_price)
+     FROM item j
+     WHERE j.i_category = i.i_category)
+GROUP BY a.ca_state
+HAVING count(*) >= 10
+ORDER BY cnt NULLS FIRST,
+         a.ca_state NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/08.sql (see patch notes above)
+    "dsq08" -> """SELECT s_store_name,
+       sum(ss_net_profit) AS net_profit
+FROM store_sales,
+     date_dim,
+     store,
+  (SELECT ca_zip
+   FROM
+     (SELECT SUBSTRING(ca_zip, 1, 5) ca_zip
+      FROM customer_address
+      WHERE SUBSTRING(ca_zip, 1, 5) IN ('24128',
+                                     '76232',
+                                     '65084',
+                                     '87816',
+                                     '83926',
+                                     '77556',
+                                     '20548',
+                                     '26231',
+                                     '43848',
+                                     '15126',
+                                     '91137',
+                                     '61265',
+                                     '98294',
+                                     '25782',
+                                     '17920',
+                                     '18426',
+                                     '98235',
+                                     '40081',
+                                     '84093',
+                                     '28577',
+                                     '55565',
+                                     '17183',
+                                     '54601',
+                                     '67897',
+                                     '22752',
+                                     '86284',
+                                     '18376',
+                                     '38607',
+                                     '45200',
+                                     '21756',
+                                     '29741',
+                                     '96765',
+                                     '23932',
+                                     '89360',
+                                     '29839',
+                                     '25989',
+                                     '28898',
+                                     '91068',
+                                     '72550',
+                                     '10390',
+                                     '18845',
+                                     '47770',
+                                     '82636',
+                                     '41367',
+                                     '76638',
+                                     '86198',
+                                     '81312',
+                                     '37126',
+                                     '39192',
+                                     '88424',
+                                     '72175',
+                                     '81426',
+                                     '53672',
+                                     '10445',
+                                     '42666',
+                                     '66864',
+                                     '66708',
+                                     '41248',
+                                     '48583',
+                                     '82276',
+                                     '18842',
+                                     '78890',
+                                     '49448',
+                                     '14089',
+                                     '38122',
+                                     '34425',
+                                     '79077',
+                                     '19849',
+                                     '43285',
+                                     '39861',
+                                     '66162',
+                                     '77610',
+                                     '13695',
+                                     '99543',
+                                     '83444',
+                                     '83041',
+                                     '12305',
+                                     '57665',
+                                     '68341',
+                                     '25003',
+                                     '57834',
+                                     '62878',
+                                     '49130',
+                                     '81096',
+                                     '18840',
+                                     '27700',
+                                     '23470',
+                                     '50412',
+                                     '21195',
+                                     '16021',
+                                     '76107',
+                                     '71954',
+                                     '68309',
+                                     '18119',
+                                     '98359',
+                                     '64544',
+                                     '10336',
+                                     '86379',
+                                     '27068',
+                                     '39736',
+                                     '98569',
+                                     '28915',
+                                     '24206',
+                                     '56529',
+                                     '57647',
+                                     '54917',
+                                     '42961',
+                                     '91110',
+                                     '63981',
+                                     '14922',
+                                     '36420',
+                                     '23006',
+                                     '67467',
+                                     '32754',
+                                     '30903',
+                                     '20260',
+                                     '31671',
+                                     '51798',
+                                     '72325',
+                                     '85816',
+                                     '68621',
+                                     '13955',
+                                     '36446',
+                                     '41766',
+                                     '68806',
+                                     '16725',
+                                     '15146',
+                                     '22744',
+                                     '35850',
+                                     '88086',
+                                     '51649',
+                                     '18270',
+                                     '52867',
+                                     '39972',
+                                     '96976',
+                                     '63792',
+                                     '11376',
+                                     '94898',
+                                     '13595',
+                                     '10516',
+                                     '90225',
+                                     '58943',
+                                     '39371',
+                                     '94945',
+                                     '28587',
+                                     '96576',
+                                     '57855',
+                                     '28488',
+                                     '26105',
+                                     '83933',
+                                     '25858',
+                                     '34322',
+                                     '44438',
+                                     '73171',
+                                     '30122',
+                                     '34102',
+                                     '22685',
+                                     '71256',
+                                     '78451',
+                                     '54364',
+                                     '13354',
+                                     '45375',
+                                     '40558',
+                                     '56458',
+                                     '28286',
+                                     '45266',
+                                     '47305',
+                                     '69399',
+                                     '83921',
+                                     '26233',
+                                     '11101',
+                                     '15371',
+                                     '69913',
+                                     '35942',
+                                     '15882',
+                                     '25631',
+                                     '24610',
+                                     '44165',
+                                     '99076',
+                                     '33786',
+                                     '70738',
+                                     '26653',
+                                     '14328',
+                                     '72305',
+                                     '62496',
+                                     '22152',
+                                     '10144',
+                                     '64147',
+                                     '48425',
+                                     '14663',
+                                     '21076',
+                                     '18799',
+                                     '30450',
+                                     '63089',
+                                     '81019',
+                                     '68893',
+                                     '24996',
+                                     '51200',
+                                     '51211',
+                                     '45692',
+                                     '92712',
+                                     '70466',
+                                     '79994',
+                                     '22437',
+                                     '25280',
+                                     '38935',
+                                     '71791',
+                                     '73134',
+                                     '56571',
+                                     '14060',
+                                     '19505',
+                                     '72425',
+                                     '56575',
+                                     '74351',
+                                     '68786',
+                                     '51650',
+                                     '20004',
+                                     '18383',
+                                     '76614',
+                                     '11634',
+                                     '18906',
+                                     '15765',
+                                     '41368',
+                                     '73241',
+                                     '76698',
+                                     '78567',
+                                     '97189',
+                                     '28545',
+                                     '76231',
+                                     '75691',
+                                     '22246',
+                                     '51061',
+                                     '90578',
+                                     '56691',
+                                     '68014',
+                                     '51103',
+                                     '94167',
+                                     '57047',
+                                     '14867',
+                                     '73520',
+                                     '15734',
+                                     '63435',
+                                     '25733',
+                                     '35474',
+                                     '24676',
+                                     '94627',
+                                     '53535',
+                                     '17879',
+                                     '15559',
+                                     '53268',
+                                     '59166',
+                                     '11928',
+                                     '59402',
+                                     '33282',
+                                     '45721',
+                                     '43933',
+                                     '68101',
+                                     '33515',
+                                     '36634',
+                                     '71286',
+                                     '19736',
+                                     '58058',
+                                     '55253',
+                                     '67473',
+                                     '41918',
+                                     '19515',
+                                     '36495',
+                                     '19430',
+                                     '22351',
+                                     '77191',
+                                     '91393',
+                                     '49156',
+                                     '50298',
+                                     '87501',
+                                     '18652',
+                                     '53179',
+                                     '18767',
+                                     '63193',
+                                     '23968',
+                                     '65164',
+                                     '68880',
+                                     '21286',
+                                     '72823',
+                                     '58470',
+                                     '67301',
+                                     '13394',
+                                     '31016',
+                                     '70372',
+                                     '67030',
+                                     '40604',
+                                     '24317',
+                                     '45748',
+                                     '39127',
+                                     '26065',
+                                     '77721',
+                                     '31029',
+                                     '31880',
+                                     '60576',
+                                     '24671',
+                                     '45549',
+                                     '13376',
+                                     '50016',
+                                     '33123',
+                                     '19769',
+                                     '22927',
+                                     '97789',
+                                     '46081',
+                                     '72151',
+                                     '15723',
+                                     '46136',
+                                     '51949',
+                                     '68100',
+                                     '96888',
+                                     '64528',
+                                     '14171',
+                                     '79777',
+                                     '28709',
+                                     '11489',
+                                     '25103',
+                                     '32213',
+                                     '78668',
+                                     '22245',
+                                     '15798',
+                                     '27156',
+                                     '37930',
+                                     '62971',
+                                     '21337',
+                                     '51622',
+                                     '67853',
+                                     '10567',
+                                     '38415',
+                                     '15455',
+                                     '58263',
+                                     '42029',
+                                     '60279',
+                                     '37125',
+                                     '56240',
+                                     '88190',
+                                     '50308',
+                                     '26859',
+                                     '64457',
+                                     '89091',
+                                     '82136',
+                                     '62377',
+                                     '36233',
+                                     '63837',
+                                     '58078',
+                                     '17043',
+                                     '30010',
+                                     '60099',
+                                     '28810',
+                                     '98025',
+                                     '29178',
+                                     '87343',
+                                     '73273',
+                                     '30469',
+                                     '64034',
+                                     '39516',
+                                     '86057',
+                                     '21309',
+                                     '90257',
+                                     '67875',
+                                     '40162',
+                                     '11356',
+                                     '73650',
+                                     '61810',
+                                     '72013',
+                                     '30431',
+                                     '22461',
+                                     '19512',
+                                     '13375',
+                                     '55307',
+                                     '30625',
+                                     '83849',
+                                     '68908',
+                                     '26689',
+                                     '96451',
+                                     '38193',
+                                     '46820',
+                                     '88885',
+                                     '84935',
+                                     '69035',
+                                     '83144',
+                                     '47537',
+                                     '56616',
+                                     '94983',
+                                     '48033',
+                                     '69952',
+                                     '25486',
+                                     '61547',
+                                     '27385',
+                                     '61860',
+                                     '58048',
+                                     '56910',
+                                     '16807',
+                                     '17871',
+                                     '35258',
+                                     '31387',
+                                     '35458',
+                                     '35576') INTERSECT
+        SELECT ca_zip
+        FROM
+          (SELECT SUBSTRING(ca_zip, 1, 5) ca_zip,
+                  count(*) cnt
+           FROM customer_address,
+                customer
+           WHERE ca_address_sk = c_current_addr_sk
+             AND c_preferred_cust_flag='Y'
+           GROUP BY ca_zip
+           HAVING count(*) > 10)A1)A2) V1
+WHERE ss_store_sk = s_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2
+  AND d_year = 1998
+  AND (SUBSTRING(s_zip, 1, 2) = SUBSTRING(V1.ca_zip, 1, 2))
+GROUP BY s_store_name
+ORDER BY s_store_name
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/11.sql (see patch notes above)
     "dsq11" -> """WITH year_total AS
@@ -524,6 +1015,65 @@ ORDER BY channel NULLS FIRST,
          i_class_id NULLS FIRST,
          i_category_id NULLS FIRST
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/15.sql (see patch notes above)
+    "dsq15" -> """SELECT ca_zip,
+       sum(cs_sales_price) AS total_sales
+FROM catalog_sales,
+     customer,
+     customer_address,
+     date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (SUBSTRING(ca_zip, 1, 5) IN ('85669',
+                                '86197',
+                                '88274',
+                                '83405',
+                                '86475',
+                                '85392',
+                                '85460',
+                                '80348',
+                                '81792')
+       OR ca_state IN ('CA',
+                       'WA',
+                       'GA')
+       OR cs_sales_price > 500)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2
+  AND d_year = 2001
+GROUP BY ca_zip
+ORDER BY ca_zip NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/19.sql (see patch notes above)
+    "dsq19" -> """SELECT i_brand_id brand_id,
+       i_brand brand,
+       i_manufact_id,
+       i_manufact,
+       sum(ss_ext_sales_price) ext_price
+FROM date_dim,
+     store_sales,
+     item,
+     customer,
+     customer_address,
+     store
+WHERE d_date_sk = ss_sold_date_sk
+  AND ss_item_sk = i_item_sk
+  AND i_manager_id=8
+  AND d_moy=11
+  AND d_year=1998
+  AND ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND SUBSTRING(ca_zip, 1, 5) <> SUBSTRING(s_zip, 1, 5)
+  AND ss_store_sk = s_store_sk
+GROUP BY i_brand,
+         i_brand_id,
+         i_manufact_id,
+         i_manufact
+ORDER BY ext_price DESC,
+         i_brand,
+         i_brand_id,
+         i_manufact_id,
+         i_manufact
+LIMIT 100 """,
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/20.sql (see patch notes above)
     "dsq20" -> """SELECT i_item_id ,
        i_item_desc,
@@ -687,6 +1237,59 @@ ORDER BY c_last_name NULLS FIRST,
          c_first_name NULLS FIRST,
          sales NULLS FIRST
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/24.sql (see patch notes above)
+    "dsq24" -> """WITH ssales AS
+  (SELECT c_last_name,
+          c_first_name,
+          s_store_name,
+          ca_state,
+          s_state,
+          i_color,
+          i_current_price,
+          i_manager_id,
+          i_units,
+          i_size,
+          sum(ss_net_paid) netpaid
+   FROM store_sales,
+        store_returns,
+        store,
+        item,
+        customer,
+        customer_address
+   WHERE ss_ticket_number = sr_ticket_number
+     AND ss_item_sk = sr_item_sk
+     AND ss_customer_sk = c_customer_sk
+     AND ss_item_sk = i_item_sk
+     AND ss_store_sk = s_store_sk
+     AND c_current_addr_sk = ca_address_sk
+     AND c_birth_country <> upper(ca_country)
+     AND s_zip = ca_zip
+     AND s_market_id=8
+   GROUP BY c_last_name,
+            c_first_name,
+            s_store_name,
+            ca_state,
+            s_state,
+            i_color,
+            i_current_price,
+            i_manager_id,
+            i_units,
+            i_size)
+SELECT c_last_name,
+       c_first_name,
+       s_store_name,
+       sum(netpaid) paid
+FROM ssales
+WHERE i_color = 'peach'
+GROUP BY c_last_name,
+         c_first_name,
+         s_store_name
+HAVING sum(netpaid) >
+  (SELECT 0.05*avg(netpaid)
+   FROM ssales)
+ORDER BY c_last_name,
+         c_first_name,
+         s_store_name """,
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/28.sql (see patch notes above)
     "dsq28" -> """SELECT *
 FROM
@@ -755,6 +1358,65 @@ WHERE i_manufact_id = 977
      WHERE cs_item_sk = i_item_sk
        AND d_date BETWEEN '2000-01-27' AND cast('2000-04-26' AS date)
        AND d_date_sk = cs_sold_date_sk )
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/36.sql (see patch notes above)
+    "dsq36" -> """WITH results AS
+  (SELECT sum(ss_net_profit) AS ss_net_profit,
+          sum(ss_ext_sales_price) AS ss_ext_sales_price,
+          (sum(ss_net_profit)*1.0000)/sum(ss_ext_sales_price) AS gross_margin ,
+          i_category ,
+          i_class ,
+          0 AS g_category,
+          0 AS g_class
+   FROM store_sales ,
+        date_dim d1 ,
+        item ,
+        store
+   WHERE d1.d_year = 2001
+     AND d1.d_date_sk = ss_sold_date_sk
+     AND i_item_sk = ss_item_sk
+     AND s_store_sk = ss_store_sk
+     AND s_state ='TN'
+   GROUP BY i_category,
+            i_class) ,
+     results_rollup AS
+  (SELECT gross_margin,
+          i_category,
+          i_class,
+          0 AS t_category,
+          0 AS t_class,
+          0 AS lochierarchy
+   FROM results
+   UNION SELECT (sum(ss_net_profit)*1.0000)/sum(ss_ext_sales_price) AS gross_margin,
+                i_category,
+                NULL AS i_class,
+                0 AS t_category,
+                1 AS t_class,
+                1 AS lochierarchy
+   FROM results
+   GROUP BY i_category
+   UNION SELECT (sum(ss_net_profit)*1.0000)/sum(ss_ext_sales_price) AS gross_margin,
+                NULL AS i_category,
+                NULL AS i_class,
+                1 AS t_category,
+                1 AS t_class,
+                2 AS lochierarchy
+   FROM results)
+SELECT gross_margin,
+       i_category,
+       i_class,
+       lochierarchy,
+       rank() OVER ( PARTITION BY lochierarchy,
+                                  CASE
+                                      WHEN t_class = 0 THEN i_category
+                                  END
+                    ORDER BY gross_margin ASC) AS rank_within_parent
+FROM results_rollup
+ORDER BY lochierarchy DESC NULLS FIRST,
+         CASE
+             WHEN lochierarchy = 0 THEN i_category
+         END NULLS FIRST,
+         rank_within_parent NULLS FIRST
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/37.sql (see patch notes above)
     "dsq37" -> """SELECT i_item_id,
@@ -954,6 +1616,56 @@ ORDER BY sum(ss_ext_sales_price) DESC,dt.d_year,
                                       item.i_category_id,
                                       item.i_category
 LIMIT 100 """,
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/43.sql (see patch notes above)
+    "dsq43" -> """SELECT s_store_name,
+       s_store_id,
+       sum(CASE
+               WHEN (d_day_name='Sunday') THEN ss_sales_price
+               ELSE NULL
+           END) sun_sales,
+       sum(CASE
+               WHEN (d_day_name='Monday') THEN ss_sales_price
+               ELSE NULL
+           END) mon_sales,
+       sum(CASE
+               WHEN (d_day_name='Tuesday') THEN ss_sales_price
+               ELSE NULL
+           END) tue_sales,
+       sum(CASE
+               WHEN (d_day_name='Wednesday') THEN ss_sales_price
+               ELSE NULL
+           END) wed_sales,
+       sum(CASE
+               WHEN (d_day_name='Thursday') THEN ss_sales_price
+               ELSE NULL
+           END) thu_sales,
+       sum(CASE
+               WHEN (d_day_name='Friday') THEN ss_sales_price
+               ELSE NULL
+           END) fri_sales,
+       sum(CASE
+               WHEN (d_day_name='Saturday') THEN ss_sales_price
+               ELSE NULL
+           END) sat_sales
+FROM date_dim,
+     store_sales,
+     store
+WHERE d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_gmt_offset = -5
+  AND d_year = 2000
+GROUP BY s_store_name,
+         s_store_id
+ORDER BY s_store_name,
+         s_store_id,
+         sun_sales,
+         mon_sales,
+         tue_sales,
+         wed_sales,
+         thu_sales,
+         fri_sales,
+         sat_sales
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/44.sql (see patch notes above)
     "dsq44" -> """SELECT asceding.rnk,
        i1.i_product_name best_performing,
@@ -1001,6 +1713,188 @@ WHERE asceding.rnk = descending.rnk
   AND i1.i_item_sk=asceding.item_sk
   AND i2.i_item_sk=descending.item_sk
 ORDER BY asceding.rnk
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/45.sql (see patch notes above)
+    "dsq45" -> """SELECT ca_zip,
+       ca_city,
+       sum(ws_sales_price) AS total_sales
+FROM web_sales,
+     customer,
+     customer_address,
+     date_dim,
+     item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (SUBSTRING(ca_zip,1,5) IN ('85669',
+                              '86197',
+                              '88274',
+                              '83405',
+                              '86475',
+                              '85392',
+                              '85460',
+                              '80348',
+                              '81792')
+       OR i_item_id IN
+         (SELECT i_item_id
+          FROM item
+          WHERE i_item_sk IN (2,
+                              3,
+                              5,
+                              7,
+                              11,
+                              13,
+                              17,
+                              19,
+                              23,
+                              29) ))
+  AND ws_sold_date_sk = d_date_sk
+  AND d_qoy = 2
+  AND d_year = 2001
+GROUP BY ca_zip,
+         ca_city
+ORDER BY ca_zip,
+         ca_city
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/47.sql (see patch notes above)
+    "dsq47" -> """WITH v1 AS
+  (SELECT i_category,
+          i_brand,
+          s_store_name,
+          s_company_name,
+          d_year,
+          d_moy,
+          sum(ss_sales_price) sum_sales,
+          avg(sum(ss_sales_price)) OVER (PARTITION BY i_category,
+                                                      i_brand,
+                                                      s_store_name,
+                                                      s_company_name,
+                                                      d_year) avg_monthly_sales,
+                                        rank() OVER (PARTITION BY i_category,
+                                                                  i_brand,
+                                                                  s_store_name,
+                                                                  s_company_name
+                                                     ORDER BY d_year,
+                                                              d_moy) rn
+   FROM item,
+        store_sales,
+        date_dim,
+        store
+   WHERE ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND (d_year = 1999
+          OR (d_year = 1999-1
+              AND d_moy =12)
+          OR (d_year = 1999+1
+              AND d_moy =1))
+   GROUP BY i_category,
+            i_brand,
+            s_store_name,
+            s_company_name,
+            d_year,
+            d_moy),
+     v2 AS
+  (SELECT v1.i_category,
+          v1.i_brand,
+          v1.s_store_name,
+          v1.s_company_name,
+          v1.d_year,
+          v1.d_moy,
+          v1.avg_monthly_sales,
+          v1.sum_sales,
+          v1_lag.sum_sales psum,
+          v1_lead.sum_sales nsum
+   FROM v1,
+        v1 v1_lag,
+        v1 v1_lead
+   WHERE v1.i_category = v1_lag.i_category
+     AND v1.i_category = v1_lead.i_category
+     AND v1.i_brand = v1_lag.i_brand
+     AND v1.i_brand = v1_lead.i_brand
+     AND v1.s_store_name = v1_lag.s_store_name
+     AND v1.s_store_name = v1_lead.s_store_name
+     AND v1.s_company_name = v1_lag.s_company_name
+     AND v1.s_company_name = v1_lead.s_company_name
+     AND v1.rn = v1_lag.rn + 1
+     AND v1.rn = v1_lead.rn - 1)
+SELECT *
+FROM v2
+WHERE d_year = 1999
+  AND avg_monthly_sales > 0
+  AND CASE
+          WHEN avg_monthly_sales > 0 THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+          ELSE NULL
+      END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/50.sql (see patch notes above)
+    "dsq50" -> """SELECT s_store_name,
+       s_company_id,
+       s_street_number,
+       s_street_name,
+       s_street_type,
+       s_suite_number,
+       s_city,
+       s_county,
+       s_state,
+       s_zip,
+       CAST(sum(CASE
+               WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d30,
+       CAST(sum(CASE
+               WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+                    AND (sr_returned_date_sk - ss_sold_date_sk <= 60) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d31_60,
+       CAST(sum(CASE
+               WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+                    AND (sr_returned_date_sk - ss_sold_date_sk <= 90) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d61_90,
+       CAST(sum(CASE
+               WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+                    AND (sr_returned_date_sk - ss_sold_date_sk <= 120) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d91_120,
+       CAST(sum(CASE
+               WHEN (sr_returned_date_sk - ss_sold_date_sk > 120) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d120_plus
+FROM store_sales,
+     store_returns,
+     store,
+     date_dim d1,
+     date_dim d2
+WHERE d2.d_year = 2001
+  AND d2.d_moy = 8
+  AND ss_ticket_number = sr_ticket_number
+  AND ss_item_sk = sr_item_sk
+  AND ss_sold_date_sk = d1.d_date_sk
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_store_sk = s_store_sk
+GROUP BY s_store_name,
+         s_company_id,
+         s_street_number,
+         s_street_name,
+         s_street_type,
+         s_suite_number,
+         s_city,
+         s_county,
+         s_state,
+         s_zip
+ORDER BY s_store_name,
+         s_company_id,
+         s_street_number,
+         s_street_name,
+         s_street_type,
+         s_suite_number,
+         s_city,
+         s_county,
+         s_state,
+         s_zip
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/52.sql (see patch notes above)
     "dsq52" -> """SELECT dt.d_year,
@@ -1109,6 +2003,130 @@ WHERE ss_items.item_id=cs_items.item_id
   AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
 ORDER BY ss_items.item_id NULLS FIRST,
          ss_item_rev NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/59.sql (see patch notes above)
+    "dsq59" -> """WITH wss AS
+  (SELECT d_week_seq,
+          ss_store_sk,
+          sum(CASE
+                  WHEN (d_day_name='Sunday') THEN ss_sales_price
+                  ELSE NULL
+              END) sun_sales,
+          sum(CASE
+                  WHEN (d_day_name='Monday') THEN ss_sales_price
+                  ELSE NULL
+              END) mon_sales,
+          sum(CASE
+                  WHEN (d_day_name='Tuesday') THEN ss_sales_price
+                  ELSE NULL
+              END) tue_sales,
+          sum(CASE
+                  WHEN (d_day_name='Wednesday') THEN ss_sales_price
+                  ELSE NULL
+              END) wed_sales,
+          sum(CASE
+                  WHEN (d_day_name='Thursday') THEN ss_sales_price
+                  ELSE NULL
+              END) thu_sales,
+          sum(CASE
+                  WHEN (d_day_name='Friday') THEN ss_sales_price
+                  ELSE NULL
+              END) fri_sales,
+          sum(CASE
+                  WHEN (d_day_name='Saturday') THEN ss_sales_price
+                  ELSE NULL
+              END) sat_sales
+   FROM store_sales,
+        date_dim
+   WHERE d_date_sk = ss_sold_date_sk
+   GROUP BY d_week_seq,
+            ss_store_sk)
+SELECT s_store_name1,
+       s_store_id1,
+       d_week_seq1,
+       sun_sales1/sun_sales2 AS sun_sales_ratio,
+       mon_sales1/mon_sales2 AS mon_sales_ratio,
+       tue_sales1/tue_sales2 AS tue_sales_ratio,
+       wed_sales1/wed_sales2 AS wed_sales_ratio,
+       thu_sales1/thu_sales2 AS thu_sales_ratio,
+       fri_sales1/fri_sales2 AS fri_sales_ratio,
+       sat_sales1/sat_sales2 AS sat_sales_ratio
+FROM
+  (SELECT s_store_name s_store_name1,
+          wss.d_week_seq d_week_seq1,
+          s_store_id s_store_id1,
+          sun_sales sun_sales1,
+          mon_sales mon_sales1,
+          tue_sales tue_sales1,
+          wed_sales wed_sales1,
+          thu_sales thu_sales1,
+          fri_sales fri_sales1,
+          sat_sales sat_sales1
+   FROM wss,
+        store,
+        date_dim d
+   WHERE d.d_week_seq = wss.d_week_seq
+     AND ss_store_sk = s_store_sk
+     AND d_month_seq BETWEEN 1212 AND 1212 + 11) y,
+  (SELECT s_store_name s_store_name2,
+          wss.d_week_seq d_week_seq2,
+          s_store_id s_store_id2,
+          sun_sales sun_sales2,
+          mon_sales mon_sales2,
+          tue_sales tue_sales2,
+          wed_sales wed_sales2,
+          thu_sales thu_sales2,
+          fri_sales fri_sales2,
+          sat_sales sat_sales2
+   FROM wss,
+        store,
+        date_dim d
+   WHERE d.d_week_seq = wss.d_week_seq
+     AND ss_store_sk = s_store_sk
+     AND d_month_seq BETWEEN 1212 + 12 AND 1212 + 23) x
+WHERE s_store_id1=s_store_id2
+  AND d_week_seq1=d_week_seq2-52
+ORDER BY s_store_name1 NULLS FIRST,
+         s_store_id1 NULLS FIRST,
+         d_week_seq1 NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/65.sql (see patch notes above)
+    "dsq65" -> """SELECT s_store_name,
+       i_item_desc,
+       sc.revenue,
+       i_current_price,
+       i_wholesale_cost,
+       i_brand
+FROM store,
+     item,
+  (SELECT ss_store_sk,
+          avg(revenue) AS ave
+   FROM
+     (SELECT ss_store_sk,
+             ss_item_sk,
+             sum(ss_sales_price) AS revenue
+      FROM store_sales,
+           date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1176 AND 1176+11
+      GROUP BY ss_store_sk,
+               ss_item_sk) sa
+   GROUP BY ss_store_sk) sb,
+  (SELECT ss_store_sk,
+          ss_item_sk,
+          sum(ss_sales_price) AS revenue
+   FROM store_sales,
+        date_dim
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_month_seq BETWEEN 1176 AND 1176+11
+   GROUP BY ss_store_sk,
+            ss_item_sk) sc
+WHERE sb.ss_store_sk = sc.ss_store_sk
+  AND sc.revenue <= 0.1 * sb.ave
+  AND s_store_sk = sc.ss_store_sk
+  AND i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name NULLS FIRST,
+         i_item_desc NULLS FIRST
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/74.sql (see patch notes above)
     "dsq74" -> """WITH year_total AS

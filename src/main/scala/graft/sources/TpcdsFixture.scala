@@ -40,7 +40,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TpcdsFixture {
   val tables: Seq[String] = Seq("date_dim", "item", "customer", "warehouse",
-    "store_sales", "catalog_sales", "web_sales", "inventory")
+    "store", "customer_address", "store_sales", "catalog_sales", "web_sales",
+    "inventory", "store_returns")
 
   /** Stable per-JVM output dir (same convention as Sources.csvFixture:
     * written once, referenced by absolute path from the oracle SQL).
@@ -102,6 +103,7 @@ object TpcdsFixture {
         | + month(date_add(DATE '1998-01-01', CAST(id AS INT))) - 1 AS INT)
         | AS d_month_seq""".stripMargin,
       "CAST(month(date_add(DATE '1998-01-01', CAST(id AS INT))) AS INT) AS d_moy",
+      "CAST(quarter(date_add(DATE '1998-01-01', CAST(id AS INT))) AS INT) AS d_qoy",
       "CAST(year(date_add(DATE '1998-01-01', CAST(id AS INT))) AS INT) AS d_year"))
 
     // items 3901..3916 are PLANTED q41 combos (one per OR-arm, two
@@ -139,7 +141,7 @@ object TpcdsFixture {
       planted(plantedColor,
         s"""element_at(array('powder','khaki','brown','honeydew','floral','deep',
           |  'light','cornflower','midnight','snow','cyan','papaya','orange',
-          |  'frosted','forest','ghost','olive','linen','plum'),
+          |  'frosted','forest','ghost','peach','linen','plum'),
           |  CAST(1 + ${hm(113, 19)} AS INT))""".stripMargin) + " AS i_color",
       planted(plantedUnits,
         s"""element_at(array('Ounce','Oz','Bunch','Ton','N/A','Dozen','Box',
@@ -148,6 +150,7 @@ object TpcdsFixture {
       planted(plantedSize,
         s"""element_at(array('medium','extra large','N/A','small','petite',
           |  'large','economy'), CAST(1 + ${hm(117, 7)} AS INT))""".stripMargin) + " AS i_size",
+      s"CAST(1 + ${hm(119, 100)} AS DOUBLE) AS i_wholesale_cost",
       "concat('product', id) AS i_product_name"))
 
     write("customer", spark.range(1, NCust + 1).selectExpr(
@@ -161,11 +164,57 @@ object TpcdsFixture {
         |  'EGYPT','KENYA','PERU','CHILE','NORWAY','POLAND','GREECE','TURKEY'),
         |  CAST(1 + ${hm(211, 20)} AS INT)) AS c_birth_country""".stripMargin,
       s"CASE WHEN ${hm(213, 5)} = 0 THEN NULL ELSE concat('login', id) END AS c_login",
+      s"CAST(1 + ${hm(215, 800)} AS INT) AS c_current_addr_sk",
       "concat('user', id, '@example.com') AS c_email_address"))
 
     write("warehouse", spark.range(1, 6).selectExpr(
       "CAST(id AS INT) AS w_warehouse_sk",
       "concat('Warehouse ', id) AS w_warehouse_name"))
+
+    // a SHARED zip pool: 15 zips from q8's literal IN-list + q15/q45's
+    // nine + 16 generic — q8 needs >10 preferred customers per listed
+    // zip prefix, q24 needs s_zip = ca_zip matches, q19 needs most
+    // (store, address) pairs to differ. Stores and addresses draw from
+    // the same pool.
+    val zipPool = "array(" + Seq(
+      "24128", "76232", "65084", "87816", "83926", "77556", "20548",
+      "26231", "43848", "15126", "91137", "61265", "98294", "25782",
+      "17920", "85669", "86197", "88274", "83405", "86475", "85392",
+      "85460", "80348", "81792", "10001", "20002", "30003", "40004",
+      "50005", "60006", "70007", "80008", "90009", "11010", "12011",
+      "13012", "14013", "15014", "16015", "17016")
+      .map("'" + _ + "'").mkString(",") + ")"
+
+    // 12 stores (ss_store_sk is 1..12): three in TN (q1/q36 filter),
+    // every store at gmt_offset -5 (q43), market ids cover 8 (q24)
+    write("store", spark.range(1, 13).selectExpr(
+      "CAST(id AS INT) AS s_store_sk",
+      "concat('STORE', lpad(CAST(id AS STRING), 8, '0')) AS s_store_id",
+      "concat('Store ', id) AS s_store_name",
+      """element_at(array('TN','TN','TN','CA','WA','GA','NY','TX','FL',
+        |  'OH','MI','IL'), CAST(id AS INT)) AS s_state""".stripMargin,
+      "concat('City', 1 + pmod(id, 6)) AS s_city",
+      "concat('County', 1 + pmod(id, 5)) AS s_county",
+      s"element_at($zipPool, CAST(1 + ${hm(233, 40)} AS INT)) AS s_zip",
+      "CAST(1 + pmod(id, 3) AS INT) AS s_company_id",
+      "concat('Company ', 1 + pmod(id, 3)) AS s_company_name",
+      // store 5 pinned to market 8: q24 filters s_market_id = 8 and a
+      // 12-store hash draw misses the value ~28% of the time (observed)
+      s"CAST(CASE WHEN id = 5 THEN 8 ELSE 1 + ${hm(235, 10)} END AS INT) AS s_market_id",
+      "CAST(-5.0 AS DOUBLE) AS s_gmt_offset",
+      "CAST(100 + id AS STRING) AS s_street_number",
+      "concat('Street', 1 + pmod(id, 4)) AS s_street_name",
+      "element_at(array('St','Ave','Blvd','Ln'), CAST(1 + pmod(id, 4) AS INT)) AS s_street_type",
+      "concat('Suite ', id) AS s_suite_number"))
+
+    write("customer_address", spark.range(1, 801).selectExpr(
+      "CAST(id AS INT) AS ca_address_sk",
+      s"element_at($zipPool, CAST(1 + ${hm(221, 40)} AS INT)) AS ca_zip",
+      s"""element_at(array('TN','CA','WA','GA','NY','TX','FL','OH','MI',
+        |  'IL','PA','AZ','CO','OR','NV','UT','KS','IA','MN','WI'),
+        |  CAST(1 + ${hm(223, 20)} AS INT)) AS ca_state""".stripMargin,
+      s"concat('City', 1 + ${hm(225, 60)}) AS ca_city",
+      s"CASE WHEN ${hm(227, 10)} = 0 THEN 'Canada' ELSE 'United States' END AS ca_country"))
 
     // hot arms: ~1/5 of rows hit the 40 hot items and ~1/3 the hot day
     // window — their overlap concentrates (item, day) cells past q23's
@@ -187,6 +236,7 @@ object TpcdsFixture {
          |  ELSE 1 + ${hm(311, NItem)} END""".stripMargin)} AS INT) AS ss_item_sk""",
       s"CASE WHEN ${hm(313, 97)} = 0 THEN NULL ELSE CAST(1 + ${hm(315, NCust)} AS INT) END AS ss_customer_sk",
       s"CAST(1 + ${hm(317, 12)} AS INT) AS ss_store_sk",
+      "id AS ss_ticket_number",
       s"CASE WHEN ${hm(337, 19)} = 0 THEN NULL ELSE CAST(1 + ${hm(319, 800)} AS INT) END AS ss_addr_sk",
       s"CAST(1 + ${hm(321, 100)} AS INT) AS ss_quantity",
       s"CAST(1 + ${hm(323, 200)} AS DOUBLE) AS ss_list_price",
@@ -216,6 +266,7 @@ object TpcdsFixture {
       s"CAST(1 + ${hm(413, NCust)} AS INT) AS cs_bill_customer_sk",
       s"CAST(1 + ${hm(415, 100)} AS INT) AS cs_quantity",
       s"CAST(1 + ${hm(417, 190)} AS DOUBLE) AS cs_list_price",
+      s"CAST(1 + ${hm(425, 600)} AS DOUBLE) AS cs_sales_price",
       s"CAST(${q58("500 + (id - 1000) * 7",
         s"(1 + ${hm(419, 140)}) * (1 + ${hm(415, 100)})")} AS DOUBLE) AS cs_ext_sales_price",
       s"CAST((1 + ${hm(417, 190)}) * (1 + ${hm(415, 100)}) AS DOUBLE) AS cs_ext_list_price",
@@ -233,6 +284,7 @@ object TpcdsFixture {
       s"CAST(1 + ${hm(513, NCust)} AS INT) AS ws_bill_customer_sk",
       s"CAST(1 + ${hm(515, 100)} AS INT) AS ws_quantity",
       s"CAST(1 + ${hm(517, 185)} AS DOUBLE) AS ws_list_price",
+      s"CAST(1 + ${hm(527, 600)} AS DOUBLE) AS ws_sales_price",
       s"CAST(${q58("500 + (id - 1000) * 7",
         s"(1 + ${hm(519, 145)}) * (1 + ${hm(515, 100)})")} AS DOUBLE) AS ws_ext_sales_price",
       s"CAST((1 + ${hm(517, 185)}) * (1 + ${hm(515, 100)}) AS DOUBLE) AS ws_ext_list_price",
@@ -251,5 +303,23 @@ object TpcdsFixture {
       s"""CAST(${hm(601, 20)}
         | + CASE WHEN ${hm(603, 11)} = 0 THEN 400 ELSE 0 END
         | AS DOUBLE) AS inv_quantity_on_hand""".stripMargin))
+
+    // returns derive FROM the written store_sales rows, so every join
+    // column (ticket, item, customer, store) is consistent by
+    // construction: every 3rd ticket returns, 1..140 days after the
+    // sale (q50's day buckets and q1's d_year=2000 both populated;
+    // returns past 2002-12-31 simply find no date_dim row)
+    write("store_returns", spark.read.parquet(s"$dir/store_sales.parquet")
+      .where("pmod(ss_ticket_number, 3) = 0")
+      .selectExpr(
+        """CAST(ss_sold_date_sk + 1
+          | + pmod(pmod(ss_ticket_number * 2654435761 + 17, 2147483647), 140)
+          | AS INT) AS sr_returned_date_sk""".stripMargin,
+        "ss_item_sk AS sr_item_sk",
+        "ss_customer_sk AS sr_customer_sk",
+        "ss_store_sk AS sr_store_sk",
+        "ss_ticket_number AS sr_ticket_number",
+        """CAST(1 + pmod(pmod(ss_ticket_number * 1103548271 + 5, 2147483647), 300)
+          | AS DOUBLE) AS sr_return_amt""".stripMargin))
   }
 }

@@ -15,27 +15,40 @@ OUT = "/root/repo/src/main/scala/graft/queries/TpcdsVerbatim.scala"
 
 # query -> tables referenced (for the oracle's read_parquet CTE prefix)
 TABLES = {
+    1: ["store_returns", "date_dim", "store", "customer"],
     2: ["web_sales", "catalog_sales", "date_dim"],
     3: ["date_dim", "store_sales", "item"],
     4: ["customer", "store_sales", "catalog_sales", "web_sales", "date_dim"],
+    6: ["customer_address", "customer", "store_sales", "date_dim", "item"],
+    8: ["store_sales", "date_dim", "store", "customer_address", "customer"],
     11: ["customer", "store_sales", "web_sales", "date_dim"],
     12: ["web_sales", "item", "date_dim"],
     14: ["item", "store_sales", "catalog_sales", "web_sales", "date_dim"],
+    15: ["catalog_sales", "customer", "customer_address", "date_dim"],
+    19: ["date_dim", "store_sales", "item", "customer", "customer_address", "store"],
     20: ["catalog_sales", "item", "date_dim"],
     21: ["inventory", "warehouse", "item", "date_dim"],
     22: ["inventory", "date_dim", "item"],
     23: ["store_sales", "catalog_sales", "web_sales", "customer", "date_dim", "item"],
+    24: ["store_sales", "store_returns", "store", "item", "customer", "customer_address"],
     28: ["store_sales"],
     32: ["catalog_sales", "item", "date_dim"],
+    36: ["store_sales", "date_dim", "item", "store"],
     37: ["item", "inventory", "date_dim", "catalog_sales"],
     38: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer"],
     39: ["inventory", "item", "warehouse", "date_dim"],
     41: ["item"],
     42: ["date_dim", "store_sales", "item"],
+    43: ["date_dim", "store_sales", "store"],
     44: ["store_sales", "item"],
+    45: ["web_sales", "customer", "customer_address", "date_dim", "item"],
+    47: ["item", "store_sales", "date_dim", "store"],
+    50: ["store_sales", "store_returns", "store", "date_dim"],
     52: ["date_dim", "store_sales", "item"],
     55: ["date_dim", "store_sales", "item"],
     58: ["store_sales", "catalog_sales", "web_sales", "item", "date_dim"],
+    59: ["store_sales", "date_dim", "store"],
+    65: ["store", "item", "store_sales", "date_dim"],
     74: ["customer", "store_sales", "web_sales", "date_dim"],
     82: ["item", "inventory", "date_dim", "store_sales"],
     86: ["web_sales", "date_dim", "item"],
@@ -71,6 +84,25 @@ def patch(n, sql):
         sql = sql.replace("SELECT count(*)\n", "SELECT count(*) AS num_hot_cust\n", 1)
     if n == 87:
         sql = sql.replace("SELECT count(*)\n", "SELECT count(*) AS num_cool_cust\n", 1)
+    if n == 8:
+        sql = sql.replace("SELECT s_store_name,\n       sum(ss_net_profit)",
+                          "SELECT s_store_name,\n       sum(ss_net_profit) AS net_profit")
+    if n == 15:
+        sql = sql.replace("SELECT ca_zip,\n       sum(cs_sales_price)",
+                          "SELECT ca_zip,\n       sum(cs_sales_price) AS total_sales")
+    if n == 45:
+        sql = sql.replace("       sum(ws_sales_price)",
+                          "       sum(ws_sales_price) AS total_sales")
+    if n == 50:
+        # quoted aliases -> plain; integer CASE sums widen to HUGEINT
+        for quoted, plain in [("30 days", "d30"), ("31-60 days", "d31_60"),
+                              ("61-90 days", "d61_90"), ("91-120 days", "d91_120"),
+                              (">120 days", "d120_plus")]:
+            sql = sql.replace(f'AS "{quoted}"', f"AS {plain}")
+        for alias in ["d30", "d31_60", "d61_90", "d91_120", "d120_plus"]:
+            sql = re.sub(r"sum\(CASE((?:(?!sum\().)*?)END\) AS " + alias,
+                         r"CAST(sum(CASE\1END) AS BIGINT) AS " + alias,
+                         sql, flags=re.S)
     if n == 42:
         # unnamed aggregate output column
         sql = sql.replace("sum(ss_ext_sales_price)\nFROM",
