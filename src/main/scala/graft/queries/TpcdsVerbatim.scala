@@ -46,8 +46,11 @@ object TpcdsVerbatim {
     "dsq22" -> Seq("inventory", "date_dim", "item"),
     "dsq23" -> Seq("store_sales", "catalog_sales", "web_sales", "customer", "date_dim", "item"),
     "dsq24" -> Seq("store_sales", "store_returns", "store", "item", "customer", "customer_address"),
+    "dsq25" -> Seq("store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item"),
     "dsq28" -> Seq("store_sales"),
+    "dsq29" -> Seq("store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item"),
     "dsq32" -> Seq("catalog_sales", "item", "date_dim"),
+    "dsq33" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"),
     "dsq36" -> Seq("store_sales", "date_dim", "item", "store"),
     "dsq37" -> Seq("item", "inventory", "date_dim", "catalog_sales"),
     "dsq38" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer"),
@@ -60,14 +63,21 @@ object TpcdsVerbatim {
     "dsq47" -> Seq("item", "store_sales", "date_dim", "store"),
     "dsq50" -> Seq("store_sales", "store_returns", "store", "date_dim"),
     "dsq52" -> Seq("date_dim", "store_sales", "item"),
+    "dsq53" -> Seq("item", "store_sales", "date_dim", "store"),
+    "dsq54" -> Seq("catalog_sales", "web_sales", "item", "date_dim", "customer", "store_sales", "customer_address", "store"),
     "dsq55" -> Seq("date_dim", "store_sales", "item"),
+    "dsq56" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"),
     "dsq58" -> Seq("store_sales", "catalog_sales", "web_sales", "item", "date_dim"),
     "dsq59" -> Seq("store_sales", "date_dim", "store"),
+    "dsq60" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"),
+    "dsq63" -> Seq("item", "store_sales", "date_dim", "store"),
     "dsq65" -> Seq("store", "item", "store_sales", "date_dim"),
     "dsq74" -> Seq("customer", "store_sales", "web_sales", "date_dim"),
+    "dsq76" -> Seq("store_sales", "web_sales", "catalog_sales", "item", "date_dim"),
     "dsq82" -> Seq("item", "inventory", "date_dim", "store_sales"),
     "dsq86" -> Seq("web_sales", "date_dim", "item"),
     "dsq87" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer"),
+    "dsq89" -> Seq("item", "store_sales", "date_dim", "store"),
     "dsq92" -> Seq("web_sales", "item", "date_dim"),
     "dsq97" -> Seq("store_sales", "catalog_sales", "date_dim"),
     "dsq98" -> Seq("date_dim", "store_sales", "item"),
@@ -1290,6 +1300,47 @@ HAVING sum(netpaid) >
 ORDER BY c_last_name,
          c_first_name,
          s_store_name """,
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/25.sql (see patch notes above)
+    "dsq25" -> """SELECT i_item_id ,
+       i_item_desc ,
+       s_store_id ,
+       s_store_name ,
+       sum(ss_net_profit) AS store_sales_profit ,
+       sum(sr_net_loss) AS store_returns_loss ,
+       sum(cs_net_profit) AS catalog_sales_profit
+FROM store_sales ,
+     store_returns ,
+     catalog_sales ,
+     date_dim d1 ,
+     date_dim d2 ,
+     date_dim d3 ,
+     store ,
+     item
+WHERE d1.d_moy = 4
+  AND d1.d_year = 2001
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_moy BETWEEN 4 AND 10
+  AND d2.d_year = 2001
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_moy BETWEEN 4 AND 10
+  AND d3.d_year = 2001
+GROUP BY i_item_id ,
+         i_item_desc ,
+         s_store_id ,
+         s_store_name
+ORDER BY i_item_id ,
+         i_item_desc ,
+         s_store_id ,
+         s_store_name
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/28.sql (see patch notes above)
     "dsq28" -> """SELECT *
 FROM
@@ -1342,6 +1393,48 @@ FROM
           OR ss_coupon_amt BETWEEN 7326 AND 7326+1000
           OR ss_wholesale_cost BETWEEN 7 AND 7+20)) B6
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/29.sql (see patch notes above)
+    "dsq29" -> """SELECT i_item_id,
+       i_item_desc,
+       s_store_id,
+       s_store_name,
+       CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+       CAST(sum(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+       CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+FROM store_sales,
+     store_returns,
+     catalog_sales,
+     date_dim d1,
+     date_dim d2,
+     date_dim d3,
+     store,
+     item
+WHERE d1.d_moy = 9
+  AND d1.d_year = 1999
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_moy BETWEEN 9 AND 9 + 3
+  AND d2.d_year = 1999
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year IN (1999,
+                    1999+1,
+                    1999+2)
+GROUP BY i_item_id,
+         i_item_desc,
+         s_store_id,
+         s_store_name
+ORDER BY i_item_id,
+         i_item_desc,
+         s_store_id,
+         s_store_name
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/32.sql (see patch notes above)
     "dsq32" -> """SELECT sum(cs_ext_discount_amt) AS excess_discount_amt
 FROM catalog_sales ,
@@ -1358,6 +1451,73 @@ WHERE i_manufact_id = 977
      WHERE cs_item_sk = i_item_sk
        AND d_date BETWEEN '2000-01-27' AND cast('2000-04-26' AS date)
        AND d_date_sk = cs_sold_date_sk )
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/33.sql (see patch notes above)
+    "dsq33" -> """WITH ss AS
+  ( SELECT i_manufact_id,
+           sum(ss_ext_sales_price) total_sales
+   FROM store_sales,
+        date_dim,
+        customer_address,
+        item
+   WHERE i_manufact_id IN
+       (SELECT i_manufact_id
+        FROM item
+        WHERE i_category IN ('Electronics'))
+     AND ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND d_year = 1998
+     AND d_moy = 5
+     AND ss_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_manufact_id),
+     cs AS
+  ( SELECT i_manufact_id,
+           sum(cs_ext_sales_price) total_sales
+   FROM catalog_sales,
+        date_dim,
+        customer_address,
+        item
+   WHERE i_manufact_id IN
+       (SELECT i_manufact_id
+        FROM item
+        WHERE i_category IN ('Electronics'))
+     AND cs_item_sk = i_item_sk
+     AND cs_sold_date_sk = d_date_sk
+     AND d_year = 1998
+     AND d_moy = 5
+     AND cs_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_manufact_id),
+     ws AS
+  ( SELECT i_manufact_id,
+           sum(ws_ext_sales_price) total_sales
+   FROM web_sales,
+        date_dim,
+        customer_address,
+        item
+   WHERE i_manufact_id IN
+       (SELECT i_manufact_id
+        FROM item
+        WHERE i_category IN ('Electronics'))
+     AND ws_item_sk = i_item_sk
+     AND ws_sold_date_sk = d_date_sk
+     AND d_year = 1998
+     AND d_moy = 5
+     AND ws_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_manufact_id)
+SELECT i_manufact_id,
+       sum(total_sales) total_sales
+FROM
+  (SELECT *
+   FROM ss
+   UNION ALL SELECT *
+   FROM cs
+   UNION ALL SELECT *
+   FROM ws) tmp1
+GROUP BY i_manufact_id
+ORDER BY total_sales
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/36.sql (see patch notes above)
     "dsq36" -> """WITH results AS
@@ -1916,6 +2076,112 @@ ORDER BY dt.d_year,
          ext_price DESC,
          brand_id
 LIMIT 100 """,
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/53.sql (see patch notes above)
+    "dsq53" -> """SELECT *
+FROM
+  (SELECT i_manufact_id,
+          sum(ss_sales_price) sum_sales,
+          avg(sum(ss_sales_price)) OVER (PARTITION BY i_manufact_id) avg_quarterly_sales
+   FROM item,
+        store_sales,
+        date_dim,
+        store
+   WHERE ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND d_month_seq IN (1200,
+                         1200+1,
+                         1200+2,
+                         1200+3,
+                         1200+4,
+                         1200+5,
+                         1200+6,
+                         1200+7,
+                         1200+8,
+                         1200+9,
+                         1200+10,
+                         1200+11)
+     AND ((i_category IN ('Books',
+                          'Children',
+                          'Electronics')
+           AND i_class IN ('personal',
+                           'portable',
+                           'reference',
+                           'self-help')
+           AND i_brand IN ('scholaramalgamalg #14',
+                           'scholaramalgamalg #7',
+                           'exportiunivamalg #9',
+                           'scholaramalgamalg #9')) or(i_category IN ('Women','Music','Men')
+                                                       AND i_class IN ('accessories','classical','fragrances','pants')
+                                                       AND i_brand IN ('amalgimporto #1','edu packscholar #1','exportiimporto #1', 'importoamalg #1')))
+   GROUP BY i_manufact_id,
+            d_qoy) tmp1
+WHERE CASE
+          WHEN avg_quarterly_sales > 0 THEN ABS (sum_sales - avg_quarterly_sales)/ avg_quarterly_sales
+          ELSE NULL
+      END > 0.1
+ORDER BY avg_quarterly_sales,
+         sum_sales,
+         i_manufact_id
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/54.sql (see patch notes above)
+    "dsq54" -> """WITH my_customers AS
+  (SELECT DISTINCT c_customer_sk,
+                   c_current_addr_sk
+   FROM
+     (SELECT cs_sold_date_sk sold_date_sk,
+             cs_bill_customer_sk customer_sk,
+             cs_item_sk item_sk
+      FROM catalog_sales
+      UNION ALL SELECT ws_sold_date_sk sold_date_sk,
+                       ws_bill_customer_sk customer_sk,
+                       ws_item_sk item_sk
+      FROM web_sales) cs_or_ws_sales,
+        item,
+        date_dim,
+        customer
+   WHERE sold_date_sk = d_date_sk
+     AND item_sk = i_item_sk
+     AND i_category = 'Women'
+     AND i_class = 'maternity'
+     AND c_customer_sk = cs_or_ws_sales.customer_sk
+     AND d_moy = 12
+     AND d_year = 1998 ),
+     my_revenue AS
+  (SELECT c_customer_sk,
+          sum(ss_ext_sales_price) AS revenue
+   FROM my_customers,
+        store_sales,
+        customer_address,
+        store,
+        date_dim
+   WHERE c_current_addr_sk = ca_address_sk
+     AND ca_county = s_county
+     AND ca_state = s_state
+     AND ss_sold_date_sk = d_date_sk
+     AND c_customer_sk = ss_customer_sk
+     AND d_month_seq BETWEEN
+       (SELECT DISTINCT d_month_seq+1
+        FROM date_dim
+        WHERE d_year = 1998
+          AND d_moy = 12) AND
+       (SELECT DISTINCT d_month_seq+3
+        FROM date_dim
+        WHERE d_year = 1998
+          AND d_moy = 12)
+   GROUP BY c_customer_sk),
+     segments AS
+  (SELECT cast(round(revenue/50) AS int) AS SEGMENT
+   FROM my_revenue)
+SELECT SEGMENT,
+       count(*) AS num_customers,
+       SEGMENT*50 AS segment_base
+FROM segments
+GROUP BY SEGMENT
+ORDER BY SEGMENT NULLS FIRST,
+         num_customers NULLS FIRST,
+         segment_base
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/55.sql (see patch notes above)
     "dsq55" -> """SELECT i_brand_id brand_id,
        i_brand brand,
@@ -1933,6 +2199,80 @@ GROUP BY i_brand,
 ORDER BY ext_price DESC,
          i_brand_id
 LIMIT 100 """,
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/56.sql (see patch notes above)
+    "dsq56" -> """WITH ss AS
+  (SELECT i_item_id,
+          sum(ss_ext_sales_price) total_sales
+   FROM store_sales,
+        date_dim,
+        customer_address,
+        item
+   WHERE i_item_id IN
+       (SELECT i_item_id
+        FROM item
+        WHERE i_color IN ('slate',
+                          'blanched',
+                          'burnished'))
+     AND ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND d_year = 2001
+     AND d_moy = 2
+     AND ss_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+     cs AS
+  (SELECT i_item_id,
+          sum(cs_ext_sales_price) total_sales
+   FROM catalog_sales,
+        date_dim,
+        customer_address,
+        item
+   WHERE i_item_id IN
+       (SELECT i_item_id
+        FROM item
+        WHERE i_color IN ('slate',
+                          'blanched',
+                          'burnished'))
+     AND cs_item_sk = i_item_sk
+     AND cs_sold_date_sk = d_date_sk
+     AND d_year = 2001
+     AND d_moy = 2
+     AND cs_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+     ws AS
+  (SELECT i_item_id,
+          sum(ws_ext_sales_price) total_sales
+   FROM web_sales,
+        date_dim,
+        customer_address,
+        item
+   WHERE i_item_id IN
+       (SELECT i_item_id
+        FROM item
+        WHERE i_color IN ('slate',
+                          'blanched',
+                          'burnished'))
+     AND ws_item_sk = i_item_sk
+     AND ws_sold_date_sk = d_date_sk
+     AND d_year = 2001
+     AND d_moy = 2
+     AND ws_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id)
+SELECT i_item_id,
+       sum(total_sales) total_sales
+FROM
+  (SELECT *
+   FROM ss
+   UNION ALL SELECT *
+   FROM cs
+   UNION ALL SELECT *
+   FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY total_sales  NULLS FIRST,
+         i_item_id NULLS FIRST
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/58.sql (see patch notes above)
     "dsq58" -> """WITH ss_items AS
   (SELECT i_item_id item_id,
@@ -2090,6 +2430,122 @@ ORDER BY s_store_name1 NULLS FIRST,
          s_store_id1 NULLS FIRST,
          d_week_seq1 NULLS FIRST
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/60.sql (see patch notes above)
+    "dsq60" -> """WITH ss AS
+  (SELECT i_item_id,
+          sum(ss_ext_sales_price) total_sales
+   FROM store_sales,
+        date_dim,
+        customer_address,
+        item
+   WHERE i_item_id IN
+       (SELECT i_item_id
+        FROM item
+        WHERE i_category ='Music')
+     AND ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND d_year = 1998
+     AND d_moy = 9
+     AND ss_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+     cs AS
+  (SELECT i_item_id,
+          sum(cs_ext_sales_price) total_sales
+   FROM catalog_sales,
+        date_dim,
+        customer_address,
+        item
+   WHERE i_item_id IN
+       (SELECT i_item_id
+        FROM item
+        WHERE i_category ='Music')
+     AND cs_item_sk = i_item_sk
+     AND cs_sold_date_sk = d_date_sk
+     AND d_year = 1998
+     AND d_moy = 9
+     AND cs_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+     ws AS
+  (SELECT i_item_id,
+          sum(ws_ext_sales_price) total_sales
+   FROM web_sales,
+        date_dim,
+        customer_address,
+        item
+   WHERE i_item_id IN
+       (SELECT i_item_id
+        FROM item
+        WHERE i_category = 'Music')
+     AND ws_item_sk = i_item_sk
+     AND ws_sold_date_sk = d_date_sk
+     AND d_year = 1998
+     AND d_moy = 9
+     AND ws_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id)
+SELECT i_item_id,
+       sum(total_sales) total_sales
+FROM
+  (SELECT *
+   FROM ss
+   UNION ALL SELECT *
+   FROM cs
+   UNION ALL SELECT *
+   FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY i_item_id,
+         total_sales
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/63.sql (see patch notes above)
+    "dsq63" -> """SELECT *
+FROM
+  (SELECT i_manager_id,
+          sum(ss_sales_price) sum_sales,
+          avg(sum(ss_sales_price)) OVER (PARTITION BY i_manager_id) avg_monthly_sales
+   FROM item,
+        store_sales,
+        date_dim,
+        store
+   WHERE ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND d_month_seq IN (1200,
+                         1200+1,
+                         1200+2,
+                         1200+3,
+                         1200+4,
+                         1200+5,
+                         1200+6,
+                         1200+7,
+                         1200+8,
+                         1200+9,
+                         1200+10,
+                         1200+11)
+     AND ((i_category IN ('Books',
+                          'Children',
+                          'Electronics')
+           AND i_class IN ('personal',
+                           'portable',
+                           'reference',
+                           'self-help')
+           AND i_brand IN ('scholaramalgamalg #14',
+                           'scholaramalgamalg #7',
+                           'exportiunivamalg #9',
+                           'scholaramalgamalg #9')) or(i_category IN ('Women','Music','Men')
+                                                       AND i_class IN ('accessories','classical','fragrances','pants')
+                                                       AND i_brand IN ('amalgimporto #1','edu packscholar #1','exportiimporto #1', 'importoamalg #1')))
+   GROUP BY i_manager_id,
+            d_moy) tmp1
+WHERE CASE
+          WHEN avg_monthly_sales > 0 THEN ABS (sum_sales - avg_monthly_sales) / avg_monthly_sales
+          ELSE NULL
+      END > 0.1
+ORDER BY i_manager_id,
+         avg_monthly_sales,
+         sum_sales
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/65.sql (see patch notes above)
     "dsq65" -> """SELECT s_store_name,
        i_item_desc,
@@ -2193,6 +2649,62 @@ WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
             END
 ORDER BY 1 NULLS FIRST
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/76.sql (see patch notes above)
+    "dsq76" -> """SELECT channel,
+       col_name,
+       d_year,
+       d_qoy,
+       i_category,
+       COUNT(*) sales_cnt,
+       SUM(ext_sales_price) sales_amt
+FROM
+  ( SELECT 'store' AS channel,
+           'ss_store_sk' col_name,
+                         d_year,
+                         d_qoy,
+                         i_category,
+                         ss_ext_sales_price ext_sales_price
+   FROM store_sales,
+        item,
+        date_dim
+   WHERE ss_store_sk IS NULL
+     AND ss_sold_date_sk=d_date_sk
+     AND ss_item_sk=i_item_sk
+   UNION ALL SELECT 'web' AS channel,
+                    'ws_ship_customer_sk' col_name,
+                                          d_year,
+                                          d_qoy,
+                                          i_category,
+                                          ws_ext_sales_price ext_sales_price
+   FROM web_sales,
+        item,
+        date_dim
+   WHERE ws_ship_customer_sk IS NULL
+     AND ws_sold_date_sk=d_date_sk
+     AND ws_item_sk=i_item_sk
+   UNION ALL SELECT 'catalog' AS channel,
+                    'cs_ship_addr_sk' col_name,
+                                      d_year,
+                                      d_qoy,
+                                      i_category,
+                                      cs_ext_sales_price ext_sales_price
+   FROM catalog_sales,
+        item,
+        date_dim
+   WHERE cs_ship_addr_sk IS NULL
+     AND cs_sold_date_sk=d_date_sk
+     AND cs_item_sk=i_item_sk) foo
+GROUP BY channel,
+         col_name,
+         d_year,
+         d_qoy,
+         i_category
+ORDER BY channel NULLS FIRST,
+         col_name NULLS FIRST,
+         d_year NULLS FIRST,
+         d_qoy NULLS FIRST,
+         i_category NULLS FIRST
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/82.sql (see patch notes above)
     "dsq82" -> """SELECT i_item_id ,
        i_item_desc ,
@@ -2270,6 +2782,26 @@ FROM ((SELECT DISTINCT c_last_name,
          WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
            AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
            AND d_month_seq BETWEEN 1200 AND 1200+11)) cool_cust """,
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/89.sql (see patch notes above)
+    "dsq89" -> """SELECT * from
+  (SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy, sum(ss_sales_price) sum_sales, avg(sum(ss_sales_price)) OVER (PARTITION BY i_category, i_brand, s_store_name, s_company_name) avg_monthly_sales
+   FROM item, store_sales, date_dim, store
+   WHERE ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND d_year = 1999
+     AND ((i_category IN ('Books','Electronics','Sports')
+           AND i_class IN ('computers','stereo','football') )
+          OR (i_category IN ('Men','Jewelry','Women')
+              AND i_class IN ('shirts','birdal','dresses')))
+   GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name, d_moy) tmp1
+WHERE CASE
+          WHEN (avg_monthly_sales <> 0) THEN (abs(sum_sales - avg_monthly_sales) / avg_monthly_sales)
+          ELSE NULL
+      END > 0.1
+ORDER BY sum_sales - avg_monthly_sales,
+         s_store_name, 1, 2, 3, 5, 6, 7, 8
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/92.sql (see patch notes above)
     "dsq92" -> """SELECT sum(ws_ext_discount_amt) AS excess_discount_amt
 FROM web_sales,

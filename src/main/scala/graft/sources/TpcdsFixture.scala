@@ -129,9 +129,17 @@ object TpcdsFixture {
       s"concat('manu#', CASE WHEN id BETWEEN 3901 AND 3916 THEN 738 + id - 3901 ELSE ${hm(101, 1000)} END) AS i_manufact",
       s"CAST(${hm(103, 100)} AS INT) AS i_manager_id",
       s"CAST(1 + ${hm(105, 50)} AS INT) AS i_brand_id",
-      s"concat('Brand#', 1 + ${hm(105, 50)}) AS i_brand",
+      s"""CASE CAST(1 + ${hm(105, 50)} AS INT)
+        |  WHEN 1 THEN 'scholaramalgamalg #14' WHEN 2 THEN 'scholaramalgamalg #7'
+        |  WHEN 3 THEN 'exportiunivamalg #9' WHEN 4 THEN 'scholaramalgamalg #9'
+        |  WHEN 5 THEN 'amalgimporto #1' WHEN 6 THEN 'edu packscholar #1'
+        |  WHEN 7 THEN 'exportiimporto #1' WHEN 8 THEN 'importoamalg #1'
+        |  ELSE concat('Brand#', 1 + ${hm(105, 50)}) END AS i_brand""".stripMargin,
       s"CAST(1 + ${hm(107, 16)} AS INT) AS i_class_id",
-      s"concat('class', 1 + ${hm(107, 16)}) AS i_class",
+      s"""element_at(array('personal','portable','reference','self-help',
+        |  'accessories','classical','fragrances','pants','computers','stereo',
+        |  'football','shirts','birdal','dresses','maternity','bedding'),
+        |  CAST(1 + ${hm(107, 16)} AS INT)) AS i_class""".stripMargin,
       s"CAST(${planted(plantedCatId, s"1 + ${hm(109, 10)}")} AS INT) AS i_category_id",
       planted(plantedCat,
         s"""element_at(array('Sports','Books','Home','Electronics','Jewelry',
@@ -141,8 +149,9 @@ object TpcdsFixture {
       planted(plantedColor,
         s"""element_at(array('powder','khaki','brown','honeydew','floral','deep',
           |  'light','cornflower','midnight','snow','cyan','papaya','orange',
-          |  'frosted','forest','ghost','peach','linen','plum'),
-          |  CAST(1 + ${hm(113, 19)} AS INT))""".stripMargin) + " AS i_color",
+          |  'frosted','forest','ghost','peach','linen','plum','slate',
+          |  'blanched','burnished'),
+          |  CAST(1 + ${hm(113, 22)} AS INT))""".stripMargin) + " AS i_color",
       planted(plantedUnits,
         s"""element_at(array('Ounce','Oz','Bunch','Ton','N/A','Dozen','Box',
           |  'Pound','Pallet','Gross','Cup','Dram','Each','Tbl','Lb','Bundle'),
@@ -214,7 +223,9 @@ object TpcdsFixture {
         |  'IL','PA','AZ','CO','OR','NV','UT','KS','IA','MN','WI'),
         |  CAST(1 + ${hm(223, 20)} AS INT)) AS ca_state""".stripMargin,
       s"concat('City', 1 + ${hm(225, 60)}) AS ca_city",
-      s"CASE WHEN ${hm(227, 10)} = 0 THEN 'Canada' ELSE 'United States' END AS ca_country"))
+      s"CASE WHEN ${hm(227, 10)} = 0 THEN 'Canada' ELSE 'United States' END AS ca_country",
+      s"concat('County', 1 + ${hm(229, 5)}) AS ca_county",
+      "CAST(-5.0 AS DOUBLE) AS ca_gmt_offset"))
 
     // hot arms: ~1/5 of rows hit the 40 hot items and ~1/3 the hot day
     // window — their overlap concentrates (item, day) cells past q23's
@@ -235,7 +246,7 @@ object TpcdsFixture {
            s"""CASE WHEN ${hm(307, 5)} = 0 THEN 1 + ${hm(309, 40)}
          |  ELSE 1 + ${hm(311, NItem)} END""".stripMargin)} AS INT) AS ss_item_sk""",
       s"CASE WHEN ${hm(313, 97)} = 0 THEN NULL ELSE CAST(1 + ${hm(315, NCust)} AS INT) END AS ss_customer_sk",
-      s"CAST(1 + ${hm(317, 12)} AS INT) AS ss_store_sk",
+      s"CASE WHEN ${hm(339, 53)} = 0 THEN NULL ELSE CAST(1 + ${hm(317, 12)} AS INT) END AS ss_store_sk",
       "id AS ss_ticket_number",
       s"CASE WHEN ${hm(337, 19)} = 0 THEN NULL ELSE CAST(1 + ${hm(319, 800)} AS INT) END AS ss_addr_sk",
       s"CAST(1 + ${hm(321, 100)} AS INT) AS ss_quantity",
@@ -271,7 +282,10 @@ object TpcdsFixture {
         s"(1 + ${hm(419, 140)}) * (1 + ${hm(415, 100)})")} AS DOUBLE) AS cs_ext_sales_price",
       s"CAST((1 + ${hm(417, 190)}) * (1 + ${hm(415, 100)}) AS DOUBLE) AS cs_ext_list_price",
       s"CAST((1 + ${hm(421, 85)}) * (1 + ${hm(415, 100)}) AS DOUBLE) AS cs_ext_wholesale_cost",
-      s"CAST(${hm(423, 600)} AS DOUBLE) AS cs_ext_discount_amt"))
+      s"CAST(${hm(423, 600)} AS DOUBLE) AS cs_ext_discount_amt",
+      s"CAST(${hm(427, 1200)} - 300 AS DOUBLE) AS cs_net_profit",
+      s"CAST(1 + ${hm(429, 800)} AS INT) AS cs_bill_addr_sk",
+      s"CASE WHEN ${hm(431, 47)} = 0 THEN NULL ELSE CAST(1 + ${hm(433, 800)} AS INT) END AS cs_ship_addr_sk"))
 
     write("web_sales", spark.range(150000).selectExpr(
       s"""CAST($DskBase + ${q58(q58day.toString,
@@ -290,7 +304,9 @@ object TpcdsFixture {
       s"CAST((1 + ${hm(517, 185)}) * (1 + ${hm(515, 100)}) AS DOUBLE) AS ws_ext_list_price",
       s"CAST((1 + ${hm(521, 80)}) * (1 + ${hm(515, 100)}) AS DOUBLE) AS ws_ext_wholesale_cost",
       s"CAST(${hm(523, 550)} AS DOUBLE) AS ws_ext_discount_amt",
-      s"CAST(${hm(525, 1900)} AS DOUBLE) AS ws_net_paid"))
+      s"CAST(${hm(525, 1900)} AS DOUBLE) AS ws_net_paid",
+      s"CAST(1 + ${hm(529, 800)} AS INT) AS ws_bill_addr_sk",
+      s"CASE WHEN ${hm(531, 47)} = 0 THEN NULL ELSE CAST(1 + ${hm(533, 1500)} AS INT) END AS ws_ship_customer_sk"))
 
     // full item coverage (q37/q82 filter arbitrary manufact ids),
     // 2 warehouses, biweekly snapshots: 4000 * 2 * 131 rows. Quantities
@@ -320,6 +336,10 @@ object TpcdsFixture {
         "ss_store_sk AS sr_store_sk",
         "ss_ticket_number AS sr_ticket_number",
         """CAST(1 + pmod(pmod(ss_ticket_number * 1103548271 + 5, 2147483647), 300)
-          | AS DOUBLE) AS sr_return_amt""".stripMargin))
+          | AS DOUBLE) AS sr_return_amt""".stripMargin,
+        """CAST(1 + pmod(pmod(ss_ticket_number * 1103548301 + 9, 2147483647), 400)
+          | AS DOUBLE) AS sr_net_loss""".stripMargin,
+        """CAST(1 + pmod(pmod(ss_ticket_number * 1103548351 + 13, 2147483647), 40)
+          | AS INT) AS sr_return_quantity""".stripMargin))
   }
 }

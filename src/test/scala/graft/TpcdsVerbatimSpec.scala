@@ -50,7 +50,7 @@ class TpcdsVerbatimSpec extends AnyFunSuite {
 
   test("the sparse-selectivity verbatim queries stay non-empty") {
     for (name <- Seq("dsq01", "dsq03", "dsq08", "dsq21", "dsq24", "dsq37", "dsq39", "dsq44",
-      "dsq50", "dsq55", "dsq58", "dsq65", "dsq82")) {
+      "dsq50", "dsq53", "dsq55", "dsq56", "dsq58", "dsq63", "dsq65", "dsq76", "dsq82", "dsq89")) {
       val n = queries.TpcdsVerbatim.queries(name)(spark, sf).count()
       assert(n > 0, s"$name returned no rows")
     }
@@ -59,6 +59,6 @@ class TpcdsVerbatimSpec extends AnyFunSuite {
   test("every verbatim query has an oracle and every oracle a query") {
     assert(queries.TpcdsVerbatim.queries.keySet ==
       queries.TpcdsVerbatim.oracle.keySet)
-    assert(queries.TpcdsVerbatim.queries.size == 41)
+    assert(queries.TpcdsVerbatim.queries.size == 51)
   }
 }

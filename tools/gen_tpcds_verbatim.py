@@ -31,8 +31,11 @@ TABLES = {
     22: ["inventory", "date_dim", "item"],
     23: ["store_sales", "catalog_sales", "web_sales", "customer", "date_dim", "item"],
     24: ["store_sales", "store_returns", "store", "item", "customer", "customer_address"],
+    25: ["store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item"],
     28: ["store_sales"],
+    29: ["store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item"],
     32: ["catalog_sales", "item", "date_dim"],
+    33: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"],
     36: ["store_sales", "date_dim", "item", "store"],
     37: ["item", "inventory", "date_dim", "catalog_sales"],
     38: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer"],
@@ -45,12 +48,19 @@ TABLES = {
     47: ["item", "store_sales", "date_dim", "store"],
     50: ["store_sales", "store_returns", "store", "date_dim"],
     52: ["date_dim", "store_sales", "item"],
+    53: ["item", "store_sales", "date_dim", "store"],
+    54: ["catalog_sales", "web_sales", "item", "date_dim", "customer", "store_sales", "customer_address", "store"],
     55: ["date_dim", "store_sales", "item"],
+    56: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"],
     58: ["store_sales", "catalog_sales", "web_sales", "item", "date_dim"],
     59: ["store_sales", "date_dim", "store"],
+    60: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"],
+    63: ["item", "store_sales", "date_dim", "store"],
     65: ["store", "item", "store_sales", "date_dim"],
     74: ["customer", "store_sales", "web_sales", "date_dim"],
+    76: ["store_sales", "web_sales", "catalog_sales", "item", "date_dim"],
     82: ["item", "inventory", "date_dim", "store_sales"],
+    89: ["item", "store_sales", "date_dim", "store"],
     86: ["web_sales", "date_dim", "item"],
     87: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer"],
     92: ["web_sales", "item", "date_dim"],
@@ -72,6 +82,12 @@ def patch(n, sql):
         # (Q.scala convention 1)
         sql = sql.replace("sum(number_sales) AS sum_number_sales",
                           "CAST(sum(number_sales) AS BIGINT) AS sum_number_sales")
+    if n == 29:
+        for col, alias in [("ss_quantity", "store_sales_quantity"),
+                           ("sr_return_quantity", "store_returns_quantity"),
+                           ("cs_quantity", "catalog_sales_quantity")]:
+            sql = sql.replace(f"sum({col}) AS {alias}",
+                              f"CAST(sum({col}) AS BIGINT) AS {alias}")
     if n == 32:
         # Spark has no double-quoted identifiers (spark.sql.ansi
         # doubleQuotedIdentifiers off): plain alias
