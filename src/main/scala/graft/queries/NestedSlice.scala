@@ -426,7 +426,64 @@ object NestedSlice {
         |    ELSE union_value(str := 's' || CAST(id AS VARCHAR))
         |           ::UNION(num INTEGER, str VARCHAR) END AS u FROM t)
         |SELECT id, CAST(u AS VARCHAR) AS s
-        |FROM v ORDER BY id LIMIT 2 OFFSET 2""".stripMargin)
+        |FROM v ORDER BY id LIMIT 2 OFFSET 2""".stripMargin),
+
+    // ------------------------------------------- round-10b widening
+    // function/list/flatten.test: one-level flatten, empty inner lists
+    // vanish, all-empty input flattens to []
+    ("slt_list_flatten",
+      """SELECT CAST(flatten(array(array(1), array(2, 3), array())) AS STRING) AS flat,
+        |       CAST(flatten(array(array(CAST(NULL AS INT)))) AS STRING) AS flat_null,
+        |       size(flatten(array(array(1), array(2, 3)))) AS n""".stripMargin,
+      """SELECT CAST(flatten([[1], [2, 3], []]) AS VARCHAR) AS flat,
+        |       replace(CAST(flatten([[CAST(NULL AS INT)]]) AS VARCHAR),
+        |               'NULL', 'null') AS flat_null,
+        |       len(flatten([[1], [2, 3]])) AS n""".stripMargin),
+
+    // function/list/list_sort.test_having: DESCENDING sort puts NULLs
+    // last in BOTH engines (ascending diverges: DuckDB sorts NULLs last,
+    // Spark sort_array(asc) first — only the agreeing direction is
+    // pinned, the ascending pin uses a NULL-free list)
+    ("slt_list_sort",
+      """SELECT CAST(sort_array(array(3, 1, 2)) AS STRING) AS asc_sorted,
+        |       CAST(sort_array(array(3, 1, 2), false) AS STRING) AS desc_sorted,
+        |       try_element_at(sort_array(array(3, 1, CAST(NULL AS INT), 2), false), 4)
+        |         IS NULL AS desc_null_last""".stripMargin,
+      """SELECT CAST(list_sort([3, 1, 2]) AS VARCHAR) AS asc_sorted,
+        |       CAST(list_reverse_sort([3, 1, 2]) AS VARCHAR) AS desc_sorted,
+        |       list_reverse_sort([3, 1, CAST(NULL AS INT), 2])[4]
+        |         IS NULL AS desc_null_last""".stripMargin),
+
+    // function/list/list_contains.test + list_position.test: membership
+    // and 1-based position, 0 = absent. (list_contains over a list WITH
+    // a NULL member diverges — DuckDB false, Spark NULL — not pinned.)
+    ("slt_list_contains_position",
+      """SELECT array_contains(array(1, 2, 3), 2) AS has2,
+        |       array_contains(array(1, 2, 3), 9) AS has9,
+        |       CAST(array_position(array(10, 20, 30), 30) AS INT) AS pos30,
+        |       CAST(array_position(array(10, 20, 30), 5) AS INT) AS pos_absent""".stripMargin,
+      """SELECT list_contains([1, 2, 3], 2) AS has2,
+        |       list_contains([1, 2, 3], 9) AS has9,
+        |       list_position([10, 20, 30], 30) AS pos30,
+        |       list_position([10, 20, 30], 5) AS pos_absent""".stripMargin),
+
+    // function/string/test_string_split.test: split keeps interior empty
+    // fields; a separator-free input is a single-element list. (split of
+    // the EMPTY string diverges — DuckDB [], Spark [''] — not pinned.)
+    ("slt_str_split_list",
+      """SELECT CAST(split('a,b,,c', ',') AS STRING) AS with_empty,
+        |       CAST(split('abc', ',') AS STRING) AS no_sep,
+        |       size(split('a,b,,c', ',')) AS n""".stripMargin,
+      """SELECT CAST(string_split('a,b,,c', ',') AS VARCHAR) AS with_empty,
+        |       CAST(string_split('abc', ',') AS VARCHAR) AS no_sep,
+        |       len(string_split('a,b,,c', ',')) AS n""".stripMargin),
+
+    // aggregate list(): order-insensitive via an explicit sort, dup kept
+    ("slt_list_agg_sorted",
+      """SELECT CAST(sort_array(collect_list(v)) AS STRING) AS vs
+        |FROM (SELECT 2 AS v UNION ALL SELECT 1 UNION ALL SELECT 2) t""".stripMargin,
+      """SELECT CAST(list_sort(list(v)) AS VARCHAR) AS vs
+        |FROM (SELECT 2 AS v UNION ALL SELECT 1 UNION ALL SELECT 2) t""".stripMargin)
   )
 
   val queries: Map[String, Q.Fn] =

@@ -2235,7 +2235,109 @@ object SltSlice {
     // VARCHAR ordering is lexicographic, not numeric
     "slt_str_lexicographic_max" ->
       """WITH t(x) AS (SELECT '10' UNION ALL SELECT '9' UNION ALL SELECT '100')
-        |SELECT max(x) AS mx, min(x) AS mn FROM t""".stripMargin
+        |SELECT max(x) AS mx, min(x) AS mn FROM t""".stripMargin,
+
+    // --------------------------------------------- round-10b widening
+    // test/sql/function/string/test_levenshtein.test: edit distance,
+    // empty operand = other's length, identity = 0
+    "slt_str_levenshtein" ->
+      """SELECT levenshtein('kitten', 'sitting') AS ks,
+        | levenshtein('', 'abc') AS from_empty,
+        | levenshtein('abc', '') AS to_empty,
+        | levenshtein('abc', 'abc') AS same""".stripMargin,
+
+    // test/sql/function/string/md5.test: md5 hex digest, empty-string
+    // digest, NULL propagation
+    "slt_str_md5" ->
+      """SELECT md5('abc') AS h_abc, md5('') AS h_empty,
+        | md5(CAST(NULL AS STRING)) AS h_null""".stripMargin,
+
+    // test/sql/function/string/hex.test + test_ascii.test: hex of an
+    // integer has no leading zeros, hex of a string is its utf8 bytes;
+    // ascii/chr are codepoint converses
+    "slt_str_hex_ascii_chr" ->
+      """SELECT hex(255) AS hex_int, hex('abc') AS hex_str,
+        | ascii('A') AS ascii_a, chr(66) AS chr_66,
+        | ascii('') AS ascii_empty""".stripMargin,
+
+    // test/sql/function/string/test_contains.test + test_instr.test:
+    // contains/instr/position agree on 1-based first match, 0 = no match
+    "slt_str_contains_position" ->
+      """SELECT contains('abcabc', 'bc') AS has_bc,
+        | contains('abcabc', 'xy') AS has_xy,
+        | instr('abcabc', 'b') AS first_b,
+        | instr('abcabc', 'zz') AS no_match,
+        | (position('b' IN 'abc')) AS pos_b""".stripMargin,
+
+    // test/sql/function/generic/least_greatest_types.test: NULL operands
+    // are SKIPPED (not propagated); all-NULL yields NULL; works on
+    // strings and dates
+    "slt_generic_least_greatest" ->
+      """SELECT greatest(1, CAST(NULL AS INT), 3) AS g_skip_null,
+        | least('b', CAST(NULL AS STRING), 'a') AS l_str,
+        | greatest(CAST(NULL AS INT), CAST(NULL AS INT)) AS g_all_null,
+        | least(DATE '2020-01-01', DATE '2019-06-01', CAST(NULL AS DATE)) AS l_date""".stripMargin,
+
+    // test/sql/function/date/test_date_part.test (last_day rows):
+    // month-end incl. leap February and year-end
+    "slt_date_last_day" ->
+      """SELECT last_day(DATE '2000-02-01') AS leap_feb,
+        | last_day(DATE '1999-02-03') AS nonleap_feb,
+        | last_day(DATE '2000-12-31') AS already_end""".stripMargin,
+
+    // test/sql/function/numeric/test_bit_count.test: popcount over
+    // BIGINT — the operand is cast explicitly because the engines'
+    // default integer widths differ (bit_count(-1) is 32 on a DuckDB
+    // INTEGER but 64 on a BIGINT; Spark's literal is already wide)
+    "slt_math_bit_count" ->
+      """SELECT bit_count(CAST(255 AS BIGINT)) AS c255,
+        | bit_count(CAST(0 AS BIGINT)) AS c0,
+        | bit_count(CAST(-1 AS BIGINT)) AS cneg1,
+        | bit_count(CAST(1024 AS BIGINT)) AS c1024""".stripMargin,
+
+    // test/sql/function/string/test_concat_ws.test: NULL arguments are
+    // skipped (no doubled separator), all-NULL gives '', empty separator
+    "slt_str_concat_ws" ->
+      """SELECT concat_ws('-', 'a', CAST(NULL AS STRING), 'b') AS skip_null,
+        | concat_ws('-', CAST(NULL AS STRING), CAST(NULL AS STRING)) AS all_null,
+        | concat_ws('', 'x', 'y') AS empty_sep""".stripMargin,
+
+    // test/sql/aggregate/aggregates/test_bool.test: bool_and/bool_or
+    // skip NULLs; all-NULL input yields NULL
+    "slt_agg_bool_and_or" ->
+      """WITH t(g, v) AS (
+        |  SELECT 1, true UNION ALL SELECT 1, false UNION ALL SELECT 1, CAST(NULL AS BOOLEAN)
+        |  UNION ALL SELECT 2, true UNION ALL SELECT 2, true
+        |  UNION ALL SELECT 3, CAST(NULL AS BOOLEAN))
+        |SELECT g, bool_and(v) AS ba, bool_or(v) AS bo, count(v) AS n_v
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
+
+    // test/sql/window/test_ntile.test: remainder buckets lead (7 rows
+    // over 3 tiles -> 3/2/2), deterministic on a unique ORDER BY
+    "slt_win_ntile" ->
+      """WITH t(x) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+        |  UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7)
+        |SELECT x, ntile(3) OVER (ORDER BY x) AS tile
+        |FROM t ORDER BY x""".stripMargin,
+
+    // types/*/..._try_cast.test family: whitespace-trimmed integers,
+    // sign prefixes, bare-dot doubles, overflow-to-Infinity, and garbage
+    // -> NULL. (try_cast('4.5' AS INT) is NOT pinned: DuckDB rounds to 5,
+    // Spark returns NULL — a documented dialect divergence.)
+    "slt_try_cast_edges" ->
+      """SELECT try_cast('  42 ' AS INT) AS ws_trim,
+        | try_cast('0042' AS INT) AS leading_zeros,
+        | try_cast('+7' AS INT) AS plus_sign,
+        | try_cast('.5' AS DOUBLE) AS bare_dot,
+        | try_cast('1e999' AS DOUBLE) AS overflow_inf,
+        | try_cast('abc' AS INT) AS garbage""".stripMargin,
+
+    // test/sql/function/string/test_printf.test: %d/%s/%% formatting.
+    // (A NULL argument is NOT pinned: Spark's Java Formatter renders it
+    // as the string 'null', DuckDB propagates SQL NULL.)
+    "slt_str_printf" ->
+      """SELECT printf('%d-%s', 7, 'x') AS basic,
+        | printf('%d%%', 50) AS pct_escape""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =

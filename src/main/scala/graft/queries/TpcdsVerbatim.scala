@@ -13,9 +13,16 @@ import graft.sources.TpcdsFixture
   *    compares sorted column names,
   *  - `AS "quoted identifier"` -> plain alias (q32/q92; Spark has no
   *    double-quoted identifiers),
-  *  - CAST(... AS BIGINT) on integer-typed sums (q14 sum of counts, q97
-  *    CASE sums) — DuckDB widens integer sum() to HUGEINT and the
-  *    driver's hash is type-sensitive (Q.scala convention 1).
+  *  - CAST(... AS BIGINT) on integer-typed sums (q14 sum of counts, q97/
+  *    q62/q72/q99 CASE sums, q75/q78/q83 qty outputs) — DuckDB widens
+  *    integer sum() to HUGEINT and the driver's hash is type-sensitive
+  *    (Q.scala convention 1),
+  *  - DECIMAL casts inside output divisions/averages -> DOUBLE casts
+  *    (q18/q49/q61/q78/q83/q90) — DuckDB 1.0 evaluates DECIMAL/DECIMAL
+  *    and avg(DECIMAL) as DOUBLE while Spark keeps DECIMAL, so the two
+  *    engines would round the same exact operands differently; as
+  *    DOUBLE both run the identical IEEE computation on exact
+  *    integer-valued sums.
   * Everything else — including NULLS FIRST orderings, INTERSECT/EXCEPT,
   * ROLLUP, correlated subqueries, and the q23/q14/q4 CTE towers — runs
   * through both engines untouched. Money columns in the fixture are
@@ -34,12 +41,20 @@ object TpcdsVerbatim {
     "dsq02" -> Seq("web_sales", "catalog_sales", "date_dim"),
     "dsq03" -> Seq("date_dim", "store_sales", "item"),
     "dsq04" -> Seq("customer", "store_sales", "catalog_sales", "web_sales", "date_dim"),
+    "dsq05" -> Seq("store_sales", "store_returns", "catalog_sales", "catalog_returns", "web_sales", "web_returns", "date_dim", "store", "catalog_page", "web_site"),
     "dsq06" -> Seq("customer_address", "customer", "store_sales", "date_dim", "item"),
+    "dsq07" -> Seq("store_sales", "customer_demographics", "date_dim", "item", "promotion"),
     "dsq08" -> Seq("store_sales", "date_dim", "store", "customer_address", "customer"),
+    "dsq09" -> Seq("store_sales", "reason"),
+    "dsq10" -> Seq("customer", "customer_address", "customer_demographics", "store_sales", "web_sales", "catalog_sales", "date_dim"),
     "dsq11" -> Seq("customer", "store_sales", "web_sales", "date_dim"),
     "dsq12" -> Seq("web_sales", "item", "date_dim"),
+    "dsq13" -> Seq("store_sales", "store", "customer_demographics", "household_demographics", "customer_address", "date_dim"),
     "dsq14" -> Seq("item", "store_sales", "catalog_sales", "web_sales", "date_dim"),
     "dsq15" -> Seq("catalog_sales", "customer", "customer_address", "date_dim"),
+    "dsq16" -> Seq("catalog_sales", "date_dim", "customer_address", "call_center", "catalog_returns"),
+    "dsq17" -> Seq("store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item"),
+    "dsq18" -> Seq("catalog_sales", "customer_demographics", "customer", "customer_address", "date_dim", "item"),
     "dsq19" -> Seq("date_dim", "store_sales", "item", "customer", "customer_address", "store"),
     "dsq20" -> Seq("catalog_sales", "item", "date_dim"),
     "dsq21" -> Seq("inventory", "warehouse", "item", "date_dim"),
@@ -47,40 +62,80 @@ object TpcdsVerbatim {
     "dsq23" -> Seq("store_sales", "catalog_sales", "web_sales", "customer", "date_dim", "item"),
     "dsq24" -> Seq("store_sales", "store_returns", "store", "item", "customer", "customer_address"),
     "dsq25" -> Seq("store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item"),
+    "dsq26" -> Seq("catalog_sales", "customer_demographics", "date_dim", "item", "promotion"),
+    "dsq27" -> Seq("store_sales", "customer_demographics", "date_dim", "store", "item"),
     "dsq28" -> Seq("store_sales"),
     "dsq29" -> Seq("store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item"),
+    "dsq30" -> Seq("web_returns", "date_dim", "customer_address", "customer"),
+    "dsq31" -> Seq("store_sales", "date_dim", "customer_address", "web_sales"),
     "dsq32" -> Seq("catalog_sales", "item", "date_dim"),
     "dsq33" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"),
+    "dsq34" -> Seq("store_sales", "date_dim", "store", "household_demographics", "customer"),
+    "dsq35" -> Seq("customer", "customer_address", "customer_demographics", "store_sales", "web_sales", "catalog_sales", "date_dim"),
     "dsq36" -> Seq("store_sales", "date_dim", "item", "store"),
     "dsq37" -> Seq("item", "inventory", "date_dim", "catalog_sales"),
     "dsq38" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer"),
     "dsq39" -> Seq("inventory", "item", "warehouse", "date_dim"),
+    "dsq40" -> Seq("catalog_sales", "catalog_returns", "warehouse", "item", "date_dim"),
     "dsq41" -> Seq("item"),
     "dsq42" -> Seq("date_dim", "store_sales", "item"),
     "dsq43" -> Seq("date_dim", "store_sales", "store"),
     "dsq44" -> Seq("store_sales", "item"),
     "dsq45" -> Seq("web_sales", "customer", "customer_address", "date_dim", "item"),
+    "dsq46" -> Seq("store_sales", "date_dim", "store", "household_demographics", "customer_address", "customer"),
     "dsq47" -> Seq("item", "store_sales", "date_dim", "store"),
+    "dsq48" -> Seq("store_sales", "store", "customer_demographics", "customer_address", "date_dim"),
+    "dsq49" -> Seq("web_sales", "web_returns", "catalog_sales", "catalog_returns", "store_sales", "store_returns", "date_dim"),
     "dsq50" -> Seq("store_sales", "store_returns", "store", "date_dim"),
+    "dsq51" -> Seq("web_sales", "store_sales", "date_dim"),
     "dsq52" -> Seq("date_dim", "store_sales", "item"),
     "dsq53" -> Seq("item", "store_sales", "date_dim", "store"),
     "dsq54" -> Seq("catalog_sales", "web_sales", "item", "date_dim", "customer", "store_sales", "customer_address", "store"),
     "dsq55" -> Seq("date_dim", "store_sales", "item"),
     "dsq56" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"),
+    "dsq57" -> Seq("item", "catalog_sales", "date_dim", "call_center"),
     "dsq58" -> Seq("store_sales", "catalog_sales", "web_sales", "item", "date_dim"),
     "dsq59" -> Seq("store_sales", "date_dim", "store"),
     "dsq60" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"),
+    "dsq61" -> Seq("store_sales", "store", "promotion", "date_dim", "customer", "customer_address", "item"),
+    "dsq62" -> Seq("web_sales", "warehouse", "ship_mode", "web_site", "date_dim"),
     "dsq63" -> Seq("item", "store_sales", "date_dim", "store"),
+    "dsq64" -> Seq("catalog_sales", "catalog_returns", "store_sales", "store_returns", "date_dim", "store", "customer", "customer_demographics", "promotion", "household_demographics", "customer_address", "income_band", "item"),
     "dsq65" -> Seq("store", "item", "store_sales", "date_dim"),
+    "dsq66" -> Seq("web_sales", "catalog_sales", "warehouse", "date_dim", "time_dim", "ship_mode"),
+    "dsq67" -> Seq("store_sales", "date_dim", "store", "item"),
+    "dsq68" -> Seq("store_sales", "date_dim", "store", "household_demographics", "customer_address", "customer"),
+    "dsq69" -> Seq("customer", "customer_address", "customer_demographics", "store_sales", "web_sales", "catalog_sales", "date_dim"),
+    "dsq70" -> Seq("store_sales", "date_dim", "store"),
+    "dsq71" -> Seq("item", "web_sales", "catalog_sales", "store_sales", "date_dim", "time_dim"),
+    "dsq72" -> Seq("catalog_sales", "inventory", "warehouse", "item", "customer_demographics", "household_demographics", "date_dim", "promotion", "catalog_returns"),
+    "dsq73" -> Seq("store_sales", "date_dim", "store", "household_demographics", "customer"),
     "dsq74" -> Seq("customer", "store_sales", "web_sales", "date_dim"),
+    "dsq75" -> Seq("catalog_sales", "catalog_returns", "store_sales", "store_returns", "web_sales", "web_returns", "item", "date_dim"),
     "dsq76" -> Seq("store_sales", "web_sales", "catalog_sales", "item", "date_dim"),
+    "dsq77" -> Seq("store_sales", "store_returns", "catalog_sales", "catalog_returns", "web_sales", "web_returns", "date_dim", "store", "web_page"),
+    "dsq78" -> Seq("web_sales", "web_returns", "catalog_sales", "catalog_returns", "store_sales", "store_returns", "date_dim"),
+    "dsq79" -> Seq("store_sales", "date_dim", "store", "household_demographics", "customer"),
+    "dsq80" -> Seq("store_sales", "store_returns", "catalog_sales", "catalog_returns", "web_sales", "web_returns", "date_dim", "store", "catalog_page", "web_site", "item", "promotion"),
+    "dsq81" -> Seq("catalog_returns", "date_dim", "customer_address", "customer"),
     "dsq82" -> Seq("item", "inventory", "date_dim", "store_sales"),
+    "dsq83" -> Seq("store_returns", "catalog_returns", "web_returns", "item", "date_dim"),
+    "dsq84" -> Seq("customer", "customer_address", "customer_demographics", "household_demographics", "income_band", "store_returns"),
+    "dsq85" -> Seq("web_sales", "web_returns", "web_page", "customer_demographics", "customer_address", "date_dim", "reason"),
     "dsq86" -> Seq("web_sales", "date_dim", "item"),
     "dsq87" -> Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer"),
+    "dsq88" -> Seq("store_sales", "household_demographics", "time_dim", "store"),
     "dsq89" -> Seq("item", "store_sales", "date_dim", "store"),
+    "dsq90" -> Seq("web_sales", "household_demographics", "time_dim", "web_page"),
+    "dsq91" -> Seq("call_center", "catalog_returns", "date_dim", "customer", "customer_address", "customer_demographics", "household_demographics"),
     "dsq92" -> Seq("web_sales", "item", "date_dim"),
+    "dsq93" -> Seq("store_sales", "store_returns", "reason"),
+    "dsq94" -> Seq("web_sales", "date_dim", "customer_address", "web_site", "web_returns"),
+    "dsq95" -> Seq("web_sales", "date_dim", "customer_address", "web_site", "web_returns"),
+    "dsq96" -> Seq("store_sales", "household_demographics", "time_dim", "store"),
     "dsq97" -> Seq("store_sales", "catalog_sales", "date_dim"),
     "dsq98" -> Seq("date_dim", "store_sales", "item"),
+    "dsq99" -> Seq("catalog_sales", "warehouse", "ship_mode", "call_center", "date_dim"),
   )
 
   private val texts: Map[String, String] = Map(
@@ -327,6 +382,119 @@ ORDER BY t_s_secyear.customer_id NULLS FIRST,
          t_s_secyear.customer_last_name NULLS FIRST,
          t_s_secyear.customer_preferred_cust_flag NULLS FIRST
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/05.sql (see patch notes above)
+    "dsq05" -> """WITH ssr AS
+  (SELECT s_store_id,
+          sum(sales_price) AS sales,
+          sum(profit) AS profit,
+          sum(return_amt) AS returns_,
+          sum(net_loss) AS profit_loss
+   FROM
+     (SELECT ss_store_sk AS store_sk,
+             ss_sold_date_sk AS date_sk,
+             ss_ext_sales_price AS sales_price,
+             ss_net_profit AS profit,
+             cast(0 AS decimal(7,2)) AS return_amt,
+             cast(0 AS decimal(7,2)) AS net_loss
+      FROM store_sales
+      UNION ALL SELECT sr_store_sk AS store_sk,
+                       sr_returned_date_sk AS date_sk,
+                       cast(0 AS decimal(7,2)) AS sales_price,
+                       cast(0 AS decimal(7,2)) AS profit,
+                       sr_return_amt AS return_amt,
+                       sr_net_loss AS net_loss
+      FROM store_returns ) salesreturns,
+        date_dim,
+        store
+   WHERE date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-06' AS date)
+     AND store_sk = s_store_sk
+   GROUP BY s_store_id) ,
+     csr AS
+  (SELECT cp_catalog_page_id,
+          sum(sales_price) AS sales,
+          sum(profit) AS profit,
+          sum(return_amt) AS returns_,
+          sum(net_loss) AS profit_loss
+   FROM
+     (SELECT cs_catalog_page_sk AS page_sk,
+             cs_sold_date_sk AS date_sk,
+             cs_ext_sales_price AS sales_price,
+             cs_net_profit AS profit,
+             cast(0 AS decimal(7,2)) AS return_amt,
+             cast(0 AS decimal(7,2)) AS net_loss
+      FROM catalog_sales
+      UNION ALL SELECT cr_catalog_page_sk AS page_sk,
+                       cr_returned_date_sk AS date_sk,
+                       cast(0 AS decimal(7,2)) AS sales_price,
+                       cast(0 AS decimal(7,2)) AS profit,
+                       cr_return_amount AS return_amt,
+                       cr_net_loss AS net_loss
+      FROM catalog_returns ) salesreturns,
+        date_dim,
+        catalog_page
+   WHERE date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-06' AS date)
+     AND page_sk = cp_catalog_page_sk
+   GROUP BY cp_catalog_page_id) ,
+     wsr AS
+  (SELECT web_site_id,
+          sum(sales_price) AS sales,
+          sum(profit) AS profit,
+          sum(return_amt) AS returns_,
+          sum(net_loss) AS profit_loss
+   FROM
+     (SELECT ws_web_site_sk AS wsr_web_site_sk,
+             ws_sold_date_sk AS date_sk,
+             ws_ext_sales_price AS sales_price,
+             ws_net_profit AS profit,
+             cast(0 AS decimal(7,2)) AS return_amt,
+             cast(0 AS decimal(7,2)) AS net_loss
+      FROM web_sales
+      UNION ALL SELECT ws_web_site_sk AS wsr_web_site_sk,
+                       wr_returned_date_sk AS date_sk,
+                       cast(0 AS decimal(7,2)) AS sales_price,
+                       cast(0 AS decimal(7,2)) AS profit,
+                       wr_return_amt AS return_amt,
+                       wr_net_loss AS net_loss
+      FROM web_returns
+      LEFT OUTER JOIN web_sales ON (wr_item_sk = ws_item_sk
+                                    AND wr_order_number = ws_order_number) ) salesreturns,
+        date_dim,
+        web_site
+   WHERE date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-06' AS date)
+     AND wsr_web_site_sk = web_site_sk
+   GROUP BY web_site_id)
+SELECT channel ,
+       id ,
+       sum(sales) AS sales ,
+       sum(returns_) AS returns_ ,
+       sum(profit) AS profit
+FROM
+  (SELECT 'store channel' AS channel ,
+          concat('store', s_store_id) AS id ,
+          sales ,
+          returns_ ,
+          (profit - profit_loss) AS profit
+   FROM ssr
+   UNION ALL SELECT 'catalog channel' AS channel ,
+                    concat('catalog_page', cp_catalog_page_id) AS id ,
+                    sales ,
+                    returns_ ,
+                    (profit - profit_loss) AS profit
+   FROM csr
+   UNION ALL SELECT 'web channel' AS channel ,
+                    concat('web_site', web_site_id) AS id ,
+                    sales ,
+                    returns_ ,
+                    (profit - profit_loss) AS profit
+   FROM wsr ) x
+GROUP BY ROLLUP (channel,
+                 id)
+ORDER BY channel NULLS FIRST,
+         id NULLS FIRST
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/06.sql (see patch notes above)
     "dsq06" -> """SELECT a.ca_state state,
        count(*) cnt
@@ -352,6 +520,30 @@ GROUP BY a.ca_state
 HAVING count(*) >= 10
 ORDER BY cnt NULLS FIRST,
          a.ca_state NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/07.sql (see patch notes above)
+    "dsq07" -> """SELECT i_item_id,
+       avg(ss_quantity) agg1,
+       avg(ss_list_price) agg2,
+       avg(ss_coupon_amt) agg3,
+       avg(ss_sales_price) agg4
+FROM store_sales,
+     customer_demographics,
+     date_dim,
+     item,
+     promotion
+WHERE ss_sold_date_sk = d_date_sk
+  AND ss_item_sk = i_item_sk
+  AND ss_cdemo_sk = cd_demo_sk
+  AND ss_promo_sk = p_promo_sk
+  AND cd_gender = 'M'
+  AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N'
+       OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/08.sql (see patch notes above)
     "dsq08" -> """SELECT s_store_name,
@@ -781,6 +973,140 @@ WHERE ss_store_sk = s_store_sk
 GROUP BY s_store_name
 ORDER BY s_store_name
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/09.sql (see patch notes above)
+    "dsq09" -> """SELECT CASE
+           WHEN
+                  (SELECT count(*)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 1 AND 20) > 74129 THEN
+                  (SELECT avg(ss_ext_discount_amt)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 1 AND 20)
+           ELSE
+                  (SELECT avg(ss_net_paid)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 1 AND 20)
+       END bucket1,
+       CASE
+           WHEN
+                  (SELECT count(*)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 21 AND 40) > 122840 THEN
+                  (SELECT avg(ss_ext_discount_amt)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 21 AND 40)
+           ELSE
+                  (SELECT avg(ss_net_paid)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 21 AND 40)
+       END bucket2,
+       CASE
+           WHEN
+                  (SELECT count(*)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 41 AND 60) > 56580 THEN
+                  (SELECT avg(ss_ext_discount_amt)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 41 AND 60)
+           ELSE
+                  (SELECT avg(ss_net_paid)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 41 AND 60)
+       END bucket3,
+       CASE
+           WHEN
+                  (SELECT count(*)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 61 AND 80) > 10097 THEN
+                  (SELECT avg(ss_ext_discount_amt)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 61 AND 80)
+           ELSE
+                  (SELECT avg(ss_net_paid)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 61 AND 80)
+       END bucket4,
+       CASE
+           WHEN
+                  (SELECT count(*)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 81 AND 100) > 165306 THEN
+                  (SELECT avg(ss_ext_discount_amt)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 81 AND 100)
+           ELSE
+                  (SELECT avg(ss_net_paid)
+                   FROM store_sales
+                   WHERE ss_quantity BETWEEN 81 AND 100)
+       END bucket5
+FROM reason
+WHERE r_reason_sk = 1 """,
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/10.sql (see patch notes above)
+    "dsq10" -> """SELECT cd_gender,
+       cd_marital_status,
+       cd_education_status,
+       count(*) cnt1,
+       cd_purchase_estimate,
+       count(*) cnt2,
+       cd_credit_rating,
+       count(*) cnt3,
+       cd_dep_count,
+       count(*) cnt4,
+       cd_dep_employed_count,
+       count(*) cnt5,
+       cd_dep_college_count,
+       count(*) cnt6
+FROM customer c,
+     customer_address ca,
+     customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_county IN ('Rush County',
+                    'Toole County',
+                    'Jefferson County',
+                    'Dona Ana County',
+                    'La Porte County')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS
+    (SELECT *
+     FROM store_sales,
+          date_dim
+     WHERE c.c_customer_sk = ss_customer_sk
+       AND ss_sold_date_sk = d_date_sk
+       AND d_year = 2002
+       AND d_moy BETWEEN 1 AND 1+3)
+  AND (EXISTS
+         (SELECT *
+          FROM web_sales,
+               date_dim
+          WHERE c.c_customer_sk = ws_bill_customer_sk
+            AND ws_sold_date_sk = d_date_sk
+            AND d_year = 2002
+            AND d_moy BETWEEN 1 AND 1+3)
+       OR EXISTS
+         (SELECT *
+          FROM catalog_sales,
+               date_dim
+          WHERE c.c_customer_sk = cs_ship_customer_sk
+            AND cs_sold_date_sk = d_date_sk
+            AND d_year = 2002
+            AND d_moy BETWEEN 1 AND 1+3))
+GROUP BY cd_gender,
+         cd_marital_status,
+         cd_education_status,
+         cd_purchase_estimate,
+         cd_credit_rating,
+         cd_dep_count,
+         cd_dep_employed_count,
+         cd_dep_college_count
+ORDER BY cd_gender,
+         cd_marital_status,
+         cd_education_status,
+         cd_purchase_estimate,
+         cd_credit_rating,
+         cd_dep_count,
+         cd_dep_employed_count,
+         cd_dep_college_count
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/11.sql (see patch notes above)
     "dsq11" -> """WITH year_total AS
   (SELECT c_customer_id customer_id,
@@ -890,6 +1216,48 @@ ORDER BY i_category,
          i_item_desc,
          revenueratio
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/13.sql (see patch notes above)
+    "dsq13" -> """SELECT avg(ss_quantity) avg1,
+       avg(ss_ext_sales_price) avg2,
+       avg(ss_ext_wholesale_cost) avg3,
+       sum(ss_ext_wholesale_cost) AS total_wholesale
+FROM store_sales ,
+     store ,
+     customer_demographics ,
+     household_demographics ,
+     customer_address ,
+     date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_year = 2001 and((ss_hdemo_sk=hd_demo_sk
+                         AND cd_demo_sk = ss_cdemo_sk
+                         AND cd_marital_status = 'M'
+                         AND cd_education_status = 'Advanced Degree'
+                         AND ss_sales_price BETWEEN 100.00 AND 150.00
+                         AND hd_dep_count = 3)
+                        OR (ss_hdemo_sk=hd_demo_sk
+                            AND cd_demo_sk = ss_cdemo_sk
+                            AND cd_marital_status = 'S'
+                            AND cd_education_status = 'College'
+                            AND ss_sales_price BETWEEN 50.00 AND 100.00
+                            AND hd_dep_count = 1 )
+                        OR (ss_hdemo_sk=hd_demo_sk
+                            AND cd_demo_sk = ss_cdemo_sk
+                            AND cd_marital_status = 'W'
+                            AND cd_education_status = '2 yr Degree'
+                            AND ss_sales_price BETWEEN 150.00 AND 200.00
+                            AND hd_dep_count = 1)) and((ss_addr_sk = ca_address_sk
+                                                        AND ca_country = 'United States'
+                                                        AND ca_state IN ('TX', 'OH', 'TX')
+                                                        AND ss_net_profit BETWEEN 100 AND 200)
+                                                       OR (ss_addr_sk = ca_address_sk
+                                                           AND ca_country = 'United States'
+                                                           AND ca_state IN ('OR', 'NM', 'KY')
+                                                           AND ss_net_profit BETWEEN 150 AND 300)
+                                                       OR (ss_addr_sk = ca_address_sk
+                                                           AND ca_country = 'United States'
+                                                           AND ca_state IN ('VA', 'TX', 'MS')
+                                                           AND ss_net_profit BETWEEN 50 AND 250)) """,
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/14.sql (see patch notes above)
     "dsq14" -> """WITH cross_items AS
   (SELECT i_item_sk ss_item_sk
@@ -1052,6 +1420,129 @@ WHERE cs_bill_customer_sk = c_customer_sk
   AND d_year = 2001
 GROUP BY ca_zip
 ORDER BY ca_zip NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/16.sql (see patch notes above)
+    "dsq16" -> """SELECT count(DISTINCT cs_order_number) AS order_cnt,
+       sum(cs_ext_ship_cost) AS total_ship_cost,
+       sum(cs_net_profit) AS total_net_profit_amt
+FROM catalog_sales cs1,
+     date_dim,
+     customer_address,
+     call_center
+WHERE d_date BETWEEN '2002-02-01' AND cast('2002-04-02' AS date)
+  AND cs1.cs_ship_date_sk = d_date_sk
+  AND cs1.cs_ship_addr_sk = ca_address_sk
+  AND ca_state = 'GA'
+  AND cs1.cs_call_center_sk = cc_call_center_sk
+  AND cc_county = 'Williamson County'
+  AND EXISTS
+    (SELECT *
+     FROM catalog_sales cs2
+     WHERE cs1.cs_order_number = cs2.cs_order_number
+       AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  AND NOT EXISTS
+    (SELECT *
+     FROM catalog_returns cr1
+     WHERE cs1.cs_order_number = cr1.cr_order_number)
+ORDER BY count(DISTINCT cs_order_number)
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/17.sql (see patch notes above)
+    "dsq17" -> """SELECT i_item_id,
+       i_item_desc,
+       s_state,
+       count(ss_quantity) AS store_sales_quantitycount,
+       avg(ss_quantity) AS store_sales_quantityave,
+       stddev_samp(ss_quantity) AS store_sales_quantitystdev,
+       stddev_samp(ss_quantity)/avg(ss_quantity) AS store_sales_quantitycov,
+       count(sr_return_quantity) AS store_returns_quantitycount,
+       avg(sr_return_quantity) AS store_returns_quantityave,
+       stddev_samp(sr_return_quantity) AS store_returns_quantitystdev,
+       stddev_samp(sr_return_quantity)/avg(sr_return_quantity) AS store_returns_quantitycov,
+       count(cs_quantity) AS catalog_sales_quantitycount,
+       avg(cs_quantity) AS catalog_sales_quantityave,
+       stddev_samp(cs_quantity) AS catalog_sales_quantitystdev,
+       stddev_samp(cs_quantity)/avg(cs_quantity) AS catalog_sales_quantitycov
+FROM store_sales,
+     store_returns,
+     catalog_sales,
+     date_dim d1,
+     date_dim d2,
+     date_dim d3,
+     store,
+     item
+WHERE d1.d_quarter_name = '2001Q1'
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_quarter_name IN ('2001Q1',
+                            '2001Q2',
+                            '2001Q3')
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_quarter_name IN ('2001Q1',
+                            '2001Q2',
+                            '2001Q3')
+GROUP BY i_item_id,
+         i_item_desc,
+         s_state
+ORDER BY i_item_id NULLS FIRST,
+         i_item_desc NULLS FIRST,
+         s_state NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/18.sql (see patch notes above)
+    "dsq18" -> """SELECT i_item_id,
+       ca_country,
+       ca_state,
+       ca_county,
+       avg(cast(cs_quantity AS double))      agg1,
+       avg(cast(cs_list_price AS double))    agg2,
+       avg(cast(cs_coupon_amt AS double))    agg3,
+       avg(cast(cs_sales_price AS double))   agg4,
+       avg(cast(cs_net_profit AS double))    agg5,
+       avg(cast(c_birth_year AS double))     agg6,
+       avg(cast(cd1.cd_dep_count AS double)) agg7
+FROM catalog_sales,
+     customer_demographics cd1,
+     customer_demographics cd2,
+     customer,
+     customer_address,
+     date_dim,
+     item
+WHERE cs_sold_date_sk = d_date_sk
+  AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+  AND cs_bill_customer_sk = c_customer_sk
+  AND cd1.cd_gender = 'F'
+  AND cd1.cd_education_status = 'Unknown'
+  AND c_current_cdemo_sk = cd2.cd_demo_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND c_birth_month IN (1,
+                        6,
+                        8,
+                        9,
+                        12,
+                        2)
+  AND d_year = 1998
+  AND ca_state IN ('MS',
+                   'IN',
+                   'ND',
+                   'OK',
+                   'NM',
+                   'VA',
+                   'MS')
+GROUP BY ROLLUP (i_item_id,
+    ca_country,
+    ca_state,
+    ca_county)
+ORDER BY ca_country NULLS FIRST,
+    ca_state NULLS FIRST,
+    ca_county NULLS FIRST,
+    i_item_id NULLS FIRST
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/19.sql (see patch notes above)
     "dsq19" -> """SELECT i_brand_id brand_id,
@@ -1341,6 +1832,91 @@ ORDER BY i_item_id ,
          s_store_id ,
          s_store_name
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/26.sql (see patch notes above)
+    "dsq26" -> """SELECT i_item_id,
+       avg(cs_quantity) agg1,
+       avg(cs_list_price) agg2,
+       avg(cs_coupon_amt) agg3,
+       avg(cs_sales_price) agg4
+FROM catalog_sales,
+     customer_demographics,
+     date_dim,
+     item,
+     promotion
+WHERE cs_sold_date_sk = d_date_sk
+  AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd_demo_sk
+  AND cs_promo_sk = p_promo_sk
+  AND cd_gender = 'M'
+  AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N'
+       OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/27.sql (see patch notes above)
+    "dsq27" -> """WITH results AS
+  (SELECT i_item_id,
+          s_state,
+          0 AS g_state,
+          ss_quantity agg1,
+          ss_list_price agg2,
+          ss_coupon_amt agg3,
+          ss_sales_price agg4
+   FROM store_sales,
+        customer_demographics,
+        date_dim,
+        store,
+        item
+   WHERE ss_sold_date_sk = d_date_sk
+     AND ss_item_sk = i_item_sk
+     AND ss_store_sk = s_store_sk
+     AND ss_cdemo_sk = cd_demo_sk
+     AND cd_gender = 'M'
+     AND cd_marital_status = 'S'
+     AND cd_education_status = 'College'
+     AND d_year = 2002
+     AND s_state = 'TN' )
+SELECT i_item_id,
+       s_state,
+       g_state,
+       agg1,
+       agg2,
+       agg3,
+       agg4
+FROM
+  ( SELECT i_item_id,
+           s_state,
+           0 AS g_state,
+           avg(agg1) agg1,
+           avg(agg2) agg2,
+           avg(agg3) agg3,
+           avg(agg4) agg4
+   FROM results
+   GROUP BY i_item_id ,
+            s_state
+   UNION ALL SELECT i_item_id,
+                    NULL AS s_state,
+                    1 AS g_state,
+                    avg(agg1) agg1,
+                    avg(agg2) agg2,
+                    avg(agg3) agg3,
+                    avg(agg4) agg4
+   FROM results
+   GROUP BY i_item_id
+   UNION ALL SELECT NULL AS i_item_id,
+                    NULL AS s_state,
+                    1 AS g_state,
+                    avg(agg1) agg1,
+                    avg(agg2) agg2,
+                    avg(agg3) agg3,
+                    avg(agg4) agg4
+   FROM results ) foo
+ORDER BY i_item_id NULLS FIRST,
+         s_state NULLS FIRST
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/28.sql (see patch notes above)
     "dsq28" -> """SELECT *
 FROM
@@ -1435,6 +2011,127 @@ ORDER BY i_item_id,
          s_store_id,
          s_store_name
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/30.sql (see patch notes above)
+    "dsq30" -> """WITH customer_total_return AS
+  (SELECT wr_returning_customer_sk AS ctr_customer_sk,
+          ca_state AS ctr_state,
+          sum(wr_return_amt) AS ctr_total_return
+   FROM web_returns,
+        date_dim,
+        customer_address
+   WHERE wr_returned_date_sk = d_date_sk
+     AND d_year = 2002
+     AND wr_returning_addr_sk = ca_address_sk
+   GROUP BY wr_returning_customer_sk,
+            ca_state)
+SELECT c_customer_id,
+       c_salutation,
+       c_first_name,
+       c_last_name,
+       c_preferred_cust_flag,
+       c_birth_day,
+       c_birth_month,
+       c_birth_year,
+       c_birth_country,
+       c_login,
+       c_email_address,
+       c_last_review_date_sk,
+       ctr_total_return
+FROM customer_total_return ctr1,
+     customer_address,
+     customer
+WHERE ctr1.ctr_total_return >
+    (SELECT avg(ctr_total_return)*1.2
+     FROM customer_total_return ctr2
+     WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id NULLS FIRST,
+         c_salutation NULLS FIRST,
+         c_first_name NULLS FIRST,
+         c_last_name NULLS FIRST,
+         c_preferred_cust_flag NULLS FIRST,
+         c_birth_day NULLS FIRST,
+         c_birth_month NULLS FIRST,
+         c_birth_year NULLS FIRST,
+         c_birth_country NULLS FIRST,
+         c_login NULLS FIRST,
+         c_email_address NULLS FIRST,
+         c_last_review_date_sk NULLS FIRST,
+         ctr_total_return NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/31.sql (see patch notes above)
+    "dsq31" -> """WITH ss AS
+  (SELECT ca_county,
+          d_qoy,
+          d_year,
+          sum(ss_ext_sales_price) AS store_sales
+   FROM store_sales,
+        date_dim,
+        customer_address
+   WHERE ss_sold_date_sk = d_date_sk
+     AND ss_addr_sk=ca_address_sk
+   GROUP BY ca_county,
+            d_qoy,
+            d_year),
+     ws AS
+  (SELECT ca_county,
+          d_qoy,
+          d_year,
+          sum(ws_ext_sales_price) AS web_sales
+   FROM web_sales,
+        date_dim,
+        customer_address
+   WHERE ws_sold_date_sk = d_date_sk
+     AND ws_bill_addr_sk=ca_address_sk
+   GROUP BY ca_county,
+            d_qoy,
+            d_year)
+SELECT ss1.ca_county ,
+       ss1.d_year ,
+       (ws2.web_sales*1.0000)/ws1.web_sales web_q1_q2_increase ,
+       (ss2.store_sales*1.0000)/ss1.store_sales store_q1_q2_increase ,
+       (ws3.web_sales*1.0000)/ws2.web_sales web_q2_q3_increase ,
+       (ss3.store_sales*1.0000)/ss2.store_sales store_q2_q3_increase
+FROM ss ss1 ,
+     ss ss2 ,
+     ss ss3 ,
+     ws ws1 ,
+     ws ws2 ,
+     ws ws3
+WHERE ss1.d_qoy = 1
+  AND ss1.d_year = 2000
+  AND ss1.ca_county = ss2.ca_county
+  AND ss2.d_qoy = 2
+  AND ss2.d_year = 2000
+  AND ss2.ca_county = ss3.ca_county
+  AND ss3.d_qoy = 3
+  AND ss3.d_year = 2000
+  AND ss1.ca_county = ws1.ca_county
+  AND ws1.d_qoy = 1
+  AND ws1.d_year = 2000
+  AND ws1.ca_county = ws2.ca_county
+  AND ws2.d_qoy = 2
+  AND ws2.d_year = 2000
+  AND ws1.ca_county = ws3.ca_county
+  AND ws3.d_qoy = 3
+  AND ws3.d_year = 2000
+  AND CASE
+          WHEN ws1.web_sales > 0 THEN (ws2.web_sales*1.0000)/ws1.web_sales
+          ELSE NULL
+      END > CASE
+                WHEN ss1.store_sales > 0 THEN (ss2.store_sales*1.0000)/ss1.store_sales
+                ELSE NULL
+            END
+  AND CASE
+          WHEN ws2.web_sales > 0 THEN (ws3.web_sales*1.0000)/ws2.web_sales
+          ELSE NULL
+      END > CASE
+                WHEN ss2.store_sales > 0 THEN (ss3.store_sales*1.0000)/ss2.store_sales
+                ELSE NULL
+            END
+ORDER BY ss1.ca_county""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/32.sql (see patch notes above)
     "dsq32" -> """SELECT sum(cs_ext_discount_amt) AS excess_discount_amt
 FROM catalog_sales ,
@@ -1518,6 +2215,108 @@ FROM
    FROM ws) tmp1
 GROUP BY i_manufact_id
 ORDER BY total_sales
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/34.sql (see patch notes above)
+    "dsq34" -> """SELECT c_last_name ,
+       c_first_name ,
+       c_salutation ,
+       c_preferred_cust_flag ,
+       ss_ticket_number ,
+       cnt
+FROM
+  (SELECT ss_ticket_number ,
+          ss_customer_sk ,
+          count(*) cnt
+   FROM store_sales,
+        date_dim,
+        store,
+        household_demographics
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND (date_dim.d_dom BETWEEN 1 AND 3
+          OR date_dim.d_dom BETWEEN 25 AND 28)
+     AND (household_demographics.hd_buy_potential = '>10000'
+          OR household_demographics.hd_buy_potential = 'Unknown')
+     AND household_demographics.hd_vehicle_count > 0
+     AND (CASE
+              WHEN household_demographics.hd_vehicle_count > 0 THEN (household_demographics.hd_dep_count*1.000)/ household_demographics.hd_vehicle_count
+              ELSE NULL
+          END) > 1.2
+     AND date_dim.d_year IN (1999,
+                             1999+1,
+                             1999+2)
+     AND store.s_county = 'Williamson County'
+   GROUP BY ss_ticket_number,
+            ss_customer_sk) dn,
+     customer
+WHERE ss_customer_sk = c_customer_sk
+  AND cnt BETWEEN 15 AND 20
+ORDER BY c_last_name NULLS FIRST,
+         c_first_name NULLS FIRST,
+         c_salutation NULLS FIRST,
+         c_preferred_cust_flag DESC NULLS FIRST,
+         ss_ticket_number NULLS FIRST""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/35.sql (see patch notes above)
+    "dsq35" -> """SELECT ca_state,
+       cd_gender,
+       cd_marital_status,
+       cd_dep_count,
+       count(*) cnt1,
+       min(cd_dep_count) min1,
+       max(cd_dep_count) max1,
+       avg(cd_dep_count) avg1,
+       cd_dep_employed_count,
+       count(*) cnt2,
+       min(cd_dep_employed_count) min2,
+       max(cd_dep_employed_count) max2,
+       avg(cd_dep_employed_count) avg2,
+       cd_dep_college_count,
+       count(*) cnt3,
+       min(cd_dep_college_count) min3,
+       max(cd_dep_college_count) max3,
+       avg(cd_dep_college_count) avg3
+FROM customer c,
+     customer_address ca,
+     customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS
+    (SELECT *
+     FROM store_sales,
+          date_dim
+     WHERE c.c_customer_sk = ss_customer_sk
+       AND ss_sold_date_sk = d_date_sk
+       AND d_year = 2002
+       AND d_qoy < 4)
+  AND (EXISTS
+         (SELECT *
+          FROM web_sales,
+               date_dim
+          WHERE c.c_customer_sk = ws_bill_customer_sk
+            AND ws_sold_date_sk = d_date_sk
+            AND d_year = 2002
+            AND d_qoy < 4)
+       OR EXISTS
+         (SELECT *
+          FROM catalog_sales,
+               date_dim
+          WHERE c.c_customer_sk = cs_ship_customer_sk
+            AND cs_sold_date_sk = d_date_sk
+            AND d_year = 2002
+            AND d_qoy < 4))
+GROUP BY ca_state,
+         cd_gender,
+         cd_marital_status,
+         cd_dep_count,
+         cd_dep_employed_count,
+         cd_dep_college_count
+ORDER BY ca_state NULLS FIRST,
+         cd_gender NULLS FIRST,
+         cd_marital_status NULLS FIRST,
+         cd_dep_count NULLS FIRST,
+         cd_dep_employed_count NULLS FIRST,
+         cd_dep_college_count NULLS FIRST
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/36.sql (see patch notes above)
     "dsq36" -> """WITH results AS
@@ -1689,6 +2488,32 @@ ORDER BY inv1.w_warehouse_sk NULLS FIRST,
          inv2.d_moy NULLS FIRST,
          inv2.mean NULLS FIRST,
          inv2.cov NULLS FIRST""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/40.sql (see patch notes above)
+    "dsq40" -> """SELECT w_state,
+       i_item_id,
+       sum(CASE
+               WHEN (cast(d_date AS date) < CAST ('2000-03-11' AS date)) THEN cs_sales_price - coalesce(cr_refunded_cash,0)
+               ELSE 0
+           END) AS sales_before,
+       sum(CASE
+               WHEN (cast(d_date AS date) >= CAST ('2000-03-11' AS date)) THEN cs_sales_price - coalesce(cr_refunded_cash,0)
+               ELSE 0
+           END) AS sales_after
+FROM catalog_sales
+LEFT OUTER JOIN catalog_returns ON (cs_order_number = cr_order_number
+                                    AND cs_item_sk = cr_item_sk) ,warehouse,
+                                                                  item,
+                                                                  date_dim
+WHERE i_current_price BETWEEN 0.99 AND 1.49
+  AND i_item_sk = cs_item_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN CAST ('2000-02-10' AS date) AND CAST ('2000-04-10' AS date)
+GROUP BY w_state,
+         i_item_id
+ORDER BY w_state,
+         i_item_id
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/41.sql (see patch notes above)
     "dsq41" -> """SELECT distinct(i_product_name)
 FROM item i1
@@ -1916,6 +2741,53 @@ GROUP BY ca_zip,
 ORDER BY ca_zip,
          ca_city
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/46.sql (see patch notes above)
+    "dsq46" -> """SELECT c_last_name,
+       c_first_name,
+       ca_city,
+       bought_city,
+       ss_ticket_number,
+       amt,
+       profit
+FROM
+  (SELECT ss_ticket_number,
+          ss_customer_sk,
+          ca_city bought_city,
+          sum(ss_coupon_amt) amt,
+          sum(ss_net_profit) profit
+   FROM store_sales,
+        date_dim,
+        store,
+        household_demographics,
+        customer_address
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+     AND (household_demographics.hd_dep_count = 4
+          OR household_demographics.hd_vehicle_count= 3)
+     AND date_dim.d_dow IN (6,
+                            0)
+     AND date_dim.d_year IN (1999,
+                             1999+1,
+                             1999+2)
+     AND store.s_city IN ('Fairview',
+                          'Midway')
+   GROUP BY ss_ticket_number,
+            ss_customer_sk,
+            ss_addr_sk,
+            ca_city) dn,
+     customer,
+     customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name NULLS FIRST,
+         c_first_name NULLS FIRST,
+         ca_city NULLS FIRST,
+         bought_city NULLS FIRST,
+         ss_ticket_number NULLS FIRST
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/47.sql (see patch notes above)
     "dsq47" -> """WITH v1 AS
   (SELECT i_category,
@@ -1988,6 +2860,148 @@ WHERE d_year = 1999
       END > 0.1
 ORDER BY sum_sales - avg_monthly_sales, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/48.sql (see patch notes above)
+    "dsq48" -> """SELECT CAST(SUM (ss_quantity) AS BIGINT) AS total_quantity
+FROM store_sales,
+     store,
+     customer_demographics,
+     customer_address,
+     date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_year = 2000
+  AND ((cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M'
+        AND cd_education_status = '4 yr Degree'
+        AND ss_sales_price BETWEEN 100.00 AND 150.00)
+       OR (cd_demo_sk = ss_cdemo_sk
+           AND cd_marital_status = 'D'
+           AND cd_education_status = '2 yr Degree'
+           AND ss_sales_price BETWEEN 50.00 AND 100.00)
+       OR (cd_demo_sk = ss_cdemo_sk
+           AND cd_marital_status = 'S'
+           AND cd_education_status = 'College'
+           AND ss_sales_price BETWEEN 150.00 AND 200.00))
+  AND ((ss_addr_sk = ca_address_sk
+        AND ca_country = 'United States'
+        AND ca_state IN ('CO',
+                         'OH',
+                         'TX')
+        AND ss_net_profit BETWEEN 0 AND 2000)
+       OR (ss_addr_sk = ca_address_sk
+           AND ca_country = 'United States'
+           AND ca_state IN ('OR',
+                            'MN',
+                            'KY')
+           AND ss_net_profit BETWEEN 150 AND 3000)
+       OR (ss_addr_sk = ca_address_sk
+           AND ca_country = 'United States'
+           AND ca_state IN ('VA',
+                            'CA',
+                            'MS')
+           AND ss_net_profit BETWEEN 50 AND 25000)) """,
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/49.sql (see patch notes above)
+    "dsq49" -> """SELECT channel,
+       item,
+       return_ratio,
+       return_rank,
+       currency_rank
+FROM
+  (SELECT 'web' AS channel,
+          web.item,
+          web.return_ratio,
+          web.return_rank,
+          web.currency_rank
+   FROM
+     (SELECT item,
+             return_ratio,
+             currency_ratio,
+             rank() OVER (
+                          ORDER BY return_ratio) AS return_rank,
+                         rank() OVER (
+                                      ORDER BY currency_ratio) AS currency_rank
+      FROM
+        (SELECT ws.ws_item_sk AS item,
+                (cast(sum(coalesce(wr.wr_return_quantity,0)) AS double)/ cast(sum(coalesce(ws.ws_quantity,0)) AS double)) AS return_ratio,
+                (cast(sum(coalesce(wr.wr_return_amt,0)) AS double)/ cast(sum(coalesce(ws.ws_net_paid,0)) AS double)) AS currency_ratio
+         FROM web_sales ws
+         LEFT OUTER JOIN web_returns wr ON (ws.ws_order_number = wr.wr_order_number
+                                            AND ws.ws_item_sk = wr.wr_item_sk) ,date_dim
+         WHERE wr.wr_return_amt > 10000
+           AND ws.ws_net_profit > 1
+           AND ws.ws_net_paid > 0
+           AND ws.ws_quantity > 0
+           AND ws_sold_date_sk = d_date_sk
+           AND d_year = 2001
+           AND d_moy = 12
+         GROUP BY ws.ws_item_sk) in_web) web
+   WHERE (web.return_rank <= 10
+          OR web.currency_rank <= 10)
+   UNION SELECT 'catalog' AS channel,
+                catalog.item,
+                catalog.return_ratio,
+                catalog.return_rank,
+                catalog.currency_rank
+   FROM
+     (SELECT item,
+             return_ratio,
+             currency_ratio,
+             rank() OVER (
+                          ORDER BY return_ratio) AS return_rank,
+                         rank() OVER (
+                                      ORDER BY currency_ratio) AS currency_rank
+      FROM
+        (SELECT cs.cs_item_sk AS item,
+                (cast(sum(coalesce(cr.cr_return_quantity,0)) AS double)/ cast(sum(coalesce(cs.cs_quantity,0)) AS double)) AS return_ratio,
+                (cast(sum(coalesce(cr.cr_return_amount,0)) AS double)/ cast(sum(coalesce(cs.cs_net_paid,0)) AS double)) AS currency_ratio
+         FROM catalog_sales cs
+         LEFT OUTER JOIN catalog_returns cr ON (cs.cs_order_number = cr.cr_order_number
+                                                AND cs.cs_item_sk = cr.cr_item_sk) ,date_dim
+         WHERE cr.cr_return_amount > 10000
+           AND cs.cs_net_profit > 1
+           AND cs.cs_net_paid > 0
+           AND cs.cs_quantity > 0
+           AND cs_sold_date_sk = d_date_sk
+           AND d_year = 2001
+           AND d_moy = 12
+         GROUP BY cs.cs_item_sk) in_cat) CATALOG
+   WHERE (catalog.return_rank <= 10
+          OR catalog.currency_rank <=10)
+   UNION SELECT 'store' AS channel,
+                store.item,
+                store.return_ratio,
+                store.return_rank,
+                store.currency_rank
+   FROM
+     (SELECT item,
+             return_ratio,
+             currency_ratio,
+             rank() OVER (
+                          ORDER BY return_ratio) AS return_rank,
+                         rank() OVER (
+                                      ORDER BY currency_ratio) AS currency_rank
+      FROM
+        (SELECT sts.ss_item_sk AS item,
+                (cast(sum(coalesce(sr.sr_return_quantity,0)) AS double)/cast(sum(coalesce(sts.ss_quantity,0)) AS double)) AS return_ratio,
+                (cast(sum(coalesce(sr.sr_return_amt,0)) AS double)/cast(sum(coalesce(sts.ss_net_paid,0)) AS double)) AS currency_ratio
+         FROM store_sales sts
+         LEFT OUTER JOIN store_returns sr ON (sts.ss_ticket_number = sr.sr_ticket_number
+                                              AND sts.ss_item_sk = sr.sr_item_sk) ,date_dim
+         WHERE sr.sr_return_amt > 10000
+           AND sts.ss_net_profit > 1
+           AND sts.ss_net_paid > 0
+           AND sts.ss_quantity > 0
+           AND ss_sold_date_sk = d_date_sk
+           AND d_year = 2001
+           AND d_moy = 12
+         GROUP BY sts.ss_item_sk) in_store) store
+   WHERE (store.return_rank <= 10
+          OR store.currency_rank <= 10) ) sq1
+ORDER BY 1 NULLS FIRST,
+         4 NULLS FIRST,
+         5 NULLS FIRST,
+         2 NULLS FIRST
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/50.sql (see patch notes above)
     "dsq50" -> """SELECT s_store_name,
        s_company_id,
@@ -2055,6 +3069,59 @@ ORDER BY s_store_name,
          s_county,
          s_state,
          s_zip
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/51.sql (see patch notes above)
+    "dsq51" -> """WITH web_v1 AS
+  (SELECT ws_item_sk item_sk,
+          d_date,
+          sum(sum(ws_sales_price)) OVER (PARTITION BY ws_item_sk
+                                         ORDER BY d_date ROWS BETWEEN unbounded preceding AND CURRENT ROW) cume_sales
+   FROM web_sales,
+        date_dim
+   WHERE ws_sold_date_sk=d_date_sk
+     AND d_month_seq BETWEEN 1200 AND 1200+11
+     AND ws_item_sk IS NOT NULL
+   GROUP BY ws_item_sk,
+            d_date),
+     store_v1 AS
+  (SELECT ss_item_sk item_sk,
+          d_date,
+          sum(sum(ss_sales_price)) OVER (PARTITION BY ss_item_sk
+                                         ORDER BY d_date ROWS BETWEEN unbounded preceding AND CURRENT ROW) cume_sales
+   FROM store_sales,
+        date_dim
+   WHERE ss_sold_date_sk=d_date_sk
+     AND d_month_seq BETWEEN 1200 AND 1200+11
+     AND ss_item_sk IS NOT NULL
+   GROUP BY ss_item_sk,
+            d_date)
+SELECT *
+FROM
+  (SELECT item_sk,
+          d_date,
+          web_sales,
+          store_sales,
+          max(web_sales) OVER (PARTITION BY item_sk
+                               ORDER BY d_date ROWS BETWEEN unbounded preceding AND CURRENT ROW) web_cumulative,
+                              max(store_sales) OVER (PARTITION BY item_sk
+                                                     ORDER BY d_date ROWS BETWEEN unbounded preceding AND CURRENT ROW) store_cumulative
+   FROM
+     (SELECT CASE
+                 WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                 ELSE store.item_sk
+             END item_sk,
+             CASE
+                 WHEN web.d_date IS NOT NULL THEN web.d_date
+                 ELSE store.d_date
+             END d_date,
+             web.cume_sales web_sales,
+             store.cume_sales store_sales
+      FROM web_v1 web
+      FULL OUTER JOIN store_v1 store ON (web.item_sk = store.item_sk
+                                         AND web.d_date = store.d_date))x)y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk NULLS FIRST,
+         d_date NULLS FIRST
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/52.sql (see patch notes above)
     "dsq52" -> """SELECT dt.d_year,
@@ -2272,6 +3339,71 @@ FROM
 GROUP BY i_item_id
 ORDER BY total_sales  NULLS FIRST,
          i_item_id NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/57.sql (see patch notes above)
+    "dsq57" -> """WITH v1 AS
+  (SELECT i_category,
+          i_brand,
+          cc_name,
+          d_year,
+          d_moy,
+          sum(cs_sales_price) sum_sales,
+          avg(sum(cs_sales_price)) OVER (PARTITION BY i_category,
+                                                      i_brand,
+                                                      cc_name,
+                                                      d_year) avg_monthly_sales,
+                                        rank() OVER (PARTITION BY i_category,
+                                                                  i_brand,
+                                                                  cc_name
+                                                     ORDER BY d_year,
+                                                              d_moy) rn
+   FROM item,
+        catalog_sales,
+        date_dim,
+        call_center
+   WHERE cs_item_sk = i_item_sk
+     AND cs_sold_date_sk = d_date_sk
+     AND cc_call_center_sk= cs_call_center_sk
+     AND (d_year = 1999
+          OR (d_year = 1999-1
+              AND d_moy =12)
+          OR (d_year = 1999+1
+              AND d_moy =1))
+   GROUP BY i_category,
+            i_brand,
+            cc_name,
+            d_year,
+            d_moy),
+     v2 AS
+  (SELECT v1.i_category,
+          v1.i_brand,
+          v1.cc_name,
+          v1.d_year,
+          v1.d_moy,
+          v1.avg_monthly_sales,
+          v1.sum_sales,
+          v1_lag.sum_sales psum,
+          v1_lead.sum_sales nsum
+   FROM v1,
+        v1 v1_lag,
+        v1 v1_lead
+   WHERE v1.i_category = v1_lag.i_category
+     AND v1.i_category = v1_lead.i_category
+     AND v1.i_brand = v1_lag.i_brand
+     AND v1.i_brand = v1_lead.i_brand
+     AND v1. cc_name = v1_lag. cc_name
+     AND v1. cc_name = v1_lead. cc_name
+     AND v1.rn = v1_lag.rn + 1
+     AND v1.rn = v1_lead.rn - 1)
+SELECT *
+FROM v2
+WHERE d_year = 1999
+  AND avg_monthly_sales > 0
+  AND CASE
+          WHEN avg_monthly_sales > 0 THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+          ELSE NULL
+      END > 0.1
+ORDER BY sum_sales - avg_monthly_sales NULLS FIRST, 1, 2, 3, 4, 5, 6, 7, 8, 9
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/58.sql (see patch notes above)
     "dsq58" -> """WITH ss_items AS
@@ -2498,6 +3630,99 @@ GROUP BY i_item_id
 ORDER BY i_item_id,
          total_sales
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/61.sql (see patch notes above)
+    "dsq61" -> """SELECT promotions,
+       total,
+       cast(promotions AS double)/cast(total AS double)*100 promo_pct
+FROM
+  (SELECT sum(ss_ext_sales_price) promotions
+   FROM store_sales,
+        store,
+        promotion,
+        date_dim,
+        customer,
+        customer_address,
+        item
+   WHERE ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND ss_promo_sk = p_promo_sk
+     AND ss_customer_sk= c_customer_sk
+     AND ca_address_sk = c_current_addr_sk
+     AND ss_item_sk = i_item_sk
+     AND ca_gmt_offset = -5
+     AND i_category = 'Jewelry'
+     AND (p_channel_dmail = 'Y'
+          OR p_channel_email = 'Y'
+          OR p_channel_tv = 'Y')
+     AND s_gmt_offset = -5
+     AND d_year = 1998
+     AND d_moy = 11) promotional_sales,
+  (SELECT sum(ss_ext_sales_price) total
+   FROM store_sales,
+        store,
+        date_dim,
+        customer,
+        customer_address,
+        item
+   WHERE ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND ss_customer_sk= c_customer_sk
+     AND ca_address_sk = c_current_addr_sk
+     AND ss_item_sk = i_item_sk
+     AND ca_gmt_offset = -5
+     AND i_category = 'Jewelry'
+     AND s_gmt_offset = -5
+     AND d_year = 1998
+     AND d_moy = 11) all_sales
+ORDER BY promotions,
+         total
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/62.sql (see patch notes above)
+    "dsq62" -> """SELECT w_substr,
+       sm_type,
+       web_name,
+       CAST(sum(CASE
+               WHEN (ws_ship_date_sk - ws_sold_date_sk <= 30) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d30,
+       CAST(sum(CASE
+               WHEN (ws_ship_date_sk - ws_sold_date_sk > 30)
+                    AND (ws_ship_date_sk - ws_sold_date_sk <= 60) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d31_60,
+       CAST(sum(CASE
+               WHEN (ws_ship_date_sk - ws_sold_date_sk > 60)
+                    AND (ws_ship_date_sk - ws_sold_date_sk <= 90) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d61_90,
+       CAST(sum(CASE
+               WHEN (ws_ship_date_sk - ws_sold_date_sk > 90)
+                    AND (ws_ship_date_sk - ws_sold_date_sk <= 120) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d91_120,
+       CAST(sum(CASE
+               WHEN (ws_ship_date_sk - ws_sold_date_sk > 120) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d120_plus
+FROM web_sales,
+  (SELECT SUBSTRING(w_warehouse_name,1,20) w_substr,
+          *
+   FROM warehouse) sq1,
+     ship_mode,
+     web_site,
+     date_dim
+WHERE d_month_seq BETWEEN 1200 AND 1200 + 11
+  AND ws_ship_date_sk = d_date_sk
+  AND ws_warehouse_sk = w_warehouse_sk
+  AND ws_ship_mode_sk = sm_ship_mode_sk
+  AND ws_web_site_sk = web_site_sk
+GROUP BY w_substr,
+         sm_type,
+         web_name
+ORDER BY 1 NULLS FIRST,
+         2 NULLS FIRST,
+         3 NULLS FIRST
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/63.sql (see patch notes above)
     "dsq63" -> """SELECT *
 FROM
@@ -2546,6 +3771,131 @@ ORDER BY i_manager_id,
          avg_monthly_sales,
          sum_sales
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/64.sql (see patch notes above)
+    "dsq64" -> """WITH cs_ui AS
+  (SELECT cs_item_sk,
+          sum(cs_ext_list_price) AS sale,
+          sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit) AS refund
+   FROM catalog_sales,
+        catalog_returns
+   WHERE cs_item_sk = cr_item_sk
+     AND cs_order_number = cr_order_number
+   GROUP BY cs_item_sk
+   HAVING sum(cs_ext_list_price)>2*sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit)),
+     cross_sales AS
+  (SELECT i_product_name product_name,
+          i_item_sk item_sk,
+          s_store_name store_name,
+          s_zip store_zip,
+          ad1.ca_street_number b_street_number,
+          ad1.ca_street_name b_street_name,
+          ad1.ca_city b_city,
+          ad1.ca_zip b_zip,
+          ad2.ca_street_number c_street_number,
+          ad2.ca_street_name c_street_name,
+          ad2.ca_city c_city,
+          ad2.ca_zip c_zip,
+          d1.d_year AS syear,
+          d2.d_year AS fsyear,
+          d3.d_year s2year,
+          count(*) cnt,
+          sum(ss_wholesale_cost) s1,
+          sum(ss_list_price) s2,
+          sum(ss_coupon_amt) s3
+   FROM store_sales,
+        store_returns,
+        cs_ui,
+        date_dim d1,
+        date_dim d2,
+        date_dim d3,
+        store,
+        customer,
+        customer_demographics cd1,
+        customer_demographics cd2,
+        promotion,
+        household_demographics hd1,
+        household_demographics hd2,
+        customer_address ad1,
+        customer_address ad2,
+        income_band ib1,
+        income_band ib2,
+        item
+   WHERE ss_store_sk = s_store_sk
+     AND ss_sold_date_sk = d1.d_date_sk
+     AND ss_customer_sk = c_customer_sk
+     AND ss_cdemo_sk= cd1.cd_demo_sk
+     AND ss_hdemo_sk = hd1.hd_demo_sk
+     AND ss_addr_sk = ad1.ca_address_sk
+     AND ss_item_sk = i_item_sk
+     AND ss_item_sk = sr_item_sk
+     AND ss_ticket_number = sr_ticket_number
+     AND ss_item_sk = cs_ui.cs_item_sk
+     AND c_current_cdemo_sk = cd2.cd_demo_sk
+     AND c_current_hdemo_sk = hd2.hd_demo_sk
+     AND c_current_addr_sk = ad2.ca_address_sk
+     AND c_first_sales_date_sk = d2.d_date_sk
+     AND c_first_shipto_date_sk = d3.d_date_sk
+     AND ss_promo_sk = p_promo_sk
+     AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+     AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+     AND cd1.cd_marital_status <> cd2.cd_marital_status
+     AND i_color IN ('purple',
+                     'burlywood',
+                     'indian',
+                     'spring',
+                     'floral',
+                     'medium')
+     AND i_current_price BETWEEN 64 AND 64 + 10
+     AND i_current_price BETWEEN 64 + 1 AND 64 + 15
+   GROUP BY i_product_name,
+            i_item_sk,
+            s_store_name,
+            s_zip,
+            ad1.ca_street_number,
+            ad1.ca_street_name,
+            ad1.ca_city,
+            ad1.ca_zip,
+            ad2.ca_street_number,
+            ad2.ca_street_name,
+            ad2.ca_city,
+            ad2.ca_zip,
+            d1.d_year,
+            d2.d_year,
+            d3.d_year)
+SELECT cs1.product_name,
+       cs1.store_name,
+       cs1.store_zip,
+       cs1.b_street_number,
+       cs1.b_street_name,
+       cs1.b_city,
+       cs1.b_zip,
+       cs1.c_street_number,
+       cs1.c_street_name,
+       cs1.c_city,
+       cs1.c_zip,
+       cs1.syear cs1syear,
+       cs1.cnt cs1cnt,
+       cs1.s1 AS s11,
+       cs1.s2 AS s21,
+       cs1.s3 AS s31,
+       cs2.s1 AS s12,
+       cs2.s2 AS s22,
+       cs2.s3 AS s32,
+       cs2.syear,
+       cs2.cnt
+FROM cross_sales cs1,
+     cross_sales cs2
+WHERE cs1.item_sk=cs2.item_sk
+  AND cs1.syear = 1999
+  AND cs2.syear = 1999 + 1
+  AND cs2.cnt <= cs1.cnt
+  AND cs1.store_name = cs2.store_name
+  AND cs1.store_zip = cs2.store_zip
+ORDER BY cs1.product_name,
+         cs1.store_name,
+         cs2.cnt,
+         cs1.s1,
+         cs2.s1""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/65.sql (see patch notes above)
     "dsq65" -> """SELECT s_store_name,
        i_item_desc,
@@ -2584,6 +3934,529 @@ WHERE sb.ss_store_sk = sc.ss_store_sk
 ORDER BY s_store_name NULLS FIRST,
          i_item_desc NULLS FIRST
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/66.sql (see patch notes above)
+    "dsq66" -> """select
+         w_warehouse_name
+  ,w_warehouse_sq_ft
+  ,w_city
+  ,w_county
+  ,w_state
+  ,w_country
+        ,ship_carriers
+        ,year_
+  ,sum(jan_sales) as jan_sales
+  ,sum(feb_sales) as feb_sales
+  ,sum(mar_sales) as mar_sales
+  ,sum(apr_sales) as apr_sales
+  ,sum(may_sales) as may_sales
+  ,sum(jun_sales) as jun_sales
+  ,sum(jul_sales) as jul_sales
+  ,sum(aug_sales) as aug_sales
+  ,sum(sep_sales) as sep_sales
+  ,sum(oct_sales) as oct_sales
+  ,sum(nov_sales) as nov_sales
+  ,sum(dec_sales) as dec_sales
+  ,sum(jan_sales/w_warehouse_sq_ft) as jan_sales_per_sq_foot
+  ,sum(feb_sales/w_warehouse_sq_ft) as feb_sales_per_sq_foot
+  ,sum(mar_sales/w_warehouse_sq_ft) as mar_sales_per_sq_foot
+  ,sum(apr_sales/w_warehouse_sq_ft) as apr_sales_per_sq_foot
+  ,sum(may_sales/w_warehouse_sq_ft) as may_sales_per_sq_foot
+  ,sum(jun_sales/w_warehouse_sq_ft) as jun_sales_per_sq_foot
+  ,sum(jul_sales/w_warehouse_sq_ft) as jul_sales_per_sq_foot
+  ,sum(aug_sales/w_warehouse_sq_ft) as aug_sales_per_sq_foot
+  ,sum(sep_sales/w_warehouse_sq_ft) as sep_sales_per_sq_foot
+  ,sum(oct_sales/w_warehouse_sq_ft) as oct_sales_per_sq_foot
+  ,sum(nov_sales/w_warehouse_sq_ft) as nov_sales_per_sq_foot
+  ,sum(dec_sales/w_warehouse_sq_ft) as dec_sales_per_sq_foot
+  ,sum(jan_net) as jan_net
+  ,sum(feb_net) as feb_net
+  ,sum(mar_net) as mar_net
+  ,sum(apr_net) as apr_net
+  ,sum(may_net) as may_net
+  ,sum(jun_net) as jun_net
+  ,sum(jul_net) as jul_net
+  ,sum(aug_net) as aug_net
+  ,sum(sep_net) as sep_net
+  ,sum(oct_net) as oct_net
+  ,sum(nov_net) as nov_net
+  ,sum(dec_net) as dec_net
+ from (
+     select
+  w_warehouse_name
+  ,w_warehouse_sq_ft
+  ,w_city
+  ,w_county
+  ,w_state
+  ,w_country
+  ,'DHL,BARIAN' as ship_carriers
+       ,d_year as year_
+  ,sum(case when d_moy = 1
+    then ws_ext_sales_price* ws_quantity else 0 end) as jan_sales
+  ,sum(case when d_moy = 2
+    then ws_ext_sales_price* ws_quantity else 0 end) as feb_sales
+  ,sum(case when d_moy = 3
+    then ws_ext_sales_price* ws_quantity else 0 end) as mar_sales
+  ,sum(case when d_moy = 4
+    then ws_ext_sales_price* ws_quantity else 0 end) as apr_sales
+  ,sum(case when d_moy = 5
+    then ws_ext_sales_price* ws_quantity else 0 end) as may_sales
+  ,sum(case when d_moy = 6
+    then ws_ext_sales_price* ws_quantity else 0 end) as jun_sales
+  ,sum(case when d_moy = 7
+    then ws_ext_sales_price* ws_quantity else 0 end) as jul_sales
+  ,sum(case when d_moy = 8
+    then ws_ext_sales_price* ws_quantity else 0 end) as aug_sales
+  ,sum(case when d_moy = 9
+    then ws_ext_sales_price* ws_quantity else 0 end) as sep_sales
+  ,sum(case when d_moy = 10
+    then ws_ext_sales_price* ws_quantity else 0 end) as oct_sales
+  ,sum(case when d_moy = 11
+    then ws_ext_sales_price* ws_quantity else 0 end) as nov_sales
+  ,sum(case when d_moy = 12
+    then ws_ext_sales_price* ws_quantity else 0 end) as dec_sales
+  ,sum(case when d_moy = 1
+    then ws_net_paid * ws_quantity else 0 end) as jan_net
+  ,sum(case when d_moy = 2
+    then ws_net_paid * ws_quantity else 0 end) as feb_net
+  ,sum(case when d_moy = 3
+    then ws_net_paid * ws_quantity else 0 end) as mar_net
+  ,sum(case when d_moy = 4
+    then ws_net_paid * ws_quantity else 0 end) as apr_net
+  ,sum(case when d_moy = 5
+    then ws_net_paid * ws_quantity else 0 end) as may_net
+  ,sum(case when d_moy = 6
+    then ws_net_paid * ws_quantity else 0 end) as jun_net
+  ,sum(case when d_moy = 7
+    then ws_net_paid * ws_quantity else 0 end) as jul_net
+  ,sum(case when d_moy = 8
+    then ws_net_paid * ws_quantity else 0 end) as aug_net
+  ,sum(case when d_moy = 9
+    then ws_net_paid * ws_quantity else 0 end) as sep_net
+  ,sum(case when d_moy = 10
+    then ws_net_paid * ws_quantity else 0 end) as oct_net
+  ,sum(case when d_moy = 11
+    then ws_net_paid * ws_quantity else 0 end) as nov_net
+  ,sum(case when d_moy = 12
+    then ws_net_paid * ws_quantity else 0 end) as dec_net
+     from
+          web_sales
+         ,warehouse
+         ,date_dim
+         ,time_dim
+    ,ship_mode
+     where
+            ws_warehouse_sk =  w_warehouse_sk
+        and ws_sold_date_sk = d_date_sk
+        and ws_sold_time_sk = t_time_sk
+  and ws_ship_mode_sk = sm_ship_mode_sk
+        and d_year = 2001
+  and t_time between 30838 and 30838+28800
+  and sm_carrier in ('DHL','BARIAN')
+     group by
+        w_warehouse_name
+  ,w_warehouse_sq_ft
+  ,w_city
+  ,w_county
+  ,w_state
+  ,w_country
+       ,d_year
+ union all
+     select
+  w_warehouse_name
+  ,w_warehouse_sq_ft
+  ,w_city
+  ,w_county
+  ,w_state
+  ,w_country
+  ,'DHL,BARIAN' as ship_carriers
+       ,d_year as year_
+  ,sum(case when d_moy = 1
+    then cs_sales_price* cs_quantity else 0 end) as jan_sales
+  ,sum(case when d_moy = 2
+    then cs_sales_price* cs_quantity else 0 end) as feb_sales
+  ,sum(case when d_moy = 3
+    then cs_sales_price* cs_quantity else 0 end) as mar_sales
+  ,sum(case when d_moy = 4
+    then cs_sales_price* cs_quantity else 0 end) as apr_sales
+  ,sum(case when d_moy = 5
+    then cs_sales_price* cs_quantity else 0 end) as may_sales
+  ,sum(case when d_moy = 6
+    then cs_sales_price* cs_quantity else 0 end) as jun_sales
+  ,sum(case when d_moy = 7
+    then cs_sales_price* cs_quantity else 0 end) as jul_sales
+  ,sum(case when d_moy = 8
+    then cs_sales_price* cs_quantity else 0 end) as aug_sales
+  ,sum(case when d_moy = 9
+    then cs_sales_price* cs_quantity else 0 end) as sep_sales
+  ,sum(case when d_moy = 10
+    then cs_sales_price* cs_quantity else 0 end) as oct_sales
+  ,sum(case when d_moy = 11
+    then cs_sales_price* cs_quantity else 0 end) as nov_sales
+  ,sum(case when d_moy = 12
+    then cs_sales_price* cs_quantity else 0 end) as dec_sales
+  ,sum(case when d_moy = 1
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as jan_net
+  ,sum(case when d_moy = 2
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as feb_net
+  ,sum(case when d_moy = 3
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as mar_net
+  ,sum(case when d_moy = 4
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as apr_net
+  ,sum(case when d_moy = 5
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as may_net
+  ,sum(case when d_moy = 6
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as jun_net
+  ,sum(case when d_moy = 7
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as jul_net
+  ,sum(case when d_moy = 8
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as aug_net
+  ,sum(case when d_moy = 9
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as sep_net
+  ,sum(case when d_moy = 10
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as oct_net
+  ,sum(case when d_moy = 11
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as nov_net
+  ,sum(case when d_moy = 12
+    then cs_net_paid_inc_tax * cs_quantity else 0 end) as dec_net
+     from
+          catalog_sales
+         ,warehouse
+         ,date_dim
+         ,time_dim
+   ,ship_mode
+     where
+            cs_warehouse_sk =  w_warehouse_sk
+        and cs_sold_date_sk = d_date_sk
+        and cs_sold_time_sk = t_time_sk
+  and cs_ship_mode_sk = sm_ship_mode_sk
+        and d_year = 2001
+  and t_time between 30838 AND 30838+28800
+  and sm_carrier in ('DHL','BARIAN')
+     group by
+        w_warehouse_name
+  ,w_warehouse_sq_ft
+  ,w_city
+  ,w_county
+  ,w_state
+  ,w_country
+       ,d_year
+ ) x
+ group by
+        w_warehouse_name
+  ,w_warehouse_sq_ft
+  ,w_city
+  ,w_county
+  ,w_state
+  ,w_country
+  ,ship_carriers
+       ,year_
+ order by w_warehouse_name NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/67.sql (see patch notes above)
+    "dsq67" -> """SELECT *
+FROM
+  (SELECT i_category,
+          i_class,
+          i_brand,
+          i_product_name,
+          d_year,
+          d_qoy,
+          d_moy,
+          s_store_id,
+          sumsales,
+          rank() OVER (PARTITION BY i_category
+                       ORDER BY sumsales DESC) rk
+   FROM
+     (SELECT i_category,
+             i_class,
+             i_brand,
+             i_product_name,
+             d_year,
+             d_qoy,
+             d_moy,
+             s_store_id,
+             sum(coalesce(ss_sales_price*ss_quantity,0)) sumsales
+      FROM store_sales,
+           date_dim,
+           store,
+           item
+      WHERE ss_sold_date_sk=d_date_sk
+        AND ss_item_sk=i_item_sk
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 1200 AND 1200+11
+      GROUP BY rollup(i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,s_store_id))dw1) dw2
+WHERE rk <= 100
+ORDER BY i_category NULLS FIRST,
+         i_class NULLS FIRST,
+         i_brand NULLS FIRST,
+         i_product_name NULLS FIRST,
+         d_year NULLS FIRST,
+         d_qoy NULLS FIRST,
+         d_moy NULLS FIRST,
+         s_store_id NULLS FIRST,
+         sumsales NULLS FIRST,
+         rk NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/68.sql (see patch notes above)
+    "dsq68" -> """SELECT c_last_name,
+       c_first_name,
+       ca_city,
+       bought_city,
+       ss_ticket_number,
+       extended_price,
+       extended_tax,
+       list_price
+FROM
+  (SELECT ss_ticket_number,
+          ss_customer_sk,
+          ca_city bought_city,
+          sum(ss_ext_sales_price) extended_price,
+          sum(ss_ext_list_price) list_price,
+          sum(ss_ext_tax) extended_tax
+   FROM store_sales,
+        date_dim,
+        store,
+        household_demographics,
+        customer_address
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+     AND date_dim.d_dom BETWEEN 1 AND 2
+     AND (household_demographics.hd_dep_count = 4
+          OR household_demographics.hd_vehicle_count= 3)
+     AND date_dim.d_year IN (1999,
+                             1999+1,
+                             1999+2)
+     AND store.s_city IN ('Fairview',
+                          'Midway')
+   GROUP BY ss_ticket_number,
+            ss_customer_sk,
+            ss_addr_sk,
+            ca_city) dn,
+     customer,
+     customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name NULLS FIRST,
+         ss_ticket_number NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/69.sql (see patch notes above)
+    "dsq69" -> """SELECT cd_gender,
+       cd_marital_status,
+       cd_education_status,
+       count(*) cnt1,
+       cd_purchase_estimate,
+       count(*) cnt2,
+       cd_credit_rating,
+       count(*) cnt3
+FROM customer c,
+     customer_address ca,
+     customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_state IN ('KY',
+                   'GA',
+                   'NM')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS
+    (SELECT *
+     FROM store_sales,
+          date_dim
+     WHERE c.c_customer_sk = ss_customer_sk
+       AND ss_sold_date_sk = d_date_sk
+       AND d_year = 2001
+       AND d_moy BETWEEN 4 AND 4+2)
+  AND (NOT EXISTS
+         (SELECT *
+          FROM web_sales,
+               date_dim
+          WHERE c.c_customer_sk = ws_bill_customer_sk
+            AND ws_sold_date_sk = d_date_sk
+            AND d_year = 2001
+            AND d_moy BETWEEN 4 AND 4+2)
+       AND NOT EXISTS
+         (SELECT *
+          FROM catalog_sales,
+               date_dim
+          WHERE c.c_customer_sk = cs_ship_customer_sk
+            AND cs_sold_date_sk = d_date_sk
+            AND d_year = 2001
+            AND d_moy BETWEEN 4 AND 4+2))
+GROUP BY cd_gender,
+         cd_marital_status,
+         cd_education_status,
+         cd_purchase_estimate,
+         cd_credit_rating
+ORDER BY cd_gender,
+         cd_marital_status,
+         cd_education_status,
+         cd_purchase_estimate,
+         cd_credit_rating
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/70.sql (see patch notes above)
+    "dsq70" -> """SELECT sum(ss_net_profit) AS total_sum,
+       s_state,
+       s_county,
+       CAST(grouping(s_state)+grouping(s_county) AS BIGINT) AS lochierarchy,
+       rank() OVER (PARTITION BY grouping(s_state)+grouping(s_county),
+                                 CASE
+                                     WHEN grouping(s_county) = 0 THEN s_state
+                                 END
+                    ORDER BY sum(ss_net_profit) DESC) AS rank_within_parent
+FROM store_sales,
+     date_dim d1,
+     store
+WHERE d1.d_month_seq BETWEEN 1200 AND 1200+11
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_state IN
+    (SELECT s_state
+     FROM
+       (SELECT s_state AS s_state,
+               rank() OVER (PARTITION BY s_state
+                            ORDER BY sum(ss_net_profit) DESC) AS ranking
+        FROM store_sales,
+             store,
+             date_dim
+        WHERE d_month_seq BETWEEN 1200 AND 1200+11
+          AND d_date_sk = ss_sold_date_sk
+          AND s_store_sk = ss_store_sk
+        GROUP BY s_state) tmp1
+     WHERE ranking <= 5 )
+GROUP BY rollup(s_state,s_county)
+ORDER BY lochierarchy DESC ,
+         CASE
+             WHEN grouping(s_state)+grouping(s_county) = 0 THEN s_state
+         END ,
+         rank_within_parent
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/71.sql (see patch notes above)
+    "dsq71" -> """SELECT i_brand_id brand_id,
+       i_brand brand,
+       t_hour,
+       t_minute,
+       sum(ext_price) ext_price
+FROM item,
+  (SELECT ws_ext_sales_price AS ext_price,
+          ws_sold_date_sk AS sold_date_sk,
+          ws_item_sk AS sold_item_sk,
+          ws_sold_time_sk AS time_sk
+   FROM web_sales,
+        date_dim
+   WHERE d_date_sk = ws_sold_date_sk
+     AND d_moy=11
+     AND d_year=1999
+   UNION ALL SELECT cs_ext_sales_price AS ext_price,
+                    cs_sold_date_sk AS sold_date_sk,
+                    cs_item_sk AS sold_item_sk,
+                    cs_sold_time_sk AS time_sk
+   FROM catalog_sales,
+        date_dim
+   WHERE d_date_sk = cs_sold_date_sk
+     AND d_moy=11
+     AND d_year=1999
+   UNION ALL SELECT ss_ext_sales_price AS ext_price,
+                    ss_sold_date_sk AS sold_date_sk,
+                    ss_item_sk AS sold_item_sk,
+                    ss_sold_time_sk AS time_sk
+   FROM store_sales,
+        date_dim
+   WHERE d_date_sk = ss_sold_date_sk
+     AND d_moy=11
+     AND d_year=1999 ) tmp,
+     time_dim
+WHERE sold_item_sk = i_item_sk
+  AND i_manager_id=1
+  AND time_sk = t_time_sk
+  AND (t_meal_time = 'breakfast'
+       OR t_meal_time = 'dinner')
+GROUP BY i_brand,
+         i_brand_id,
+         t_hour,
+         t_minute
+ORDER BY ext_price DESC NULLS FIRST,
+         i_brand_id NULLS FIRST,
+         t_hour NULLS FIRST""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/72.sql (see patch notes above)
+    "dsq72" -> """SELECT i_item_desc,
+       w_warehouse_name,
+       d1.d_week_seq,
+       CAST(sum(CASE
+               WHEN p_promo_sk IS NULL THEN 1
+               ELSE 0
+           END) AS BIGINT) no_promo,
+       CAST(sum(CASE
+               WHEN p_promo_sk IS NOT NULL THEN 1
+               ELSE 0
+           END) AS BIGINT) promo,
+       count(*) total_cnt
+FROM catalog_sales
+JOIN inventory ON (cs_item_sk = inv_item_sk)
+JOIN warehouse ON (w_warehouse_sk=inv_warehouse_sk)
+JOIN item ON (i_item_sk = cs_item_sk)
+JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+LEFT OUTER JOIN promotion ON (cs_promo_sk=p_promo_sk)
+LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
+                                    AND cr_order_number = cs_order_number)
+WHERE d1.d_week_seq = d2.d_week_seq
+  AND inv_quantity_on_hand < cs_quantity
+  AND d3.d_date > d1.d_date + 5 -- SQL Server: DATEADD(day, 5, d1.d_date)
+  AND hd_buy_potential = '>10000'
+  AND d1.d_year = 1999
+  AND cd_marital_status = 'D'
+GROUP BY i_item_desc,
+         w_warehouse_name,
+         d1.d_week_seq
+ORDER BY total_cnt DESC NULLS FIRST,
+         i_item_desc NULLS FIRST,
+         w_warehouse_name NULLS FIRST,
+         d1.d_week_seq NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/73.sql (see patch notes above)
+    "dsq73" -> """SELECT c_last_name,
+       c_first_name,
+       c_salutation,
+       c_preferred_cust_flag,
+       ss_ticket_number,
+       cnt
+FROM
+  (SELECT ss_ticket_number,
+          ss_customer_sk,
+          count(*) cnt
+   FROM store_sales,
+        date_dim,
+        store,
+        household_demographics
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND date_dim.d_dom BETWEEN 1 AND 2
+     AND (household_demographics.hd_buy_potential = 'Unknown'
+          OR household_demographics.hd_buy_potential = '>10000')
+     AND household_demographics.hd_vehicle_count > 0
+     AND CASE
+             WHEN household_demographics.hd_vehicle_count > 0 THEN (household_demographics.hd_dep_count*1.000)/ household_demographics.hd_vehicle_count
+             ELSE NULL
+         END > 1
+     AND date_dim.d_year IN (1999,
+                             1999+1,
+                             1999+2)
+     AND store.s_county IN ('Orange County',
+                            'Bronx County',
+                            'Franklin Parish',
+                            'Williamson County')
+   GROUP BY ss_ticket_number,
+            ss_customer_sk) dj,
+     customer
+WHERE ss_customer_sk = c_customer_sk
+  AND cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC,
+         c_last_name ASC""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/74.sql (see patch notes above)
     "dsq74" -> """WITH year_total AS
   (SELECT c_customer_id customer_id,
@@ -2649,6 +4522,82 @@ WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
             END
 ORDER BY 1 NULLS FIRST
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/75.sql (see patch notes above)
+    "dsq75" -> """WITH all_sales AS
+  ( SELECT d_year ,
+           i_brand_id ,
+           i_class_id ,
+           i_category_id ,
+           i_manufact_id ,
+           SUM(sales_cnt) AS sales_cnt ,
+           SUM(sales_amt) AS sales_amt
+   FROM
+     (SELECT d_year ,
+             i_brand_id ,
+             i_class_id ,
+             i_category_id ,
+             i_manufact_id ,
+             cs_quantity - COALESCE(cr_return_quantity,0) AS sales_cnt ,
+             cs_ext_sales_price - COALESCE(cr_return_amount,0.0) AS sales_amt
+      FROM catalog_sales
+      JOIN item ON i_item_sk=cs_item_sk
+      JOIN date_dim ON d_date_sk=cs_sold_date_sk
+      LEFT JOIN catalog_returns ON (cs_order_number=cr_order_number
+                                    AND cs_item_sk=cr_item_sk)
+      WHERE i_category='Books'
+      UNION SELECT d_year ,
+                   i_brand_id ,
+                   i_class_id ,
+                   i_category_id ,
+                   i_manufact_id ,
+                   ss_quantity - COALESCE(sr_return_quantity,0) AS sales_cnt ,
+                   ss_ext_sales_price - COALESCE(sr_return_amt,0.0) AS sales_amt
+      FROM store_sales
+      JOIN item ON i_item_sk=ss_item_sk
+      JOIN date_dim ON d_date_sk=ss_sold_date_sk
+      LEFT JOIN store_returns ON (ss_ticket_number=sr_ticket_number
+                                  AND ss_item_sk=sr_item_sk)
+      WHERE i_category='Books'
+      UNION SELECT d_year ,
+                   i_brand_id ,
+                   i_class_id ,
+                   i_category_id ,
+                   i_manufact_id ,
+                   ws_quantity - COALESCE(wr_return_quantity,0) AS sales_cnt ,
+                   ws_ext_sales_price - COALESCE(wr_return_amt,0.0) AS sales_amt
+      FROM web_sales
+      JOIN item ON i_item_sk=ws_item_sk
+      JOIN date_dim ON d_date_sk=ws_sold_date_sk
+      LEFT JOIN web_returns ON (ws_order_number=wr_order_number
+                                AND ws_item_sk=wr_item_sk)
+      WHERE i_category='Books') sales_detail
+   GROUP BY d_year,
+            i_brand_id,
+            i_class_id,
+            i_category_id,
+            i_manufact_id)
+SELECT prev_yr.d_year AS prev_year ,
+       curr_yr.d_year AS year_ ,
+       curr_yr.i_brand_id ,
+       curr_yr.i_class_id ,
+       curr_yr.i_category_id ,
+       curr_yr.i_manufact_id ,
+       CAST(prev_yr.sales_cnt AS BIGINT) AS prev_yr_cnt ,
+       CAST(curr_yr.sales_cnt AS BIGINT) AS curr_yr_cnt ,
+       CAST(curr_yr.sales_cnt-prev_yr.sales_cnt AS BIGINT) AS sales_cnt_diff ,
+       curr_yr.sales_amt-prev_yr.sales_amt AS sales_amt_diff
+FROM all_sales curr_yr,
+     all_sales prev_yr
+WHERE curr_yr.i_brand_id=prev_yr.i_brand_id
+  AND curr_yr.i_class_id=prev_yr.i_class_id
+  AND curr_yr.i_category_id=prev_yr.i_category_id
+  AND curr_yr.i_manufact_id=prev_yr.i_manufact_id
+  AND curr_yr.d_year=2002
+  AND prev_yr.d_year=2002-1
+  AND CAST(curr_yr.sales_cnt AS DECIMAL(17,2))/CAST(prev_yr.sales_cnt AS DECIMAL(17,2))<0.9
+ORDER BY sales_cnt_diff,
+         sales_amt_diff
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/76.sql (see patch notes above)
     "dsq76" -> """SELECT channel,
        col_name,
@@ -2705,6 +4654,361 @@ ORDER BY channel NULLS FIRST,
          d_qoy NULLS FIRST,
          i_category NULLS FIRST
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/77.sql (see patch notes above)
+    "dsq77" -> """WITH ss AS
+  (SELECT s_store_sk,
+          sum(ss_ext_sales_price) AS sales,
+          sum(ss_net_profit) AS profit
+   FROM store_sales,
+        date_dim,
+        store
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+     AND ss_store_sk = s_store_sk
+   GROUP BY s_store_sk) ,
+     sr AS
+  (SELECT s_store_sk,
+          sum(sr_return_amt) AS returns_,
+          sum(sr_net_loss) AS profit_loss
+   FROM store_returns,
+        date_dim,
+        store
+   WHERE sr_returned_date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+     AND sr_store_sk = s_store_sk
+   GROUP BY s_store_sk),
+     cs AS
+  (SELECT cs_call_center_sk,
+          sum(cs_ext_sales_price) AS sales,
+          sum(cs_net_profit) AS profit
+   FROM catalog_sales,
+        date_dim
+   WHERE cs_sold_date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+   GROUP BY cs_call_center_sk),
+     cr AS
+  (SELECT cr_call_center_sk,
+          sum(cr_return_amount) AS returns_,
+          sum(cr_net_loss) AS profit_loss
+   FROM catalog_returns,
+        date_dim
+   WHERE cr_returned_date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+   GROUP BY cr_call_center_sk ),
+     ws AS
+  (SELECT wp_web_page_sk,
+          sum(ws_ext_sales_price) AS sales,
+          sum(ws_net_profit) AS profit
+   FROM web_sales,
+        date_dim,
+        web_page
+   WHERE ws_sold_date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+     AND ws_web_page_sk = wp_web_page_sk
+   GROUP BY wp_web_page_sk),
+     wr AS
+  (SELECT wp_web_page_sk,
+          sum(wr_return_amt) AS returns_,
+          sum(wr_net_loss) AS profit_loss
+   FROM web_returns,
+        date_dim,
+        web_page
+   WHERE wr_returned_date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+     AND wr_web_page_sk = wp_web_page_sk
+   GROUP BY wp_web_page_sk)
+SELECT channel ,
+       id ,
+       sum(sales) AS sales ,
+       sum(returns_) AS returns_ ,
+       sum(profit) AS profit
+FROM
+  (SELECT 'store channel' AS channel ,
+          ss.s_store_sk AS id ,
+          sales ,
+          coalesce(returns_, 0) AS returns_ ,
+          (profit - coalesce(profit_loss,0)) AS profit
+   FROM ss
+   LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+   UNION ALL SELECT 'catalog channel' AS channel ,
+                    cs_call_center_sk AS id ,
+                    sales ,
+                    returns_ ,
+                    (profit - profit_loss) AS profit
+   FROM cs ,
+        cr
+   UNION ALL SELECT 'web channel' AS channel ,
+                    ws.wp_web_page_sk AS id ,
+                    sales ,
+                    coalesce(returns_, 0) returns_ ,
+                    (profit - coalesce(profit_loss,0)) AS profit
+   FROM ws
+   LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk ) x
+GROUP BY ROLLUP (channel,
+                 id)
+ORDER BY channel NULLS FIRST,
+         id NULLS FIRST,
+         returns_ DESC
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/78.sql (see patch notes above)
+    "dsq78" -> """WITH ws AS
+  (SELECT d_year AS ws_sold_year,
+          ws_item_sk,
+          ws_bill_customer_sk ws_customer_sk,
+          sum(ws_quantity) ws_qty,
+          sum(ws_wholesale_cost) ws_wc,
+          sum(ws_sales_price) ws_sp
+   FROM web_sales
+   LEFT JOIN web_returns ON wr_order_number=ws_order_number
+   AND ws_item_sk=wr_item_sk
+   JOIN date_dim ON ws_sold_date_sk = d_date_sk
+   WHERE wr_order_number IS NULL
+   GROUP BY d_year,
+            ws_item_sk,
+            ws_bill_customer_sk ),
+     cs AS
+  (SELECT d_year AS cs_sold_year,
+          cs_item_sk,
+          cs_bill_customer_sk cs_customer_sk,
+          sum(cs_quantity) cs_qty,
+          sum(cs_wholesale_cost) cs_wc,
+          sum(cs_sales_price) cs_sp
+   FROM catalog_sales
+   LEFT JOIN catalog_returns ON cr_order_number=cs_order_number
+   AND cs_item_sk=cr_item_sk
+   JOIN date_dim ON cs_sold_date_sk = d_date_sk
+   WHERE cr_order_number IS NULL
+   GROUP BY d_year,
+            cs_item_sk,
+            cs_bill_customer_sk ),
+     ss AS
+  (SELECT d_year AS ss_sold_year,
+          ss_item_sk,
+          ss_customer_sk,
+          sum(ss_quantity) ss_qty,
+          sum(ss_wholesale_cost) ss_wc,
+          sum(ss_sales_price) ss_sp
+   FROM store_sales
+   LEFT JOIN store_returns ON sr_ticket_number=ss_ticket_number
+   AND ss_item_sk=sr_item_sk
+   JOIN date_dim ON ss_sold_date_sk = d_date_sk
+   WHERE sr_ticket_number IS NULL
+   GROUP BY d_year,
+            ss_item_sk,
+            ss_customer_sk )
+SELECT ss_sold_year,
+       ss_item_sk,
+       ss_customer_sk,
+       CAST(ss_qty AS double)/(coalesce(ws_qty,0)+coalesce(cs_qty,0)) ratio,
+       CAST(ss_qty AS BIGINT) store_qty,
+       ss_wc store_wholesale_cost,
+       ss_sp store_sales_price,
+       CAST(coalesce(ws_qty,0)+coalesce(cs_qty,0) AS BIGINT) other_chan_qty,
+       coalesce(ws_wc,0)+coalesce(cs_wc,0) other_chan_wholesale_cost,
+       coalesce(ws_sp,0)+coalesce(cs_sp,0) other_chan_sales_price
+FROM ss
+LEFT JOIN ws ON (ws_sold_year=ss_sold_year
+                 AND ws_item_sk=ss_item_sk
+                 AND ws_customer_sk=ss_customer_sk)
+LEFT JOIN cs ON (cs_sold_year=ss_sold_year
+                 AND cs_item_sk=ss_item_sk
+                 AND cs_customer_sk=ss_customer_sk)
+WHERE (coalesce(ws_qty,0)>0
+       OR coalesce(cs_qty, 0)>0)
+  AND ss_sold_year=2000
+ORDER BY ss_sold_year,
+         ss_item_sk,
+         ss_customer_sk,
+         ss_qty DESC,
+         ss_wc DESC,
+         ss_sp DESC,
+         other_chan_qty,
+         other_chan_wholesale_cost,
+         other_chan_sales_price,
+         ratio
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/79.sql (see patch notes above)
+    "dsq79" -> """SELECT c_last_name,
+       c_first_name,
+       SUBSTRING(s_city,1,30) s_city_30,
+       ss_ticket_number,
+       amt,
+       profit
+FROM
+  (SELECT ss_ticket_number ,
+          ss_customer_sk ,
+          store.s_city ,
+          sum(ss_coupon_amt) amt ,
+          sum(ss_net_profit) profit
+   FROM store_sales,
+        date_dim,
+        store,
+        household_demographics
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND (household_demographics.hd_dep_count = 6
+          OR household_demographics.hd_vehicle_count > 2)
+     AND date_dim.d_dow = 1
+     AND date_dim.d_year IN (1999,
+                             1999+1,
+                             1999+2)
+     AND store.s_number_employees BETWEEN 200 AND 295
+   GROUP BY ss_ticket_number,
+            ss_customer_sk,
+            ss_addr_sk,
+            store.s_city) ms,
+     customer
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name  NULLS FIRST,
+         c_first_name  NULLS FIRST,
+         SUBSTRING(s_city,1,30)  NULLS FIRST,
+         profit NULLS FIRST,
+         ss_ticket_number
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/80.sql (see patch notes above)
+    "dsq80" -> """WITH ssr AS
+  (SELECT s_store_id AS store_id,
+          sum(ss_ext_sales_price) AS sales,
+          sum(coalesce(sr_return_amt, 0)) AS returns_,
+          sum(ss_net_profit - coalesce(sr_net_loss, 0)) AS profit
+   FROM store_sales
+   LEFT OUTER JOIN store_returns ON (ss_item_sk = sr_item_sk
+                                     AND ss_ticket_number = sr_ticket_number), date_dim,
+                                                                               store,
+                                                                               item,
+                                                                               promotion
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+     AND ss_store_sk = s_store_sk
+     AND ss_item_sk = i_item_sk
+     AND i_current_price > 50
+     AND ss_promo_sk = p_promo_sk
+     AND p_channel_tv = 'N'
+   GROUP BY s_store_id) ,
+     csr AS
+  (SELECT cp_catalog_page_id AS catalog_page_id,
+          sum(cs_ext_sales_price) AS sales,
+          sum(coalesce(cr_return_amount, 0)) AS returns_,
+          sum(cs_net_profit - coalesce(cr_net_loss, 0)) AS profit
+   FROM catalog_sales
+   LEFT OUTER JOIN catalog_returns ON (cs_item_sk = cr_item_sk
+                                       AND cs_order_number = cr_order_number), date_dim,
+                                                                               catalog_page,
+                                                                               item,
+                                                                               promotion
+   WHERE cs_sold_date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+     AND cs_catalog_page_sk = cp_catalog_page_sk
+     AND cs_item_sk = i_item_sk
+     AND i_current_price > 50
+     AND cs_promo_sk = p_promo_sk
+     AND p_channel_tv = 'N'
+   GROUP BY cp_catalog_page_id) ,
+     wsr AS
+  (SELECT web_site_id,
+          sum(ws_ext_sales_price) AS sales,
+          sum(coalesce(wr_return_amt, 0)) AS returns_,
+          sum(ws_net_profit - coalesce(wr_net_loss, 0)) AS profit
+   FROM web_sales
+   LEFT OUTER JOIN web_returns ON (ws_item_sk = wr_item_sk
+                                   AND ws_order_number = wr_order_number), date_dim,
+                                                                           web_site,
+                                                                           item,
+                                                                           promotion
+   WHERE ws_sold_date_sk = d_date_sk
+     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+     AND ws_web_site_sk = web_site_sk
+     AND ws_item_sk = i_item_sk
+     AND i_current_price > 50
+     AND ws_promo_sk = p_promo_sk
+     AND p_channel_tv = 'N'
+   GROUP BY web_site_id)
+SELECT channel ,
+       id ,
+       sum(sales) AS sales ,
+       sum(returns_) AS returns_ ,
+       sum(profit) AS profit
+FROM
+  (SELECT 'store channel' AS channel ,
+          concat('store', store_id) AS id ,
+          sales ,
+          returns_ ,
+          profit
+   FROM ssr
+   UNION ALL SELECT 'catalog channel' AS channel ,
+                    concat('catalog_page', catalog_page_id) AS id ,
+                    sales ,
+                    returns_ ,
+                    profit
+   FROM csr
+   UNION ALL SELECT 'web channel' AS channel ,
+                    concat('web_site', web_site_id) AS id ,
+                    sales ,
+                    returns_ ,
+                    profit
+   FROM wsr ) x
+GROUP BY ROLLUP (channel,
+                 id)
+ORDER BY channel NULLS FIRST,
+         id NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/81.sql (see patch notes above)
+    "dsq81" -> """WITH customer_total_return AS
+  (SELECT cr_returning_customer_sk AS ctr_customer_sk ,
+          ca_state AS ctr_state,
+          sum(cr_return_amt_inc_tax) AS ctr_total_return
+   FROM catalog_returns ,
+        date_dim ,
+        customer_address
+   WHERE cr_returned_date_sk = d_date_sk
+     AND d_year = 2000
+     AND cr_returning_addr_sk = ca_address_sk
+   GROUP BY cr_returning_customer_sk ,
+            ca_state)
+SELECT c_customer_id,
+       c_salutation,
+       c_first_name,
+       c_last_name,
+       ca_street_number,
+       ca_street_name ,
+       ca_street_type,
+       ca_suite_number,
+       ca_city,
+       ca_county,
+       ca_state,
+       ca_zip,
+       ca_country,
+       ca_gmt_offset ,
+       ca_location_type,
+       ctr_total_return
+FROM customer_total_return ctr1 ,
+     customer_address ,
+     customer
+WHERE ctr1.ctr_total_return >
+    (SELECT avg(ctr_total_return)*1.2
+     FROM customer_total_return ctr2
+     WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id,
+         c_salutation,
+         c_first_name,
+         c_last_name,
+         ca_street_number,
+         ca_street_name ,
+         ca_street_type,
+         ca_suite_number,
+         ca_city,
+         ca_county,
+         ca_state,
+         ca_zip,
+         ca_country,
+         ca_gmt_offset ,
+         ca_location_type,
+         ctr_total_return
+LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/82.sql (see patch notes above)
     "dsq82" -> """SELECT i_item_id ,
        i_item_desc ,
@@ -2727,6 +5031,154 @@ GROUP BY i_item_id,
          i_item_desc,
          i_current_price
 ORDER BY i_item_id
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/83.sql (see patch notes above)
+    "dsq83" -> """WITH sr_items AS
+  (SELECT i_item_id item_id,
+          sum(sr_return_quantity) sr_item_qty
+   FROM store_returns,
+        item,
+        date_dim
+   WHERE sr_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date
+        FROM date_dim
+        WHERE d_week_seq IN
+            (SELECT d_week_seq
+             FROM date_dim
+             WHERE d_date IN ('2000-06-30',
+                              '2000-09-27',
+                              '2000-11-17')))
+     AND sr_returned_date_sk = d_date_sk
+   GROUP BY i_item_id),
+     cr_items AS
+  (SELECT i_item_id item_id,
+          sum(cr_return_quantity) cr_item_qty
+   FROM catalog_returns,
+        item,
+        date_dim
+   WHERE cr_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date
+        FROM date_dim
+        WHERE d_week_seq IN
+            (SELECT d_week_seq
+             FROM date_dim
+             WHERE d_date IN ('2000-06-30',
+                              '2000-09-27',
+                              '2000-11-17')))
+     AND cr_returned_date_sk = d_date_sk
+   GROUP BY i_item_id),
+     wr_items AS
+  (SELECT i_item_id item_id,
+          sum(wr_return_quantity) wr_item_qty
+   FROM web_returns,
+        item,
+        date_dim
+   WHERE wr_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date
+        FROM date_dim
+        WHERE d_week_seq IN
+            (SELECT d_week_seq
+             FROM date_dim
+             WHERE d_date IN ('2000-06-30',
+                              '2000-09-27',
+                              '2000-11-17')))
+     AND wr_returned_date_sk = d_date_sk
+   GROUP BY i_item_id)
+SELECT sr_items.item_id ,
+       CAST(sr_item_qty AS BIGINT) sr_item_qty ,
+       CAST(sr_item_qty AS double)/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0000 * 100 sr_dev ,
+       CAST(cr_item_qty AS BIGINT) cr_item_qty ,
+       CAST(cr_item_qty AS double)/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0000 * 100 cr_dev ,
+       CAST(wr_item_qty AS BIGINT) wr_item_qty ,
+       CAST(wr_item_qty AS double)/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0000 * 100 wr_dev ,
+       CAST(sr_item_qty+cr_item_qty+wr_item_qty AS double)/3.0 average
+FROM sr_items ,
+     cr_items ,
+     wr_items
+WHERE sr_items.item_id=cr_items.item_id
+  AND sr_items.item_id=wr_items.item_id
+ORDER BY sr_items.item_id NULLS FIRST,
+         sr_item_qty NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/84.sql (see patch notes above)
+    "dsq84" -> """SELECT c_customer_id AS customer_id ,
+       concat(concat(coalesce(c_last_name, '') , ', '), coalesce(c_first_name, '')) AS customername
+FROM customer ,
+     customer_address ,
+     customer_demographics ,
+     household_demographics ,
+     income_band ,
+     store_returns
+WHERE ca_city = 'Edgewood'
+  AND c_current_addr_sk = ca_address_sk
+  AND ib_lower_bound >= 38128
+  AND ib_upper_bound <= 38128 + 50000
+  AND ib_income_band_sk = hd_income_band_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND sr_cdemo_sk = cd_demo_sk
+ORDER BY c_customer_id NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/85.sql (see patch notes above)
+    "dsq85" -> """SELECT SUBSTRING(r_reason_desc,1,20) r_sub ,
+       avg(ws_quantity) avg1,
+       avg(wr_refunded_cash) avg2,
+       avg(wr_fee) avg3
+FROM web_sales,
+     web_returns,
+     web_page,
+     customer_demographics cd1,
+     customer_demographics cd2,
+     customer_address,
+     date_dim,
+     reason
+WHERE ws_web_page_sk = wp_web_page_sk
+  AND ws_item_sk = wr_item_sk
+  AND ws_order_number = wr_order_number
+  AND ws_sold_date_sk = d_date_sk
+  AND d_year = 2000
+  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+  AND ca_address_sk = wr_refunded_addr_sk
+  AND r_reason_sk = wr_reason_sk
+  AND ( ( cd1.cd_marital_status = 'M'
+         AND cd1.cd_marital_status = cd2.cd_marital_status
+         AND cd1.cd_education_status = 'Advanced Degree'
+         AND cd1.cd_education_status = cd2.cd_education_status
+         AND ws_sales_price BETWEEN 100.00 AND 150.00 )
+       OR ( cd1.cd_marital_status = 'S'
+           AND cd1.cd_marital_status = cd2.cd_marital_status
+           AND cd1.cd_education_status = 'College'
+           AND cd1.cd_education_status = cd2.cd_education_status
+           AND ws_sales_price BETWEEN 50.00 AND 100.00 )
+       OR ( cd1.cd_marital_status = 'W'
+           AND cd1.cd_marital_status = cd2.cd_marital_status
+           AND cd1.cd_education_status = '2 yr Degree'
+           AND cd1.cd_education_status = cd2.cd_education_status
+           AND ws_sales_price BETWEEN 150.00 AND 200.00 ) )
+  AND ( ( ca_country = 'United States'
+         AND ca_state IN ('IN',
+                          'OH',
+                          'NJ')
+         AND ws_net_profit BETWEEN 100 AND 200)
+       OR ( ca_country = 'United States'
+           AND ca_state IN ('WI',
+                            'CT',
+                            'KY')
+           AND ws_net_profit BETWEEN 150 AND 300)
+       OR ( ca_country = 'United States'
+           AND ca_state IN ('LA',
+                            'IA',
+                            'AR')
+           AND ws_net_profit BETWEEN 50 AND 250) )
+GROUP BY r_reason_desc
+ORDER BY SUBSTRING(r_reason_desc,1,20) ,
+         avg(ws_quantity) ,
+         avg(wr_refunded_cash) ,
+         avg(wr_fee)
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/86.sql (see patch notes above)
     "dsq86" -> """SELECT sum(ws_net_paid) AS total_sum ,
@@ -2782,6 +5234,145 @@ FROM ((SELECT DISTINCT c_last_name,
          WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
            AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
            AND d_month_seq BETWEEN 1200 AND 1200+11)) cool_cust """,
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/88.sql (see patch notes above)
+    "dsq88" -> """SELECT *
+FROM
+  (SELECT count(*) h8_30_to_9
+   FROM store_sales,
+        household_demographics,
+        time_dim,
+        store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 8
+     AND time_dim.t_minute >= 30
+     AND ((household_demographics.hd_dep_count = 4
+           AND household_demographics.hd_vehicle_count<=4+2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count<=2+2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count<=0+2))
+     AND store.s_store_name = 'ese') s1,
+  (SELECT count(*) h9_to_9_30
+   FROM store_sales,
+        household_demographics,
+        time_dim,
+        store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 9
+     AND time_dim.t_minute < 30
+     AND ((household_demographics.hd_dep_count = 4
+           AND household_demographics.hd_vehicle_count<=4+2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count<=2+2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count<=0+2))
+     AND store.s_store_name = 'ese') s2,
+  (SELECT count(*) h9_30_to_10
+   FROM store_sales,
+        household_demographics,
+        time_dim,
+        store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 9
+     AND time_dim.t_minute >= 30
+     AND ((household_demographics.hd_dep_count = 4
+           AND household_demographics.hd_vehicle_count<=4+2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count<=2+2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count<=0+2))
+     AND store.s_store_name = 'ese') s3,
+  (SELECT count(*) h10_to_10_30
+   FROM store_sales,
+        household_demographics,
+        time_dim,
+        store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 10
+     AND time_dim.t_minute < 30
+     AND ((household_demographics.hd_dep_count = 4
+           AND household_demographics.hd_vehicle_count<=4+2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count<=2+2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count<=0+2))
+     AND store.s_store_name = 'ese') s4,
+  (SELECT count(*) h10_30_to_11
+   FROM store_sales,
+        household_demographics,
+        time_dim,
+        store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 10
+     AND time_dim.t_minute >= 30
+     AND ((household_demographics.hd_dep_count = 4
+           AND household_demographics.hd_vehicle_count<=4+2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count<=2+2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count<=0+2))
+     AND store.s_store_name = 'ese') s5,
+  (SELECT count(*) h11_to_11_30
+   FROM store_sales,
+        household_demographics,
+        time_dim,
+        store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 11
+     AND time_dim.t_minute < 30
+     AND ((household_demographics.hd_dep_count = 4
+           AND household_demographics.hd_vehicle_count<=4+2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count<=2+2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count<=0+2))
+     AND store.s_store_name = 'ese') s6,
+  (SELECT count(*) h11_30_to_12
+   FROM store_sales,
+        household_demographics,
+        time_dim,
+        store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 11
+     AND time_dim.t_minute >= 30
+     AND ((household_demographics.hd_dep_count = 4
+           AND household_demographics.hd_vehicle_count<=4+2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count<=2+2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count<=0+2))
+     AND store.s_store_name = 'ese') s7,
+  (SELECT count(*) h12_to_12_30
+   FROM store_sales,
+        household_demographics,
+        time_dim,
+        store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 12
+     AND time_dim.t_minute < 30
+     AND ((household_demographics.hd_dep_count = 4
+           AND household_demographics.hd_vehicle_count<=4+2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count<=2+2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count<=0+2))
+     AND store.s_store_name = 'ese') s8 """,
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/89.sql (see patch notes above)
     "dsq89" -> """SELECT * from
   (SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy, sum(ss_sales_price) sum_sales, avg(sum(ss_sales_price)) OVER (PARTITION BY i_category, i_brand, s_store_name, s_company_name) avg_monthly_sales
@@ -2802,6 +5393,64 @@ WHERE CASE
 ORDER BY sum_sales - avg_monthly_sales,
          s_store_name, 1, 2, 3, 5, 6, 7, 8
 LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/90.sql (see patch notes above)
+    "dsq90" -> """SELECT case when pmc=0 then null else cast(amc AS double)/cast(pmc AS double) end am_pm_ratio
+FROM
+  (SELECT count(*) amc
+   FROM web_sales,
+        household_demographics,
+        time_dim,
+        web_page
+   WHERE ws_sold_time_sk = time_dim.t_time_sk
+     AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+     AND ws_web_page_sk = web_page.wp_web_page_sk
+     AND time_dim.t_hour BETWEEN 8 AND 8+1
+     AND household_demographics.hd_dep_count = 6
+     AND web_page.wp_char_count BETWEEN 5000 AND 5200) AT,
+  (SELECT count(*) pmc
+   FROM web_sales,
+        household_demographics,
+        time_dim,
+        web_page
+   WHERE ws_sold_time_sk = time_dim.t_time_sk
+     AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+     AND ws_web_page_sk = web_page.wp_web_page_sk
+     AND time_dim.t_hour BETWEEN 19 AND 19+1
+     AND household_demographics.hd_dep_count = 6
+     AND web_page.wp_char_count BETWEEN 5000 AND 5200) pt
+ORDER BY am_pm_ratio
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/91.sql (see patch notes above)
+    "dsq91" -> """SELECT cc_call_center_id Call_Center,
+       cc_name Call_Center_Name,
+       cc_manager Manager,
+       sum(cr_net_loss) Returns_Loss
+FROM call_center,
+     catalog_returns,
+     date_dim,
+     customer,
+     customer_address,
+     customer_demographics,
+     household_demographics
+WHERE cr_call_center_sk = cc_call_center_sk
+  AND cr_returned_date_sk = d_date_sk
+  AND cr_returning_customer_sk= c_customer_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND ca_address_sk = c_current_addr_sk
+  AND d_year = 1998
+  AND d_moy = 11
+  AND ((cd_marital_status = 'M'
+        AND cd_education_status = 'Unknown') or(cd_marital_status = 'W'
+                                                AND cd_education_status = 'Advanced Degree'))
+  AND hd_buy_potential LIKE 'Unknown%'
+  AND ca_gmt_offset = -7
+GROUP BY cc_call_center_id,
+         cc_name,
+         cc_manager,
+         cd_marital_status,
+         cd_education_status
+ORDER BY sum(cr_net_loss) DESC""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/92.sql (see patch notes above)
     "dsq92" -> """SELECT sum(ws_ext_discount_amt) AS excess_discount_amt
 FROM web_sales,
@@ -2819,6 +5468,98 @@ WHERE i_manufact_id = 350
        AND d_date BETWEEN '2000-01-27' AND cast('2000-04-26' AS date)
        AND d_date_sk = ws_sold_date_sk )
 ORDER BY sum(ws_ext_discount_amt)
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/93.sql (see patch notes above)
+    "dsq93" -> """SELECT ss_customer_sk,
+       sum(act_sales) sumsales
+FROM
+  (SELECT ss_item_sk,
+          ss_ticket_number,
+          ss_customer_sk,
+          CASE
+              WHEN sr_return_quantity IS NOT NULL THEN (ss_quantity-sr_return_quantity)*ss_sales_price
+              ELSE (ss_quantity*ss_sales_price)
+          END act_sales
+   FROM store_sales
+   LEFT OUTER JOIN store_returns ON (sr_item_sk = ss_item_sk
+                                     AND sr_ticket_number = ss_ticket_number) ,reason
+   WHERE sr_reason_sk = r_reason_sk
+     AND r_reason_desc = 'reason 28') t
+GROUP BY ss_customer_sk
+ORDER BY sumsales NULLS FIRST,
+         ss_customer_sk NULLS FIRST
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/94.sql (see patch notes above)
+    "dsq94" -> """SELECT count(DISTINCT ws_order_number) AS order_cnt ,
+       sum(ws_ext_ship_cost) AS total_ship_cost ,
+       sum(ws_net_profit) AS total_net_profit_amt
+FROM web_sales ws1 ,
+     date_dim ,
+     customer_address ,
+     web_site
+WHERE d_date BETWEEN '1999-02-01' AND cast('1999-04-02' AS date)
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'IL'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND EXISTS
+    (SELECT *
+     FROM web_sales ws2
+     WHERE ws1.ws_order_number = ws2.ws_order_number
+       AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND NOT exists
+    (SELECT *
+     FROM web_returns wr1
+     WHERE ws1.ws_order_number = wr1.wr_order_number)
+ORDER BY count(DISTINCT ws_order_number)
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/95.sql (see patch notes above)
+    "dsq95" -> """WITH ws_wh AS
+  (SELECT ws1.ws_order_number,
+          ws1.ws_warehouse_sk wh1,
+          ws2.ws_warehouse_sk wh2
+   FROM web_sales ws1,
+        web_sales ws2
+   WHERE ws1.ws_order_number = ws2.ws_order_number
+     AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+SELECT count(DISTINCT ws_order_number) AS order_cnt ,
+       sum(ws_ext_ship_cost) AS total_ship_cost ,
+       sum(ws_net_profit) AS total_net_profit_amt
+FROM web_sales ws1 ,
+     date_dim ,
+     customer_address ,
+     web_site
+WHERE d_date BETWEEN '1999-02-01' AND cast('1999-04-02' AS date)
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'IL'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND ws1.ws_order_number IN
+    (SELECT ws_order_number
+     FROM ws_wh)
+  AND ws1.ws_order_number IN
+    (SELECT wr_order_number
+     FROM web_returns,
+          ws_wh
+     WHERE wr_order_number = ws_wh.ws_order_number)
+ORDER BY count(DISTINCT ws_order_number)
+LIMIT 100""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/96.sql (see patch notes above)
+    "dsq96" -> """SELECT count(*) AS cnt
+FROM store_sales ,
+     household_demographics,
+     time_dim,
+     store
+WHERE ss_sold_time_sk = time_dim.t_time_sk
+  AND ss_hdemo_sk = household_demographics.hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND time_dim.t_hour = 20
+  AND time_dim.t_minute >= 30
+  AND household_demographics.hd_dep_count = 7
+  AND store.s_store_name = 'ese'
+ORDER BY count(*)
 LIMIT 100""",
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/97.sql (see patch notes above)
     "dsq97" -> """WITH ssci AS
@@ -2882,6 +5623,51 @@ ORDER BY i_category  NULLS FIRST,
          i_item_id  NULLS FIRST,
          i_item_desc  NULLS FIRST,
          revenueratio NULLS FIRST""",
+    // verbatim from /root/reference/extension/tpcds/dsdgen/queries/99.sql (see patch notes above)
+    "dsq99" -> """SELECT w_substr ,
+       sm_type ,
+       LOWER(cc_name) cc_name_lower ,
+       CAST(sum(CASE
+               WHEN (cs_ship_date_sk - cs_sold_date_sk <= 30) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d30,
+       CAST(sum(CASE
+               WHEN (cs_ship_date_sk - cs_sold_date_sk > 30)
+                    AND (cs_ship_date_sk - cs_sold_date_sk <= 60) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d31_60,
+       CAST(sum(CASE
+               WHEN (cs_ship_date_sk - cs_sold_date_sk > 60)
+                    AND (cs_ship_date_sk - cs_sold_date_sk <= 90) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d61_90,
+       CAST(sum(CASE
+               WHEN (cs_ship_date_sk - cs_sold_date_sk > 90)
+                    AND (cs_ship_date_sk - cs_sold_date_sk <= 120) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d91_120,
+       CAST(sum(CASE
+               WHEN (cs_ship_date_sk - cs_sold_date_sk > 120) THEN 1
+               ELSE 0
+           END) AS BIGINT) AS d120_plus
+FROM catalog_sales ,
+  (SELECT SUBSTRING(w_warehouse_name,1,20) w_substr, *
+   FROM warehouse) AS sq1 ,
+     ship_mode ,
+     call_center ,
+     date_dim
+WHERE d_month_seq BETWEEN 1200 AND 1200 + 11
+  AND cs_ship_date_sk = d_date_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_ship_mode_sk = sm_ship_mode_sk
+  AND cs_call_center_sk = cc_call_center_sk
+GROUP BY w_substr ,
+         sm_type ,
+         cc_name
+ORDER BY w_substr  NULLS FIRST,
+         sm_type  NULLS FIRST,
+        cc_name_lower NULLS FIRST
+LIMIT 100""",
   )
 
   val queries: Map[String, Q.Fn] = texts.map { case (name, sql) =>

@@ -50,7 +50,15 @@ class TpcdsVerbatimSpec extends AnyFunSuite {
 
   test("the sparse-selectivity verbatim queries stay non-empty") {
     for (name <- Seq("dsq01", "dsq03", "dsq08", "dsq21", "dsq24", "dsq37", "dsq39", "dsq44",
-      "dsq50", "dsq53", "dsq55", "dsq56", "dsq58", "dsq63", "dsq65", "dsq76", "dsq82", "dsq89")) {
+      "dsq34", "dsq46", "dsq50", "dsq53", "dsq55", "dsq56", "dsq58", "dsq63",
+      "dsq65", "dsq73", "dsq76", "dsq82", "dsq88", "dsq89", "dsq96",
+      // round-10b: the returns-schema wave's thin-selectivity towers,
+      // including the planted ones (q85 cdemo/addr 1 plant, q91
+      // customer-1 plant, q84 Edgewood, q64 color+price band)
+      "dsq05", "dsq16", "dsq17", "dsq18", "dsq30", "dsq35", "dsq40",
+      "dsq49", "dsq57", "dsq61", "dsq64", "dsq72", "dsq75", "dsq81",
+      "dsq83", "dsq84", "dsq85", "dsq90", "dsq91", "dsq93", "dsq94",
+      "dsq95")) {
       val n = queries.TpcdsVerbatim.queries(name)(spark, sf).count()
       assert(n > 0, s"$name returned no rows")
     }
@@ -59,6 +67,6 @@ class TpcdsVerbatimSpec extends AnyFunSuite {
   test("every verbatim query has an oracle and every oracle a query") {
     assert(queries.TpcdsVerbatim.queries.keySet ==
       queries.TpcdsVerbatim.oracle.keySet)
-    assert(queries.TpcdsVerbatim.queries.size == 51)
+    assert(queries.TpcdsVerbatim.queries.size == 99)
   }
 }

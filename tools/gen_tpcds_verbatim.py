@@ -20,7 +20,10 @@ TABLES = {
     3: ["date_dim", "store_sales", "item"],
     4: ["customer", "store_sales", "catalog_sales", "web_sales", "date_dim"],
     6: ["customer_address", "customer", "store_sales", "date_dim", "item"],
+    7: ["store_sales", "customer_demographics", "date_dim", "item", "promotion"],
     8: ["store_sales", "date_dim", "store", "customer_address", "customer"],
+    10: ["customer", "customer_address", "customer_demographics", "store_sales", "web_sales", "catalog_sales", "date_dim"],
+    13: ["store_sales", "store", "customer_demographics", "household_demographics", "customer_address", "date_dim"],
     11: ["customer", "store_sales", "web_sales", "date_dim"],
     12: ["web_sales", "item", "date_dim"],
     14: ["item", "store_sales", "catalog_sales", "web_sales", "date_dim"],
@@ -32,10 +35,13 @@ TABLES = {
     23: ["store_sales", "catalog_sales", "web_sales", "customer", "date_dim", "item"],
     24: ["store_sales", "store_returns", "store", "item", "customer", "customer_address"],
     25: ["store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item"],
+    26: ["catalog_sales", "customer_demographics", "date_dim", "item", "promotion"],
+    27: ["store_sales", "customer_demographics", "date_dim", "store", "item"],
     28: ["store_sales"],
     29: ["store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item"],
     32: ["catalog_sales", "item", "date_dim"],
     33: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"],
+    34: ["store_sales", "date_dim", "store", "household_demographics", "customer"],
     36: ["store_sales", "date_dim", "item", "store"],
     37: ["item", "inventory", "date_dim", "catalog_sales"],
     38: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer"],
@@ -45,7 +51,9 @@ TABLES = {
     43: ["date_dim", "store_sales", "store"],
     44: ["store_sales", "item"],
     45: ["web_sales", "customer", "customer_address", "date_dim", "item"],
+    46: ["store_sales", "date_dim", "store", "household_demographics", "customer_address", "customer"],
     47: ["item", "store_sales", "date_dim", "store"],
+    48: ["store_sales", "store", "customer_demographics", "customer_address", "date_dim"],
     50: ["store_sales", "store_returns", "store", "date_dim"],
     52: ["date_dim", "store_sales", "item"],
     53: ["item", "store_sales", "date_dim", "store"],
@@ -57,14 +65,54 @@ TABLES = {
     60: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item"],
     63: ["item", "store_sales", "date_dim", "store"],
     65: ["store", "item", "store_sales", "date_dim"],
+    68: ["store_sales", "date_dim", "store", "household_demographics", "customer_address", "customer"],
+    69: ["customer", "customer_address", "customer_demographics", "store_sales", "web_sales", "catalog_sales", "date_dim"],
+    73: ["store_sales", "date_dim", "store", "household_demographics", "customer"],
     74: ["customer", "store_sales", "web_sales", "date_dim"],
     76: ["store_sales", "web_sales", "catalog_sales", "item", "date_dim"],
+    79: ["store_sales", "date_dim", "store", "household_demographics", "customer"],
     82: ["item", "inventory", "date_dim", "store_sales"],
     89: ["item", "store_sales", "date_dim", "store"],
     86: ["web_sales", "date_dim", "item"],
     87: ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer"],
+    88: ["store_sales", "household_demographics", "time_dim", "store"],
     92: ["web_sales", "item", "date_dim"],
+    96: ["store_sales", "household_demographics", "time_dim", "store"],
     97: ["store_sales", "catalog_sales", "date_dim"],
+    5: ["store_sales", "store_returns", "catalog_sales", "catalog_returns", "web_sales", "web_returns", "date_dim", "store", "catalog_page", "web_site"],
+    9: ["store_sales", "reason"],
+    16: ["catalog_sales", "date_dim", "customer_address", "call_center", "catalog_returns"],
+    17: ["store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item"],
+    18: ["catalog_sales", "customer_demographics", "customer", "customer_address", "date_dim", "item"],
+    30: ["web_returns", "date_dim", "customer_address", "customer"],
+    31: ["store_sales", "date_dim", "customer_address", "web_sales"],
+    35: ["customer", "customer_address", "customer_demographics", "store_sales", "web_sales", "catalog_sales", "date_dim"],
+    40: ["catalog_sales", "catalog_returns", "warehouse", "item", "date_dim"],
+    49: ["web_sales", "web_returns", "catalog_sales", "catalog_returns", "store_sales", "store_returns", "date_dim"],
+    51: ["web_sales", "store_sales", "date_dim"],
+    57: ["item", "catalog_sales", "date_dim", "call_center"],
+    61: ["store_sales", "store", "promotion", "date_dim", "customer", "customer_address", "item"],
+    62: ["web_sales", "warehouse", "ship_mode", "web_site", "date_dim"],
+    64: ["catalog_sales", "catalog_returns", "store_sales", "store_returns", "date_dim", "store", "customer", "customer_demographics", "promotion", "household_demographics", "customer_address", "income_band", "item"],
+    66: ["web_sales", "catalog_sales", "warehouse", "date_dim", "time_dim", "ship_mode"],
+    67: ["store_sales", "date_dim", "store", "item"],
+    70: ["store_sales", "date_dim", "store"],
+    71: ["item", "web_sales", "catalog_sales", "store_sales", "date_dim", "time_dim"],
+    72: ["catalog_sales", "inventory", "warehouse", "item", "customer_demographics", "household_demographics", "date_dim", "promotion", "catalog_returns"],
+    75: ["catalog_sales", "catalog_returns", "store_sales", "store_returns", "web_sales", "web_returns", "item", "date_dim"],
+    77: ["store_sales", "store_returns", "catalog_sales", "catalog_returns", "web_sales", "web_returns", "date_dim", "store", "web_page"],
+    78: ["web_sales", "web_returns", "catalog_sales", "catalog_returns", "store_sales", "store_returns", "date_dim"],
+    80: ["store_sales", "store_returns", "catalog_sales", "catalog_returns", "web_sales", "web_returns", "date_dim", "store", "catalog_page", "web_site", "item", "promotion"],
+    81: ["catalog_returns", "date_dim", "customer_address", "customer"],
+    83: ["store_returns", "catalog_returns", "web_returns", "item", "date_dim"],
+    84: ["customer", "customer_address", "customer_demographics", "household_demographics", "income_band", "store_returns"],
+    85: ["web_sales", "web_returns", "web_page", "customer_demographics", "customer_address", "date_dim", "reason"],
+    90: ["web_sales", "household_demographics", "time_dim", "web_page"],
+    91: ["call_center", "catalog_returns", "date_dim", "customer", "customer_address", "customer_demographics", "household_demographics"],
+    93: ["store_sales", "store_returns", "reason"],
+    94: ["web_sales", "date_dim", "customer_address", "web_site", "web_returns"],
+    95: ["web_sales", "date_dim", "customer_address", "web_site", "web_returns"],
+    99: ["catalog_sales", "warehouse", "ship_mode", "call_center", "date_dim"],
     98: ["date_dim", "store_sales", "item"],
 }
 
@@ -77,6 +125,99 @@ def patch(n, sql):
         # differently; alias r7 to match r1..r6
         sql = sql.replace("round(sat_sales1/sat_sales2, 2)\nFROM",
                           "round(sat_sales1/sat_sales2, 2) r7\nFROM")
+    if n == 13:
+        sql = sql.replace("       sum(ss_ext_wholesale_cost)\n",
+                          "       sum(ss_ext_wholesale_cost) AS total_wholesale\n")
+    if n == 48:
+        sql = sql.replace("SELECT SUM (ss_quantity)\n",
+                          "SELECT CAST(SUM (ss_quantity) AS BIGINT) AS total_quantity\n")
+    if n == 96:
+        sql = sql.replace("SELECT count(*)\n", "SELECT count(*) AS cnt\n", 1)
+    if n == 79:
+        # unnamed SUBSTRING output column: engines auto-name it
+        # differently, and DuckDB's name re-parses as an expression
+        sql = sql.replace("       SUBSTRING(s_city,1,30),\n",
+                          "       SUBSTRING(s_city,1,30) s_city_30,\n")
+    # --- cross-engine decimal typing patch class (probed 2026-08-15):
+    # DuckDB 1.0 evaluates DECIMAL/DECIMAL division and avg(DECIMAL) as
+    # DOUBLE, Spark as DECIMAL(38,x)/DECIMAL(p+4,s+4) — same inputs, a
+    # different type AND a differently-rounded value. Rewriting the casts
+    # to DOUBLE makes both engines run the identical IEEE computation
+    # (the operands are exact integer-valued sums, so no precision is
+    # lost). Integer-sum outputs additionally get CAST AS BIGINT like
+    # q14/q29/q97 (DuckDB widens to HUGEINT, convention 1).
+    if n == 16 or n == 94:
+        sql = sql.replace('AS "order count"', "AS order_cnt")
+        sql = sql.replace('AS "total shipping cost"', "AS total_ship_cost")
+        sql = sql.replace('AS "total net profit"', "AS total_net_profit_amt")
+    if n == 95:
+        sql = sql.replace('AS "order count"', "AS order_cnt")
+        sql = sql.replace('AS "total shipping cost"', "AS total_ship_cost")
+        sql = sql.replace('AS "total net profit"', "AS total_net_profit_amt")
+    if n == 18:
+        sql = sql.replace("AS decimal(12, 2)))", "AS double))")
+    if n == 35:
+        sql = sql.replace("       min(cd_dep_college_count),\n",
+                          "       min(cd_dep_college_count) min3,\n")
+        sql = sql.replace("       max(cd_dep_college_count),\n",
+                          "       max(cd_dep_college_count) max3,\n")
+        sql = sql.replace("       avg(cd_dep_college_count)\nFROM",
+                          "       avg(cd_dep_college_count) avg3\nFROM")
+    if n == 49 or n == 90:
+        sql = sql.replace("AS decimal(15,4))", "AS double)")
+    if n == 61:
+        sql = sql.replace(
+            "cast(promotions AS decimal(15,4))/cast(total AS decimal(15,4))*100\nFROM",
+            "cast(promotions AS double)/cast(total AS double)*100 promo_pct\nFROM")
+    if n == 62 or n == 99:
+        for quoted, plain in [("30 days", "d30"), ("31-60 days", "d31_60"),
+                              ("61-90 days", "d61_90"), ("91-120 days", "d91_120"),
+                              (">120 days", "d120_plus")]:
+            sql = sql.replace(f'AS "{quoted}"', f"AS {plain}")
+        for alias in ["d30", "d31_60", "d61_90", "d91_120", "d120_plus"]:
+            sql = re.sub(r"sum\(CASE((?:(?!sum\().)*?)END\) AS " + alias,
+                         r"CAST(sum(CASE\1END) AS BIGINT) AS " + alias,
+                         sql, flags=re.S)
+    if n == 70:
+        sql = sql.replace(
+            "grouping(s_state)+grouping(s_county) AS lochierarchy",
+            "CAST(grouping(s_state)+grouping(s_county) AS BIGINT) AS lochierarchy")
+    if n == 72:
+        for alias in ["no_promo", "promo"]:
+            sql = re.sub(r"sum\(CASE((?:(?!sum\().)*?)END\) " + alias,
+                         r"CAST(sum(CASE\1END) AS BIGINT) " + alias,
+                         sql, flags=re.S)
+    if n == 75:
+        sql = sql.replace("       prev_yr.sales_cnt AS prev_yr_cnt ,",
+                          "       CAST(prev_yr.sales_cnt AS BIGINT) AS prev_yr_cnt ,")
+        sql = sql.replace("       curr_yr.sales_cnt AS curr_yr_cnt ,",
+                          "       CAST(curr_yr.sales_cnt AS BIGINT) AS curr_yr_cnt ,")
+        sql = sql.replace("       curr_yr.sales_cnt-prev_yr.sales_cnt AS sales_cnt_diff ,",
+                          "       CAST(curr_yr.sales_cnt-prev_yr.sales_cnt AS BIGINT) AS sales_cnt_diff ,")
+    if n == 78:
+        # round(double, 2) additionally diverges at .005 boundaries the
+        # fixture CAN hit (51/40 = 1.275: Spark rounds the shortest
+        # decimal rendering -> 1.28, DuckDB the binary value -> 1.27), so
+        # the ratio is emitted unrounded — both engines then produce the
+        # identical IEEE quotient
+        sql = sql.replace("round((ss_qty*1.00)/(coalesce(ws_qty,0)+coalesce(cs_qty,0)),2) ratio",
+                          "CAST(ss_qty AS double)/(coalesce(ws_qty,0)+coalesce(cs_qty,0)) ratio")
+        sql = sql.replace("       ss_qty store_qty,",
+                          "       CAST(ss_qty AS BIGINT) store_qty,")
+        sql = sql.replace("       coalesce(ws_qty,0)+coalesce(cs_qty,0) other_chan_qty,",
+                          "       CAST(coalesce(ws_qty,0)+coalesce(cs_qty,0) AS BIGINT) other_chan_qty,")
+    if n == 83:
+        for ch in ["sr", "cr", "wr"]:
+            sql = sql.replace(f"({ch}_item_qty*1.0000)", f"CAST({ch}_item_qty AS double)")
+            sql = sql.replace(f"       {ch}_item_qty ,",
+                              f"       CAST({ch}_item_qty AS BIGINT) {ch}_item_qty ,")
+        sql = sql.replace("(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 average",
+                          "CAST(sr_item_qty+cr_item_qty+wr_item_qty AS double)/3.0 average")
+    if n == 85:
+        sql = sql.replace("SELECT SUBSTRING(r_reason_desc,1,20) ,",
+                          "SELECT SUBSTRING(r_reason_desc,1,20) r_sub ,")
+        sql = sql.replace("       avg(wr_fee)\nFROM",
+                          "       avg(wr_fee) avg3\nFROM")
     if n == 14:
         # sum over an integer count widens to HUGEINT in DuckDB
         # (Q.scala convention 1)
@@ -160,9 +301,16 @@ import graft.sources.TpcdsFixture
   *    compares sorted column names,
   *  - `AS "quoted identifier"` -> plain alias (q32/q92; Spark has no
   *    double-quoted identifiers),
-  *  - CAST(... AS BIGINT) on integer-typed sums (q14 sum of counts, q97
-  *    CASE sums) — DuckDB widens integer sum() to HUGEINT and the
-  *    driver's hash is type-sensitive (Q.scala convention 1).
+  *  - CAST(... AS BIGINT) on integer-typed sums (q14 sum of counts, q97/
+  *    q62/q72/q99 CASE sums, q75/q78/q83 qty outputs) — DuckDB widens
+  *    integer sum() to HUGEINT and the driver's hash is type-sensitive
+  *    (Q.scala convention 1),
+  *  - DECIMAL casts inside output divisions/averages -> DOUBLE casts
+  *    (q18/q49/q61/q78/q83/q90) — DuckDB 1.0 evaluates DECIMAL/DECIMAL
+  *    and avg(DECIMAL) as DOUBLE while Spark keeps DECIMAL, so the two
+  *    engines would round the same exact operands differently; as
+  *    DOUBLE both run the identical IEEE computation on exact
+  *    integer-valued sums.
   * Everything else — including NULLS FIRST orderings, INTERSECT/EXCEPT,
   * ROLLUP, correlated subqueries, and the q23/q14/q4 CTE towers — runs
   * through both engines untouched. Money columns in the fixture are
