@@ -45,13 +45,19 @@ object IvfAnn {
   }
 
   /** Train the coarse quantizer and materialize the inverted lists.
-    * Seeds = the k vectors with the smallest ids (deterministic), then
-    * `iters` Lloyd refinements. Collected state is k×dim floats — tiny.
+    * Seeds = a deterministic hash-spread sample: rows ranked by
+    * xxhash64(id) and the top k taken — the FAISS-default random sample
+    * made reproducible. (An earlier draft seeded from the k SMALLEST ids;
+    * when ids correlate with content — typical for ingest order — the
+    * seeds clump in one region and Lloyd converges to lopsided lists.)
+    * Then `iters` Lloyd refinements. Collected state is k×dim floats —
+    * tiny; the ranking is a TakeOrdered of k rows, not a full sort.
     */
   def build(vecs: DataFrame, idCol: String, vecCol: String,
             k: Int = 16, iters: Int = 2): Index = {
     require(k > 0 && iters >= 0)
-    var cents: Seq[(Int, Seq[Float])] = vecs.orderBy(col(idCol)).limit(k)
+    var cents: Seq[(Int, Seq[Float])] = vecs
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0) }.toSeq
     for (_ <- 0 until iters) {
