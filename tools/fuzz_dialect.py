@@ -32,6 +32,14 @@ encodes the divergence surface):
     (DISTINCT sums, bool_and/or, HAVING, NULL/dup keys, mixed-case
     string min/max), seed 20260816 -> 0 NEW divergences, 16
     suppressed known-class.
+  - r10b window+join round: 250 queries — 150 window functions
+    (ranking/offset/frame aggregates incl. cume_dist, percent_rank,
+    ntile, nth_value over ROWS/RANGE frames, NULL keys and values) +
+    100 inner/left/right/full/semi/anti joins with non-equi arms,
+    seed 20260817 -> 0 semantic divergences; the single mismatch
+    class is SPELLING (Spark `LEFT SEMI/ANTI JOIN` vs DuckDB
+    `SEMI/ANTI JOIN`), which the join gates already handle with
+    dual texts.
 
 Dev tool only — NOT part of the Spark library.
 """
