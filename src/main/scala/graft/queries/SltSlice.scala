@@ -2337,7 +2337,24 @@ object SltSlice {
     // as the string 'null', DuckDB propagates SQL NULL.)
     "slt_str_printf" ->
       """SELECT printf('%d-%s', 7, 'x') AS basic,
-        | printf('%d%%', 50) AS pct_escape""".stripMargin
+        | printf('%d%%', 50) AS pct_escape""".stripMargin,
+
+    // test/sql/subquery/any_all/test_simple_not_in.test: NOT IN over a
+    // subquery CONTAINING a NULL is three-valued — no row can prove
+    // non-membership, so the result is EMPTY (the literal-list analog is
+    // slt_in_list_null); without the NULL the anti-join semantics return
+    // the non-members, and a NULL probe row never qualifies
+    "slt_not_in_null_subquery" ->
+      """WITH t(g) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT CAST(NULL AS INT)),
+        |     u(g) AS (SELECT 2 UNION ALL SELECT CAST(NULL AS INT)),
+        |     w(g) AS (SELECT 2 UNION ALL SELECT 3)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t
+        |   WHERE t.g NOT IN (SELECT g FROM u)) AS n_with_null,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t
+        |   WHERE t.g NOT IN (SELECT g FROM w)) AS n_without_null,
+        |  (SELECT min(t.g) FROM t
+        |   WHERE t.g IN (SELECT g FROM u)) AS in_member""".stripMargin
   )
 
   val queries: Map[String, Q.Fn] =

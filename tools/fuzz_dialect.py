@@ -40,6 +40,12 @@ encodes the divergence surface):
     class is SPELLING (Spark `LEFT SEMI/ANTI JOIN` vs DuckDB
     `SEMI/ANTI JOIN`), which the join gates already handle with
     dual texts.
+  - r10b setop/subquery round: 200 queries — UNION/INTERSECT/EXCEPT
+    [ALL] with NULL rows and swapped column order, correlated
+    EXISTS/IN/scalar subqueries, LIMIT/OFFSET sweeps, seed
+    20260818 -> 0 divergences. Targeted probe of NOT IN over a
+    NULL-containing subquery also agrees (both empty) — promoted to
+    the slt_not_in_null_subquery pin.
 
 Dev tool only — NOT part of the Spark library.
 """
