@@ -2339,6 +2339,27 @@ object SltSlice {
       """SELECT printf('%d-%s', 7, 'x') AS basic,
         | printf('%d%%', 50) AS pct_escape""".stripMargin,
 
+    // test/sql/cast/boolean_autocast.test: string<->boolean<->int casts.
+    // Pinned surface: 't'/'f'/'true'/'FALSE'/'1'/'0' strings, int 0 =
+    // false / nonzero = true, boolean -> 0/1. NOT pinned (probed
+    // divergent): Spark's try_cast also accepts 'yes'/'no' and trims
+    // whitespace (' true '), DuckDB returns NULL for all three.
+    "slt_bool_cast" ->
+      """SELECT CAST('t' AS BOOLEAN) AS s_t, CAST('f' AS BOOLEAN) AS s_f,
+        | CAST('true' AS BOOLEAN) AS s_true, CAST('FALSE' AS BOOLEAN) AS s_false,
+        | CAST('1' AS BOOLEAN) AS s_one, CAST('0' AS BOOLEAN) AS s_zero,
+        | try_cast('T' AS BOOLEAN) AS s_big_t, try_cast('2' AS BOOLEAN) AS s_two,
+        | CAST(true AS INT) AS b_to_1, CAST(false AS INT) AS b_to_0,
+        | CAST(1 AS BOOLEAN) AS i_one, CAST(0 AS BOOLEAN) AS i_zero,
+        | CAST(-3 AS BOOLEAN) AS i_neg""".stripMargin,
+
+    // scalar IS [NOT] DISTINCT FROM is NULL-safe two-valued logic
+    "slt_is_distinct_scalar" ->
+      """SELECT 1 IS DISTINCT FROM 2 AS d12,
+        | 1 IS DISTINCT FROM CAST(NULL AS INT) AS d1n,
+        | CAST(NULL AS INT) IS NOT DISTINCT FROM CAST(NULL AS INT) AS ndnn,
+        | 'a' IS NOT DISTINCT FROM 'a' AS ndaa""".stripMargin,
+
     // test/sql/subquery/any_all/test_simple_not_in.test: NOT IN over a
     // subquery CONTAINING a NULL is three-valued — no row can prove
     // non-membership, so the result is EMPTY (the literal-list analog is
