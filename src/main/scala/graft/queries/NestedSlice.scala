@@ -483,7 +483,18 @@ object NestedSlice {
       """SELECT CAST(sort_array(collect_list(v)) AS STRING) AS vs
         |FROM (SELECT 2 AS v UNION ALL SELECT 1 UNION ALL SELECT 2) t""".stripMargin,
       """SELECT CAST(list_sort(list(v)) AS VARCHAR) AS vs
-        |FROM (SELECT 2 AS v UNION ALL SELECT 1 UNION ALL SELECT 2) t""".stripMargin)
+        |FROM (SELECT 2 AS v UNION ALL SELECT 1 UNION ALL SELECT 2) t""".stripMargin),
+
+    // function/blob base64 roundtrip (Spark base64/unbase64 vs DuckDB
+    // to_base64/from_base64 — same RFC 4648 output incl. padding and
+    // the empty blob)
+    ("slt_blob_base64",
+      """SELECT base64(CAST('hello graft' AS BINARY)) AS enc,
+        |       CAST(unbase64('aGVsbG8=') AS STRING) AS dec,
+        |       base64(CAST('' AS BINARY)) AS enc_empty""".stripMargin,
+      """SELECT to_base64(CAST('hello graft' AS BLOB)) AS enc,
+        |       CAST(from_base64('aGVsbG8=') AS VARCHAR) AS dec,
+        |       to_base64(CAST('' AS BLOB)) AS enc_empty""".stripMargin)
   )
 
   val queries: Map[String, Q.Fn] =
