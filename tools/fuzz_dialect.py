@@ -46,6 +46,9 @@ encodes the divergence surface):
     20260818 -> 0 divergences. Targeted probe of NOT IN over a
     NULL-containing subquery also agrees (both empty) — promoted to
     the slt_not_in_null_subquery pin.
+  - r10b closing sweep: 600 mixed expressions, seed 20260819 -> 0 NEW
+    divergences, 29 suppressed known-class. Four rounds, 1,950
+    generated queries total, zero findings outside documented classes.
 
 Dev tool only — NOT part of the Spark library.
 """
