@@ -67,6 +67,13 @@ final case class SessionCountExec(
       case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType => true
       case _ => false
     }
+    // ts admits IntegerType in the rule's `longish` — physical rows store
+    // it as a 4-byte slot, so getLong would read garbage (or throw on
+    // non-Unsafe rows); widen explicitly
+    val tInt = ts.dataType match {
+      case org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
     val gap = gapMicros
     child.execute().mapPartitions { rows =>
       val evalRow = new SpecificInternalRow(out.map(_.dataType))
@@ -98,7 +105,7 @@ final case class SessionCountExec(
             val pn = r.isNullAt(pOrd)
             val p = if (pn) 0L else if (pInt) r.getInt(pOrd).toLong else r.getLong(pOrd)
             val tn = r.isNullAt(tOrd)
-            val t = if (tn) 0L else r.getLong(tOrd)
+            val t = if (tn) 0L else if (tInt) r.getInt(tOrd).toLong else r.getLong(tOrd)
             if (!haveRun) openRun(p, pn, t, tn)
             else if (pn != curPNull || (!pn && p != curP)) {
               parkP = p; parkPN = pn; parkT = t; parkTN = tn; havePark = true

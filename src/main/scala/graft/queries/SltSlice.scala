@@ -1320,7 +1320,8 @@ object SltSlice {
 
     // test/sql/window/test_window_frame.test: a frame that ends before
     // it starts is EMPTY — aggregates yield NULL/0, not the current row
-    "slt_win_empty_frame" ->
+    // (zero-row FOLLOWING frame arm is slt_win_empty_frame)
+    "slt_win_frame_before_start" ->
       """WITH t(id, v) AS (SELECT 1, 10 UNION ALL SELECT 2, 20
         |  UNION ALL SELECT 3, 30)
         |SELECT id,
@@ -1517,8 +1518,9 @@ object SltSlice {
       """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2)
         |SELECT v, (SELECT max(v) FROM t t2 WHERE t2.v > t.v) AS nxt FROM t ORDER BY v""".stripMargin,
 
-    // ORDER BY ordinal positions
-    "slt_order_by_ordinal" ->
+    // ORDER BY ordinal positions, DESC leading (asc-leading arm is
+    // slt_order_by_ordinal)
+    "slt_order_by_ordinal_rev" ->
       """WITH t(a, b) AS (SELECT 'x', 3 UNION ALL SELECT 'y', 1 UNION ALL SELECT 'z', 2)
         |SELECT a, b FROM t ORDER BY 2 DESC, 1""".stripMargin,
 
@@ -1551,8 +1553,10 @@ object SltSlice {
       """SELECT greatest(1, 5, 3) AS g, least(1, 5, 3) AS l,
         | greatest(1, NULL, 3) AS gn, least(NULL, CAST(NULL AS INT)) AS ln""".stripMargin,
 
-    // HAVING without GROUP BY aggregates the whole input as one group
-    "slt_having_no_groupby" ->
+    // HAVING without GROUP BY aggregates the whole input as one group —
+    // predicate on a DIFFERENT aggregate than the output (companion of
+    // slt_having_no_groupby)
+    "slt_having_global_count" ->
       """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3)
         |SELECT CAST(sum(v) AS BIGINT) AS s FROM t HAVING count(*) > 2""".stripMargin,
 
@@ -1561,8 +1565,9 @@ object SltSlice {
       """WITH t(v) AS (SELECT 1 UNION ALL SELECT 2)
         |SELECT v FROM t ORDER BY v LIMIT 0""".stripMargin,
 
-    // split_part: out-of-range index → '', absent delimiter → whole string
-    "slt_split_part_edges" ->
+    // split_part: absent delimiter → whole string (empty-source and
+    // past-end arms are slt_split_part_edges)
+    "slt_split_part_whole" ->
       """SELECT split_part('a,b,c', ',', 2) AS p2, split_part('a,b,c', ',', 5) AS p5,
         | split_part('abc', ',', 1) AS whole""".stripMargin,
 
@@ -2143,8 +2148,9 @@ object SltSlice {
         | least(3, NULL, 1) AS null_skipped""".stripMargin,
 
     // ------------------------------------------- r10: misc semantics
-    // IN with a NULL member: hit → true, miss → NULL (not false)
-    "slt_in_list_null" ->
+    // IN with a NULL member, scalar context: hit → true, miss → NULL
+    // (not false); table-filter counterpart is slt_in_list_null
+    "slt_in_scalar_null" ->
       """SELECT 1 IN (1, NULL) AS hit_true,
         | 1 IN (2, NULL) AS miss_null,
         | NULL IN (1, 2) AS null_lhs,
@@ -2177,8 +2183,9 @@ object SltSlice {
         | weekofyear(DATE '2001-01-01') AS woy""".stripMargin,
 
     // sub-day date_trunc; 'day' returns DATE in the oracle engine and
-    // TIMESTAMP in Spark → CAST on the shared text
-    "slt_ts_trunc_subday" ->
+    // TIMESTAMP in Spark → CAST on the shared text (fractional-second
+    // variant lives in slt_ts_trunc_subday)
+    "slt_ts_trunc_day_cast" ->
       """SELECT CAST(date_trunc('day', TIMESTAMP '2001-02-03 04:05:06') AS TIMESTAMP) AS d,
         | date_trunc('hour', TIMESTAMP '2001-02-03 04:35:06') AS h,
         | date_trunc('minute', TIMESTAMP '2001-02-03 04:05:36') AS m""".stripMargin,
@@ -2239,8 +2246,9 @@ object SltSlice {
 
     // --------------------------------------------- round-10b widening
     // test/sql/function/string/test_levenshtein.test: edit distance,
-    // empty operand = other's length, identity = 0
-    "slt_str_levenshtein" ->
+    // empty operand = other's length both directions, identity = 0
+    // (case-sensitivity arm is in slt_str_levenshtein)
+    "slt_str_levenshtein_empty" ->
       """SELECT levenshtein('kitten', 'sitting') AS ks,
         | levenshtein('', 'abc') AS from_empty,
         | levenshtein('abc', '') AS to_empty,
@@ -2303,8 +2311,9 @@ object SltSlice {
         | concat_ws('', 'x', 'y') AS empty_sep""".stripMargin,
 
     // test/sql/aggregate/aggregates/test_bool.test: bool_and/bool_or
-    // skip NULLs; all-NULL input yields NULL
-    "slt_agg_bool_and_or" ->
+    // skip NULLs; all-NULL input yields NULL — with count(v) alongside
+    // (plain grouped arm is slt_agg_bool_and_or)
+    "slt_agg_bool_count" ->
       """WITH t(g, v) AS (
         |  SELECT 1, true UNION ALL SELECT 1, false UNION ALL SELECT 1, CAST(NULL AS BOOLEAN)
         |  UNION ALL SELECT 2, true UNION ALL SELECT 2, true
@@ -2314,7 +2323,8 @@ object SltSlice {
 
     // test/sql/window/test_ntile.test: remainder buckets lead (7 rows
     // over 3 tiles -> 3/2/2), deterministic on a unique ORDER BY
-    "slt_win_ntile" ->
+    // (multi-width arm over 5 rows is slt_win_ntile)
+    "slt_win_ntile_remainder" ->
       """WITH t(x) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
         |  UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7)
         |SELECT x, ntile(3) OVER (ORDER BY x) AS tile
@@ -2377,6 +2387,14 @@ object SltSlice {
         |  (SELECT min(t.g) FROM t
         |   WHERE t.g IN (SELECT g FROM u)) AS in_member""".stripMargin
   )
+
+  // q is a Seq so toMap silently last-wins on a duplicated key — a
+  // duplicate here DROPS an existing green pin without any failure
+  // (round 10 shipped five that way). Fail loudly at object init.
+  require(q.map(_._1).distinct.size == q.size, {
+    val d = q.map(_._1).groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    s"duplicate slt pin keys: ${d.toSeq.sorted.mkString(", ")}"
+  })
 
   val queries: Map[String, Q.Fn] =
     q.map { case (name, sql) => name -> Q.sharedSql(Nil, sql)._1 }.toMap

@@ -58,11 +58,20 @@ object SessionCountRule extends Rule[SparkPlan] {
       case EqualNullSafe(Literal(true, org.apache.spark.sql.types.BooleanType), c) => c
       case c => c
     }
+    // Under ANSI mode a bare long-column subtraction in the unfused plan
+    // would raise on overflow where the fused loop's raw `t - prevTs`
+    // wraps silently — decline the fuse for the bare-attribute arm then.
+    // unix_micros outputs are bounded (|v| < 2^62) so that arm stays safe.
+    def ansiSafe(l: Expression, r: Expression, ctx: NumericEvalContext): Boolean =
+      ctx.evalMode != EvalMode.ANSI ||
+        (!l.isInstanceOf[Attribute] && !r.isInstanceOf[Attribute])
     core match {
-      case Or(IsNull(a: Attribute), GreaterThan(Subtract(l, r, _), Literal(g: Long, _)))
-          if a.exprId == prev.exprId && micros(l, ts) && micros(r, prev) => Some(g)
-      case Or(IsNull(a: Attribute), GreaterThan(Subtract(l, r, _), Literal(g: Int, _)))
-          if a.exprId == prev.exprId && micros(l, ts) && micros(r, prev) => Some(g.toLong)
+      case Or(IsNull(a: Attribute), GreaterThan(Subtract(l, r, mode), Literal(g: Long, _)))
+          if a.exprId == prev.exprId && micros(l, ts) && micros(r, prev) &&
+            ansiSafe(l, r, mode) => Some(g)
+      case Or(IsNull(a: Attribute), GreaterThan(Subtract(l, r, mode), Literal(g: Int, _)))
+          if a.exprId == prev.exprId && micros(l, ts) && micros(r, prev) &&
+            ansiSafe(l, r, mode) => Some(g.toLong)
       case _ => None
     }
   }

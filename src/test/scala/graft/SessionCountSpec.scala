@@ -92,6 +92,53 @@ class SessionCountSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("int-typed ts fuses under non-ANSI (exact, incl. negatives); ANSI declines bare arm") {
+    def withAnsi[A](on: Boolean)(f: => A): A = {
+      val prev = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", on.toString)
+      try f finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+    // int ts with NEGATIVE values: a getLong over a 4-byte slot reads the
+    // zeroed upper word and corrupts exactly these
+    val df = spark.range(2000).selectExpr(
+      "CAST(id % 23 AS INT) AS u",
+      "CAST((id * 7919) % 1000 - 500 AS INT) AS tsi",
+      "id AS eid")
+      .repartition(3, col("u")).sortWithinPartitions("u", "tsi", "eid").cache()
+    df.count()
+    def q2() = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("tsi"), col("eid"))
+      df.withColumn("prev", lag(col("tsi"), 1).over(w))
+        .filter(col("prev").isNull || (col("tsi") - col("prev")) > 100)
+        .groupBy(col("u")).agg(count(lit(1)).as("sessions"))
+    }
+    def fusedIn(p0: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      val p = p0 match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      p.collect { case s: graft.plans.SessionCountExec => s }.nonEmpty || p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+      }.exists(fusedIn)
+    }
+    withAnsi(false) {
+      def run(on: Boolean) = withFuse(on) {
+        q2().orderBy(col("u")).collect().toSeq
+      }
+      val plan = withFuse(true) { val d = q2(); d.collect(); d.queryExecution.executedPlan }
+      assert(fusedIn(plan), plan.toString.take(1500))
+      assert(run(true) == run(false))
+    }
+    withAnsi(true) {
+      // bare int-attribute subtraction under ANSI: unfused would raise on
+      // overflow where the loop wraps — the rule must decline
+      val plan = withFuse(true) { val d = q2(); d.collect(); d.queryExecution.executedPlan }
+      assert(!fusedIn(plan), plan.toString.take(1500))
+    }
+    df.unpersist()
+  }
+
   test("guards: sum aggregate, extra grouping key, non-gap filter decline") {
     withFuse(true) {
       val w = org.apache.spark.sql.expressions.Window
