@@ -18,7 +18,7 @@ class EntryContractSpec extends AnyFunSuite {
     "Extensions" -> Extensions.queries, "Pipeline" -> Pipeline.queries,
     "Shaping" -> Shaping.queries, "Sources" -> Sources.queries,
     "Tpch" -> Tpch.queries, "SltSlice" -> SltSlice.queries,
-    "TpcdsShapes" -> TpcdsShapes.queries, "TpcdsVerbatim" -> TpcdsVerbatim.queries,
+    "TpcdsShapes" -> TpcdsShapes.queries, "TpcdsVerbatim" -> TpcdsVerbatim.queries, "TpchVerbatim" -> TpchVerbatim.queries,
     "NestedSlice" -> NestedSlice.queries, "OlapShapes" -> OlapShapes.queries)
 
   test("query names are unique across families") {

@@ -135,4 +135,29 @@ class TpcdsVerbatimSpec extends AnyFunSuite {
     assert(table("customer_address").select(countDistinct(col("ca_county")))
       .head.getLong(0) == 10)
   }
+
+  // The whole verbatim track's bit-exactness rests on money staying
+  // INTEGER-VALUED doubles with sums far below 2^53 (round-free verbatim
+  // aggregates are then exact in any accumulation order). A fixture edit
+  // that breaks this would land as a driver hash-red — pin it here.
+  test("money columns stay integer-valued doubles with 2^53 sum headroom") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    // (item.i_current_price is deliberately x+0.99 — filtered, never
+    // summed — so item is not in this list)
+    for (t <- Seq("store_sales", "catalog_sales", "web_sales",
+        "store_returns", "catalog_returns", "web_returns")) {
+      val df = table(t).cache()
+      val moneyCols = df.schema.fields.collect {
+        case f if f.dataType == DoubleType => f.name
+      }
+      for (c <- moneyCols) {
+        val frac = df.filter(col(c) =!= floor(col(c))).count()
+        assert(frac == 0, s"$t.$c has $frac non-integer values")
+        val s = df.select(sum(abs(col(c)))).head.getDouble(0)
+        assert(s < math.pow(2, 50), f"$t.$c sum magnitude $s%.0f too close to 2^53")
+      }
+      df.unpersist()
+    }
+  }
 }
