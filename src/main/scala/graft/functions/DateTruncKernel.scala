@@ -61,6 +61,77 @@ object DateTruncKernel {
     val days = Math.floorDiv(us, MicrosPerDay)
     (days - Math.floorMod(days + 3, 7L)) * MicrosPerDay
   }
+
+  // ---- dense calendar-bucket LUTs (the perfect-hash aggregate's key
+  // domain: reference physical_perfecthash_aggregate.cpp direct-indexes
+  // group state by the proven-small key range; here the range is the
+  // calendar buckets of 1900-2100, a fixed 88 KB day→ordinal table).
+  // Days outside the window take the per-row overflow path in
+  // DriverAgg's dense arm — never a wrong answer, just slower rows.
+
+  /** epoch day of 1900-01-01 — the dense window's first day */
+  val DenseDayLo: Long = daysFromCivil(1900, 1)
+  /** epoch day of 2100-12-31 — the dense window's last day */
+  val DenseDayHi: Long = daysFromCivil(2101, 1) - 1
+  private val DenseDays = (DenseDayHi - DenseDayLo + 1).toInt
+
+  /** day → month ordinal within the window ((y-1900)*12 + m-1, 0..2411) */
+  lazy val monthOrdLut: Array[Char] = {
+    val a = new Array[Char](DenseDays)
+    var i = 0
+    while (i < DenseDays) {
+      val ym = civilYM(DenseDayLo + i)
+      a(i) = ((((ym >> 4) - 1900) * 12 + (ym & 15) - 1)).toChar
+      i += 1
+    }
+    a
+  }
+  /** month ordinal → epoch day of the month start */
+  lazy val monthStartLut: Array[Int] = {
+    val a = new Array[Int](201 * 12)
+    var o = 0
+    while (o < a.length) {
+      a(o) = daysFromCivil(1900 + o / 12, o % 12 + 1).toInt
+      o += 1
+    }
+    a
+  }
+
+  /** dense bucket count of a kernel (week is arithmetic, no LUT) */
+  def denseBuckets(kernel: String): Int = kernel match {
+    case "truncMonth" => 201 * 12
+    case "truncQuarter" => 201 * 4
+    case "truncYear" => 201
+    case "truncWeek" =>
+      (Math.floorDiv(DenseDayHi + 3, 7L) - Math.floorDiv(DenseDayLo + 3, 7L) + 1).toInt
+  }
+
+  /** day → dense ordinal, or -1 outside the 1900-2100 window */
+  def denseOrd(kernelCode: Int, day: Long): Int = {
+    if (day < DenseDayLo || day > DenseDayHi) return -1
+    val m = monthOrdLut((day - DenseDayLo).toInt)
+    kernelCode match {
+      case 0 => m // month
+      case 1 => m / 3 // quarter
+      case 2 => m / 12 // year
+      case _ => (Math.floorDiv(day + 3, 7L) - Math.floorDiv(DenseDayLo + 3, 7L)).toInt
+    }
+  }
+
+  /** dense ordinal → epoch day of the bucket start */
+  def denseStartDay(kernelCode: Int, ord: Int): Long = kernelCode match {
+    case 0 => monthStartLut(ord)
+    case 1 => monthStartLut(ord * 3)
+    case 2 => monthStartLut(ord * 12)
+    case _ => (ord + Math.floorDiv(DenseDayLo + 3, 7L)) * 7 - 3
+  }
+
+  def kernelCode(kernel: String): Int = kernel match {
+    case "truncMonth" => 0
+    case "truncQuarter" => 1
+    case "truncYear" => 2
+    case "truncWeek" => 3
+  }
 }
 
 /** UTC-session reinterpretation of TIMESTAMP_NTZ as an instant: the NTZ

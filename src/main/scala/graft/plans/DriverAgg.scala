@@ -108,6 +108,14 @@ object DriverAgg {
     * OOMs the driver.
     */
   private[plans] val maxDistinctCap = 1 << 16
+
+  /** Dense direct-index partial for single calendar-bucket keys — the
+    * perfect-hash aggregate proper (reference:
+    * physical_perfecthash_aggregate.cpp direct-indexes group state by
+    * the proven key range). Escape hatch for A/B + differential specs.
+    */
+  @volatile var denseCalendarEnabled: Boolean =
+    !sys.env.get("GRAFT_NO_DENSE_CAL").contains("1")
   private def maxDistinctPerGroup = maxDistinctCap
 
   /** Long addition per the session's eval mode, decided at PLAN time:
@@ -640,6 +648,272 @@ final case class DriverGroupAggExec(
   private def finalVal(j: Int, acc: Acc): Any =
     DriverAgg.finalValue(slots, aggTypes, j, acc)
 
+  /** Input type → primitive read code (0 byte, 1 short, 2 int/date,
+    * 3 long/ts/ntz, 4 float, 5 double; -1 = not dense-readable).
+    */
+  private def denseTypeCode(dt: DataType): Int = dt match {
+    case ByteType => 0
+    case ShortType => 1
+    case IntegerType | DateType => 2
+    case LongType | TimestampType | TimestampNTZType => 3
+    case FloatType => 4
+    case DoubleType => 5
+    case _ => -1
+  }
+
+  /** Dense direct-index eligibility: ONE calendar-bucket key, every
+    * aggregate input a direct primitive column, and only flat-array
+    * slots (no distinct sets, no string min/max). The bucket domain is
+    * the fixed 1900-2100 calendar window — out-of-window rows take a
+    * per-row overflow map inside the arm, so eligibility never depends
+    * on (possibly lying) statistics.
+    */
+  private def denseCalendarSpec: Option[(DriverAgg.CalendarKeyPart, Array[Int])] = {
+    if (!DriverAgg.denseCalendarEnabled || nS != 0 || nO != 0) return None
+    DriverAgg.colKeyParts(groupExprs, child.output) match {
+      case Some(Seq(c: DriverAgg.CalendarKeyPart)) =>
+        val slotsOk = slots.forall {
+          case DriverAgg.CountSlot(_, checked) => checked.size <= 1
+          case _: DriverAgg.SumLSlot | _: DriverAgg.SumDSlot |
+               _: DriverAgg.AvgSlot | _: DriverAgg.MinMaxLSlot |
+               _: DriverAgg.MinMaxDSlot => true
+          case _ => false
+        }
+        val inputsOk = aggInputs.forall {
+          case a: AttributeReference =>
+            denseTypeCode(a.dataType) >= 0 &&
+              child.output.exists(_.exprId == a.exprId)
+          case _ => false
+        }
+        if (slotsOk && inputsOk)
+          Some((c, aggInputs.map(e => child.output.indexWhere(
+            _.exprId == e.asInstanceOf[AttributeReference].exprId)).toArray))
+        else None
+      case _ => None
+    }
+  }
+
+  /** Dense direct-index partial — the perfect-hash aggregate proper.
+    * The generic batch loop below pays per-row ADT matches (key-part
+    * extract, per-slot dispatch, per-input type dispatch) plus an
+    * open-addressing probe; for a single calendar key all of that
+    * resolves at plan time: the key is one LUT read off the micros
+    * vector, group state is flat primitive arrays indexed by bucket
+    * ordinal, and slot updates run through a compiled int-switch.
+    * Out-of-window days (outside 1900-2100) fall into a per-row
+    * overflow hash map — slower rows, never a wrong answer. Emits the
+    * same (key-row bytes, Acc) payload, so the driver merge is shared.
+    */
+  private def runDenseCalendarPartials(
+      key: DriverAgg.CalendarKeyPart,
+      dirOrds: Array[Int]): Array[Array[(Array[Byte], Acc)]] = {
+    import graft.functions.DateTruncKernel
+    val kCode = DateTruncKernel.kernelCode(key.kernel)
+    val nBuck = DateTruncKernel.denseBuckets(key.kernel) + 1 // 0 = NULL key
+    val asDate = key.asDate
+    val keyOrd = key.ord
+    val keyTypes = groupExprs.map(_.dataType).toArray
+    val (accL, accD, accF) = (nL, nD, nF)
+    val ansiMode = ansi
+    val theSlots = slots.toArray
+    val iExprs = aggInputs
+    val childOut = child.output
+    val cap = maxGroups
+    // opcode compile: 0 count(*), 1 count(col), 2 sumL, 3 sumD, 4 avg,
+    // 5 minL, 6 maxL, 7 minD, 8 maxD — a1/a2 are acc offsets, vin the
+    // input-vector index, tc the primitive read code
+    val nOps = theSlots.length
+    val op = new Array[Int](nOps); val a1 = new Array[Int](nOps)
+    val a2 = new Array[Int](nOps); val vin = new Array[Int](nOps)
+    val tc = new Array[Int](nOps)
+    var j0 = 0
+    while (j0 < nOps) {
+      theSlots(j0) match {
+        case DriverAgg.CountSlot(li, Seq()) => op(j0) = 0; a1(j0) = li
+        case DriverAgg.CountSlot(li, Seq(in)) =>
+          op(j0) = 1; a1(j0) = li; vin(j0) = in
+        case DriverAgg.SumLSlot(li, fi, in) =>
+          op(j0) = 2; a1(j0) = li; a2(j0) = fi; vin(j0) = in
+          tc(j0) = denseTypeCode(iExprs(in).dataType)
+        case DriverAgg.SumDSlot(di, fi, in) =>
+          op(j0) = 3; a1(j0) = di; a2(j0) = fi; vin(j0) = in
+          tc(j0) = denseTypeCode(iExprs(in).dataType)
+        case DriverAgg.AvgSlot(di, li, in) =>
+          op(j0) = 4; a1(j0) = di; a2(j0) = li; vin(j0) = in
+          tc(j0) = denseTypeCode(iExprs(in).dataType)
+        case DriverAgg.MinMaxLSlot(li, fi, in, isMin) =>
+          op(j0) = if (isMin) 5 else 6; a1(j0) = li; a2(j0) = fi; vin(j0) = in
+          tc(j0) = denseTypeCode(iExprs(in).dataType)
+        case DriverAgg.MinMaxDSlot(di, fi, in, isMin) =>
+          op(j0) = if (isMin) 7 else 8; a1(j0) = di; a2(j0) = fi; vin(j0) = in
+          tc(j0) = denseTypeCode(iExprs(in).dataType)
+        case other =>
+          throw new IllegalStateException(s"dense arm on unsupported slot $other")
+      }
+      j0 += 1
+    }
+    sparkContext.runJob(child.executeColumnar(),
+        (batches: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]) => {
+      val addL = DriverAgg.longAdd(ansiMode)
+      val longsA = new Array[Long](nBuck * accL)
+      val doublesA = new Array[Double](nBuck * accD)
+      val flagsA = new Array[Boolean](nBuck * accF)
+      val touched = new Array[Boolean](nBuck)
+      // out-of-window rows (truncated key value -> Acc), built lazily —
+      // the generic row-projection updaters are correct and rare here
+      var ovf: java.util.HashMap[java.lang.Long, Acc] = null
+      lazy val valProj = UnsafeProjection.create(iExprs, childOut)
+      lazy val ups = DriverAgg.updaters(theSlots.toSeq, iExprs, ansiMode)
+      def readL(v: org.apache.spark.sql.vectorized.ColumnVector, r: Int, t: Int): Long =
+        t match {
+          case 0 => v.getByte(r).toLong
+          case 1 => v.getShort(r).toLong
+          case 2 => v.getInt(r).toLong
+          case _ => v.getLong(r)
+        }
+      def readD(v: org.apache.spark.sql.vectorized.ColumnVector, r: Int, t: Int): Double =
+        t match {
+          case 0 => v.getByte(r).toDouble
+          case 1 => v.getShort(r).toDouble
+          case 2 => v.getInt(r).toDouble
+          case 3 => v.getLong(r).toDouble
+          case 4 => v.getFloat(r).toDouble
+          case _ => v.getDouble(r)
+        }
+      batches.foreach { batch =>
+        val v0 = batch.column(keyOrd)
+        val inVecs = dirOrds.map(batch.column)
+        val n = batch.numRows()
+        var r = 0
+        while (r < n) {
+          var b = 0
+          var inWindow = true
+          if (!v0.isNullAt(r)) {
+            val us = v0.getLong(r)
+            val o = DateTruncKernel.denseOrd(kCode,
+              Math.floorDiv(us, 86400000000L))
+            if (o >= 0) b = o + 1
+            else {
+              inWindow = false
+              if (ovf == null) ovf = new java.util.HashMap()
+              val kv = java.lang.Long.valueOf(key.eval(us))
+              var acc = ovf.get(kv)
+              if (acc == null) {
+                if (ovf.size() >= cap) throw new GroupCardinalityExceeded(
+                  s"driver agg: dense overflow exceeded maxGroups=$cap")
+                acc = new Acc(new Array[Long](accL), new Array[Double](accD),
+                  new Array[Boolean](accF), null, null)
+                ovf.put(kv, acc)
+              }
+              val vrow = valProj(batch.getRow(r))
+              var ji = 0
+              while (ji < ups.length) { ups(ji)(vrow, acc); ji += 1 }
+            }
+          }
+          if (inWindow) {
+            touched(b) = true
+            val lb = b * accL; val db = b * accD; val fb = b * accF
+            var j = 0
+            while (j < nOps) {
+              (op(j): @annotation.switch) match {
+                case 0 => longsA(lb + a1(j)) += 1
+                case 1 => if (!inVecs(vin(j)).isNullAt(r)) longsA(lb + a1(j)) += 1
+                case 2 =>
+                  val v = inVecs(vin(j))
+                  if (!v.isNullAt(r)) {
+                    val x = readL(v, r, tc(j))
+                    longsA(lb + a1(j)) =
+                      if (flagsA(fb + a2(j))) addL(longsA(lb + a1(j)), x) else x
+                    flagsA(fb + a2(j)) = true
+                  }
+                case 3 =>
+                  val v = inVecs(vin(j))
+                  if (!v.isNullAt(r)) {
+                    doublesA(db + a1(j)) += readD(v, r, tc(j))
+                    flagsA(fb + a2(j)) = true
+                  }
+                case 4 =>
+                  val v = inVecs(vin(j))
+                  if (!v.isNullAt(r)) {
+                    doublesA(db + a1(j)) += readD(v, r, tc(j))
+                    longsA(lb + a2(j)) += 1
+                  }
+                case 5 =>
+                  val v = inVecs(vin(j))
+                  if (!v.isNullAt(r)) {
+                    val x = readL(v, r, tc(j))
+                    if (!flagsA(fb + a2(j)) || x < longsA(lb + a1(j)))
+                      longsA(lb + a1(j)) = x
+                    flagsA(fb + a2(j)) = true
+                  }
+                case 6 =>
+                  val v = inVecs(vin(j))
+                  if (!v.isNullAt(r)) {
+                    val x = readL(v, r, tc(j))
+                    if (!flagsA(fb + a2(j)) || x > longsA(lb + a1(j)))
+                      longsA(lb + a1(j)) = x
+                    flagsA(fb + a2(j)) = true
+                  }
+                case 7 =>
+                  val v = inVecs(vin(j))
+                  if (!v.isNullAt(r)) {
+                    val x = readD(v, r, tc(j))
+                    if (!flagsA(fb + a2(j)) ||
+                        java.lang.Double.compare(x, doublesA(db + a1(j))) < 0)
+                      doublesA(db + a1(j)) = x
+                    flagsA(fb + a2(j)) = true
+                  }
+                case 8 =>
+                  val v = inVecs(vin(j))
+                  if (!v.isNullAt(r)) {
+                    val x = readD(v, r, tc(j))
+                    if (!flagsA(fb + a2(j)) ||
+                        java.lang.Double.compare(x, doublesA(db + a1(j))) > 0)
+                      doublesA(db + a1(j)) = x
+                    flagsA(fb + a2(j)) = true
+                  }
+              }
+              j += 1
+            }
+          }
+          r += 1
+        }
+      }
+      // same payload as the hashed path: exact-layout key rows + state
+      val keyProj = UnsafeProjection.create(keyTypes)
+      val krow = new GenericInternalRow(1)
+      val out = new ArrayBuffer[(Array[Byte], Acc)]()
+      var b = 0
+      while (b < nBuck) {
+        if (touched(b)) {
+          if (b == 0) krow.update(0, null)
+          else {
+            val sd = DateTruncKernel.denseStartDay(kCode, b - 1)
+            krow.update(0,
+              if (asDate) sd.toInt else java.lang.Long.valueOf(sd * 86400000000L))
+          }
+          val acc = new Acc(
+            java.util.Arrays.copyOfRange(longsA, b * accL, b * accL + accL),
+            java.util.Arrays.copyOfRange(doublesA, b * accD, b * accD + accD),
+            java.util.Arrays.copyOfRange(flagsA, b * accF, b * accF + accF),
+            null, null)
+          out += ((keyProj(krow).copy().getBytes, acc))
+        }
+        b += 1
+      }
+      if (ovf != null) {
+        val it = ovf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          krow.update(0,
+            if (asDate) e.getKey.longValue().toInt else e.getKey)
+          out += ((keyProj(krow).copy().getBytes, e.getValue))
+        }
+      }
+      out.toArray
+    })
+  }
+
   /** Batch-direct partial: specialized key extraction off column vectors
     * (long reads, hour-bucket arithmetic, string interning to task-local
     * ids) into an open-addressing composite-long table; aggregate inputs
@@ -887,7 +1161,10 @@ final case class DriverGroupAggExec(
     val ansiMode = ansi
 
     val parts: Array[Array[(Array[Byte], Acc)]] =
-      if (columnarChild) runColumnarPartials()
+      if (columnarChild) denseCalendarSpec match {
+        case Some((key, dirOrds)) => runDenseCalendarPartials(key, dirOrds)
+        case None => runColumnarPartials()
+      }
       else sparkContext.runJob(child.execute(), (rows: Iterator[InternalRow]) => {
         val keyProj = UnsafeProjection.create(gExprs, childOut)
         val valProj = UnsafeProjection.create(iExprs, childOut)
