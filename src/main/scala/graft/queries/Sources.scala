@@ -130,6 +130,53 @@ object Sources {
   private[queries] val csvEmptyNullContent =
     "k,a\n1,alpha\n2,\"\"\n3,\n4,beta\n"
 
+  /** Single-quote quote char + backslash escape
+    * (test/sql/copy/csv/test_quote_escape shapes).
+    */
+  private[queries] val csvQuoteEscContent =
+    "k,s\n1,'al,pha'\n2,'it\\'s'\n3,plain\n"
+
+  /** Rows malformed for an INT,INT schema — the DROPMALFORMED ≙
+    * ignore_errors pairing (test/sql/copy/csv/test_ignore_errors.test).
+    */
+  private[queries] val csvMalformedContent =
+    "k,v\n1,10\njunkrow\n3,30\nx,oops\n5,50\n"
+
+  /** Non-ISO timestamp format needing an explicit format string
+    * (test/sql/copy/csv/timestampformat shapes).
+    */
+  private[queries] val csvTsFmtContent =
+    "k,t\n1,14/03/2024 05:06:07\n2,31/12/1999 23:59:59\n3,01/01/2000 00:00:00\n"
+
+  /** Header-only file: zero rows, schema preserved
+    * (test/sql/copy/csv/empty_first_line / header-only shapes).
+    */
+  private[queries] val csvHeaderOnlyContent = "k,v\n"
+
+  /** Tab-delimited (test/sql/copy/csv delim option). */
+  private[queries] val csvTabContent =
+    "k\tv\n1\t1.5\n2\t2.5\n3\t4.0\n"
+
+  /** Boolean column for type inference (csv_dtypes.test bool arm). */
+  private[queries] val csvBoolContent =
+    "k,b\n1,true\n2,false\n3,true\n4,false\n5,true\n"
+
+  /** JSON document that is one ARRAY (not newline-delimited) —
+    * Spark multiLine=true ≙ DuckDB format='array'
+    * (test/sql/json read shapes).
+    */
+  private[queries] val jsonArrayContent =
+    """[{"k":1,"v":"alpha","x":1.5},
+      | {"k":2,"v":"beta","x":2.5},
+      | {"k":3,"v":"gamma","x":3.5}]""".stripMargin
+
+  /** Newline-delimited JSON with missing and explicit-null fields —
+    * both read as NULL under an explicit schema.
+    */
+  private[queries] val jsonMissingContent =
+    "{\"k\":1,\"a\":\"x\",\"b\":1.5}\n{\"k\":2}\n" +
+    "{\"k\":3,\"a\":null,\"b\":2.5}\n{\"k\":4,\"b\":3.5}\n"
+
   private[queries] def csvRejectsFixture(): String = {
     val path = java.nio.file.Paths.get(csvRejectsPath)
     val content =
@@ -1025,6 +1072,174 @@ object Sources {
         .select(col("n_nationkey"), col("n_name"),
           col("_metadata.row_index").as("rn"))
         .orderBy("rn")
+    },
+
+    // ------------------------- round-11 copy/ option-matrix widening
+    // (test/sql/copy/csv is the reference's heaviest test dir — 504
+    // files vs ~14 gates before this block; each pin is one option
+    // combination both engines read off the same bytes)
+
+    // non-default quote char (') + backslash escape
+    "src_csv_quote_escape" -> { (s, d) =>
+      val path = csvFixture("qesc", csvQuoteEscContent)
+      s.read.option("header", "true")
+        .option("quote", "'").option("escape", "\\")
+        .schema("k INT, s STRING").csv(path)
+        .orderBy("k")
+    },
+
+    // DROPMALFORMED ≙ ignore_errors=true: malformed rows vanish, the
+    // good rows aggregate identically
+    "src_csv_drop_malformed" -> { (s, d) =>
+      val path = csvFixture("malformed", csvMalformedContent)
+      s.read.option("header", "true").option("mode", "DROPMALFORMED")
+        .schema("k INT, v INT").csv(path)
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("sum_v"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
+
+    // explicit timestampformat drives parsing on both sides
+    "src_csv_timestampformat" -> { (s, d) =>
+      val path = csvFixture("tsfmt", csvTsFmtContent)
+      s.read.option("header", "true")
+        .option("timestampFormat", "dd/MM/yyyy HH:mm:ss")
+        .schema("k INT, t TIMESTAMP").csv(path)
+        .select(col("k"), col("t")).orderBy("k")
+    },
+
+    // glob over two files unions their rows (multi-file read list)
+    "src_csv_glob_union" -> { (s, d) =>
+      val dir = roundtripDir("csv_glob")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+        "k,v\n1,10\n2,20\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.csv"),
+        "k,v\n3,30\n4,40\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.read.option("header", "true").schema("k INT, v INT").csv(s"$dir/*.csv")
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("sum_v"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
+
+    // header-only file: zero rows, typed NULL aggregate (schema holds)
+    "src_csv_header_only" -> { (s, d) =>
+      val path = csvFixture("headeronly", csvHeaderOnlyContent)
+      s.read.option("header", "true").schema("k INT, v INT").csv(path)
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("sum_v"))
+    },
+
+    // tab delimiter
+    "src_csv_tab_delim" -> { (s, d) =>
+      val path = csvFixture("tabbed", csvTabContent)
+      s.read.option("header", "true").option("sep", "\t")
+        .schema("k INT, v DOUBLE").csv(path)
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("sum_v"))
+    },
+
+    // boolean column through schema INFERENCE (not an explicit schema)
+    "src_csv_bool_infer" -> { (s, d) =>
+      val path = csvFixture("boolcol", csvBoolContent)
+      s.read.option("header", "true").option("inferSchema", "true").csv(path)
+        .select(col("k").cast("int").as("k"), col("b")).orderBy("k")
+    },
+
+    // COPY TO option matrix on the WRITE side: quoteAll (FORCE_QUOTE *),
+    // ';' delimiter, custom NULL marker — written by Spark, read back by
+    // both engines
+    "src_csv_write_quote_all" -> { (s, d) =>
+      val dir = roundtripDir("csv_qa")
+      Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          when(pmod(col("s_suppkey"), lit(7)) === 0, lit(null))
+            .otherwise(col("s_name")).as("maybe"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .option("sep", ";").option("nullValue", "NA")
+        .csv(dir)
+      s.read.option("header", "true").option("sep", ";")
+        .option("nullValue", "NA")
+        .schema("s_suppkey INT, s_name STRING, s_acctbal DOUBLE, maybe STRING")
+        .csv(dir)
+        .agg(count(lit(1)).as("n"), count(col("maybe")).as("n_maybe"),
+          sum(length(col("s_name"))).cast("long").as("name_chars"),
+          round(sum(col("s_acctbal")), 2).as("bal"))
+    },
+
+    // one JSON ARRAY document (multiLine=true ≙ format='array')
+    "src_json_array_doc" -> { (s, d) =>
+      val path = csvFixture("json_array", jsonArrayContent)
+      s.read.option("multiLine", "true")
+        .schema("k INT, v STRING, x DOUBLE").json(path)
+        .select(col("k"), col("v"), col("x")).orderBy("k")
+    },
+
+    // missing vs explicit-null JSON fields both read as NULL
+    "src_json_missing_fields" -> { (s, d) =>
+      val path = csvFixture("json_missing", jsonMissingContent)
+      s.read.schema("k INT, a STRING, b DOUBLE").json(path)
+        .agg(count(lit(1)).as("n"), count(col("a")).as("n_a"),
+          count(col("b")).as("n_b"), round(sum(col("b")), 2).as("sum_b"))
+    },
+
+    // parquet physical-type matrix round-trip: byte/short/int/long/
+    // float/double/bool/binary/string/date/timestamp
+    "src_parquet_type_matrix" -> { (s, d) =>
+      val dir = roundtripDir("pq_types")
+      Tables(s, d, "nation").select(
+        col("n_nationkey").cast("byte").as("b"),
+        col("n_nationkey").cast("short").as("sh"),
+        col("n_nationkey").cast("int").as("i"),
+        col("n_nationkey").cast("long").as("l"),
+        (col("n_nationkey") * 1.5).cast("float").as("f"),
+        (col("n_nationkey") * 2.5).as("dd"),
+        (pmod(col("n_nationkey"), lit(2)) === 0).as("flag"),
+        encode(col("n_name"), "UTF-8").as("bin"),
+        col("n_name").as("s0"),
+        to_date(lit("2024-01-01")).as("dt"),
+        to_timestamp(lit("2024-01-02 03:04:05")).as("ts"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir).agg(
+        sum(col("b")).cast("long").as("sum_b"),
+        sum(col("sh")).cast("long").as("sum_sh"),
+        sum(col("i")).cast("long").as("sum_i"),
+        sum(col("l")).cast("long").as("sum_l"),
+        round(sum(col("f")), 2).as("sum_f"),
+        round(sum(col("dd")), 2).as("sum_dd"),
+        sum(when(col("flag"), 1).otherwise(0)).cast("long").as("n_true"),
+        sum(length(col("bin"))).cast("long").as("bin_bytes"),
+        max(col("s0")).as("max_s"),
+        min(col("dt")).as("min_dt"),
+        max(col("ts")).as("max_ts"))
+    },
+
+    // MAP column round-trip: entry counts + per-key extraction group
+    "src_parquet_map_roundtrip" -> { (s, d) =>
+      val dir = roundtripDir("pq_map")
+      Tables(s, d, "part")
+        .select(col("p_partkey"),
+          map(lit("brand"), col("p_brand"),
+            lit("kind"), col("p_type")).as("m"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("m")("brand").as("brand"), col("m")("kind").as("cont"))
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("cont")).as("nc"))
+        .orderBy("brand")
+    },
+
+    // two-level hive partitioning: COPY TO ... PARTITION_BY(a, b) over
+    // parquet; partition values live in directory names on both engines
+    "src_parquet_partition_two_keys" -> { (s, d) =>
+      val dir = roundtripDir("pq_part2")
+      Tables(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag", "l_linestatus").parquet(dir)
+      s.read.parquet(dir).filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_linestatus"))
     }
   )
 
@@ -1364,6 +1579,94 @@ object Sources {
 
     "sql_macro_udf" ->
       """SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // ------------------------- round-11 copy/ option-matrix widening
+
+    "src_csv_quote_escape" ->
+      s"""SELECT k, s
+        |FROM read_csv('${csvFixturePath("qesc")}', header=true,
+        |  quote='''', escape='\\', columns={'k': 'INTEGER', 's': 'VARCHAR'})
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_drop_malformed" ->
+      s"""SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM read_csv('${csvFixturePath("malformed")}', header=true,
+        |  ignore_errors=true, columns={'k': 'INTEGER', 'v': 'INTEGER'})""".stripMargin,
+
+    "src_csv_timestampformat" ->
+      s"""SELECT k, t
+        |FROM read_csv('${csvFixturePath("tsfmt")}', header=true,
+        |  timestampformat='%d/%m/%Y %H:%M:%S',
+        |  columns={'k': 'INTEGER', 't': 'TIMESTAMP'})
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_glob_union" ->
+      s"""SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM read_csv('${roundtripDir("csv_glob")}/*.csv', header=true,
+        |  columns={'k': 'INTEGER', 'v': 'INTEGER'})""".stripMargin,
+
+    "src_csv_header_only" ->
+      s"""SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM read_csv('${csvFixturePath("headeronly")}', header=true,
+        |  columns={'k': 'INTEGER', 'v': 'INTEGER'})""".stripMargin,
+
+    "src_csv_tab_delim" ->
+      s"""SELECT count(*) AS n, round(sum(v), 2) AS sum_v
+        |FROM read_csv('${csvFixturePath("tabbed")}', header=true, delim='${"\t"}',
+        |  columns={'k': 'INTEGER', 'v': 'DOUBLE'})""".stripMargin,
+
+    "src_csv_bool_infer" ->
+      s"""SELECT k, b
+        |FROM read_csv('${csvFixturePath("boolcol")}', header=true,
+        |  columns={'k': 'INTEGER', 'b': 'BOOLEAN'})
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_write_quote_all" ->
+      s"""SELECT count(*) AS n, count(maybe) AS n_maybe,
+        | CAST(sum(length(s_name)) AS BIGINT) AS name_chars,
+        | round(sum(s_acctbal), 2) AS bal
+        |FROM read_csv('${roundtripDir("csv_qa")}/*.csv', header=true, delim=';',
+        |  quote='"', nullstr='NA',
+        |  columns={'s_suppkey': 'INTEGER', 's_name': 'VARCHAR',
+        |           's_acctbal': 'DOUBLE', 'maybe': 'VARCHAR'})""".stripMargin,
+
+    "src_json_array_doc" ->
+      s"""SELECT k, v, x
+        |FROM read_json('${csvFixturePath("json_array")}', format='array',
+        |  columns={'k': 'INTEGER', 'v': 'VARCHAR', 'x': 'DOUBLE'})
+        |ORDER BY k""".stripMargin,
+
+    "src_json_missing_fields" ->
+      s"""SELECT count(*) AS n, count(a) AS n_a, count(b) AS n_b,
+        | round(sum(b), 2) AS sum_b
+        |FROM read_json('${csvFixturePath("json_missing")}',
+        |  format='newline_delimited',
+        |  columns={'k': 'INTEGER', 'a': 'VARCHAR', 'b': 'DOUBLE'})""".stripMargin,
+
+    "src_parquet_type_matrix" ->
+      s"""SELECT CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(sh) AS BIGINT) AS sum_sh,
+        | CAST(sum(i) AS BIGINT) AS sum_i, CAST(sum(l) AS BIGINT) AS sum_l,
+        | round(sum(f), 2) AS sum_f, round(sum(dd), 2) AS sum_dd,
+        | CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        | CAST(sum(octet_length(bin)) AS BIGINT) AS bin_bytes,
+        | max(s0) AS max_s, min(dt) AS min_dt,
+        | CAST(max(ts) AS TIMESTAMP) AS max_ts
+        |FROM read_parquet('${roundtripDir("pq_types")}/*.parquet')""".stripMargin,
+
+    "src_parquet_map_roundtrip" ->
+      s"""SELECT m['brand'][1] AS brand, count(*) AS n,
+        | count(DISTINCT m['kind'][1]) AS nc
+        |FROM read_parquet('${roundtripDir("pq_map")}/*.parquet')
+        |GROUP BY brand ORDER BY brand""".stripMargin,
+
+    "src_parquet_partition_two_keys" ->
+      s"""SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM read_parquet('${roundtripDir("pq_part2")}/*/*/*.parquet',
+        |  hive_partitioning=1)
+        |WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
   )
 }
