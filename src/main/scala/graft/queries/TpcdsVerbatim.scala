@@ -138,7 +138,7 @@ object TpcdsVerbatim {
     "dsq99" -> Seq("catalog_sales", "warehouse", "ship_mode", "call_center", "date_dim"),
   )
 
-  private val texts: Map[String, String] = Map(
+  private[graft] val texts: Map[String, String] = Map(
     // verbatim from /root/reference/extension/tpcds/dsdgen/queries/01.sql (see patch notes above)
     "dsq01" -> """WITH customer_total_return AS
   (SELECT sr_customer_sk AS ctr_customer_sk,

@@ -87,7 +87,7 @@ object TpcdsFixture {
     if (written) return
     synchronized {
       if (written) return
-      generate(spark)
+      generate(spark, dir, 1L)
       written = true
     }
   }
@@ -97,9 +97,26 @@ object TpcdsFixture {
     spark.read.parquet(s"$dir/$table.parquet").createOrReplaceTempView(table)
   }
 
-  private def generate(spark: SparkSession): Unit = {
+  /** Scaled variant for the perf pairing (BenchTpcdsScale): same schema,
+    * same dimensions and plants, `factor`× the fact-table rows — the
+    * extra ids extend the same hash formulas, so every distribution
+    * property (hot windows, ticket structure, returns derivation) holds
+    * at any factor. Written to its own dir; the correctness fixture is
+    * untouched.
+    */
+  private val scaledDirs = scala.collection.concurrent.TrieMap.empty[Long, String]
+  def ensureScaled(spark: SparkSession, factor: Long): String =
+    scaledDirs.getOrElseUpdate(factor, {
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft_tpcds_x${factor}_${
+        java.util.UUID.randomUUID().toString.take(8)}"
+      generate(spark, d, factor)
+      d
+    })
+
+  private def generate(spark: SparkSession, dir: String, factor: Long): Unit = {
     def write(name: String, df: DataFrame): Unit =
-      df.coalesce(2).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      df.coalesce(math.max(2, (2 * factor).toInt min 16))
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
     write("date_dim", spark.range(NDays.toLong).selectExpr(
       s"CAST($DskBase + id AS INT) AS d_date_sk",
@@ -419,7 +436,7 @@ object TpcdsFixture {
     def th(salt: Int): String =
       s"pmod(tick * ${1103515245L + salt * 12820163L} + $salt, 2147483647)"
     def thm(salt: Int, range: Long): String = s"pmod(${th(salt)}, $range)"
-    write("store_sales", spark.range(300000)
+    write("store_sales", spark.range(300000 * factor)
       .selectExpr("id",
         s"id DIV 14 + CASE WHEN ${hm(341, 5)} = 0 THEN 1 ELSE 0 END AS t1")
       .selectExpr("id",
@@ -471,7 +488,7 @@ object TpcdsFixture {
     // 3000..3199 are the q91 plant: billed to customer 1 (whose current
     // cdemo/hdemo/addr rows are planted above), sold mid-Oct 1998 so
     // their returns (+1..140 days) cover Nov 1998.
-    write("catalog_sales", spark.range(150000)
+    write("catalog_sales", spark.range(150000 * factor)
       .selectExpr("id", "id DIV 3 AS ordn")
       .selectExpr("id",
       "ordn AS cs_order_number",
@@ -522,7 +539,7 @@ object TpcdsFixture {
     // q85 plant: sold 2000-03-11 (day 800), sales_price 120 (the
     // 'M'/'Advanced Degree' arm's 100..150 band), net_profit 150 (inside
     // all three state-arm bands); their returns carry cdemo 1 and addr 1.
-    write("web_sales", spark.range(150000)
+    write("web_sales", spark.range(150000 * factor)
       .selectExpr("id", "id DIV 3 AS ordn")
       .selectExpr("id",
       "ordn AS ws_order_number",
@@ -581,8 +598,12 @@ object TpcdsFixture {
     // per-LINE hash for returns columns that vary within a ticket/order
     // (reason, quantity) — the ticket-keyed hashes above deliberately
     // agree across a ticket's lines
+    // two-stage: fold the composite key into the prime field BEFORE the
+    // salted multiplier — at factor 10 the raw key reaches ~7e9 and the
+    // single-stage product overflowed Long under ANSI (the multiplier is
+    // also capped so folded-key × multiplier stays < 2^62 at any factor)
     def lh(key: String, salt: Int): String =
-      s"pmod(($key) * ${1103515245L + salt * 12820163L} + $salt, 2147483647)"
+      s"pmod(pmod($key, 2147483647) * ${1103515245L + salt * 1235789L} + $salt, 2147483647)"
     val srKey = "ss_ticket_number * 7919 + ss_item_sk"
     write("store_returns", spark.read.parquet(s"$dir/store_sales.parquet")
       .where("pmod(ss_ticket_number, 3) = 0")
