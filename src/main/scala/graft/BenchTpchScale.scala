@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Verbatim TPC-H as a PERFORMANCE suite — all 22 reference texts over a
+  * factor-scaled TpchFixture (factor 100 = dbgen SF1 row counts: 6M
+  * lineitem, 1.5M orders), paired same-hour vs DuckDB
+  * (tools/bench_tpch_duckdb.py reads the dir this main prints).
+  *
+  * Protocol mirrors BenchTpcdsScale: probe fingerprints, 2 warmups +
+  * median of 5, AQE off at bench scale (SPARK_GRAFT_AQE=true to flip),
+  * optional warm columnar cache via GRAFT_DS_CACHE=1.
+  *
+  * Usage: SPARK_GRAFT_TPCH_FACTOR=100 sbt "runMain graft.BenchTpchScale [thqNN ...]"
+  */
+object BenchTpchScale {
+  def main(args: Array[String]): Unit = {
+    val factor = sys.env.getOrElse("SPARK_GRAFT_TPCH_FACTOR", "100").toLong
+    val names = if (args.nonEmpty) args.toSeq
+      else queries.TpchVerbatim.texts.keys.toSeq.sorted
+    val spark = GraftSession.tune(SparkSession.builder()
+        .master("local[32]")
+        .config("spark.ui.enabled", "false"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val probe = spark.sparkContext.parallelize(1 to 32, 32)
+    (1 to 120).foreach(_ => probe.count())
+    def probeMs(): Double = {
+      val t0 = System.nanoTime()
+      (1 to 20).foreach(_ => probe.count())
+      (System.nanoTime() - t0) / 2e7
+    }
+
+    val dir = graft.sources.TpchFixture.ensureScaled(spark, factor)
+    println(s"scaled_dir=$dir factor=$factor")
+    graft.sources.TpchFixture.tables.foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    if (sys.env.get("GRAFT_DS_CACHE").contains("1")) {
+      graft.sources.TpchFixture.tables.foreach { t =>
+        spark.catalog.cacheTable(t)
+        spark.table(t).count()
+      }
+    }
+    println(f"probe_job_ms_before=${probeMs()}%.1f")
+
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+    names.foreach { name =>
+      val sql = queries.TpchVerbatim.texts(name)
+      (1 to 2).foreach(_ => spark.sql(sql).collect())
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sql(sql).collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"[thbench] $name%-8s median=${med(ts)}%8.1f ms  runs=${
+        ts.map(t => f"$t%.0f").mkString(",")}")
+    }
+    println(f"probe_job_ms_after=${probeMs()}%.1f")
+    spark.stop()
+  }
+}

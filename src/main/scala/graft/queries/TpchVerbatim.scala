@@ -54,7 +54,7 @@ object TpchVerbatim {
     "thq22" -> Seq("customer", "orders"),
   )
 
-  private val texts: Map[String, String] = Map(
+  private[graft] val texts: Map[String, String] = Map(
     // verbatim from /root/reference/extension/tpch/dbgen/queries/q01.sql (see patch notes above)
     "thq01" -> """SELECT
     l_returnflag,

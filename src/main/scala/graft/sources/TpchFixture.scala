@@ -76,8 +76,8 @@ object TpchFixture {
     * lineitem so every (l_partkey, l_suppkey) pair exists in partsupp.
     * The stride 25 makes a part's four suppliers distinct mod 100.
     */
-  private def suppOf(p: String, i: String): String =
-    s"CAST(1 + pmod(pmod(($p) * 741103597 + 11, 2147483647) + ($i) * 25, $NSupp) AS INT)"
+  private def suppOf(p: String, i: String, nSupp: Long): String =
+    s"CAST(1 + pmod(pmod(($p) * 741103597 + 11, 2147483647) + ($i) * 25, $nSupp) AS INT)"
 
   /** Part unit price — SHARED between part.p_retailprice and
     * lineitem.l_extendedprice (= quantity * unit, dbgen's own rule).
@@ -106,7 +106,7 @@ object TpchFixture {
     if (written) return
     synchronized {
       if (written) return
-      generate(spark)
+      generate(spark, dir, 1L)
       written = true
     }
   }
@@ -116,9 +116,31 @@ object TpchFixture {
     spark.read.parquet(s"$dir/$table.parquet").createOrReplaceTempView(table)
   }
 
-  private def generate(spark: SparkSession): Unit = {
+  /** Scaled variant for the perf pairing (BenchTpchScale): `factor`× the
+    * orders/lineitem rows (and proportionally customers/suppliers/parts,
+    * dbgen-style) in its own dir; the correctness fixture is untouched.
+    * Factor 100 ≈ dbgen SF1 row counts (6M lineitem). The 2^53
+    * exactness headroom holds to factor ~400 (sum(charge)*4096 ≈
+    * 9e14 at factor 100).
+    */
+  private val scaledDirs = scala.collection.concurrent.TrieMap.empty[Long, String]
+  def ensureScaled(spark: SparkSession, factor: Long): String =
+    scaledDirs.getOrElseUpdate(factor, {
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft_tpch_x${factor}_${
+        java.util.UUID.randomUUID().toString.take(8)}"
+      generate(spark, d, factor)
+      d
+    })
+
+  private def generate(spark: SparkSession, dir: String, factor: Long): Unit = {
+    // dbgen-proportional scale-up: factor 100 = SF1 row counts
+    val nSupp = NSupp * factor
+    val nPart = NPart * factor
+    val nCust = NCust * factor
+    val nOrd = NOrd * factor
     def write(name: String, df: DataFrame): Unit =
-      df.coalesce(2).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      df.coalesce(math.max(2, (2 * factor).toInt min 16))
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
     write("region", spark.range(5).selectExpr(
       "CAST(id AS INT) AS r_regionkey",
@@ -137,7 +159,7 @@ object TpchFixture {
     // nation plants: CANADA(3) q20, SAUDI ARABIA(20) q21, GERMANY(7) q11,
     // FRANCE(6) q7 (GERMANY covers the other q7 arm); suppliers 7 and 42
     // carry the q16 complaints comment
-    write("supplier", spark.range(1, NSupp + 1).selectExpr(
+    write("supplier", spark.range(1, nSupp + 1).selectExpr(
       "CAST(id AS INT) AS s_suppkey",
       "concat('Supplier#', lpad(CAST(id AS STRING), 9, '0')) AS s_name",
       "concat('supplier address ', id) AS s_address",
@@ -172,7 +194,7 @@ object TpchFixture {
     // plants: 100-107 Brand#23/MED BOX/size 7 (q17, q19 arm 2),
     // 110-117 Brand#12/SM CASE/size 3 (q19 arm 1),
     // 120-127 Brand#34/LG PACK/size 12 (q19 arm 3)
-    write("part", spark.range(1, NPart + 1).selectExpr(
+    write("part", spark.range(1, nPart + 1).selectExpr(
       "CAST(id AS INT) AS p_partkey",
       s"""concat(element_at($colors, CAST(1 + ${hm(21, 20)} AS INT)), ' ',
          |  element_at($colors, CAST(1 + ${hm(23, 20)} AS INT)), ' ',
@@ -204,11 +226,11 @@ object TpchFixture {
       "concat('part comment ', id) AS p_comment"))
 
     // four supplier arms per part via the SHARED suppOf formula
-    write("partsupp", spark.range(NPart * 4)
+    write("partsupp", spark.range(nPart * 4)
       .selectExpr("1 + id DIV 4 AS pk", "pmod(id, 4) AS arm", "id")
       .selectExpr(
         "CAST(pk AS INT) AS ps_partkey",
-        s"${suppOf("pk", "arm")} AS ps_suppkey",
+        s"${suppOf("pk", "arm", nSupp)} AS ps_suppkey",
         s"CAST(1 + ${hm(51, 9999)} AS INT) AS ps_availqty",
         // wide range → q11's per-part sum(cost*qty) values are tie-free
         // with overwhelming probability (TpchVerbatimSpec asserts it)
@@ -216,7 +238,7 @@ object TpchFixture {
         "concat('partsupp comment ', id) AS ps_comment"))
 
     val segs = "array('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD')"
-    write("customer", spark.range(1, NCust + 1).selectExpr(
+    write("customer", spark.range(1, nCust + 1).selectExpr(
       "CAST(id AS INT) AS c_custkey",
       "concat('Customer#', lpad(CAST(id AS STRING), 9, '0')) AS c_name",
       "concat('customer address ', id) AS c_address",
@@ -231,10 +253,10 @@ object TpchFixture {
 
     val priorities =
       "array('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')"
-    write("orders", spark.range(1, NOrd + 1)
+    write("orders", spark.range(1, nOrd + 1)
       .selectExpr("id",
         // dbgen rule: custkey ≡ 0 (mod 3) never orders (q22 NOT EXISTS)
-        s"1 + ${hm(73, NCust)} AS ck0")
+        s"1 + ${hm(73, nCust)} AS ck0")
       .selectExpr(
         "CAST(id AS INT) AS o_orderkey",
         "CAST(CASE WHEN ck0 % 3 = 0 THEN ck0 - 1 ELSE ck0 END AS INT) AS o_custkey",
@@ -256,18 +278,18 @@ object TpchFixture {
     val instructs =
       "array('DELIVER IN PERSON','COLLECT COD','NONE','TAKE BACK RETURN')"
     val modes = "array('REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB')"
-    write("lineitem", spark.range(NOrd * 7)
+    write("lineitem", spark.range(nOrd * 7)
       .selectExpr("id", "1 + id DIV 7 AS ok", "pmod(id, 7) AS j")
       .where(s"ok <= 8 OR j < 1 + ${khm("ok", 85, 7)}")
       .selectExpr("id", "ok", "j",
-        s"1 + ${hm(87, NPart)} AS pk",
+        s"1 + ${hm(87, nPart)} AS pk",
         s"date_add(DATE '1992-01-01', CAST(${odayOf("ok")} AS INT)) AS odate",
         s"CASE WHEN ok <= 8 THEN 44 + j ELSE 1 + ${hm(89, 50)} END AS qty",
         s"1 + ${hm(91, 121)} AS shipoff")
       .selectExpr(
         "CAST(ok AS INT) AS l_orderkey",
         "CAST(pk AS INT) AS l_partkey",
-        s"${suppOf("pk", s"pmod(${h(93)}, 4)")} AS l_suppkey",
+        s"${suppOf("pk", s"pmod(${h(93)}, 4)", nSupp)} AS l_suppkey",
         "CAST(j + 1 AS INT) AS l_linenumber",
         "CAST(qty AS DOUBLE) AS l_quantity",
         s"CAST(qty * ${unitPriceOf("pk")} AS DOUBLE) AS l_extendedprice",

@@ -70,14 +70,20 @@ class DenseCalendarAggSpec extends AnyFunSuite {
     withDense(true) { assert(usesDriverAgg(hist("month"))) }
   }
 
-  test("dense arm is result-identical to the generic partial for every kernel") {
-    for (unit <- Seq("month", "quarter", "year", "week")) {
-      val on = withDense(true) { hist(unit).collect().toSeq }
-      val off = withDense(false) { hist(unit).collect().toSeq }
-      assert(on == off, s"unit=$unit differs")
-      // the fixture really exercises NULL key + both overflow sides
-      assert(on.head.isNullAt(0), s"unit=$unit: no NULL bucket")
-      assert(on.size > 3, s"unit=$unit: degenerate bucket count")
+  test("dense arm is result-identical to the generic partial for every kernel, AQE on/off") {
+    for (aqe <- Seq(true, false)) {
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      try {
+        for (unit <- Seq("month", "quarter", "year", "week")) {
+          val on = withDense(true) { hist(unit).collect().toSeq }
+          val off = withDense(false) { hist(unit).collect().toSeq }
+          assert(on == off, s"unit=$unit aqe=$aqe differs")
+          // the fixture really exercises NULL key + both overflow sides
+          assert(on.head.isNullAt(0), s"unit=$unit: no NULL bucket")
+          assert(on.size > 3, s"unit=$unit: degenerate bucket count")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 

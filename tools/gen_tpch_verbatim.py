@@ -114,7 +114,7 @@ object TpchVerbatim {{
   private val tablesFor: Map[String, Seq[String]] = Map(
 {"".join(tablerows)}  )
 
-  private val texts: Map[String, String] = Map(
+  private[graft] val texts: Map[String, String] = Map(
 {"".join(entries)}  )
 
   val queries: Map[String, Q.Fn] = texts.map {{ case (name, sql) =>
