@@ -67,6 +67,11 @@ object BenchTpchScale {
       }
       println(f"[thbench] $name%-8s median=${med(ts)}%8.1f ms  runs=${
         ts.map(t => f"$t%.0f").mkString(",")}")
+      if (sys.env.contains("GRAFT_EXPLAIN")) {
+        val dfx = spark.sql(sql)
+        dfx.collect()
+        println(dfx.queryExecution.executedPlan.toString.take(4000))
+      }
     }
     println(f"probe_job_ms_after=${probeMs()}%.1f")
     spark.stop()
