@@ -49,6 +49,15 @@ encodes the divergence surface):
   - r10b closing sweep: 600 mixed expressions, seed 20260819 -> 0 NEW
     divergences, 29 suppressed known-class. Four rounds, 1,950
     generated queries total, zero findings outside documented classes.
+  - r11 nested round (gen-nested/diff-nested, DUAL-RENDERED because
+    nested literals and type syntax differ between the dialects):
+    2 x 300 list expressions — element-wise casts, transform/filter
+    lambdas, slice/concat/reverse/flatten chains, string-list parse
+    casts, scalarized via element extraction/length — seeds
+    20260820/20260821 -> 0 divergences in both. Together with the six
+    hand-probed slt_cast_* pins, the nested surface agrees modulo the
+    two documented not-pinnable classes (struct field-reorder casts,
+    double->int rounding).
 
 Dev tool only — NOT part of the Spark library.
 """
@@ -262,9 +271,116 @@ def diff():
     print(f"== {n_diff} NEW divergences, {n_known} suppressed known-class")
 
 
+# ---------------- nested-type round (r11): DUAL-RENDERED expressions.
+# Nested literals/type syntax differ between dialects (array(1,2) vs
+# [1,2]; ARRAY<INT> vs INT[]), so this round renders each generated AST
+# in BOTH dialects: Spark texts go to /tmp/fuzz_exprs.txt (SqlProbe),
+# DuckDB twins to /tmp/fuzz_duck.txt (consumed by diff-nested).
+# Deliberately EXCLUDED not-pinnable classes (probed r11, documented in
+# NestedSlice.scala): struct casts with reordered fields (duck matches
+# by NAME, Spark by POSITION), double->int cast values (duck rounds,
+# Spark ANSI truncates), list-render of NULL members, ascending
+# list_sort NULL placement.
+
+def nested_pair(d=0):
+    """(spark, duck) for a random INT-list expression."""
+    if d > 2:
+        elems = [random.choice(["1", "2", "7", "-3", "0",
+                                "CAST(NULL AS INT)"])
+                 for _ in range(random.randrange(1, 4))]
+        return (f"array({', '.join(elems)})", f"[{', '.join(elems)}]")
+    c = random.randrange(7)
+    s, k = nested_pair(d + 1)
+    if c == 0:
+        return (s, k)
+    if c == 1:  # widen to double and back through element math
+        return (f"CAST({s} AS ARRAY<DOUBLE>)", f"CAST({k} AS DOUBLE[])")
+    if c == 2:  # transform lambda (+ exact double)
+        return (f"transform({s}, x -> x + 1)",
+                f"list_transform({k}, x -> x + 1)")
+    if c == 3:  # filter lambda (NULL members drop on both? keep > pred)
+        return (f"filter({s}, x -> x > 0)", f"list_filter({k}, x -> x > 0)")
+    if c == 4:  # concat two lists
+        s2, k2 = nested_pair(d + 1)
+        return (f"concat({s}, {s2})", f"list_concat({k}, {k2})")
+    if c == 5:  # slice (1-based start, length/end semantics DIFFER:
+        # Spark slice(l, 1, 2) = first 2; duck l[1:2] = first 2. aligned.
+        return (f"slice({s}, 1, 2)", f"({k})[1:2]")
+    return (f"reverse({s})", f"list_reverse({k})")
+
+
+def gen_nested(seed, n):
+    random.seed(seed)
+    sp_lines, dk_lines = [], []
+    for i in range(n):
+        sp, dk = nested_pair()
+        m = random.randrange(4)
+        if m == 0:  # element extraction (NULL out of bounds on both)
+            idx = random.randrange(1, 5)
+            q = (f"SELECT try_element_at({sp}, {idx}) AS v",
+                 f"SELECT ({dk})[{idx}] AS v")
+        elif m == 1:  # length
+            q = (f"SELECT size({sp}) AS v", f"SELECT CAST(len({dk}) AS INT) AS v")
+        elif m == 2:  # string-list parse cast, scalarized
+            elems = [random.choice(["'1'", "' 7'", "'-2'", "'30'"])
+                     for _ in range(random.randrange(1, 4))]
+            idx = random.randrange(1, len(elems) + 1)
+            q = (f"SELECT try_element_at(CAST(array({', '.join(elems)}) AS ARRAY<INT>), {idx}) AS v",
+                 f"SELECT (CAST([{', '.join(elems)}] AS INT[]))[{idx}] AS v")
+        else:  # flatten nested
+            sp2, dk2 = nested_pair(2)
+            idx = random.randrange(1, 4)
+            q = (f"SELECT try_element_at(flatten(array({sp}, {sp2})), {idx}) AS v",
+                 f"SELECT (flatten([{dk}, {dk2}]))[{idx}] AS v")
+        sp_lines.append(f"fz{i:03d} :: {q[0]}")
+        dk_lines.append(f"fz{i:03d} :: {q[1]}")
+    with open("/tmp/fuzz_exprs.txt", "w") as f:
+        f.write("\n".join(sp_lines) + "\n")
+    with open("/tmp/fuzz_duck.txt", "w") as f:
+        f.write("\n".join(dk_lines) + "\n")
+    print(f"wrote {n} dual-rendered nested exprs (seed={seed})")
+
+
+def diff_nested():
+    con = duckdb.connect()
+    spark = {}
+    for line in open("/tmp/fuzz_spark.out"):
+        line = line.strip()
+        m = re.match(r"\[info\] (fz\d+) -> ArraySeq\((.*)\)$", line)
+        if m:
+            spark[m.group(1)] = ("ok", m.group(2))
+            continue
+        m = re.match(r"\[info\] (fz\d+) ERROR", line)
+        if m:
+            spark[m.group(1)] = ("err", None)
+    n_diff = 0
+    for line in open("/tmp/fuzz_duck.txt"):
+        name, dsql = line.strip().split(" :: ", 1)
+        try:
+            rows = con.sql(dsql).fetchall()
+            duck = ("ok", ", ".join(
+                "[" + ",".join(duck_norm(v) for v in r) + "]" for r in rows))
+        except Exception:
+            duck = ("err", None)
+        sp = spark.get(name, ("miss", None))
+        if sp[0] == "err" and duck[0] == "err":
+            continue
+        if sp == duck:
+            continue
+        n_diff += 1
+        print(f"{name}: spark={sp} duck={duck}")
+        print(f"    duck: {dsql[:200]}")
+    print(f"== {n_diff} NEW divergences")
+
+
 if __name__ == "__main__":
     if sys.argv[1:2] == ["gen"]:
         gen(int(sys.argv[2]) if len(sys.argv) > 2 else 20260815,
             int(sys.argv[3]) if len(sys.argv) > 3 else 500)
+    elif sys.argv[1:2] == ["gen-nested"]:
+        gen_nested(int(sys.argv[2]) if len(sys.argv) > 2 else 20260820,
+                   int(sys.argv[3]) if len(sys.argv) > 3 else 300)
+    elif sys.argv[1:2] == ["diff-nested"]:
+        diff_nested()
     else:
         diff()
