@@ -555,6 +555,14 @@ object NestedSlice {
         |       to_base64(CAST('' AS BLOB)) AS enc_empty""".stripMargin)
   )
 
+  // Seq→toMap silently last-wins: a duplicated key would DROP an
+  // existing green pin without any failure (the class that shipped nine
+  // shadowed slt pins in round 10). Fail loudly at object init.
+  require(q.map(_._1).distinct.size == q.size, {
+    val d = q.map(_._1).groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    s"duplicate nested pin keys: ${d.toSeq.sorted.mkString(", ")}"
+  })
+
   val queries: Map[String, Q.Fn] =
     q.map { case (name, sparkSql, _) =>
       name -> { (s: SparkSession, _: String) => s.sql(sparkSql) }

@@ -1655,6 +1655,13 @@ object TpcdsShapes {
         |GROUP BY item
         |ORDER BY total DESC, item LIMIT 100""".stripMargin))
 
+  // Seq→toMap silently last-wins: a duplicated key would DROP an
+  // existing green pin without any failure. Fail loudly at object init.
+  require({
+    val names = (q ++ q2 ++ q3).map(_._1) ++ split.map(_._1)
+    names.distinct.size == names.size
+  }, "duplicate TpcdsShapes query keys")
+
   val queries: Map[String, Q.Fn] =
     (q ++ q2 ++ q3).map { case (name, tables, sql) => name -> Q.sharedSql(tables, sql)._1 }.toMap ++
       split.map { case (name, tables, sparkSql, _) =>
