@@ -101,7 +101,7 @@ object Bench {
     // discarded work buys median stability, not speed.
     (1 to 3).foreach(_ => headline.foreach { case (_, fn) => fn(spark, sfDir).collect() })
 
-    val results = headline.map { case (name, fn) =>
+    def runSuite(): Seq[(String, Double)] = headline.map { case (name, fn) =>
       (1 to 4).foreach(_ => fn(spark, sfDir).collect()) // warmup (JIT C2)
       System.gc()
       val times = (1 to 9).map { _ =>
@@ -114,6 +114,32 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
+
+    // Probe-gated retry (round-11 verdict task 3): BENCH_r11 shipped a
+    // gate-breaching 2.39x purely because the driver scheduled the run in
+    // a degraded host phase (probe 88 ms/job vs the healthy 10-17; the
+    // judge's same-data re-run measured 1.21x). The timing harness now
+    // defends itself: a suite attempt is accepted only when BOTH its
+    // surrounding probe medians are under the gate; otherwise it re-runs
+    // (bounded attempts) and, if no attempt clears the gate, reports the
+    // attempt with the healthiest fingerprint — with the full probe
+    // history in the JSON so a still-degraded number is self-describing.
+    val gateMs = sys.env.getOrElse("SPARK_GRAFT_PROBE_GATE_MS", "25").toDouble
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    var attempts = Vector.empty[(Seq[(String, Double)], Double, Double)]
+    var accepted = false
+    var pb = probeBefore
+    while (!accepted && attempts.size < maxAttempts) {
+      if (attempts.nonEmpty) { Thread.sleep(3000); pb = probeMs() }
+      val res = runSuite()
+      val pa = probeMs()
+      attempts :+= ((res, pb, pa))
+      accepted = pb <= gateMs && pa <= gateMs
+    }
+    val (results, probeB, probeA) =
+      attempts.minBy { case (_, b, a) => math.max(b, a) }
+    val probeHistory = attempts
+      .map { case (_, b, a) => f"[$b%.1f,$a%.1f]" }.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -136,10 +162,10 @@ object Bench {
     }
     val ps = pipeline.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    // second probe AFTER the suite: a drift between the two medians marks
-    // a host-phase change mid-run
-    val probeAfter = probeMs()
-    println(f"""{"metric":"total_median","value":$total%.4f,"unit":"sec","queries":$qs,"pipeline":$ps,"probe_job_ms_before":$probeBefore%.2f,"probe_job_ms_after":$probeAfter%.2f,"sf":"$sfDir"}""")
+    // the reported probes are the accepted attempt's surrounding pair; a
+    // drift between them marks a host-phase change mid-run, and
+    // probe_history carries every attempt's fingerprint for adjudication
+    println(f"""{"metric":"total_median","value":$total%.4f,"unit":"sec","queries":$qs,"pipeline":$ps,"probe_job_ms_before":$probeB%.2f,"probe_job_ms_after":$probeA%.2f,"probe_history":$probeHistory,"attempts":${attempts.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

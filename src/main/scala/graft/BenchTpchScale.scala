@@ -7,9 +7,14 @@ import org.apache.spark.sql.SparkSession
   * lineitem, 1.5M orders), paired same-hour vs DuckDB
   * (tools/bench_tpch_duckdb.py reads the dir this main prints).
   *
-  * Protocol mirrors BenchTpcdsScale: probe fingerprints, 2 warmups +
-  * median of 5, AQE off at bench scale (SPARK_GRAFT_AQE=true to flip),
-  * optional warm columnar cache via GRAFT_DS_CACHE=1.
+  * Protocol mirrors BenchTpcdsScale's timing loop: probe fingerprints,
+  * 2 warmups + median of 5, AQE off at bench scale (SPARK_GRAFT_AQE=true
+  * to flip). Cache arm differs by DEFAULT: the warm hash-clustered
+  * columnar cache (Tables()) is ON here — GRAFT_DS_CACHE=0 opts OUT to
+  * cold parquet scans — whereas BenchTpcdsScale is cache-opt-IN. PERF.md
+  * rows from this main are therefore "warm columnar cache vs DuckDB
+  * re-reading parquet" unless the row says cold-arm; the pairing is
+  * argued in PERF.md (warehouse buffer-pool state, BASELINE.md protocol).
   *
   * Usage: SPARK_GRAFT_TPCH_FACTOR=100 sbt "runMain graft.BenchTpchScale [thqNN ...]"
   */

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
+  /** Ceiling on the coarse-quantizer cell count. Driver state is
+    * k × dim floats (4096 × 1024-dim ≈ 16 MB) and the per-row assignment
+    * expression is O(k); both stay sane below this.
+    */
+  val maxCentroids: Int = 4096
+
   case class Index(centroids: Seq[(Int, Seq[Float])], lists: DataFrame,
                    idCol: String, vecCol: String)
 
@@ -56,6 +62,16 @@ object IvfAnn {
   def build(vecs: DataFrame, idCol: String, vecCol: String,
             k: Int = 16, iters: Int = 2): Index = {
     require(k > 0 && iters >= 0)
+    // Hard bound on the driver-resident state: every collect in this
+    // method is ≤ k rows (seed sample = TakeOrdered(k); Lloyd refresh =
+    // k centroid rows), so capping k caps the driver memory at
+    // maxCentroids × dim floats regardless of input size. A quantizer
+    // needing more cells than this wants a distributed kmeans‖ (or a
+    // two-level IVF) — refuse loudly rather than OOM the driver.
+    require(k <= maxCentroids,
+      s"IVF k=$k exceeds maxCentroids=$maxCentroids; driver-side Lloyd " +
+        "training is bounded by design — use a coarser quantizer or a " +
+        "two-level index")
     var cents: Seq[(Int, Seq[Float])] = vecs
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
       .select(col(vecCol)).collect()

@@ -759,6 +759,11 @@ final case class DriverGroupAggExec(
       val doublesA = new Array[Double](nBuck * accD)
       val flagsA = new Array[Boolean](nBuck * accF)
       val touched = new Array[Boolean](nBuck)
+      // in-window dense buckets count toward maxGroups exactly like the
+      // generic partial's per-partition group cap — without this, a
+      // caller-supplied cap below the bucket count would silently pass
+      // here while the generic arm throws GroupCardinalityExceeded
+      var touchedCount = 0
       // out-of-window rows (truncated key value -> Acc), built lazily —
       // the generic row-projection updaters are correct and rare here
       var ovf: java.util.HashMap[java.lang.Long, Acc] = null
@@ -799,7 +804,7 @@ final case class DriverGroupAggExec(
               val kv = java.lang.Long.valueOf(key.eval(us))
               var acc = ovf.get(kv)
               if (acc == null) {
-                if (ovf.size() >= cap) throw new GroupCardinalityExceeded(
+                if (touchedCount + ovf.size() >= cap) throw new GroupCardinalityExceeded(
                   s"driver agg: dense overflow exceeded maxGroups=$cap")
                 acc = new Acc(new Array[Long](accL), new Array[Double](accD),
                   new Array[Boolean](accF), null, null)
@@ -811,7 +816,13 @@ final case class DriverGroupAggExec(
             }
           }
           if (inWindow) {
-            touched(b) = true
+            if (!touched(b)) {
+              val ovfSize = if (ovf == null) 0 else ovf.size()
+              if (touchedCount + ovfSize >= cap) throw new GroupCardinalityExceeded(
+                s"driver agg: dense buckets exceeded maxGroups=$cap")
+              touched(b) = true
+              touchedCount += 1
+            }
             val lb = b * accL; val db = b * accD; val fb = b * accF
             var j = 0
             while (j < nOps) {

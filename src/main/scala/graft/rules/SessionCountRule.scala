@@ -58,13 +58,20 @@ object SessionCountRule extends Rule[SparkPlan] {
       case EqualNullSafe(Literal(true, org.apache.spark.sql.types.BooleanType), c) => c
       case c => c
     }
-    // Under ANSI mode a bare long-column subtraction in the unfused plan
-    // would raise on overflow where the fused loop's raw `t - prevTs`
-    // wraps silently — decline the fuse for the bare-attribute arm then.
-    // unix_micros outputs are bounded (|v| < 2^62) so that arm stays safe.
-    def ansiSafe(l: Expression, r: Expression, ctx: NumericEvalContext): Boolean =
-      ctx.evalMode != EvalMode.ANSI ||
-        (!l.isInstanceOf[Attribute] && !r.isInstanceOf[Attribute])
+    // A bare-attribute subtraction in the unfused plan evaluates in the
+    // column's own width: under ANSI it raises on overflow, and for
+    // IntegerType under non-ANSI it WRAPS at 2^31 — while the fused loop
+    // always computes the exact 64-bit difference (SessionCount widens
+    // via getInt). Decline the fuse whenever bare attributes could
+    // diverge: any bare attribute under ANSI, and IntegerType bare
+    // attributes under every eval mode. unix_micros outputs are bounded
+    // (|v| < 2^62) long expressions, so that arm stays safe.
+    def ansiSafe(l: Expression, r: Expression, ctx: NumericEvalContext): Boolean = {
+      val bare = Seq(l, r).filter(_.isInstanceOf[Attribute])
+      bare.isEmpty ||
+        (ctx.evalMode != EvalMode.ANSI &&
+          bare.forall(_.dataType != org.apache.spark.sql.types.IntegerType))
+    }
     core match {
       case Or(IsNull(a: Attribute), GreaterThan(Subtract(l, r, mode), Literal(g: Long, _)))
           if a.exprId == prev.exprId && micros(l, ts) && micros(r, prev) &&

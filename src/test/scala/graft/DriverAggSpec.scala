@@ -146,6 +146,28 @@ class DriverAggSpec extends AnyFunSuite {
     assert(rows(back) == rows(df))
   }
 
+  test("dense calendar arm honors maxGroups like the generic partial") {
+    // 200 distinct day buckets with maxGroups=16: the dense direct-index
+    // arm must count TOUCHED in-window buckets toward the cap (not just
+    // overflow-map entries), trip GroupCardinalityExceeded, and fall back
+    // to the shuffled plan — same rows as cap-free execution.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dacap").toString
+    try {
+      spark.range(0, 4000).selectExpr(
+        "timestamp_micros(CAST(id % 200 AS LONG) * 86400000000 + 3600000000) AS ts",
+        "CAST(id AS DOUBLE) / 4 AS v")
+        .write.mode("overwrite").parquet(dir)
+      val t = spark.read.parquet(dir)
+      def g = t.groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("s"))
+      val expected = rows(g.orderBy(col("d")))
+      assert(rows(DriverAgg.lowCard(g, Seq(col("d")), maxGroups = 16)) == expected)
+      assert(rows(DriverAgg.lowCard(g, Seq(col("d")))) == expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("columnar partial equals the row partial, including null keys") {
     // parquet scans are columnar-capable, so lowCard over a bare scan
     // takes the batch-direct partial; flipping the rule flag pins the

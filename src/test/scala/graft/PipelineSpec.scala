@@ -149,6 +149,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall, brute=$brute got=$got")
   }
 
+  test("IVF training refuses k above the driver-state bound") {
+    import graft.operators.IvfAnn
+    import spark.implicits._
+    val vecs = (0 until 10).map(i => (i.toLong, Seq.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    // every collect in build() is <= k rows, so the cap on k IS the cap
+    // on driver-resident training state — an over-cap k must refuse at
+    // call time, before any job runs, regardless of input size
+    val e = intercept[IllegalArgumentException] {
+      IvfAnn.build(vecs, "vec_id", "embedding", k = IvfAnn.maxCentroids + 1)
+    }
+    assert(e.getMessage.contains("maxCentroids"))
+  }
+
   test("int8 quantization: recall@10 >= 0.9 vs exact cosine, codes bounded") {
     import graft.operators.VectorQuant
     import graft.functions.VectorFunctions

@@ -92,24 +92,22 @@ class SessionCountSpec extends AnyFunSuite {
     df.unpersist()
   }
 
-  test("int-typed ts fuses under non-ANSI (exact, incl. negatives); ANSI declines bare arm") {
+  test("int-typed bare ts declines in EVERY eval mode (32-bit wrap divergence)") {
     def withAnsi[A](on: Boolean)(f: => A): A = {
       val prev = spark.conf.get("spark.sql.ansi.enabled")
       spark.conf.set("spark.sql.ansi.enabled", on.toString)
       try f finally spark.conf.set("spark.sql.ansi.enabled", prev)
     }
-    // int ts with NEGATIVE values: a getLong over a 4-byte slot reads the
-    // zeroed upper word and corrupts exactly these
     val df = spark.range(2000).selectExpr(
       "CAST(id % 23 AS INT) AS u",
       "CAST((id * 7919) % 1000 - 500 AS INT) AS tsi",
       "id AS eid")
       .repartition(3, col("u")).sortWithinPartitions("u", "tsi", "eid").cache()
     df.count()
-    def q2() = {
+    def q2(src: DataFrame) = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("u")).orderBy(col("tsi"), col("eid"))
-      df.withColumn("prev", lag(col("tsi"), 1).over(w))
+      src.withColumn("prev", lag(col("tsi"), 1).over(w))
         .filter(col("prev").isNull || (col("tsi") - col("prev")) > 100)
         .groupBy(col("u")).agg(count(lit(1)).as("sessions"))
     }
@@ -122,19 +120,24 @@ class SessionCountSpec extends AnyFunSuite {
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
       }.exists(fusedIn)
     }
-    withAnsi(false) {
-      def run(on: Boolean) = withFuse(on) {
-        q2().orderBy(col("u")).collect().toSeq
-      }
-      val plan = withFuse(true) { val d = q2(); d.collect(); d.queryExecution.executedPlan }
-      assert(fusedIn(plan), plan.toString.take(1500))
-      assert(run(true) == run(false))
+    // Non-ANSI: the unfused plan's 32-bit Subtract WRAPS at 2^31 while the
+    // fused loop would compute the exact 64-bit difference — the rule must
+    // decline so wrap semantics are preserved. ANSI: unfused raises on
+    // overflow where the loop wraps — also decline.
+    for (ansi <- Seq(false, true)) withAnsi(ansi) {
+      val plan = withFuse(true) { val d = q2(df); d.collect(); d.queryExecution.executedPlan }
+      assert(!fusedIn(plan), s"ansi=$ansi: ${plan.toString.take(1500)}")
     }
-    withAnsi(true) {
-      // bare int-attribute subtraction under ANSI: unfused would raise on
-      // overflow where the loop wraps — the rule must decline
-      val plan = withFuse(true) { val d = q2(); d.collect(); d.queryExecution.executedPlan }
-      assert(!fusedIn(plan), plan.toString.take(1500))
+    // the wrap case the decline protects: MinValue→MaxValue gap wraps to
+    // -1 in 32-bit (NOT a session start); an exact 64-bit diff (2^32-1)
+    // would have counted 2 sessions
+    withAnsi(false) {
+      val wide = spark.range(1).selectExpr("1 AS u")
+        .selectExpr("CAST(u AS INT) AS u",
+          s"stack(2, CAST(${Int.MinValue} AS INT), 1L, CAST(${Int.MaxValue} AS INT), 2L) AS (tsi, eid)")
+        .repartition(1, col("u")).sortWithinPartitions("u", "tsi", "eid")
+      val out = withFuse(true) { q2(wide).collect() }
+      assert(out.head.getLong(1) == 1L, out.mkString(","))
     }
     df.unpersist()
   }
