@@ -68,6 +68,15 @@ object Sources {
     path
   }
 
+  /** As csvFixture but with caller-encoded bytes — the non-UTF8 encoding
+    * pins need exact on-disk byte control.
+    */
+  private[queries] def csvFixtureBytes(name: String, bytes: Array[Byte]): String = {
+    val path = csvFixturePath(name)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    path
+  }
+
   /** RFC-quoted pipe-delimited fixture: embedded delimiter, embedded
     * doubled quote, embedded newline inside one quoted field
     * (test/sql/copy/csv/test_quote_default.test + csv dialect sniffing).
@@ -176,6 +185,45 @@ object Sources {
   private[queries] val jsonMissingContent =
     "{\"k\":1,\"a\":\"x\",\"b\":1.5}\n{\"k\":2}\n" +
     "{\"k\":3,\"a\":null,\"b\":2.5}\n{\"k\":4,\"b\":3.5}\n"
+
+  /** Prefix-garbage lines dropped via skip=N
+    * (test/sql/copy/csv/test_skip_parameter.test shape).
+    */
+  private[queries] val csvSkipContent =
+    "report generated 2024-03-14\nsource: warehouse 7\nk,v\n1,10\n2,20\n3,30\n"
+
+  /** Classic-Mac bare-\r line endings read under an EXPLICIT new_line
+    * (csv_scanner new_line option; reference state machine's CR arm).
+    */
+  private[queries] val csvCrContent = "k,v\r1,10\r2,20\r3,30\r"
+
+  /** European decimal separator (read_csv decimal_separator=',').
+    * Spark has no such option — the mapping normalizes the separator
+    * with a codegen'd translate before the double cast.
+    */
+  private[queries] val csvDecSepContent = "k;v\n1;2,5\n2;3,25\n3;10,0\n"
+
+  /** Comment-prefixed lines (csv comment option). DuckDB 1.0's read_csv
+    * predates the comment parameter, so the oracle is the expected
+    * VALUES — the pin checks Spark's comment handling against known
+    * bytes rather than differentially.
+    */
+  private[queries] val csvCommentContent =
+    "# heading comment\nk,v\n1,10\n# mid-file comment\n2,20\n3,30\n"
+
+  /** Accented latin-1 text; written as ISO-8859-1 BYTES (not UTF-8) and
+    * read back with an explicit charset (reference
+    * csv_scanner/encode/csv_encoder.cpp latin-1 arm). VALUES oracle:
+    * DuckDB 1.0 read_csv has no encoding parameter.
+    */
+  private[queries] val csvLatin1Content =
+    "k,s\n1,café\n2,naïve\n3,über\n"
+
+  /** Same logical rows as a UTF-16 (BOM) file (csv_encoder.cpp UTF-16
+    * arm); Spark reads it via multiLine+encoding. VALUES oracle.
+    */
+  private[queries] val csvUtf16Content =
+    "k,s\n1,alpha✓\n2,betaé\n3,gamma\n"
 
   private[queries] def csvRejectsFixture(): String = {
     val path = java.nio.file.Paths.get(csvRejectsPath)
@@ -787,6 +835,23 @@ object Sources {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
+    // table macro (reference: CREATE MACRO ... AS TABLE,
+    // src/function/table_macro_function.cpp) ≙ Spark SQL table function:
+    // a named, parameterized relation expanded at plan time — the
+    // consumer aggregates over the macro's output
+    "sql_table_macro" -> { (s, d) =>
+      Tables(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_orders_above(threshold DOUBLE)
+          |RETURNS TABLE (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+          |RETURN SELECT o_orderkey, o_orderpriority, o_totalprice
+          |FROM orders WHERE o_totalprice > threshold""".stripMargin)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM graft_orders_above(400000.0D)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // PARTITIONED_AGGREGATE surface: a bucketed+sorted warehouse table
     // (the persisted form of the warm layer's clustering) aggregated on
     // its bucket key — Catalyst plans the agg exchange-free off the
@@ -1240,6 +1305,111 @@ object Sources {
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
         .orderBy(col("l_linestatus"))
+    },
+
+    // ------------------------- round-12 copy/ option-matrix widening
+
+    // skip=N drops the first N physical lines before parsing — a
+    // file-prefix concept, so the mapping runs on the line stream
+    // (zipWithIndex preserves single-file line order) and hands the
+    // remainder to the distributed CSV parser
+    "src_csv_skip_rows" -> { (s, d) =>
+      val path = csvFixture("skiprows", csvSkipContent)
+      val lines = s.createDataset(
+        s.read.textFile(path).rdd.zipWithIndex()
+          .filter(_._2 >= 2).map(_._1))(
+        org.apache.spark.sql.Encoders.STRING)
+      s.read.option("header", "true").schema("k INT, v INT").csv(lines)
+        .orderBy("k")
+    },
+
+    // explicit new_line='\r' (classic-Mac endings) stated, not sniffed
+    "src_csv_new_line_cr" -> { (s, d) =>
+      val path = csvFixture("crnl", csvCrContent)
+      s.read.option("header", "true").option("lineSep", "\r")
+        .schema("k INT, v INT").csv(path).orderBy("k")
+    },
+
+    // decimal_separator=',': Spark reads the column raw and normalizes
+    // with a codegen'd translate before the cast
+    "src_csv_decimal_sep" -> { (s, d) =>
+      val path = csvFixture("decsep", csvDecSepContent)
+      s.read.option("header", "true").option("sep", ";")
+        .schema("k INT, v STRING").csv(path)
+        .select(col("k"), translate(col("v"), ",", ".").cast("double").as("v"))
+        .orderBy("k")
+    },
+
+    // union_by_name over files with different column order AND set —
+    // per-file reads + unionByName(allowMissingColumns) ≙ read_csv(...,
+    // union_by_name=true)
+    "src_csv_union_by_name" -> { (s, d) =>
+      val dir = roundtripDir("csv_ubn")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+        "a,b\n1,x\n3,z\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.csv"),
+        "b,a,c\ny,2,9\nw,4,7\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val f1 = s.read.option("header", "true").schema("a INT, b STRING")
+        .csv(s"$dir/a.csv")
+      val f2 = s.read.option("header", "true").schema("b STRING, a INT, c INT")
+        .csv(s"$dir/b.csv")
+      f1.unionByName(f2, allowMissingColumns = true)
+        .select(col("a"), col("b"), col("c")).orderBy("a")
+    },
+
+    // comment='#' lines vanish before parsing (Spark csv comment option;
+    // VALUES oracle — DuckDB 1.0 predates the parameter)
+    "src_csv_comment" -> { (s, d) =>
+      val path = csvFixture("comment", csvCommentContent)
+      s.read.option("header", "true").option("comment", "#")
+        .schema("k INT, v INT").csv(path).orderBy("k")
+    },
+
+    // latin-1 bytes on disk, explicit charset on read (csv_encoder.cpp
+    // latin-1 arm; VALUES oracle — no encoding param in DuckDB 1.0)
+    "src_csv_encoding_latin1" -> { (s, d) =>
+      val path = csvFixtureBytes("latin1",
+        csvLatin1Content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      s.read.option("header", "true").option("encoding", "ISO-8859-1")
+        .schema("k INT, s STRING").csv(path)
+        .select(col("k"), col("s"), length(col("s")).as("chars"))
+        .orderBy("k")
+    },
+
+    // UTF-16 with BOM: multiLine routes the whole file through the
+    // charset decoder (Hadoop's byte-oriented line reader would split
+    // 2-byte code units) — csv_encoder.cpp UTF-16 arm; VALUES oracle
+    "src_csv_encoding_utf16" -> { (s, d) =>
+      val path = csvFixtureBytes("utf16",
+        csvUtf16Content.getBytes(java.nio.charset.StandardCharsets.UTF_16))
+      s.read.option("header", "true").option("encoding", "UTF-16")
+        .option("multiLine", "true")
+        .schema("k INT, s STRING").csv(path)
+        .select(col("k"), col("s"), length(col("s")).as("chars"))
+        .orderBy("k")
+    },
+
+    // gzip-compressed newline-delimited JSON read (reference reads
+    // .json.gz transparently; Spark writes/reads the codec by extension)
+    "src_json_gzip" -> { (s, d) =>
+      val dir = roundtripDir("json_gz")
+      Tables(s, d, "nation")
+        .select(col("n_nationkey").cast("int").as("k"), col("n_name").as("s"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "gzip").json(dir)
+      s.read.schema("k INT, s STRING").json(dir)
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(length(col("s"))).cast("long").as("s_chars"))
+    },
+
+    // the sniffer verdict AS ROWS — the reference's sniff_csv() table
+    // function (src/function/table/sniff_csv.cpp); engine-specific
+    // introspection output → rows-only
+    "util_sniff_csv" -> { (s, d) =>
+      val path = csvFixture("sniffed", csvSniffedContent)
+      graft.sources.CsvSniffer.sniffRows(s, path)
     }
   )
 
@@ -1581,6 +1751,14 @@ object Sources {
       """SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // the macro's textual expansion — table macros are pure substitution,
+    // so the expanded SELECT is the macro's defining equivalence
+    "sql_table_macro" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |      FROM orders WHERE o_totalprice > 400000.0) t
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     // ------------------------- round-11 copy/ option-matrix widening
 
     "src_csv_quote_escape" ->
@@ -1667,6 +1845,59 @@ object Sources {
         |FROM read_parquet('${roundtripDir("pq_part2")}/*/*/*.parquet',
         |  hive_partitioning=1)
         |WHERE l_returnflag = 'R'
-        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // ------------------------- round-12 copy/ option-matrix widening
+
+    "src_csv_skip_rows" ->
+      s"""SELECT k, v
+        |FROM read_csv('${csvFixturePath("skiprows")}', header=true, skip=2,
+        |  columns={'k': 'INTEGER', 'v': 'INTEGER'})
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_new_line_cr" ->
+      s"""SELECT k, v
+        |FROM read_csv('${csvFixturePath("crnl")}', header=true,
+        |  new_line='\\r', columns={'k': 'INTEGER', 'v': 'INTEGER'})
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_decimal_sep" ->
+      s"""SELECT k, v
+        |FROM read_csv('${csvFixturePath("decsep")}', header=true, delim=';',
+        |  decimal_separator=',', columns={'k': 'INTEGER', 'v': 'DOUBLE'})
+        |ORDER BY k""".stripMargin,
+
+    // casts: DuckDB's sniffer infers BIGINT for integer columns while the
+    // Spark side states INT — the hash compare is type-sensitive
+    "src_csv_union_by_name" ->
+      s"""SELECT CAST(a AS INTEGER) AS a, b, CAST(c AS INTEGER) AS c
+        |FROM read_csv(['${roundtripDir("csv_ubn")}/a.csv',
+        |  '${roundtripDir("csv_ubn")}/b.csv'], header=true,
+        |  union_by_name=true)
+        |ORDER BY a""".stripMargin,
+
+    // DuckDB 1.0 read_csv predates comment= — expected VALUES instead
+    // (the fixture bytes are the constant csvCommentContent)
+    "src_csv_comment" ->
+      """SELECT * FROM (VALUES (1, 10), (2, 20), (3, 30)) t(k, v)
+        |ORDER BY k""".stripMargin,
+
+    // DuckDB 1.0 read_csv has no encoding= — expected VALUES
+    "src_csv_encoding_latin1" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'café', 4), (2, 'naïve', 5), (3, 'über', 4)) t(k, s, chars)
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_encoding_utf16" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'alpha✓', 6), (2, 'betaé', 5), (3, 'gamma', 5)) t(k, s, chars)
+        |ORDER BY k""".stripMargin,
+
+    "src_json_gzip" ->
+      s"""SELECT count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        | CAST(sum(length(s)) AS BIGINT) AS s_chars
+        |FROM read_json('${roundtripDir("json_gz")}/*.json.gz',
+        |  format='newline_delimited',
+        |  columns={'k': 'INTEGER', 's': 'VARCHAR'})""".stripMargin
   )
 }

@@ -149,4 +149,153 @@ object CsvSniffer {
       .option("inferSchema", inferSchema.toString)
       .csv(path)
   }
+
+  /** Full sniffer verdict — the reference's `sniff_csv()` table function
+    * (/root/reference/src/function/table/sniff_csv.cpp) surfaces the
+    * sniffed configuration as a one-row result. Phases 2-4 of the
+    * reference sniffer (header detection, per-column type detection,
+    * newline detection) run here over the same driver-side sample phase 1
+    * (dialect) used.
+    */
+  final case class SniffResult(
+      dialect: Dialect, newline: String, skipRows: Int, hasHeader: Boolean,
+      columns: Seq[(String, String)], dateFormat: Option[String],
+      timestampFormat: Option[String])
+
+  /** Quote-aware row/field splitter under a sniffed dialect — the tiny
+    * driver-side parser used only on the sample (distributed reads go
+    * through `spark.read.csv`).
+    */
+  private[graft] def parseRows(sample: String, d: Dialect): Seq[Seq[String]] = {
+    val rows = Seq.newBuilder[Seq[String]]
+    var fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var nFields = 0
+    var inQuote = false
+    var rowHadData = false
+    var i = 0
+    val n = sample.length
+    def endField(): Unit = { fields += cur.result(); cur.clear(); nFields += 1 }
+    def endRow(): Unit = {
+      if (rowHadData || nFields > 0) { endField(); rows += fields.result() }
+      fields = Vector.newBuilder[String]; nFields = 0; rowHadData = false
+    }
+    while (i < n) {
+      val c = sample.charAt(i)
+      if (inQuote) {
+        if (c == d.escape && d.escape != d.quote && i + 1 < n) {
+          cur.append(sample.charAt(i + 1)); i += 1
+        } else if (c == d.quote) {
+          if (d.escape == d.quote && i + 1 < n && sample.charAt(i + 1) == d.quote) {
+            cur.append(d.quote); i += 1
+          } else inQuote = false
+        } else cur.append(c)
+      } else c match {
+        case q if q == d.quote => inQuote = true; rowHadData = true
+        case s if s == d.delimiter => endField(); rowHadData = true
+        case '\n' => endRow()
+        case '\r' =>
+          if (!(i + 1 < n && sample.charAt(i + 1) == '\n')) endRow()
+        case other => cur.append(other); rowHadData = true
+      }
+      i += 1
+    }
+    if ((rowHadData || nFields > 0) && !inQuote) endRow()
+    rows.result()
+  }
+
+  // type-detection ladder, most to least specific (reference sniffer
+  // phase 3, type_detection.cpp: BOOLEAN < BIGINT < DOUBLE < DATE <
+  // TIMESTAMP < VARCHAR); names rendered DuckDB-style
+  private val dateRe = """\d{4}-\d{2}-\d{2}""".r
+  private val tsRe = """\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?""".r
+  private def cellIs(tpe: String, v: String): Boolean = tpe match {
+    case "BOOLEAN" => v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false")
+    case "BIGINT" => v.nonEmpty && v.toLongOption.isDefined
+    case "DOUBLE" => v.nonEmpty && v.toDoubleOption.isDefined
+    case "DATE" => dateRe.matches(v)
+    case "TIMESTAMP" => tsRe.matches(v)
+    case _ => true // VARCHAR
+  }
+  private val typeLadder = Seq("BOOLEAN", "BIGINT", "DOUBLE", "DATE", "TIMESTAMP")
+  private def inferType(values: Seq[String]): String = {
+    val nonNull = values.filter(_.nonEmpty)
+    if (nonNull.isEmpty) "VARCHAR"
+    else typeLadder.find(t => nonNull.forall(cellIs(t, _))).getOrElse("VARCHAR")
+  }
+
+  def sniffAll(spark: SparkSession, path: String,
+      sampleBytes: Int = 64 * 1024): SniffResult = {
+    val sample = readSample(spark, path, sampleBytes)
+    val d = sniff(spark, path, sampleBytes)
+    val newline =
+      if (sample.contains("\r\n")) "\\r\\n"
+      else if (sample.contains("\r")) "\\r"
+      else "\\n"
+    val rowsAll = parseRows(sample, d)
+    // a sample may cut mid-row: drop the possibly-partial tail unless the
+    // sample holds the whole file
+    val rows = if (sample.length == sampleBytes && rowsAll.length > 1)
+      rowsAll.init else rowsAll
+    val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+    val pad = rows.map(r => r.padTo(width, ""))
+    // header detection (reference phase 2): the first row is a header when
+    // some column's body-inferred type is non-VARCHAR and the first-row
+    // cell does NOT parse as it; all-VARCHAR tables fall back to
+    // "distinct, non-empty, non-numeric first row"
+    val body = if (pad.length > 1) pad.tail else pad
+    val bodyTypes = (0 until width).map(c => inferType(body.map(_(c))))
+    val hasHeader = pad.length > 1 && {
+      val first = pad.head
+      val mismatch = (0 until width).exists(c =>
+        bodyTypes(c) != "VARCHAR" && !cellIs(bodyTypes(c), first(c)))
+      mismatch || (bodyTypes.forall(_ == "VARCHAR") &&
+        first.forall(_.nonEmpty) && first.distinct.length == first.length &&
+        first.forall(v => !cellIs("DOUBLE", v)))
+    }
+    val names =
+      if (hasHeader) pad.head.zipWithIndex.map { case (h, i) =>
+        if (h.nonEmpty) h else s"column${"%02d".format(i)}" }
+      else (0 until width).map(i => s"column${"%02d".format(i)}")
+    val types = if (hasHeader) bodyTypes
+      else (0 until width).map(c => inferType(pad.map(_(c))))
+    val cols = names.zip(types).toSeq
+    SniffResult(d, newline, 0, hasHeader, cols,
+      dateFormat = if (types.contains("DATE")) Some("%Y-%m-%d") else None,
+      timestampFormat = None)
+  }
+
+  /** The sniff verdict as a one-row DataFrame with the reference's
+    * sniff_csv column set (sniff_csv.cpp CSVSniffBind): Delimiter, Quote,
+    * Escape, NewLineDelimiter, Comment, SkipRows, HasHeader, Columns,
+    * DateFormat, TimestampFormat, UserArguments, Prompt.
+    */
+  def sniffRows(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val r = sniffAll(spark, path)
+    def fmt(c: Char): String = if (c == '\'') "''" else c.toString
+    val sep = ", "
+    val colsSql = r.columns
+      .map { case (n, t) => s"'$n': '$t'" }.mkString("{", sep, "}")
+    val prompt = s"FROM read_csv('$path'${sep}auto_detect=false$sep" +
+      s"delim='${fmt(r.dialect.delimiter)}'${sep}quote='${fmt(r.dialect.quote)}'$sep" +
+      s"escape='${fmt(r.dialect.escape)}'${sep}new_line='${r.newline}'$sep" +
+      s"skip=${r.skipRows}${sep}header=${r.hasHeader}${sep}columns=$colsSql);"
+    val one = spark.range(1)
+    one.select(
+      lit(r.dialect.delimiter.toString).as("Delimiter"),
+      lit(r.dialect.quote.toString).as("Quote"),
+      lit(r.dialect.escape.toString).as("Escape"),
+      lit(r.newline).as("NewLineDelimiter"),
+      lit("").as("Comment"),
+      lit(r.skipRows).as("SkipRows"),
+      lit(r.hasHeader).as("HasHeader"),
+      array(r.columns.map { case (n, t) =>
+        struct(lit(n).as("name"), lit(t).as("type")) }: _*).as("Columns"),
+      r.dateFormat.map(lit(_)).getOrElse(lit(null)).cast("string").as("DateFormat"),
+      r.timestampFormat.map(lit(_)).getOrElse(lit(null)).cast("string")
+        .as("TimestampFormat"),
+      lit(null).cast("string").as("UserArguments"),
+      lit(prompt).as("Prompt"))
+  }
 }

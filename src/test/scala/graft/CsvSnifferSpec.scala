@@ -67,4 +67,50 @@ class CsvSnifferSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("name")).toSet == Set("alpha", "beta"))
     assert(rows.map(_.getAs[Double]("v")).sum == 4.0)
   }
+
+  test("parseRows unquotes doubled quotes, embedded delimiters and newlines") {
+    val d = Dialect('|', '"', '"')
+    val rows = CsvSniffer.parseRows(
+      "k|s\n1|\"a|b\"\n2|\"say \"\"hi\"\"\"\n3|\"two\nlines\"\n", d)
+    assert(rows == Seq(Seq("k", "s"), Seq("1", "a|b"),
+      Seq("2", "say \"hi\""), Seq("3", "two\nlines")))
+  }
+
+  test("sniffAll: header + type ladder (bool/bigint/double/date/ts/varchar)") {
+    val path = write(
+      "k,flag,price,d,t,s\n" +
+      "1,true,1.5,2024-01-02,2024-01-02 03:04:05,alpha\n" +
+      "2,false,2.5,2024-02-03,2024-02-03 04:05:06,beta\n" +
+      "3,true,7,2024-03-04,2024-03-04 05:06:07,gamma\n")
+    val r = CsvSniffer.sniffAll(spark, path)
+    assert(r.hasHeader)
+    assert(r.columns == Seq("k" -> "BIGINT", "flag" -> "BOOLEAN",
+      "price" -> "DOUBLE", "d" -> "DATE", "t" -> "TIMESTAMP", "s" -> "VARCHAR"))
+    assert(r.dateFormat.contains("%Y-%m-%d"))
+    assert(r.newline == "\\n")
+  }
+
+  test("sniffAll: headerless numeric file gets generated names, no header") {
+    val r = CsvSniffer.sniffAll(spark, write("1,10\n2,20\n3,30\n"))
+    assert(!r.hasHeader)
+    assert(r.columns == Seq("column00" -> "BIGINT", "column01" -> "BIGINT"))
+  }
+
+  test("sniffAll: all-varchar table still detects a distinct header row") {
+    val r = CsvSniffer.sniffAll(spark, write("name,city\nann,oslo\nbob,rome\n"))
+    assert(r.hasHeader)
+    assert(r.columns.map(_._1) == Seq("name", "city"))
+    assert(r.columns.forall(_._2 == "VARCHAR"))
+  }
+
+  test("sniffRows: one row, reference sniff_csv column set") {
+    val df = CsvSniffer.sniffRows(spark, write("k;v\n1;2,0\n2;3,5\n"))
+    assert(df.columns.toSeq == Seq("Delimiter", "Quote", "Escape",
+      "NewLineDelimiter", "Comment", "SkipRows", "HasHeader", "Columns",
+      "DateFormat", "TimestampFormat", "UserArguments", "Prompt"))
+    val row = df.collect().head
+    assert(row.getAs[String]("Delimiter") == ";")
+    assert(row.getAs[Boolean]("HasHeader"))
+    assert(row.getAs[String]("Prompt").startsWith("FROM read_csv("))
+  }
 }
