@@ -25,7 +25,10 @@ object BenchABPlan {
     val spark = GraftSession.tune(SparkSession.builder()
         .master("local[32]")
         .config("spark.ui.enabled", "false"))
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,8 +43,21 @@ object BenchABPlan {
       ts.sorted.apply(n / 2)
     }
 
+    // thqNN names decompose the verbatim TPC-H texts over the scaled
+    // fixture (same registration as BenchTpchScale's warm arm)
+    if (names.exists(_.startsWith("thq"))) {
+      val factor = sys.env.getOrElse("SPARK_GRAFT_TPCH_FACTOR", "100").toLong
+      val dir = graft.sources.TpchFixture.ensureScaled(spark, factor)
+      graft.sources.TpchFixture.tables.foreach { t =>
+        Tables(spark, dir, t).createOrReplaceTempView(t)
+      }
+    }
+
     names.foreach { name =>
-      val fn = queries.OlapShapes.queries(name)
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name.startsWith("thq"))
+          (s, _) => s.sql(queries.TpchVerbatim.texts(name))
+        else queries.OlapShapes.queries(name)
       (1 to 4).foreach(_ => fn(spark, sfDir).collect()) // warm cache + JIT
       val prebuilt = fn(spark, sfDir)
       prebuilt.collect()

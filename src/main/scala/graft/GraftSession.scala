@@ -198,10 +198,15 @@ object Tables {
       }.toSeq
       // NDV sketches for the group-key-shaped columns (strings and
       // narrow ints): an approx distinct count per column, one HLL each,
-      // same scan. rsd 0.02 + the ×1.1+64 slack below keeps the recorded
-      // value an upper BOUND with overwhelming probability — and the
-      // consumer's runtime valve (DriverAgg maxGroups) makes a bound
-      // violation cost one aborted scan, never a wrong answer.
+      // same scan. rsd 0.02 + the ×1.1+8 slack below keeps the recorded
+      // value an upper BOUND with overwhelming probability (HLL sits in
+      // its near-exact linear-counting regime precisely at the tiny
+      // cardinalities the consumer routes on) — and the consumer's
+      // runtime valve (DriverAgg maxGroups) makes a bound violation cost
+      // one aborted scan, never a wrong answer. The old +64 additive
+      // slack swamped tiny domains: TPC-H q1's 3×2 string keys bounded
+      // to 68×67 > the 4096 route ceiling, keeping the exact shape the
+      // route exists for on the 4-stage shuffled plan.
       val ndvCols = df.schema.fields.collect {
         case f if f.dataType == org.apache.spark.sql.types.StringType ||
           f.dataType == org.apache.spark.sql.types.IntegerType ||
@@ -230,7 +235,7 @@ object Tables {
       val df0 = ndvCols.zipWithIndex.foldLeft(withDates) { case (d, (n, i)) =>
         val ndv = statsRow.getLong(ndvBase + i)
         d.withMetadata(n, new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("graft.ndvBound", (ndv * 1.1).toLong + 64L).build())
+          .putLong("graft.ndvBound", (ndv * 1.1).toLong + 8L).build())
       }
       val want = (rows / 40000L).toInt + 1
       // an EXPLICIT cacheParts override wins in both regimes (dev A/B knob)

@@ -9,12 +9,12 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-batch dictionary-or-fallback evaluator for a conjunction of
-  * single-string-column predicates — the shared core of
-  * [[CacheFilterExec]] and the selection-pushed batch loops
-  * ([[SortedRunAggExec]]). Instantiate once per task, `reset` per
+  * predicates — the shared core of [[CacheFilterExec]] and the
+  * selection-pushed batch loops ([[SortedRunAggExec]],
+  * [[DriverGroupAggExec]]). Instantiate once per task, `reset` per
   * batch, then `passes(r)` per row.
   *
-  * Three evaluation tiers per (conjunct, batch):
+  * Four evaluation tiers per (conjunct, batch):
   *  1. DICT — the column is dictionary-encoded: evaluate once per
   *     distinct value, test rows by id lookup.
   *  2. BLOB — the column spilled to the dense blob layout and the
@@ -27,19 +27,29 @@ import org.apache.spark.unsafe.types.UTF8String
   *     allocation, no per-row call. Byte-level search is exact on
   *     UTF-8 (self-synchronizing). The reference runs the same
   *     string-pushdown over its compressed string segments.
-  *  3. ROW — anything else: a compiled predicate on the batch row.
+  *  3. PRIM — a single-column comparison against a literal over a
+  *     primitive-backed vector (`l_shipdate <= TIMESTAMP '…'`,
+  *     `x > 4`, IS [NOT] NULL): one typed vector read + compare per
+  *     row, no row view. NULL compares never pass (SQL filter
+  *     semantics).
+  *  4. ROW — anything else (incl. multi-column conjuncts): a compiled
+  *     predicate on the batch row.
   */
 final class DictSelection(
     preds: Array[Expression],
     childOutput: Seq[Attribute]) {
   private val k = preds.length
+  // single-column conjuncts classify into the dict/blob/prim tiers;
+  // anything else (0 or 2+ referenced columns) rides the row fallback
   private val ordinals = preds.map { p =>
-    val a = p.references.head
-    childOutput.indexWhere(_.exprId == a.exprId)
+    if (p.references.size != 1) -1
+    else childOutput.indexWhere(_.exprId == p.references.head.exprId)
   }
   private val single: Array[BasePredicate] =
     preds.zipWithIndex.map { case (p, i) =>
-      Predicate.create(p, Seq(childOutput(ordinals(i))))
+      if (ordinals(i) < 0 ||
+          childOutput(ordinals(i)).dataType != org.apache.spark.sql.types.StringType) null
+      else Predicate.create(p, Seq(childOutput(ordinals(i))))
     }
   private val fallback: Array[BasePredicate] =
     preds.map(p => Predicate.create(p, childOutput))
@@ -69,6 +79,97 @@ final class DictSelection(
     }).orNull
   }
 
+  // PRIM tier: (op, long-or-double threshold, read code) for
+  // single-column literal comparisons over primitive vectors.
+  // op: 0 <, 1 <=, 2 >, 3 >=, 4 =, 5 isnotnull, 6 isnull; tc: 0 byte,
+  // 1 short, 2 int/date, 3 long/ts/ntz, 4 float, 5 double
+  // float/double columns are EXCLUDED from this tier (isnull/isnotnull
+  // aside): Spark compares under a total order where NaN = NaN is true
+  // and NaN sorts greatest — Java primitive compares diverge on NaN
+  // rows, so fractional comparisons ride the row fallback.
+  private final class PrimOp(val ord: Int, val op: Int,
+      val thrL: Long, val thrD: Double, val tc: Int) {
+    var vec: org.apache.spark.sql.vectorized.ColumnVector = _
+    def eval(r: Int): Boolean = {
+      val isNull = vec.isNullAt(r)
+      if (op == 5) !isNull
+      else if (op == 6) isNull
+      else if (isNull) false
+      else {
+        val x = tc match {
+          case 0 => vec.getByte(r).toLong
+          case 1 => vec.getShort(r).toLong
+          case 2 => vec.getInt(r).toLong
+          case _ => vec.getLong(r)
+        }
+        op match {
+          case 0 => x < thrL
+          case 1 => x <= thrL
+          case 2 => x > thrL
+          case 3 => x >= thrL
+          case _ => x == thrL
+        }
+      }
+    }
+  }
+
+  private def primTypeCode(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => 0
+      case ShortType => 1
+      case IntegerType | DateType => 2
+      case LongType | TimestampType | TimestampNTZType => 3
+      case FloatType => 4
+      case DoubleType => 5
+      case _ => -1
+    }
+  }
+
+  private val primOps: Array[PrimOp] = preds.zipWithIndex.map { case (p, i) =>
+    import org.apache.spark.sql.catalyst.expressions._
+    val ord = ordinals(i)
+    val tc = if (ord < 0) -1 else primTypeCode(childOutput(ord).dataType)
+    def thr(l: Any): Option[(Long, Double)] = l match {
+      case b: Byte => Some((b.toLong, b.toDouble))
+      case s: Short => Some((s.toLong, s.toDouble))
+      case x: Int => Some((x.toLong, x.toDouble))
+      case x: Long => Some((x, x.toDouble))
+      case f: Float => Some((0L, f.toDouble))
+      case d: Double => Some((0L, d))
+      case _ => None
+    }
+    // op with the attribute on the LEFT; a literal-left compare flips
+    def mk(op: Int, lv: Any): PrimOp =
+      thr(lv).map { case (l, d) => new PrimOp(ord, op, l, d, tc) }.orNull
+    def flip(op: Int): Int = op match {
+      case 0 => 2; case 1 => 3; case 2 => 0; case 3 => 1; case x => x
+    }
+    if (tc < 0) null
+    else if (tc >= 4) p match { // fractional: null checks only (NaN order)
+      case IsNotNull(_: Attribute) => new PrimOp(ord, 5, 0L, 0d, tc)
+      case IsNull(_: Attribute) => new PrimOp(ord, 6, 0L, 0d, tc)
+      case _ => null
+    }
+    else p match {
+      case IsNotNull(_: Attribute) => new PrimOp(ord, 5, 0L, 0d, tc)
+      case IsNull(_: Attribute) => new PrimOp(ord, 6, 0L, 0d, tc)
+      // literal-type match: the analyzer casts both sides to one type, so
+      // a same-type literal is the only shape that reaches here un-cast
+      case LessThan(_: Attribute, Literal(v, t)) if t == childOutput(ord).dataType => mk(0, v)
+      case LessThanOrEqual(_: Attribute, Literal(v, t)) if t == childOutput(ord).dataType => mk(1, v)
+      case GreaterThan(_: Attribute, Literal(v, t)) if t == childOutput(ord).dataType => mk(2, v)
+      case GreaterThanOrEqual(_: Attribute, Literal(v, t)) if t == childOutput(ord).dataType => mk(3, v)
+      case EqualTo(_: Attribute, Literal(v, t)) if t == childOutput(ord).dataType => mk(4, v)
+      case LessThan(Literal(v, t), _: Attribute) if t == childOutput(ord).dataType => mk(flip(0), v)
+      case LessThanOrEqual(Literal(v, t), _: Attribute) if t == childOutput(ord).dataType => mk(flip(1), v)
+      case GreaterThan(Literal(v, t), _: Attribute) if t == childOutput(ord).dataType => mk(flip(2), v)
+      case GreaterThanOrEqual(Literal(v, t), _: Attribute) if t == childOutput(ord).dataType => mk(flip(3), v)
+      case EqualTo(Literal(v, t), _: Attribute) if t == childOutput(ord).dataType => mk(4, v)
+      case _ => null
+    }
+  }
+
   private val idTables = new Array[Array[Boolean]](k) // per-dict-id pass table
   private val nullPass = new Array[Boolean](k)
   private val idCols = new Array[Array[Int]](k)
@@ -86,7 +187,8 @@ final class DictSelection(
     while (i < k) {
       idTables(i) = null
       rowMasks(i) = null
-      b.column(ordinals(i)) match {
+      if (primOps(i) != null) primOps(i).vec = b.column(ordinals(i))
+      else if (ordinals(i) >= 0 && single(i) != null) b.column(ordinals(i)) match {
         case g: GraftColumnVector => g.store match {
           case d: GraftCacheSerializer.DictStore =>
             val entries = d.entries
@@ -119,6 +221,7 @@ final class DictSelection(
     while (pass && i < k) {
       val mask = rowMasks(i)
       if (mask != null) pass = mask(r)
+      else if (primOps(i) != null) pass = primOps(i).eval(r)
       else {
         val tbl = idTables(i)
         if (tbl != null) {

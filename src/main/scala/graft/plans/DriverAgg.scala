@@ -116,7 +116,126 @@ object DriverAgg {
     */
   @volatile var denseCalendarEnabled: Boolean =
     !sys.env.get("GRAFT_NO_DENSE_CAL").contains("1")
+
+  /** Dict-id group keys in the batch partial: when a string key column
+    * is served dictionary-encoded by the cache, per-batch dictionary ids
+    * remap to task-level intern ids once per batch and rows key by an
+    * int-array read — the reference's DICTIONARY-vector aggregation
+    * (reference: src/include/duckdb/common/enums/vector_type.hpp:15-21,
+    * physical_hash_aggregate.cpp over dictionary vectors). Escape hatch
+    * for A/B + differential specs.
+    */
+  @volatile var dictKeysEnabled: Boolean =
+    !sys.env.get("GRAFT_NO_DICT_KEYS").contains("1")
+
+  /** Compiled double-expression aggregate inputs in the batch partial
+    * (the q1 disc_price/charge shape): {col, lit, +, -, ×, cast-to-
+    * double} trees evaluate straight off the vectors in the plan's
+    * exact shape (bit-identical IEEE result), instead of routing EVERY
+    * input through the per-row UnsafeProjection when any one input is
+    * an expression. Escape hatch for A/B + differential specs.
+    */
+  @volatile var exprVecEnabled: Boolean =
+    !sys.env.get("GRAFT_NO_EXPR_VEC").contains("1")
+
+  /** Filter fold into the batch partial ([[graft.rules
+    * .InsertCacheColumnarToRow]] replaces Filter-over-cache-scan children
+    * with a per-batch [[DictSelection]] inside the partial loop — the
+    * selection-pushed scan the reference's table scan performs).
+    */
+  @volatile var aggSelectionEnabled: Boolean =
+    !sys.env.get("GRAFT_NO_AGG_SELECTION").contains("1")
+
   private def maxDistinctPerGroup = maxDistinctCap
+
+  // ---- vector-direct aggregate-input plans ---------------------------
+  /** Per-input access plan for the batch partial: DirectIn reads the
+    * column; CompiledIn evaluates a compiled double tree over the
+    * batch's vectors (null iff any referenced column is null — the
+    * null semantics of +/-/× over nullable inputs).
+    */
+  private[plans] sealed trait InPlan extends Serializable
+  private[plans] final case class DirectIn(ord: Int) extends InPlan
+  private[plans] final case class CompiledIn(prog: DProg, ords: Array[Int]) extends InPlan
+
+  /** Double-expression program node. Walked in the analyzed plan's
+    * exact tree shape — same IEEE operation order as codegen, so
+    * results are bit-identical. Doubles cannot overflow-throw, so ANSI
+    * and legacy eval modes agree on every node compiled here.
+    */
+  private[plans] sealed trait DProg extends Serializable {
+    def eval(cols: Array[org.apache.spark.sql.vectorized.ColumnVector], r: Int): Double
+  }
+  private[plans] final case class DCol(ord: Int, tc: Int) extends DProg {
+    def eval(cols: Array[org.apache.spark.sql.vectorized.ColumnVector], r: Int): Double =
+      tc match {
+        case 0 => cols(ord).getByte(r).toDouble
+        case 1 => cols(ord).getShort(r).toDouble
+        case 2 => cols(ord).getInt(r).toDouble
+        case 3 => cols(ord).getLong(r).toDouble
+        case 4 => cols(ord).getFloat(r).toDouble
+        case _ => cols(ord).getDouble(r)
+      }
+  }
+  private[plans] final case class DLit(v: Double) extends DProg {
+    def eval(cols: Array[org.apache.spark.sql.vectorized.ColumnVector], r: Int): Double = v
+  }
+  private[plans] final case class DAdd(l: DProg, rp: DProg) extends DProg {
+    def eval(cols: Array[org.apache.spark.sql.vectorized.ColumnVector], r: Int): Double =
+      l.eval(cols, r) + rp.eval(cols, r)
+  }
+  private[plans] final case class DSub(l: DProg, rp: DProg) extends DProg {
+    def eval(cols: Array[org.apache.spark.sql.vectorized.ColumnVector], r: Int): Double =
+      l.eval(cols, r) - rp.eval(cols, r)
+  }
+  private[plans] final case class DMul(l: DProg, rp: DProg) extends DProg {
+    def eval(cols: Array[org.apache.spark.sql.vectorized.ColumnVector], r: Int): Double =
+      l.eval(cols, r) * rp.eval(cols, r)
+  }
+
+  private def dTypeCode(dt: DataType): Int = dt match {
+    case ByteType => 0
+    case ShortType => 1
+    case IntegerType => 2
+    case LongType => 3
+    case FloatType => 4
+    case DoubleType => 5
+    case _ => -1
+  }
+
+  /** Compile a DoubleType expression over direct columns, or None. Only
+    * node kinds whose double semantics are mode-independent and
+    * null-iff-any-input-null are admitted: attribute reads, non-null
+    * literals, numeric→double casts of attributes, +, -, ×.
+    */
+  private[plans] def compileDouble(e: Expression,
+      childOut: Seq[Attribute]): Option[CompiledIn] = {
+    val ords = ArrayBuffer.empty[Int]
+    def ordOf(a: Attribute): Option[Int] = {
+      val i = childOut.indexWhere(_.exprId == a.exprId)
+      if (i < 0) None else { if (!ords.contains(i)) ords += i; Some(i) }
+    }
+    def go(x: Expression): Option[DProg] = x match {
+      case a: AttributeReference if a.dataType == DoubleType =>
+        ordOf(a).map(DCol(_, 5))
+      case c: Cast if c.dataType == DoubleType => c.child match {
+        case a: AttributeReference if dTypeCode(a.dataType) >= 0 =>
+          ordOf(a).map(DCol(_, dTypeCode(a.dataType)))
+        case _ => None
+      }
+      case Literal(v: Double, DoubleType) => Some(DLit(v))
+      case Literal(v: Float, FloatType) => Some(DLit(v.toDouble))
+      case a: Add if a.dataType == DoubleType =>
+        for (l <- go(a.left); r <- go(a.right)) yield DAdd(l, r)
+      case s: Subtract if s.dataType == DoubleType =>
+        for (l <- go(s.left); r <- go(s.right)) yield DSub(l, r)
+      case m: Multiply if m.dataType == DoubleType =>
+        for (l <- go(m.left); r <- go(m.right)) yield DMul(l, r)
+      case _ => None
+    }
+    if (e.isInstanceOf[AttributeReference]) None // DirectIn handles those
+    else go(e).map(p => CompiledIn(p, ords.toArray))
+  }
 
   /** Long addition per the session's eval mode, decided at PLAN time:
     * ANSI throws on overflow (Math.addExact), default Spark wraps —
@@ -622,7 +741,15 @@ final case class DriverGroupAggExec(
     ansi: Boolean,
     // batch-direct partial (InsertCacheColumnarToRow peels the transition
     // when the keys columnar-translate — see DriverAgg.colKeyParts)
-    columnarChild: Boolean = false) extends UnaryExecNode {
+    columnarChild: Boolean = false,
+    // filter conjuncts folded INTO the batch partial (the rule replaces a
+    // Filter/CacheFilterExec child with this selection, evaluated per
+    // batch by DictSelection's dict/prim/row tiers — the selection-pushed
+    // scan). Only ever non-empty together with columnarChild.
+    selection: Seq[Expression] = Nil) extends UnaryExecNode {
+
+  require(selection.isEmpty || columnarChild,
+    "selection fold requires the batch-direct partial")
 
   import DriverAgg._
 
@@ -669,7 +796,10 @@ final case class DriverGroupAggExec(
     * on (possibly lying) statistics.
     */
   private def denseCalendarSpec: Option[(DriverAgg.CalendarKeyPart, Array[Int])] = {
-    if (!DriverAgg.denseCalendarEnabled || nS != 0 || nO != 0) return None
+    // a folded selection routes through the generic batch partial (whose
+    // loop evaluates it); the dense arm stays filter-free
+    if (!DriverAgg.denseCalendarEnabled || nS != 0 || nO != 0 ||
+      selection.nonEmpty) return None
     DriverAgg.colKeyParts(groupExprs, child.output) match {
       case Some(Seq(c: DriverAgg.CalendarKeyPart)) =>
         val slotsOk = slots.forall {
@@ -943,6 +1073,81 @@ final case class DriverGroupAggExec(
     val (accL, accD, accF, accS, accO) = (nL, nD, nF, nS, nO)
     val ansiMode = ansi
     val keyTypes = groupExprs.map(_.dataType).toArray
+    val selPreds: Array[Expression] =
+      if (selection.nonEmpty) selection.toArray else null
+    val dictKeys = DriverAgg.dictKeysEnabled
+    // per-input access plans: direct column, compiled double tree, or
+    // null (projection row path). The vector arm engages only when every
+    // input has a plan AND every slot's read kind is satisfiable: long/
+    // string/boxed-exact reads need a direct column; double reads accept
+    // a compiled tree.
+    val inPlans: Array[DriverAgg.InPlan] = iExprs.map {
+      case a: AttributeReference if childOut.exists(_.exprId == a.exprId) =>
+        DriverAgg.DirectIn(childOut.indexWhere(_.exprId == a.exprId))
+      case e if DriverAgg.exprVecEnabled =>
+        DriverAgg.compileDouble(e, childOut).orNull
+      case _ => null
+    }.toArray
+    def direct(in: Int): Boolean = inPlans(in).isInstanceOf[DriverAgg.DirectIn]
+    val slotReadsOk = theSlots.forall {
+      case DriverAgg.SumLSlot(_, _, in) => direct(in)
+      case DriverAgg.MinMaxLSlot(_, _, in, _) => direct(in)
+      case DriverAgg.MinMaxSSlot(_, in, _) => direct(in)
+      case DriverAgg.CountDistinctSlot(_, in) => direct(in)
+      case _ => true
+    }
+    val vectorArm = inPlans.forall(_ != null) && slotReadsOk
+    // opcode-compile the slot program (the dense arm's int-switch,
+    // generalized to hash-grouped state): the per-row cost drops from a
+    // Seq index + ADT match + dataType match PER SLOT to one int switch.
+    // Slots outside the opcode set (string min/max, distinct sets,
+    // multi-checked count) keep the generic dispatch loop.
+    // op: 0 count(*), 1 count(x), 2 sumL, 3 sumD, 4 avg, 5 minL, 6 maxL,
+    // 7 minD, 8 maxD; -1 marks a non-opcode slot set
+    val slotsArr = theSlots.toArray
+    val nOps = slotsArr.length
+    val opA = new Array[Int](nOps); val a1A = new Array[Int](nOps)
+    val a2A = new Array[Int](nOps); val vinA = new Array[Int](nOps)
+    var opcodeOk = vectorArm
+    if (opcodeOk) {
+      var j = 0
+      while (j < nOps && opcodeOk) {
+        slotsArr(j) match {
+          case DriverAgg.CountSlot(li, Seq()) => opA(j) = 0; a1A(j) = li
+          case DriverAgg.CountSlot(li, Seq(in)) => opA(j) = 1; a1A(j) = li; vinA(j) = in
+          case DriverAgg.SumLSlot(li, fi, in) =>
+            opA(j) = 2; a1A(j) = li; a2A(j) = fi; vinA(j) = in
+          case DriverAgg.SumDSlot(di, fi, in) =>
+            opA(j) = 3; a1A(j) = di; a2A(j) = fi; vinA(j) = in
+          case DriverAgg.AvgSlot(di, li, in) =>
+            opA(j) = 4; a1A(j) = di; a2A(j) = li; vinA(j) = in
+          case DriverAgg.MinMaxLSlot(li, fi, in, isMin) =>
+            opA(j) = if (isMin) 5 else 6; a1A(j) = li; a2A(j) = fi; vinA(j) = in
+          case DriverAgg.MinMaxDSlot(di, fi, in, isMin) =>
+            opA(j) = if (isMin) 7 else 8; a1A(j) = di; a2A(j) = fi; vinA(j) = in
+          case _ => opcodeOk = false
+        }
+        j += 1
+      }
+    }
+    // per-input static read metadata for the opcode loop
+    val inProgs: Array[DriverAgg.DProg] = inPlans.map {
+      case DriverAgg.CompiledIn(p, _) => p
+      case _ => null
+    }
+    val inNullOrds: Array[Array[Int]] = inPlans.map {
+      case DriverAgg.CompiledIn(_, ords) => ords
+      case _ => null
+    }
+    val inTc: Array[Int] = iExprs.map(e => e.dataType match {
+      case ByteType => 0
+      case ShortType => 1
+      case IntegerType | DateType => 2
+      case LongType | TimestampType | TimestampNTZType => 3
+      case FloatType => 4
+      case DoubleType => 5
+      case _ => -1
+    }).toArray
     sparkContext.runJob(child.executeColumnar(),
         (batches: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]) => {
       import graft.functions.DistinctWithHll.scramble
@@ -1003,50 +1208,158 @@ final case class DriverGroupAggExec(
               id.toLong
             }
         }
-      // when every aggregate input is a direct column, slots update
-      // straight off the vectors — no row view, no value projection
-      val directOrds: Array[Int] =
-        if (iExprs.forall(_.isInstanceOf[AttributeReference]))
-          iExprs.map(e => childOut.indexWhere(
-            _.exprId == e.asInstanceOf[AttributeReference].exprId)).toArray
-        else null
+      // selection: the folded filter's conjuncts, classified per batch
+      // into DictSelection's dict/prim/row tiers
+      val sel = if (selPreds == null) null else new DictSelection(selPreds, childOut)
+      // dict-id fast keys: per-batch dictionary ids remapped to task
+      // intern ids once per batch (≤ entries probes), rows key by an
+      // int-array read instead of a per-row UTF8String hash probe
+      val dictIdArr = new Array[Array[Int]](nParts)
+      val dictRemap = new Array[Array[Int]](nParts)
+      def intern(ci: Int,
+          s: org.apache.spark.unsafe.types.UTF8String): Int = {
+        val boxed = interns(ci).get(s)
+        if (boxed != null) boxed.intValue()
+        else {
+          val copy = s.clone()
+          val id = internVals(ci).length
+          interns(ci).put(copy, Integer.valueOf(id))
+          internVals(ci) += copy
+          id
+        }
+      }
       val addL = DriverAgg.longAdd(ansiMode)
       batches.foreach { batch =>
         val v0 = batch.column(partsSpec(0).ord)
         val v1 = if (nParts > 1) batch.column(partsSpec(1).ord) else null
+        var c1 = 0
+        while (c1 < nParts) {
+          dictIdArr(c1) = null
+          if (dictKeys && partsSpec(c1).isInstanceOf[DriverAgg.StringKeyPart]) {
+            (if (c1 == 0) v0 else v1) match {
+              case g: GraftColumnVector => g.store match {
+                case d: GraftCacheSerializer.DictStore =>
+                  val remap = new Array[Int](d.entries)
+                  var e = 0
+                  while (e < d.entries) {
+                    remap(e) = intern(c1, org.apache.spark.unsafe.types.UTF8String
+                      .fromBytes(d.dict, d.dictOffsets(e),
+                        d.dictOffsets(e + 1) - d.dictOffsets(e)))
+                    e += 1
+                  }
+                  dictIdArr(c1) = d.ids
+                  dictRemap(c1) = remap
+                case _ =>
+              }
+              case _ =>
+            }
+          }
+          c1 += 1
+        }
+        if (sel != null) sel.reset(batch)
         val inVecs: Array[org.apache.spark.sql.vectorized.ColumnVector] =
-          if (directOrds == null) null else directOrds.map(batch.column)
-        def readVL(in: Int, r: Int): Long = iExprs(in).dataType match {
-          case ByteType => inVecs(in).getByte(r).toLong
-          case ShortType => inVecs(in).getShort(r).toLong
-          case IntegerType | DateType => inVecs(in).getInt(r).toLong
+          if (!vectorArm) null
+          else inPlans.map {
+            case DriverAgg.DirectIn(o) => batch.column(o)
+            case _ => null // compiled inputs read through allCols
+          }
+        val allCols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+          if (vectorArm && inPlans.exists(_.isInstanceOf[DriverAgg.CompiledIn]))
+            Array.tabulate(batch.numCols())(batch.column)
+          else null
+        def inNull(in: Int, r: Int): Boolean =
+          if (inProgs(in) == null) inVecs(in).isNullAt(r)
+          else {
+            val ords = inNullOrds(in)
+            var i = 0
+            var nn = false
+            while (i < ords.length && !nn) {
+              if (allCols(ords(i)).isNullAt(r)) nn = true
+              i += 1
+            }
+            nn
+          }
+        def readVL(in: Int, r: Int): Long = (inTc(in): @annotation.switch) match {
+          case 0 => inVecs(in).getByte(r).toLong
+          case 1 => inVecs(in).getShort(r).toLong
+          case 2 => inVecs(in).getInt(r).toLong
           case _ => inVecs(in).getLong(r)
         }
-        def readVD(in: Int, r: Int): Double = iExprs(in).dataType match {
-          case ByteType => inVecs(in).getByte(r).toDouble
-          case ShortType => inVecs(in).getShort(r).toDouble
-          case IntegerType | DateType => inVecs(in).getInt(r).toDouble
-          case LongType | TimestampType | TimestampNTZType => inVecs(in).getLong(r).toDouble
-          case FloatType => inVecs(in).getFloat(r).toDouble
-          case _ => inVecs(in).getDouble(r)
+        def readVD(in: Int, r: Int): Double =
+          if (inProgs(in) != null) inProgs(in).eval(allCols, r)
+          else (inTc(in): @annotation.switch) match {
+            case 0 => inVecs(in).getByte(r).toDouble
+            case 1 => inVecs(in).getShort(r).toDouble
+            case 2 => inVecs(in).getInt(r).toDouble
+            case 3 => inVecs(in).getLong(r).toDouble
+            case 4 => inVecs(in).getFloat(r).toDouble
+            case _ => inVecs(in).getDouble(r)
+          }
+        // int-switch slot program — no per-row ADT or dataType dispatch
+        def opUpdate(r: Int, acc: Acc): Unit = {
+          var j = 0
+          while (j < nOps) {
+            val in = vinA(j)
+            (opA(j): @annotation.switch) match {
+              case 0 => acc.longs(a1A(j)) += 1
+              case 1 => if (!inNull(in, r)) acc.longs(a1A(j)) += 1
+              case 2 => if (!inVecs(in).isNullAt(r)) {
+                val x = readVL(in, r)
+                acc.longs(a1A(j)) =
+                  if (acc.flags(a2A(j))) addL(acc.longs(a1A(j)), x) else x
+                acc.flags(a2A(j)) = true
+              }
+              case 3 => if (!inNull(in, r)) {
+                acc.doubles(a1A(j)) += readVD(in, r); acc.flags(a2A(j)) = true
+              }
+              case 4 => if (!inNull(in, r)) {
+                acc.doubles(a1A(j)) += readVD(in, r); acc.longs(a2A(j)) += 1
+              }
+              case 5 => if (!inVecs(in).isNullAt(r)) {
+                val x = readVL(in, r)
+                if (!acc.flags(a2A(j)) || x < acc.longs(a1A(j))) acc.longs(a1A(j)) = x
+                acc.flags(a2A(j)) = true
+              }
+              case 6 => if (!inVecs(in).isNullAt(r)) {
+                val x = readVL(in, r)
+                if (!acc.flags(a2A(j)) || x > acc.longs(a1A(j))) acc.longs(a1A(j)) = x
+                acc.flags(a2A(j)) = true
+              }
+              case 7 => if (!inNull(in, r)) {
+                val x = readVD(in, r)
+                if (!acc.flags(a2A(j)) ||
+                    java.lang.Double.compare(x, acc.doubles(a1A(j))) < 0)
+                  acc.doubles(a1A(j)) = x
+                acc.flags(a2A(j)) = true
+              }
+              case 8 => if (!inNull(in, r)) {
+                val x = readVD(in, r)
+                if (!acc.flags(a2A(j)) ||
+                    java.lang.Double.compare(x, acc.doubles(a1A(j))) > 0)
+                  acc.doubles(a1A(j)) = x
+                acc.flags(a2A(j)) = true
+              }
+            }
+            j += 1
+          }
         }
         def vecUpdate(r: Int, acc: Acc): Unit = {
           var j = 0
-          while (j < theSlots.length) {
-            theSlots(j) match {
+          while (j < nOps) {
+            slotsArr(j) match {
               case CountSlot(li, checked) =>
                 var ok = true
-                checked.foreach(in => if (inVecs(in).isNullAt(r)) ok = false)
+                checked.foreach(in => if (inNull(in, r)) ok = false)
                 if (ok) acc.longs(li) += 1
               case SumLSlot(li, fi, in) => if (!inVecs(in).isNullAt(r)) {
                 val x = readVL(in, r)
                 acc.longs(li) = if (acc.flags(fi)) addL(acc.longs(li), x) else x
                 acc.flags(fi) = true
               }
-              case SumDSlot(di, fi, in) => if (!inVecs(in).isNullAt(r)) {
+              case SumDSlot(di, fi, in) => if (!inNull(in, r)) {
                 acc.doubles(di) += readVD(in, r); acc.flags(fi) = true
               }
-              case AvgSlot(di, li, in) => if (!inVecs(in).isNullAt(r)) {
+              case AvgSlot(di, li, in) => if (!inNull(in, r)) {
                 acc.doubles(di) += readVD(in, r); acc.longs(li) += 1
               }
               case MinMaxLSlot(li, fi, in, isMin) => if (!inVecs(in).isNullAt(r)) {
@@ -1056,7 +1369,7 @@ final case class DriverGroupAggExec(
                   acc.longs(li) = x
                 acc.flags(fi) = true
               }
-              case MinMaxDSlot(di, fi, in, isMin) => if (!inVecs(in).isNullAt(r)) {
+              case MinMaxDSlot(di, fi, in, isMin) => if (!inNull(in, r)) {
                 val x = readVD(in, r)
                 val cc = java.lang.Double.compare(x, acc.doubles(di))
                 if (!acc.flags(fi) || (if (isMin) cc < 0 else cc > 0))
@@ -1095,12 +1408,18 @@ final case class DriverGroupAggExec(
         val n = batch.numRows()
         var r = 0
         while (r < n) {
+          if (sel != null && !sel.passes(r)) { r += 1 }
+          else {
           var nb = 0
           var k1 = 0L
           var k2 = 0L
-          if (v0.isNullAt(r)) nb |= 1 else k1 = extract(partsSpec(0), 0, v0, r)
+          if (v0.isNullAt(r)) nb |= 1
+          else k1 = if (dictIdArr(0) != null) dictRemap(0)(dictIdArr(0)(r)).toLong
+            else extract(partsSpec(0), 0, v0, r)
           if (v1 != null) {
-            if (v1.isNullAt(r)) nb |= 2 else k2 = extract(partsSpec(1), 1, v1, r)
+            if (v1.isNullAt(r)) nb |= 2
+            else k2 = if (dictIdArr(1) != null) dictRemap(1)(dictIdArr(1)(r)).toLong
+              else extract(partsSpec(1), 1, v1, r)
           }
           var p = (hashOf(k1, k2, nb) & mask).toInt
           var idx = table(p)
@@ -1125,13 +1444,15 @@ final case class DriverGroupAggExec(
             if (accs.length * 2 > mask) growTable()
           }
           val acc = accs(idx)
-          if (inVecs != null) vecUpdate(r, acc)
-          else {
+          if (inVecs != null) {
+            if (opcodeOk) opUpdate(r, acc) else vecUpdate(r, acc)
+          } else {
             val v = valProj(batch.getRow(r))
             var j = 0
             while (j < ups.length) { ups(j)(v, acc); j += 1 }
           }
           r += 1
+          }
         }
       }
       // same payload as the row path: exact-layout key rows + state

@@ -23,6 +23,13 @@ object VectorizedCacheRead extends ColumnarRule {
   override def postColumnarTransitions: Rule[SparkPlan] = InsertCacheColumnarToRow
 }
 
+private object DriverAggFold
+    extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  def conjuncts(cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    splitConjunctivePredicates(cond)
+}
+
 object InsertCacheColumnarToRow extends Rule[SparkPlan] {
   // dev escape hatch for A/B timing (GRAFT_NO_VECTOR_READ=1 disables)
   @volatile var enabled = !sys.env.get("GRAFT_NO_VECTOR_READ").contains("1")
@@ -133,10 +140,30 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
           case _ => s
         }
       // driver-finalized low-card aggregate: batch-direct partial when the
-      // group keys columnar-translate (plans/DriverAgg.colKeyParts)
+      // group keys columnar-translate (plans/DriverAgg.colKeyParts). A
+      // Filter (or dict-filter) child over the cache scan folds INTO the
+      // partial as a per-batch selection — the loop then filters,
+      // dict-keys, and accumulates in one pass with no row
+      // materialization between scan and aggregate (the reference's
+      // selection-vector path through its table scan into the aggregate).
       case d: graft.plans.DriverGroupAggExec
           if driverAggColumnarEnabled && !d.columnarChild =>
+        import org.apache.spark.sql.execution.FilterExec
+        def foldable(cond: org.apache.spark.sql.catalyst.expressions.Expression,
+            c: SparkPlan): Boolean =
+          graft.plans.DriverAgg.aggSelectionEnabled && cond.deterministic &&
+            !cond.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) &&
+            cond.references.subsetOf(c.outputSet)
         d.child match {
+          case graft.plans.CacheFilterExec(_, conjuncts, c)
+              if graft.plans.DriverAgg.aggSelectionEnabled &&
+                c.supportsColumnar && d.columnarEligible(c) =>
+            d.copy(child = c, columnarChild = true, selection = conjuncts)
+          case FilterExec(cond, ColumnarToRowExec(c))
+              if c.supportsColumnar && d.columnarEligible(c) && foldable(cond, c) =>
+            d.copy(child = c, columnarChild = true,
+              selection = DriverAggFold.conjuncts(cond))
           case ColumnarToRowExec(c) if c.supportsColumnar && d.columnarEligible(c) =>
             d.copy(child = c, columnarChild = true)
           case c if c.supportsColumnar && d.columnarEligible(c) =>
