@@ -43,6 +43,25 @@ object BenchTpchScale {
 
     val dir = graft.sources.TpchFixture.ensureScaled(spark, factor)
     println(s"scaled_dir=$dir factor=$factor")
+    // probe gate (same defense as Bench.scala's retry): pairing numbers
+    // from a degraded scheduler phase adjudicate as noise, so wait —
+    // bounded — for the dispatch floor to return to healthy before
+    // timing anything. SPARK_GRAFT_PROBE_GATE_MS=0 disables.
+    locally {
+      val gate = sys.env.getOrElse("SPARK_GRAFT_PROBE_GATE_MS", "22").toDouble
+      var tries = 0
+      var p = { val t = (1 to 40).map { _ =>
+        val t0 = System.nanoTime(); probe.count(); (System.nanoTime() - t0) / 1e6
+      }.sorted; t(t.length / 2) }
+      while (gate > 0 && p > gate && tries < 20) {
+        println(f"[probe-gate] degraded phase: $p%.1f ms/job > $gate%.0f — waiting 30s")
+        Thread.sleep(30000)
+        tries += 1
+        p = { val t = (1 to 40).map { _ =>
+          val t0 = System.nanoTime(); probe.count(); (System.nanoTime() - t0) / 1e6
+        }.sorted; t(t.length / 2) }
+      }
+    }
     // warm-engine protocol (the state the repo's other sf1 pairings run
     // in, and the warehouse buffer-pool state BASELINE.md measures DuckDB
     // in): route the fixture tables through Tables() — hash-clustered +
