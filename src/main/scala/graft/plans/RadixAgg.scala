@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.ColumnVector
 
@@ -472,6 +473,11 @@ final case class RadixPartialAggExec(
     topN: Option[RadixTopN] = None) extends UnaryExecNode {
   import RadixAgg._
 
+  // packed bucket rows emitted (the profile surface reads these —
+  // QueryProfile relationalizes every operator's SQLMetrics)
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override def producedAttributes: AttributeSet = AttributeSet(output)
   override protected def withNewChildInternal(c: SparkPlan): RadixPartialAggExec =
     copy(child = c)
@@ -551,6 +557,7 @@ final case class RadixPartialAggExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
     val (kT, iExprs, theSlots) = (keyType, aggInputs, slots)
     val (aL, aD, aF, nBuckets) = (nL, nD, nF, buckets)
     val childOut = child.output
@@ -626,8 +633,8 @@ final case class RadixPartialAggExec(
           val r = emitRows(m, nullM)
           System.err.println(s"[radix] part0 rows=$nRows groups=${m.size} " +
             s"loop=${(t1 - t0) / 1000000}ms emit=${(System.nanoTime() - t1) / 1000000}ms")
-          flushed.iterator ++ r
-        } else flushed.iterator ++ emitRows(m, nullM)
+          (flushed.iterator ++ r).map { row => numOut.add(1); row }
+        } else (flushed.iterator ++ emitRows(m, nullM)).map { row => numOut.add(1); row }
       }
     } else {
       child.execute().mapPartitions { rows =>
@@ -658,7 +665,7 @@ final case class RadixPartialAggExec(
           }
           if (m.size >= FlushCap) { flushed ++= emitRows(m, null); m.reset() }
         }
-        flushed.iterator ++ emitRows(m, nullM)
+        (flushed.iterator ++ emitRows(m, nullM)).map { row => numOut.add(1); row }
       }
     }
   }
@@ -697,6 +704,11 @@ final case class RadixFinalAggExec(
     ansi: Boolean = false) extends UnaryExecNode {
   import RadixAgg._
 
+  // final group count — the deterministic number EXPLAIN ANALYZE users
+  // read; surfaced by plans/QueryProfile
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override def producedAttributes: AttributeSet = AttributeSet(output)
   // resultExprs/groupAttr/aggAttrs bind POSITIONALLY over the merged
   // (key ++ agg values) eval row, not against the child's packed-blob
@@ -712,6 +724,7 @@ final case class RadixFinalAggExec(
     ClusteredDistribution(Seq(child.output.head)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
     val (theSlots, types) = (slots, aggTypes)
     val (aL, aD, aF) = (nL, nD, nF)
     val keyDt = groupAttr.dataType
@@ -795,7 +808,7 @@ final case class RadixFinalAggExec(
           fillAggs()
           proj(evalRow)
         }
-      mainRows ++ nullRows
+      (mainRows ++ nullRows).map { r => numOut.add(1); r }
     }
   }
 }

@@ -1,0 +1,376 @@
+package graft.queries
+
+import graft.sources.ImdbFixture
+import org.apache.spark.sql.SparkSession
+
+/** JOB (join-order-benchmark) slice — 12 star/snowflake join queries
+  * embedded VERBATIM from the reference's imdb benchmark
+  * (/root/reference/benchmark/imdb/ (113 .benchmark files), texts under
+  * benchmark/imdb_plan_cost/queries/NNx.sql; the texts are the public
+  * JOB queries of Leis et al., "How Good Are Query Optimizers,
+  * Really?", VLDB 2015), over the planted ImdbFixture.
+  *
+  * These are the shapes that stress JOIN ORDERING — the one optimizer
+  * area the engine delegates wholesale to Catalyst/CBO/AQE — so the
+  * slice gates that delegation end-to-end: MIN() aggregates are
+  * order-insensitive and exactly typed, which lets the texts run
+  * UNPATCHED on both engines (no aliases, rounds, or tiebreaks needed).
+  * The only mechanical difference is the oracle side reading each table
+  * via read_parquet (longest-name-first replacement so `movie_info`
+  * never rewrites inside `movie_info_idx`).
+  */
+object JobSlice {
+
+  private val gateReady = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def ensureGate(s: SparkSession): Unit = {
+    ImdbFixture.ensureGate(s)
+    if (gateReady.compareAndSet(false, true) || !s.catalog.tableExists("title")) {
+      ImdbFixture.tables.foreach { t =>
+        s.read.parquet(s"${ImdbFixture.gateDir}/$t.parquet")
+          .createOrReplaceTempView(t)
+      }
+    }
+  }
+
+  private val defs: Seq[(String, String)] = Seq(
+    ("job_01a",
+      """SELECT MIN(mc.note) AS production_note,
+        |       MIN(t.title) AS movie_title,
+        |       MIN(t.production_year) AS movie_year
+        |FROM company_type AS ct,
+        |     info_type AS it,
+        |     movie_companies AS mc,
+        |     movie_info_idx AS mi_idx,
+        |     title AS t
+        |WHERE ct.kind = 'production companies'
+        |  AND it.info = 'top 250 rank'
+        |  AND mc.note NOT LIKE '%(as Metro-Goldwyn-Mayer Pictures)%'
+        |  AND (mc.note LIKE '%(co-production)%'
+        |       OR mc.note LIKE '%(presents)%')
+        |  AND ct.id = mc.company_type_id
+        |  AND t.id = mc.movie_id
+        |  AND t.id = mi_idx.movie_id
+        |  AND mc.movie_id = mi_idx.movie_id
+        |  AND it.id = mi_idx.info_type_id
+        |""".stripMargin),
+    ("job_02a",
+      """SELECT MIN(t.title) AS movie_title
+        |FROM company_name AS cn,
+        |     keyword AS k,
+        |     movie_companies AS mc,
+        |     movie_keyword AS mk,
+        |     title AS t
+        |WHERE cn.country_code ='[de]'
+        |  AND k.keyword ='character-name-in-title'
+        |  AND cn.id = mc.company_id
+        |  AND mc.movie_id = t.id
+        |  AND t.id = mk.movie_id
+        |  AND mk.keyword_id = k.id
+        |  AND mc.movie_id = mk.movie_id
+        |""".stripMargin),
+    ("job_03a",
+      """SELECT MIN(t.title) AS movie_title
+        |FROM keyword AS k,
+        |     movie_info AS mi,
+        |     movie_keyword AS mk,
+        |     title AS t
+        |WHERE k.keyword LIKE '%sequel%'
+        |  AND mi.info IN ('Sweden',
+        |                  'Norway',
+        |                  'Germany',
+        |                  'Denmark',
+        |                  'Swedish',
+        |                  'Denish',
+        |                  'Norwegian',
+        |                  'German')
+        |  AND t.production_year > 2005
+        |  AND t.id = mi.movie_id
+        |  AND t.id = mk.movie_id
+        |  AND mk.movie_id = mi.movie_id
+        |  AND k.id = mk.keyword_id
+        |""".stripMargin),
+    ("job_04a",
+      """SELECT MIN(mi_idx.info) AS rating,
+        |       MIN(t.title) AS movie_title
+        |FROM info_type AS it,
+        |     keyword AS k,
+        |     movie_info_idx AS mi_idx,
+        |     movie_keyword AS mk,
+        |     title AS t
+        |WHERE it.info ='rating'
+        |  AND k.keyword LIKE '%sequel%'
+        |  AND mi_idx.info > '5.0'
+        |  AND t.production_year > 2005
+        |  AND t.id = mi_idx.movie_id
+        |  AND t.id = mk.movie_id
+        |  AND mk.movie_id = mi_idx.movie_id
+        |  AND k.id = mk.keyword_id
+        |  AND it.id = mi_idx.info_type_id
+        |""".stripMargin),
+    ("job_06a",
+      """SELECT MIN(k.keyword) AS movie_keyword,
+        |       MIN(n.name) AS actor_name,
+        |       MIN(t.title) AS marvel_movie
+        |FROM cast_info AS ci,
+        |     keyword AS k,
+        |     movie_keyword AS mk,
+        |     name AS n,
+        |     title AS t
+        |WHERE k.keyword = 'marvel-cinematic-universe'
+        |  AND n.name LIKE '%Downey%Robert%'
+        |  AND t.production_year > 2010
+        |  AND k.id = mk.keyword_id
+        |  AND t.id = mk.movie_id
+        |  AND t.id = ci.movie_id
+        |  AND ci.movie_id = mk.movie_id
+        |  AND n.id = ci.person_id
+        |""".stripMargin),
+    ("job_08a",
+      """SELECT MIN(an1.name) AS actress_pseudonym,
+        |       MIN(t.title) AS japanese_movie_dubbed
+        |FROM aka_name AS an1,
+        |     cast_info AS ci,
+        |     company_name AS cn,
+        |     movie_companies AS mc,
+        |     name AS n1,
+        |     role_type AS rt,
+        |     title AS t
+        |WHERE ci.note ='(voice: English version)'
+        |  AND cn.country_code ='[jp]'
+        |  AND mc.note LIKE '%(Japan)%'
+        |  AND mc.note NOT LIKE '%(USA)%'
+        |  AND n1.name LIKE '%Yo%'
+        |  AND n1.name NOT LIKE '%Yu%'
+        |  AND rt.role ='actress'
+        |  AND an1.person_id = n1.id
+        |  AND n1.id = ci.person_id
+        |  AND ci.movie_id = t.id
+        |  AND t.id = mc.movie_id
+        |  AND mc.company_id = cn.id
+        |  AND ci.role_id = rt.id
+        |  AND an1.person_id = ci.person_id
+        |  AND ci.movie_id = mc.movie_id
+        |""".stripMargin),
+    ("job_10a",
+      """SELECT MIN(chn.name) AS uncredited_voiced_character,
+        |       MIN(t.title) AS russian_movie
+        |FROM char_name AS chn,
+        |     cast_info AS ci,
+        |     company_name AS cn,
+        |     company_type AS ct,
+        |     movie_companies AS mc,
+        |     role_type AS rt,
+        |     title AS t
+        |WHERE ci.note LIKE '%(voice)%'
+        |  AND ci.note LIKE '%(uncredited)%'
+        |  AND cn.country_code = '[ru]'
+        |  AND rt.role = 'actor'
+        |  AND t.production_year > 2005
+        |  AND t.id = mc.movie_id
+        |  AND t.id = ci.movie_id
+        |  AND ci.movie_id = mc.movie_id
+        |  AND chn.id = ci.person_role_id
+        |  AND rt.id = ci.role_id
+        |  AND cn.id = mc.company_id
+        |  AND ct.id = mc.company_type_id
+        |""".stripMargin),
+    ("job_13b",
+      """SELECT MIN(cn.name) AS producing_company,
+        |       MIN(miidx.info) AS rating,
+        |       MIN(t.title) AS movie_about_winning
+        |FROM company_name AS cn,
+        |     company_type AS ct,
+        |     info_type AS it,
+        |     info_type AS it2,
+        |     kind_type AS kt,
+        |     movie_companies AS mc,
+        |     movie_info AS mi,
+        |     movie_info_idx AS miidx,
+        |     title AS t
+        |WHERE cn.country_code ='[us]'
+        |  AND ct.kind ='production companies'
+        |  AND it.info ='rating'
+        |  AND it2.info ='release dates'
+        |  AND kt.kind ='movie'
+        |  AND t.title != ''
+        |  AND (t.title LIKE '%Champion%'
+        |       OR t.title LIKE '%Loser%')
+        |  AND mi.movie_id = t.id
+        |  AND it2.id = mi.info_type_id
+        |  AND kt.id = t.kind_id
+        |  AND mc.movie_id = t.id
+        |  AND cn.id = mc.company_id
+        |  AND ct.id = mc.company_type_id
+        |  AND miidx.movie_id = t.id
+        |  AND it.id = miidx.info_type_id
+        |  AND mi.movie_id = miidx.movie_id
+        |  AND mi.movie_id = mc.movie_id
+        |  AND miidx.movie_id = mc.movie_id
+        |""".stripMargin),
+    ("job_14a",
+      """SELECT MIN(mi_idx.info) AS rating,
+        |       MIN(t.title) AS northern_dark_movie
+        |FROM info_type AS it1,
+        |     info_type AS it2,
+        |     keyword AS k,
+        |     kind_type AS kt,
+        |     movie_info AS mi,
+        |     movie_info_idx AS mi_idx,
+        |     movie_keyword AS mk,
+        |     title AS t
+        |WHERE it1.info = 'countries'
+        |  AND it2.info = 'rating'
+        |  AND k.keyword IN ('murder',
+        |                    'murder-in-title',
+        |                    'blood',
+        |                    'violence')
+        |  AND kt.kind = 'movie'
+        |  AND mi.info IN ('Sweden',
+        |                  'Norway',
+        |                  'Germany',
+        |                  'Denmark',
+        |                  'Swedish',
+        |                  'Denish',
+        |                  'Norwegian',
+        |                  'German',
+        |                  'USA',
+        |                  'American')
+        |  AND mi_idx.info < '8.5'
+        |  AND t.production_year > 2010
+        |  AND kt.id = t.kind_id
+        |  AND t.id = mi.movie_id
+        |  AND t.id = mk.movie_id
+        |  AND t.id = mi_idx.movie_id
+        |  AND mk.movie_id = mi.movie_id
+        |  AND mk.movie_id = mi_idx.movie_id
+        |  AND mi.movie_id = mi_idx.movie_id
+        |  AND k.id = mk.keyword_id
+        |  AND it1.id = mi.info_type_id
+        |  AND it2.id = mi_idx.info_type_id
+        |""".stripMargin),
+    ("job_16b",
+      """SELECT MIN(an.name) AS cool_actor_pseudonym,
+        |       MIN(t.title) AS series_named_after_char
+        |FROM aka_name AS an,
+        |     cast_info AS ci,
+        |     company_name AS cn,
+        |     keyword AS k,
+        |     movie_companies AS mc,
+        |     movie_keyword AS mk,
+        |     name AS n,
+        |     title AS t
+        |WHERE cn.country_code ='[us]'
+        |  AND k.keyword ='character-name-in-title'
+        |  AND an.person_id = n.id
+        |  AND n.id = ci.person_id
+        |  AND ci.movie_id = t.id
+        |  AND t.id = mk.movie_id
+        |  AND mk.keyword_id = k.id
+        |  AND t.id = mc.movie_id
+        |  AND mc.company_id = cn.id
+        |  AND an.person_id = ci.person_id
+        |  AND ci.movie_id = mc.movie_id
+        |  AND ci.movie_id = mk.movie_id
+        |  AND mc.movie_id = mk.movie_id
+        |""".stripMargin),
+    ("job_17a",
+      """SELECT MIN(n.name) AS member_in_charnamed_american_movie,
+        |       MIN(n.name) AS a1
+        |FROM cast_info AS ci,
+        |     company_name AS cn,
+        |     keyword AS k,
+        |     movie_companies AS mc,
+        |     movie_keyword AS mk,
+        |     name AS n,
+        |     title AS t
+        |WHERE cn.country_code ='[us]'
+        |  AND k.keyword ='character-name-in-title'
+        |  AND n.name LIKE 'B%'
+        |  AND n.id = ci.person_id
+        |  AND ci.movie_id = t.id
+        |  AND t.id = mk.movie_id
+        |  AND mk.keyword_id = k.id
+        |  AND t.id = mc.movie_id
+        |  AND mc.company_id = cn.id
+        |  AND ci.movie_id = mc.movie_id
+        |  AND ci.movie_id = mk.movie_id
+        |  AND mc.movie_id = mk.movie_id
+        |""".stripMargin),
+    ("job_25c",
+      """SELECT MIN(mi.info) AS movie_budget,
+        |       MIN(mi_idx.info) AS movie_votes,
+        |       MIN(n.name) AS male_writer,
+        |       MIN(t.title) AS violent_movie_title
+        |FROM cast_info AS ci,
+        |     info_type AS it1,
+        |     info_type AS it2,
+        |     keyword AS k,
+        |     movie_info AS mi,
+        |     movie_info_idx AS mi_idx,
+        |     movie_keyword AS mk,
+        |     name AS n,
+        |     title AS t
+        |WHERE ci.note IN ('(writer)',
+        |                  '(head writer)',
+        |                  '(written by)',
+        |                  '(story)',
+        |                  '(story editor)')
+        |  AND it1.info = 'genres'
+        |  AND it2.info = 'votes'
+        |  AND k.keyword IN ('murder',
+        |                    'violence',
+        |                    'blood',
+        |                    'gore',
+        |                    'death',
+        |                    'female-nudity',
+        |                    'hospital')
+        |  AND mi.info IN ('Horror',
+        |                  'Action',
+        |                  'Sci-Fi',
+        |                  'Thriller',
+        |                  'Crime',
+        |                  'War')
+        |  AND n.gender = 'm'
+        |  AND t.id = mi.movie_id
+        |  AND t.id = mi_idx.movie_id
+        |  AND t.id = ci.movie_id
+        |  AND t.id = mk.movie_id
+        |  AND ci.movie_id = mi.movie_id
+        |  AND ci.movie_id = mi_idx.movie_id
+        |  AND ci.movie_id = mk.movie_id
+        |  AND mi.movie_id = mi_idx.movie_id
+        |  AND mi.movie_id = mk.movie_id
+        |  AND mi_idx.movie_id = mk.movie_id
+        |  AND n.id = ci.person_id
+        |  AND it1.id = mi.info_type_id
+        |  AND it2.id = mi_idx.info_type_id
+        |  AND k.id = mk.keyword_id
+        |""".stripMargin))
+
+  require(defs.map(_._1).distinct.size == defs.size, "duplicate job keys")
+
+  def texts: Seq[(String, String)] = defs
+
+  val queries: Map[String, Q.Fn] = defs.map { case (name, sql) =>
+    name -> { (s: SparkSession, _: String) =>
+      ensureGate(s)
+      s.sql(sql)
+    }
+  }.toMap
+
+  /** Oracle texts: table names → read_parquet over the gate fixture.
+    * Longest names first so e.g. `movie_info AS` never rewrites the
+    * prefix of `movie_info_idx AS` (the \b guard keeps `name AS` out of
+    * `char_name AS` — '_' is a word character, so there is no boundary).
+    */
+  private def toOracle(sql: String, dir: String): String =
+    ImdbFixture.tables.sortBy(-_.length).foldLeft(sql) { (acc, t) =>
+      acc.replaceAll(s"\\b$t AS ",
+        s"read_parquet('$dir/$t.parquet/*.parquet') AS ")
+    }
+
+  val oracle: Map[String, String] = defs.map { case (name, sql) =>
+    name -> toOracle(sql, ImdbFixture.gateDir)
+  }.toMap
+}

@@ -110,6 +110,18 @@ object Shaping {
         .orderBy(col("n"))
     },
 
+    // EXPLAIN ANALYZE profile surface (reference: query_profiler.cpp) —
+    // per-operator metric rows for a real aggregation query; operator/
+    // metric names and timing values are engine-specific → rows-only.
+    // The deterministic part (numOutputRows on the final aggregate) is
+    // pinned in QueryProfileSpec.
+    "util_profile" -> { (s, d) =>
+      graft.plans.QueryProfile.profile(
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("s")))
+    },
+
     // SUMMARIZE ≙ df.summary() (reference: src/function/table/summary.cpp)
     // — statistic names/format are engine-specific → rows-only check
     "util_summary" -> { (s, d) =>

@@ -19,7 +19,8 @@ class EntryContractSpec extends AnyFunSuite {
     "Shaping" -> Shaping.queries, "Sources" -> Sources.queries,
     "Tpch" -> Tpch.queries, "SltSlice" -> SltSlice.queries,
     "TpcdsShapes" -> TpcdsShapes.queries, "TpcdsVerbatim" -> TpcdsVerbatim.queries, "TpchVerbatim" -> TpchVerbatim.queries,
-    "NestedSlice" -> NestedSlice.queries, "OlapShapes" -> OlapShapes.queries)
+    "NestedSlice" -> NestedSlice.queries, "OlapShapes" -> OlapShapes.queries,
+    "ClickBench" -> ClickBench.queries, "JobSlice" -> JobSlice.queries)
 
   test("query names are unique across families") {
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""DuckDB side of the scaled JOB pairing (dev tool — pairs with
+`sbt "runMain graft.BenchJob"`). The texts are verbatim shared-dialect
+SQL, so this reads them straight from the reference query files.
+
+Usage: python3 tools/bench_job_duckdb.py <scaled_dir> [job_NNx ...]
+"""
+import statistics
+import sys
+import time
+
+import duckdb
+
+TABLES = ["title", "movie_companies", "company_name", "company_type",
+          "info_type", "movie_info_idx", "movie_info", "keyword",
+          "movie_keyword", "cast_info", "name", "aka_name", "role_type",
+          "char_name", "kind_type"]
+QDIR = "/root/reference/benchmark/imdb_plan_cost/queries"
+DEFAULT = ["01a", "02a", "03a", "04a", "06a", "08a", "10a", "13b",
+           "14a", "16b", "17a", "25c"]
+
+
+def main():
+    d = sys.argv[1]
+    names = [n.replace("job_", "") for n in sys.argv[2:]] or DEFAULT
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+    for name in names:
+        with open(f"{QDIR}/{name}.sql") as f:
+            sql = f.read()
+        for _ in range(2):
+            con.execute(sql).fetchall()
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            ts.append((time.time() - t0) * 1000)
+        print(f"[jobduck] job_{name:<6s} median={statistics.median(ts):8.1f} ms  "
+              f"runs={','.join(f'{t:.0f}' for t in ts)}")
+
+
+if __name__ == "__main__":
+    main()
