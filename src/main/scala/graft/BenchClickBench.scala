@@ -40,11 +40,15 @@ object BenchClickBench {
 
     val dir = graft.sources.HitsFixture.ensureScaled(spark, factor)
     println(s"scaled_dir=$dir factor=$factor")
-    val hits = spark.read.parquet(s"$dir/hits.parquet")
-    hits.createOrReplaceTempView("hits")
     if (!sys.env.get("GRAFT_DS_CACHE").contains("0")) {
-      spark.catalog.cacheTable("hits")
+      // the annotating loader (Tables): same columnar cache as before,
+      // plus the NDV/day-range column metadata the stats-routed rules
+      // consume (BoundedKeyDriverAgg, SinglePhaseAgg)
+      Tables.cacheMode = true
+      Tables(spark, dir, "hits").createOrReplaceTempView("hits")
       spark.table("hits").count()
+    } else {
+      spark.read.parquet(s"$dir/hits.parquet").createOrReplaceTempView("hits")
     }
     // probe gate: don't time in a degraded scheduler phase
     locally {

@@ -57,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectOptimizerRule(_ => graft.rules.FastRegexpExtract)
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
+    // after RadixShuffleAgg (single-long-key shapes keep the radix
+    // path); stats-proved partial skip for multi/string-key groups≈rows
+    e.injectQueryStagePrepRule(_ => graft.rules.SinglePhaseAgg)
     // after RadixShuffleAgg: matches the radix pair it emits
     e.injectQueryStagePrepRule(_ => graft.rules.TopNThroughAgg)
     // warm-mode cross-execution broadcast cache under AQE (no-op

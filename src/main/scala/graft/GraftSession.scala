@@ -213,6 +213,24 @@ object Tables {
           f.dataType == org.apache.spark.sql.types.ShortType ||
           f.dataType == org.apache.spark.sql.types.ByteType => f.name
       }.toSeq
+      // long columns get only the LOWER bound (graft.ndvLow, consumed by
+      // rules/SinglePhaseAgg to prove groups≈rows): attaching the upper
+      // bound to longs would widen BoundedKeyDriverAgg's routing surface
+      // mid-round for no proven win
+      val longNdvCols = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.LongType => f.name
+      }.toSeq
+      // value ranges for int-family columns (graft.minVal/maxVal): with
+      // ndv they bound the fused-distinct chunk footprint — words touched
+      // ≤ min(ndv, range/64) — so FuseSingleDistinct can tell a dense
+      // 10^7-key domain (fuse: 64 keys per 16-byte word) from a sparse
+      // hash-like one (decline: 16 bytes per key)
+      val rangeCols = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType ||
+          f.dataType == org.apache.spark.sql.types.ByteType => f.name
+      }.toSeq
       val statsRow = {
         import org.apache.spark.sql.functions.{approx_count_distinct, count, lit, max, min, unix_date}
         df.select((count(lit(1)) +: dateCols.flatMap(n => Seq(
@@ -220,8 +238,13 @@ object Tables {
             .cast(org.apache.spark.sql.types.DateType))),
           max(unix_date(org.apache.spark.sql.functions.col(n)
             .cast(org.apache.spark.sql.types.DateType)))))) ++
-          ndvCols.map(n => approx_count_distinct(
-            org.apache.spark.sql.functions.col(n), 0.02)): _*).head()
+          ((ndvCols ++ longNdvCols).map(n => approx_count_distinct(
+            org.apache.spark.sql.functions.col(n), 0.02)) ++
+            rangeCols.flatMap(n => Seq(
+              min(org.apache.spark.sql.functions.col(n)
+                .cast(org.apache.spark.sql.types.LongType)),
+              max(org.apache.spark.sql.functions.col(n)
+                .cast(org.apache.spark.sql.types.LongType))))): _*).head()
       }
       val rows = statsRow.getLong(0)
       val ndvBase = 1 + 2 * dateCols.length
@@ -232,10 +255,34 @@ object Tables {
           .putLong("graft.maxDay", statsRow.getInt(2 + 2 * i).toLong)
           .build())
       }
-      val df0 = ndvCols.zipWithIndex.foldLeft(withDates) { case (d, (n, i)) =>
+      val df0a = ndvCols.zipWithIndex.foldLeft(withDates) { case (d, (n, i)) =>
         val ndv = statsRow.getLong(ndvBase + i)
         d.withMetadata(n, new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("graft.ndvBound", (ndv * 1.1).toLong + 8L).build())
+          .putLong("graft.ndvBound", (ndv * 1.1).toLong + 8L)
+          // lower bound + table rows for the partial-skip proof
+          // (rules/SinglePhaseAgg): HLL at rsd 0.02 → est/1.02 is a
+          // lower bound w.h.p.; ×0.9 leaves generous margin
+          .putLong("graft.ndvLow", (ndv * 0.9).toLong)
+          .putLong("graft.rowCount", rows).build())
+      }
+      val df0b = longNdvCols.zipWithIndex.foldLeft(df0a) { case (d, (n, i)) =>
+        val ndv = statsRow.getLong(ndvBase + ndvCols.length + i)
+        d.withMetadata(n, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.ndvLow", (ndv * 0.9).toLong)
+          .putLong("graft.rowCount", rows).build())
+      }
+      val rangeBase = ndvBase + ndvCols.length + longNdvCols.length
+      val df0 = rangeCols.zipWithIndex.foldLeft(df0b) { case (d, (n, i)) =>
+        if (statsRow.isNullAt(rangeBase + 2 * i)) d
+        else {
+          // merge with any metadata the ndv folds already attached
+          val prior = d.schema(n).metadata
+          d.withMetadata(n, new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(prior)
+            .putLong("graft.minVal", statsRow.getLong(rangeBase + 2 * i))
+            .putLong("graft.maxVal", statsRow.getLong(rangeBase + 2 * i + 1))
+            .build())
+        }
       }
       val want = (rows / 40000L).toInt + 1
       // an EXPLICIT cacheParts override wins in both regimes (dev A/B knob)

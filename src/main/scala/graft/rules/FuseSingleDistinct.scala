@@ -39,6 +39,9 @@ object FuseSingleDistinct extends Rule[LogicalPlan] {
   import SingleDistinctPartial._
 
   @volatile var enabled = !sys.env.get("GRAFT_NO_FUSE_DISTINCT").contains("1")
+  /** decline the fuse above this estimated total chunk-blob footprint */
+  @volatile var maxFuseBytes: Long =
+    sys.env.get("GRAFT_FUSE_DISTINCT_MAX_BYTES").map(_.toLong).getOrElse(32L << 20)
 
   private def intFamily(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType => true
@@ -91,6 +94,28 @@ object FuseSingleDistinct extends Rule[LogicalPlan] {
     val distinctExpr = distincts.head.aggregateFunction match {
       case Count(Seq(e)) if intFamily(e.dataType) => e
       case _ => return None
+    }
+    // Stats gate (r12): the fused exchange carries one 16-byte
+    // (word, bits) pair per TOUCHED WORD — words ≤ min(ndv, value-span/64)
+    // — through at most 64 reducers. Dense domains (h2o ids 1..N) touch
+    // ~ndv/64 words, so the fuse wins even at 10^7 keys; sparse hash-like
+    // domains touch ~ndv words, and at 10^7 the 160 MB of blobs LOSE 3×
+    // to the stock two-phase distinct (ClickBench count(DISTINCT UserID)
+    // over 10M ~unique users: fused 1.32 s vs stock 0.42 s, same hour).
+    // When the cache's NDV sketch + value range (graft.ndvLow/minVal/
+    // maxVal) bound the footprint above maxFuseBytes, decline and keep
+    // Spark's plan. No stats → fuse, the status quo.
+    distinctExpr match {
+      case attr: AttributeReference if attr.metadata.contains("graft.ndvLow") =>
+        val ndvEst = BigInt((attr.metadata.getLong("graft.ndvLow") * 1.25).toLong)
+        val wordsUpper =
+          if (attr.metadata.contains("graft.minVal")) {
+            val span = BigInt(attr.metadata.getLong("graft.maxVal")) / 64 -
+              BigInt(attr.metadata.getLong("graft.minVal")) / 64 + 1
+            ndvEst.min(span)
+          } else ndvEst
+        if (wordsUpper * 16 > maxFuseBytes) return None
+      case _ =>
     }
     // every output column must be an alias over supported pieces
     if (a.aggregateExpressions.exists { case _: Alias => false; case _ => true })

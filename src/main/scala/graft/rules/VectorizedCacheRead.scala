@@ -75,7 +75,7 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
     // Complete-mode aggregate it matches is created by the collapse above
     val radixed =
       if (conf.adaptiveExecutionEnabled) TopNThroughAgg(collapsed)
-      else TopNThroughAgg(RadixShuffleAgg(collapsed))
+      else TopNThroughAgg(SinglePhaseAgg(RadixShuffleAgg(collapsed)))
     // run-clustered Complete aggregates (created by the collapse above)
     // stream per sorted-prefix run instead of building the whole
     // partition's group map (plans/SortedRunAgg.scala)

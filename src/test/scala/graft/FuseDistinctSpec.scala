@@ -136,6 +136,33 @@ class FuseDistinctSpec extends AnyFunSuite {
     }
   }
 
+  test("stats gate: sparse huge domains decline, dense ones keep fusing") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.MetadataBuilder
+    val n = 10000L
+    def annotated(minV: Long, maxV: Long, ndvLow: Long): DataFrame =
+      spark.range(n)
+        .select((col("id") * ((maxV - minV) / n) + minV).as("k"),
+          (col("id") % 50).as("v"))
+        .withMetadata("k", new MetadataBuilder()
+          .putLong("graft.ndvLow", ndvLow)
+          .putLong("graft.minVal", minV)
+          .putLong("graft.maxVal", maxV)
+          .putLong("graft.rowCount", n).build())
+    // sparse hash-like domain: words ≈ ndv → 16 B × 10M > 32 MB → decline
+    val sparse = annotated(Long.MinValue / 4, Long.MaxValue / 4, 10000000L)
+      .agg(count_distinct(col("k")).as("u"), sum(col("v")).as("s"))
+    assert(!hasFusedPartial(sparse), "sparse 10M-key domain must decline")
+    // dense domain, same claimed ndv: words ≤ span/64 → tiny → keep fusing
+    val dense = annotated(0L, 10000000L, 10000000L)
+      .agg(count_distinct(col("k")).as("u"), sum(col("v")).as("s"))
+    assert(hasFusedPartial(dense), "dense 10M-key domain must keep the fuse")
+    // both arms still agree with the stock plan
+    val on = withRule(on = true) { sparse.collect().toSeq }
+    val off = withRule(on = false) { sparse.collect().toSeq }
+    assert(on == off)
+  }
+
   test("guarded shapes still compute correctly vs rule-off") {
     val q = "SELECT count(DISTINCT l_partkey) AS n, " +
       "(SELECT count(DISTINCT o_custkey) FROM orders) AS oc FROM lineitem"

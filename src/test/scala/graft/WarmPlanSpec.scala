@@ -47,10 +47,16 @@ class WarmPlanSpec extends AnyFunSuite {
 
   test("warm cache scans serve columnar batches (ColumnarToRow over the cache scan)") {
     val plan = warmPlan("q1_pricing_summary", aqe = false)
-    // inside whole-stage codegen the transition's child is an InputAdapter
-    // over the scan, so assert both nodes are present in the tree — with
-    // AQE off and the table cached, the only columnar source is the cache
-    assert(plan.collect { case c: ColumnarToRowExec => c }.nonEmpty, plan.toString.take(1500))
+    // the cache must serve BATCHES: either through the generic
+    // ColumnarToRow transition, or — since the r12 ndv-slack fix routes
+    // q1's 3×2 string keys to the driver aggregate — consumed directly
+    // by DriverGroupAggExec's batch partial (columnarChild), which is
+    // the stronger form of the same property (no row transition at all)
+    val transition = plan.collect { case c: ColumnarToRowExec => c }.nonEmpty
+    val batchDirect = plan.collect {
+      case d: graft.plans.DriverGroupAggExec if d.columnarChild => d
+    }.nonEmpty
+    assert(transition || batchDirect, plan.toString.take(1500))
     assert(plan.collect { case i: InMemoryTableScanExec => i }.nonEmpty, plan.toString.take(1500))
   }
 
