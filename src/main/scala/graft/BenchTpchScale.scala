@@ -28,6 +28,10 @@ object BenchTpchScale {
         .config("spark.ui.enabled", "false"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      // bench-scale floor (r11 plan audit): size-based coalescing once
+      // serialized dsq95's 3M-row shuffle into ONE 831 ms task; at this
+      // suite's local[32] keep AQE from coalescing below the core count
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "32")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.locality.wait", "0")
