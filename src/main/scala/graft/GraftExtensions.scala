@@ -57,11 +57,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectOptimizerRule(_ => graft.rules.FastRegexpExtract)
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
-    // after RadixShuffleAgg (single-long-key shapes keep the radix
-    // path); stats-proved partial skip for multi/string-key groups≈rows
-    e.injectQueryStagePrepRule(_ => graft.rules.SinglePhaseAgg)
-    // after RadixShuffleAgg: matches the radix pair it emits
+    // after RadixShuffleAgg (matches the radix pair it emits); BEFORE
+    // PackedShuffleAgg so its generic arm still sees the stock
+    // partial/final pair for ORDER-BY-grouping-prefix LIMIT pruning
     e.injectQueryStagePrepRule(_ => graft.rules.TopNThroughAgg)
+    // multi-key / string-key packed-payload shapes (radix keeps the
+    // single int/long-key surface; TopN kept its pruned pairs)
+    e.injectQueryStagePrepRule(_ => graft.rules.PackedShuffleAgg)
+    // stats-proved partial skip for whatever aggregation pairs remain
+    e.injectQueryStagePrepRule(_ => graft.rules.SinglePhaseAgg)
     // warm-mode cross-execution broadcast cache under AQE (no-op
     // otherwise; the non-AQE wrap lives in InsertCacheColumnarToRow)
     e.injectQueryStagePrepRule(_ => graft.plans.CachedBroadcastPrep)

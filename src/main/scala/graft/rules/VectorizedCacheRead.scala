@@ -73,9 +73,14 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
     // stage fragment holds no raw exchanges; the radix/generic arms ran
     // as query-stage-prep rules) — it must run HERE because the
     // Complete-mode aggregate it matches is created by the collapse above
+    // rule order: radix claims single int/long-key pairs; TopNThroughAgg
+    // then prunes ORDER-BY-grouping-prefix LIMIT pairs (its generic arm
+    // must see the stock pair BEFORE packed consumes it); packed claims
+    // the remaining multi/string-key pairs; single-phase takes whatever
+    // aggregation pairs are left with a stats proof
     val radixed =
       if (conf.adaptiveExecutionEnabled) TopNThroughAgg(collapsed)
-      else TopNThroughAgg(SinglePhaseAgg(RadixShuffleAgg(collapsed)))
+      else SinglePhaseAgg(PackedShuffleAgg(TopNThroughAgg(RadixShuffleAgg(collapsed))))
     // run-clustered Complete aggregates (created by the collapse above)
     // stream per sorted-prefix run instead of building the whole
     // partition's group map (plans/SortedRunAgg.scala)
@@ -108,6 +113,16 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
       // the ColumnarToRow just inserted above, or (AQE) the
       // TableCacheQueryStageExec wrapping one (plans/RadixAgg.scala)
       case r: graft.plans.RadixPartialAggExec if !r.columnarChild =>
+        r.child match {
+          case ColumnarToRowExec(c) if c.supportsColumnar && r.columnarEligible(c) =>
+            r.copy(child = c, columnarChild = true)
+          case c if c.supportsColumnar && r.columnarEligible(c) =>
+            r.copy(columnarChild = true)
+          case _ => r
+        }
+      // packed multi-key partial: same batch-direct rewire when every
+      // key and input is a plain column of a columnar-capable child
+      case r: graft.plans.PackedPartialAggExec if !r.columnarChild =>
         r.child match {
           case ColumnarToRowExec(c) if c.supportsColumnar && r.columnarEligible(c) =>
             r.copy(child = c, columnarChild = true)

@@ -17,6 +17,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class SinglePhaseAggSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  // PackedShuffleAgg (r12) runs first and claims the multi/string-key
+  // pairs this spec builds; disable it here so the single-phase rule's
+  // own mechanics stay pinned (it remains the route for pairs packed
+  // declines: unsupported agg types, >64 keys, decimal sums)
+  private def withPackedOff[A](f: => A): A = {
+    val prev = graft.rules.PackedShuffleAgg.enabled
+    graft.rules.PackedShuffleAgg.enabled = false
+    try f finally graft.rules.PackedShuffleAgg.enabled = prev
+  }
+
   private val n = 20000L
 
   // k is ~unique (the groups≈rows driver), s repeats — mirrors
@@ -58,14 +68,14 @@ class SinglePhaseAggSpec extends AnyFunSuite {
   private def grouped(src: DataFrame): DataFrame =
     src.groupBy(col("k"), col("s")).agg(count(lit(1)).as("c"), sum(col("v")).as("sv"))
 
-  test("proved groups≈rows plans a single Complete aggregate") {
+  test("proved groups≈rows plans a single Complete aggregate") { withPackedOff {
     val aggs = aggNodes(grouped(annotated))
     assert(aggs.length == 1, aggs.map(_.aggregateExpressions.map(_.mode)).toString)
     assert(aggs.head.aggregateExpressions.forall(
       _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete))
-  }
+  } }
 
-  test("results identical with the rule disabled (differential)") {
+  test("results identical with the rule disabled (differential)") { withPackedOff {
     val on = grouped(annotated).orderBy("k", "s").collect()
     SinglePhaseAgg.enabled = false
     try {
@@ -74,9 +84,9 @@ class SinglePhaseAggSpec extends AnyFunSuite {
       val off = grouped(annotated).orderBy("k", "s").collect()
       assert(on.toSeq == off.toSeq)
     } finally SinglePhaseAgg.enabled = true
-  }
+  } }
 
-  test("declines without the NDV proof") {
+  test("declines without the NDV proof") { withPackedOff {
     import spark.implicits._
     val plain = spark.range(n)
       .select(col("id").as("k"), (col("id") % 7).cast("string").as("s"),
@@ -87,9 +97,9 @@ class SinglePhaseAggSpec extends AnyFunSuite {
       val aggs = aggNodes(grouped(plain))
       assert(aggs.length == 2, "no metadata → keep the stock two-phase plan")
     } finally plain.unpersist()
-  }
+  } }
 
-  test("declines when a Filter breaks the row-count premise") {
+  test("declines when a Filter breaks the row-count premise") { withPackedOff {
     val filtered = annotated.filter(col("v") < 50)
     val aggs = aggNodes(grouped(filtered))
     assert(aggs.length == 2, "filtered input → full-table NDV proof is void")
@@ -98,7 +108,7 @@ class SinglePhaseAggSpec extends AnyFunSuite {
     SinglePhaseAgg.enabled = false
     try assert(on.toSeq == grouped(filtered).orderBy("k", "s").collect().toSeq)
     finally SinglePhaseAgg.enabled = true
-  }
+  } }
 
   test("low-ndv grouping keeps the map-side combine") {
     val aggs = aggNodes(
