@@ -32,6 +32,24 @@ object BenchABPacked {
       t(t.length / 2)
     }
 
+    // GRAFT_PROF=1: per-stage run/cpu/GC/shuffle attribution (same
+    // listener as ProfOlap) to split map-side vs exchange vs merge
+    if (sys.env.contains("GRAFT_PROF"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val st = s.stageInfo
+          val tm = st.taskMetrics
+          System.err.println(f"[stage ${st.stageId}] tasks=${st.numTasks} " +
+            f"run=${tm.executorRunTime}ms cpu=${tm.executorCpuTime / 1000000}ms " +
+            f"gc=${tm.jvmGCTime}ms " +
+            f"shWriteMB=${tm.shuffleWriteMetrics.bytesWritten / 1048576} " +
+            f"shWriteTime=${tm.shuffleWriteMetrics.writeTime / 1000000}ms " +
+            f"shReadMB=${tm.shuffleReadMetrics.remoteBytesRead / 1048576 +
+              tm.shuffleReadMetrics.localBytesRead / 1048576}")
+        }
+      })
+
     val dir = graft.sources.HitsFixture.ensureScaled(spark, factor)
     Tables.cacheMode = true
     Tables(spark, dir, "hits").createOrReplaceTempView("hits")

@@ -5,6 +5,7 @@ import graft.functions.DistinctWithHll
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -65,6 +66,88 @@ object PackedAgg {
 
   private[plans] def flushCap: Int =
     if (flushCapOverride > 0) flushCapOverride else RadixAgg.FlushCap
+
+  /** Adaptive partial skip — DuckDB's no-reduction bailout (reference:
+    * radix_partitioned_hashtable.cpp abandons local aggregation when the
+    * observed group/row ratio shows the hash phase reduces nothing).
+    * After [[passThroughCheckRows]] rows, if the map holds more than
+    * [[passThroughGroupRatio]] × rows groups, the partial emits what it
+    * has and switches to PASS-THROUGH: each further row appends straight
+    * to its bucket's blob builder as a one-row group fragment (the state
+    * block is the singleton accumulator), skipping the map probe the
+    * groups≈rows regime wastes. Blob merge is associative, so map-phase
+    * and pass-through fragments coexist. GRAFT_NO_PACKED_PASSTHROUGH=1
+    * disables (A/B hatch).
+    */
+  @volatile var passThroughEnabled: Boolean =
+    !sys.env.get("GRAFT_NO_PACKED_PASSTHROUGH").contains("1")
+  @volatile var passThroughCheckRows: Int = 1 << 16
+  @volatile var passThroughGroupRatio: Double = 0.75
+
+  /** Pass-through blob builder emit threshold (record + string bytes). */
+  private[plans] val BuilderEmitBytes: Int = 256 << 10
+
+  /** Per-bucket growable blob builder for the pass-through path: record
+    * region, string-byte region, and state region append independently;
+    * `emitBlobs` assembles the wire format ([n][records][strBytes] +
+    * state) and resets. Arrays are reused across emits, so the state
+    * region is explicitly zeroed per record before the singleton writers
+    * run (they only write non-zero fields).
+    */
+  private[plans] final class BucketBuilder(recBytes: Int, blockBytes: Int) {
+    var recs = new Array[Byte](recBytes * 64)
+    var nRecs = 0
+    var strs = new Array[Byte](1 << 10)
+    var strLen = 0
+    var state = new Array[Byte](math.max(blockBytes * 64, 64))
+
+    def bytes: Int = nRecs * recBytes + strLen
+
+    def ensureRec(): Unit =
+      if ((nRecs + 1) * recBytes > recs.length)
+        recs = java.util.Arrays.copyOf(recs, recs.length * 2)
+
+    def ensureStr(len: Int): Unit = {
+      var cap = strs.length
+      while (strLen + len > cap) cap *= 2
+      if (cap != strs.length) strs = java.util.Arrays.copyOf(strs, cap)
+    }
+
+    /** Zeroed state-block region for record `nRecs` (call before the
+      * singleton writers; returns the Platform offset).
+      */
+    def stateBlockOffset(): Long = {
+      if ((nRecs + 1) * blockBytes > state.length)
+        state = java.util.Arrays.copyOf(state, math.max(state.length * 2, 64))
+      val from = nRecs * blockBytes
+      java.util.Arrays.fill(state, from, from + blockBytes, 0.toByte)
+      Platform.BYTE_ARRAY_OFFSET + from
+    }
+
+    /** (keys blob, state blob) in the wire format, then reset. */
+    def emitBlobs(): (Array[Byte], Array[Byte]) = {
+      val keys = new Array[Byte](4 + nRecs * recBytes + strLen)
+      Platform.putInt(keys, Platform.BYTE_ARRAY_OFFSET, nRecs)
+      System.arraycopy(recs, 0, keys, 4, nRecs * recBytes)
+      System.arraycopy(strs, 0, keys, 4 + nRecs * recBytes, strLen)
+      val st = java.util.Arrays.copyOf(state, nRecs * blockBytes)
+      nRecs = 0
+      strLen = 0
+      (keys, st)
+    }
+  }
+
+  /** Singleton state-block writers for the pass-through path: write the
+    * state a fresh accumulator would hold after ONE update into a
+    * pre-zeroed block (only non-zero fields are written). Row and
+    * columnar variants mirror rowUpdaters/colUpdaters.
+    */
+  private[plans] trait RowBlockWrite {
+    def apply(v: InternalRow, arr: Array[Byte], off: Long): Unit
+  }
+  private[plans] trait ColBlockWrite {
+    def apply(r: Int, arr: Array[Byte], off: Long): Unit
+  }
 
   def supportedKey(dt: DataType): Boolean =
     RadixAgg.supportedKey(dt) || dt == StringType
@@ -397,6 +480,138 @@ object PackedAgg {
     }.toArray
   }
 
+  private[plans] def rowBlockWriters(slots: Seq[Slot], iExprs: Seq[Expression],
+      nL: Int, nD: Int, nF: Int): Array[RowBlockWrite] = {
+    val dBase = 8 * nL
+    val fBase = dBase + 8 * nD
+    def readL(i: Int): InternalRow => Long = iExprs(i).dataType match {
+      case ByteType => r => r.getByte(i).toLong
+      case ShortType => r => r.getShort(i).toLong
+      case IntegerType | DateType => r => r.getInt(i).toLong
+      case _ => r => r.getLong(i)
+    }
+    def readD(i: Int): InternalRow => Double = iExprs(i).dataType match {
+      case ByteType => r => r.getByte(i).toDouble
+      case ShortType => r => r.getShort(i).toDouble
+      case IntegerType | DateType => r => r.getInt(i).toDouble
+      case LongType | TimestampType | TimestampNTZType => r => r.getLong(i).toDouble
+      case FloatType => r => r.getFloat(i).toDouble
+      case _ => r => r.getDouble(i)
+    }
+    slots.map[RowBlockWrite] {
+      case CountSlot(li, checked) =>
+        val ia = checked.toArray
+        new RowBlockWrite { def apply(v: InternalRow, arr: Array[Byte], off: Long): Unit = {
+          var ok = true; var j = 0
+          while (j < ia.length) { if (v.isNullAt(ia(j))) ok = false; j += 1 }
+          if (ok) Platform.putLong(arr, off + 8 * li, 1L)
+        } }
+      case SumLSlot(li, fi, in) =>
+        val rd = readL(in)
+        new RowBlockWrite { def apply(v: InternalRow, arr: Array[Byte], off: Long): Unit =
+          if (!v.isNullAt(in)) {
+            Platform.putLong(arr, off + 8 * li, rd(v))
+            Platform.putByte(arr, off + fBase + fi, 1.toByte)
+          } }
+      case SumDSlot(di, fi, in) =>
+        val rd = readD(in)
+        new RowBlockWrite { def apply(v: InternalRow, arr: Array[Byte], off: Long): Unit =
+          if (!v.isNullAt(in)) {
+            Platform.putDouble(arr, off + dBase + 8 * di, rd(v))
+            Platform.putByte(arr, off + fBase + fi, 1.toByte)
+          } }
+      case AvgSlot(di, li, in) =>
+        val rd = readD(in)
+        new RowBlockWrite { def apply(v: InternalRow, arr: Array[Byte], off: Long): Unit =
+          if (!v.isNullAt(in)) {
+            Platform.putDouble(arr, off + dBase + 8 * di, rd(v))
+            Platform.putLong(arr, off + 8 * li, 1L)
+          } }
+      case MinMaxLSlot(li, fi, in, _) =>
+        val rd = readL(in)
+        new RowBlockWrite { def apply(v: InternalRow, arr: Array[Byte], off: Long): Unit =
+          if (!v.isNullAt(in)) {
+            Platform.putLong(arr, off + 8 * li, rd(v))
+            Platform.putByte(arr, off + fBase + fi, 1.toByte)
+          } }
+      case MinMaxDSlot(di, fi, in, _) =>
+        val rd = readD(in)
+        new RowBlockWrite { def apply(v: InternalRow, arr: Array[Byte], off: Long): Unit =
+          if (!v.isNullAt(in)) {
+            Platform.putDouble(arr, off + dBase + 8 * di, rd(v))
+            Platform.putByte(arr, off + fBase + fi, 1.toByte)
+          } }
+      case other => throw new UnsupportedOperationException(
+        s"packed agg: unsupported slot $other")
+    }.toArray
+  }
+
+  private[plans] def colBlockWriters(slots: Seq[Slot], dts: Array[DataType],
+      vecs: Array[ColumnVector], nL: Int, nD: Int, nF: Int): Array[ColBlockWrite] = {
+    val dBase = 8 * nL
+    val fBase = dBase + 8 * nD
+    def readL(i: Int): Int => Long = dts(i) match {
+      case ByteType => r => vecs(i).getByte(r).toLong
+      case ShortType => r => vecs(i).getShort(r).toLong
+      case IntegerType | DateType => r => vecs(i).getInt(r).toLong
+      case _ => r => vecs(i).getLong(r)
+    }
+    def readD(i: Int): Int => Double = dts(i) match {
+      case ByteType => r => vecs(i).getByte(r).toDouble
+      case ShortType => r => vecs(i).getShort(r).toDouble
+      case IntegerType | DateType => r => vecs(i).getInt(r).toDouble
+      case LongType | TimestampType | TimestampNTZType => r => vecs(i).getLong(r).toDouble
+      case FloatType => r => vecs(i).getFloat(r).toDouble
+      case _ => r => vecs(i).getDouble(r)
+    }
+    slots.map[ColBlockWrite] {
+      case CountSlot(li, checked) =>
+        val ia = checked.toArray
+        new ColBlockWrite { def apply(r: Int, arr: Array[Byte], off: Long): Unit = {
+          var ok = true; var j = 0
+          while (j < ia.length) { if (vecs(ia(j)).isNullAt(r)) ok = false; j += 1 }
+          if (ok) Platform.putLong(arr, off + 8 * li, 1L)
+        } }
+      case SumLSlot(li, fi, in) =>
+        val rd = readL(in)
+        new ColBlockWrite { def apply(r: Int, arr: Array[Byte], off: Long): Unit =
+          if (!vecs(in).isNullAt(r)) {
+            Platform.putLong(arr, off + 8 * li, rd(r))
+            Platform.putByte(arr, off + fBase + fi, 1.toByte)
+          } }
+      case SumDSlot(di, fi, in) =>
+        val rd = readD(in)
+        new ColBlockWrite { def apply(r: Int, arr: Array[Byte], off: Long): Unit =
+          if (!vecs(in).isNullAt(r)) {
+            Platform.putDouble(arr, off + dBase + 8 * di, rd(r))
+            Platform.putByte(arr, off + fBase + fi, 1.toByte)
+          } }
+      case AvgSlot(di, li, in) =>
+        val rd = readD(in)
+        new ColBlockWrite { def apply(r: Int, arr: Array[Byte], off: Long): Unit =
+          if (!vecs(in).isNullAt(r)) {
+            Platform.putDouble(arr, off + dBase + 8 * di, rd(r))
+            Platform.putLong(arr, off + 8 * li, 1L)
+          } }
+      case MinMaxLSlot(li, fi, in, _) =>
+        val rd = readL(in)
+        new ColBlockWrite { def apply(r: Int, arr: Array[Byte], off: Long): Unit =
+          if (!vecs(in).isNullAt(r)) {
+            Platform.putLong(arr, off + 8 * li, rd(r))
+            Platform.putByte(arr, off + fBase + fi, 1.toByte)
+          } }
+      case MinMaxDSlot(di, fi, in, _) =>
+        val rd = readD(in)
+        new ColBlockWrite { def apply(r: Int, arr: Array[Byte], off: Long): Unit =
+          if (!vecs(in).isNullAt(r)) {
+            Platform.putDouble(arr, off + dBase + 8 * di, rd(r))
+            Platform.putByte(arr, off + fBase + fi, 1.toByte)
+          } }
+      case other => throw new UnsupportedOperationException(
+        s"packed agg: unsupported slot $other")
+    }.toArray
+  }
+
   /** Compiled per-slot blob mergers (state block layout identical to
     * RadixAgg: longs[nL] ++ doubles[nD] ++ flags[nF], LE at `off`).
     */
@@ -594,6 +809,10 @@ final case class PackedPartialAggExec(
     val theKinds = kinds
     val theSub = subIdx
     val (kLK, kSK, kN) = (nLK, nSK, nKeys)
+    val (recB, blockB, nBuckets) = (recBytes, blockBytes, buckets)
+    val ptEnabled = passThroughEnabled
+    val ptCheckRows = passThroughCheckRows.toLong
+    val ptRatio = passThroughGroupRatio
     if (columnarChild) {
       val kOrds = keyExprs.map { case a: Attribute =>
         childOut.indexWhere(_.exprId == a.exprId) }.toArray
@@ -610,6 +829,47 @@ final case class PackedPartialAggExec(
         val kvecs = new Array[ColumnVector](kOrds.length)
         val ups = colUpdaters(theSlots, dts, vecs, aL, aD, aF, ansiMode)
         val flushed = ArrayBuffer.empty[InternalRow]
+        // adaptive partial skip (see PackedAgg.passThroughEnabled)
+        var rowsSeen = 0L
+        var passThrough = false
+        var builders: Array[BucketBuilder] = null
+        val blockW = colBlockWriters(theSlots, dts, vecs, aL, aD, aF)
+        val passProj = UnsafeProjection.create(Array[DataType](
+          IntegerType, BinaryType, BinaryType))
+        val passRow = new GenericInternalRow(3)
+        def emitBuilder(bk: Int): InternalRow = {
+          val (kb, sb) = builders(bk).emitBlobs()
+          passRow.update(0, bk); passRow.update(1, kb); passRow.update(2, sb)
+          passProj(passRow).copy()
+        }
+        def appendPass(h: Long, msk: Long, r: Int): Unit = {
+          val bk = bucketOf(h, nBuckets)
+          val bb = builders(bk)
+          bb.ensureRec()
+          val arr = bb.recs
+          var p = Platform.BYTE_ARRAY_OFFSET + bb.nRecs.toLong * recB
+          Platform.putLong(arr, p, h); p += 8
+          Platform.putLong(arr, p, msk); p += 8
+          var j = 0
+          while (j < kLK) { Platform.putLong(arr, p, m.stageLongs(j)); p += 8; j += 1 }
+          j = 0
+          while (j < kSK) {
+            val s = m.stageStrs(j)
+            val len = if (s == null) 0 else s.numBytes
+            Platform.putInt(arr, p, len); p += 4
+            if (len > 0) {
+              bb.ensureStr(len)
+              s.writeToMemory(bb.strs, Platform.BYTE_ARRAY_OFFSET + bb.strLen)
+              bb.strLen += len
+            }
+            j += 1
+          }
+          val soff = bb.stateBlockOffset()
+          var u = 0
+          while (u < blockW.length) { blockW(u)(r, bb.state, soff); u += 1 }
+          bb.nRecs += 1
+          if (bb.bytes >= BuilderEmitBytes) flushed += emitBuilder(bk)
+        }
         batches.foreach { batch =>
           var i = 0
           while (i < ords.length) { vecs(i) = batch.column(ords(i)); i += 1 }
@@ -641,16 +901,30 @@ final case class PackedPartialAggExec(
               j += 1
             }
             m.stageMask = msk
-            val s = m.slotOf(h)
-            var u = 0
-            while (u < ups.length) { ups(u)(m, r, s); u += 1 }
+            if (passThrough) appendPass(h, msk, r)
+            else {
+              val s = m.slotOf(h)
+              var u = 0
+              while (u < ups.length) { ups(u)(m, r, s); u += 1 }
+              rowsSeen += 1
+              if (ptEnabled && rowsSeen == ptCheckRows &&
+                  m.size >= rowsSeen * ptRatio) {
+                flushed ++= emitRows(m); m.reset()
+                passThrough = true
+                builders = Array.fill(nBuckets)(new BucketBuilder(recB, blockB))
+              }
+            }
             r += 1
           }
-          if (m.size >= flushCap || m.poolLen >= PoolFlushBytes) {
+          if (!passThrough && (m.size >= flushCap || m.poolLen >= PoolFlushBytes)) {
             flushed ++= emitRows(m); m.reset()
           }
         }
-        (flushed.iterator ++ emitRows(m)).map { row => numOut.add(1); row }
+        val tail =
+          if (builders == null) Iterator.empty
+          else (0 until nBuckets).iterator
+            .filter(bk => builders(bk).nRecs > 0).map(emitBuilder)
+        (flushed.iterator ++ emitRows(m) ++ tail).map { row => numOut.add(1); row }
       }
     } else {
       child.execute().mapPartitions { rows =>
@@ -665,6 +939,47 @@ final case class PackedPartialAggExec(
           case (_, i) => (r: InternalRow) => r.getLong(i)
         }.toArray
         val flushed = ArrayBuffer.empty[InternalRow]
+        // adaptive partial skip — row-path twin of the columnar branch
+        var rowsSeen = 0L
+        var passThrough = false
+        var builders: Array[BucketBuilder] = null
+        val blockW = rowBlockWriters(theSlots, iExprs, aL, aD, aF)
+        val passProj = UnsafeProjection.create(Array[DataType](
+          IntegerType, BinaryType, BinaryType))
+        val passRow = new GenericInternalRow(3)
+        def emitBuilder(bk: Int): InternalRow = {
+          val (kb, sb) = builders(bk).emitBlobs()
+          passRow.update(0, bk); passRow.update(1, kb); passRow.update(2, sb)
+          passProj(passRow).copy()
+        }
+        def appendPass(h: Long, msk: Long, v: InternalRow): Unit = {
+          val bk = bucketOf(h, nBuckets)
+          val bb = builders(bk)
+          bb.ensureRec()
+          val arr = bb.recs
+          var p = Platform.BYTE_ARRAY_OFFSET + bb.nRecs.toLong * recB
+          Platform.putLong(arr, p, h); p += 8
+          Platform.putLong(arr, p, msk); p += 8
+          var j = 0
+          while (j < kLK) { Platform.putLong(arr, p, m.stageLongs(j)); p += 8; j += 1 }
+          j = 0
+          while (j < kSK) {
+            val s = m.stageStrs(j)
+            val len = if (s == null) 0 else s.numBytes
+            Platform.putInt(arr, p, len); p += 4
+            if (len > 0) {
+              bb.ensureStr(len)
+              s.writeToMemory(bb.strs, Platform.BYTE_ARRAY_OFFSET + bb.strLen)
+              bb.strLen += len
+            }
+            j += 1
+          }
+          val soff = bb.stateBlockOffset()
+          var u = 0
+          while (u < blockW.length) { blockW(u)(v, bb.state, soff); u += 1 }
+          bb.nRecs += 1
+          if (bb.bytes >= BuilderEmitBytes) flushed += emitBuilder(bk)
+        }
         while (rows.hasNext) {
           val row = rows.next()
           val kr = keyProj(row)
@@ -690,18 +1005,44 @@ final case class PackedPartialAggExec(
             j += 1
           }
           m.stageMask = msk
-          val s = m.slotOf(h)
-          var u = 0
-          while (u < ups.length) { ups(u)(m, v, s); u += 1 }
-          if (m.size >= flushCap || m.poolLen >= PoolFlushBytes) {
-            flushed ++= emitRows(m); m.reset()
+          if (passThrough) appendPass(h, msk, v)
+          else {
+            val s = m.slotOf(h)
+            var u = 0
+            while (u < ups.length) { ups(u)(m, v, s); u += 1 }
+            rowsSeen += 1
+            if (ptEnabled && rowsSeen == ptCheckRows &&
+                m.size >= rowsSeen * ptRatio) {
+              flushed ++= emitRows(m); m.reset()
+              passThrough = true
+              builders = Array.fill(nBuckets)(new BucketBuilder(recB, blockB))
+            }
+            if (m.size >= flushCap || m.poolLen >= PoolFlushBytes) {
+              flushed ++= emitRows(m); m.reset()
+            }
           }
         }
-        (flushed.iterator ++ emitRows(m)).map { row => numOut.add(1); row }
+        val tail =
+          if (builders == null) Iterator.empty
+          else (0 until nBuckets).iterator
+            .filter(bk => builders(bk).nRecs > 0).map(emitBuilder)
+        (flushed.iterator ++ emitRows(m) ++ tail).map { row => numOut.add(1); row }
       }
     }
   }
 }
+
+/** Per-partition top-K retention for [[PackedFinalAggExec]] emission —
+  * the ORDER-BY-aggregate LIMIT sink (`GROUP BY k ORDER BY c DESC LIMIT
+  * n`). Streaming every group through projection + the sink's per-row
+  * copy costs ~10M copies on the groups≈rows shapes; a bounded heap of
+  * `limit` UnsafeRow copies per partition keeps the compare (codegen'd
+  * ordering) and drops the copies. Sound for the parent
+  * TakeOrderedAndProject exactly as Spark's own per-partition
+  * takeOrdered is: a row outside this partition's top-`limit` by the
+  * total order can never reach the global top-`limit`.
+  */
+final case class PackedTopK(limit: Int, order: Seq[SortOrder])
 
 /** Reduce stage: merge packed multi-key blobs into a dense map and
   * evaluate the replaced final aggregate's result expressions per group
@@ -718,7 +1059,10 @@ final case class PackedFinalAggExec(
     output: Seq[Attribute],
     child: SparkPlan,
     bufferMode: Boolean = false,
-    ansi: Boolean = false) extends UnaryExecNode {
+    ansi: Boolean = false,
+    // emission-time per-partition top-K retention (set by the
+    // TakeOrderedAndProject arm of rules/PackedShuffleAgg)
+    topK: Option[PackedTopK] = None) extends UnaryExecNode {
   import PackedAgg._
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
@@ -758,6 +1102,8 @@ final case class PackedFinalAggExec(
     val (kLK, kSK, kN) = (nLK, nSK, nKeys)
     val (rec, block) = (recBytes, blockBytes)
     val buffered = bufferMode
+    val theTopK = topK
+    val theOutput = output
     child.execute().mapPartitions { rows =>
       val m = new MultiKeyMap(kLK, kSK, aL, aD, aF)
       val mergers = blockMergers(theSlots, aL, aD, aF, ansiMode)
@@ -797,22 +1143,37 @@ final case class PackedFinalAggExec(
         }
       }
       val proj = UnsafeProjection.create(exprs, evalSchema)
-      val evalRow = new GenericInternalRow(evalSchema.length)
+      // typed drain (see DriverAgg.writeFinal): SpecificInternalRow +
+      // primitive setters — the boxed GenericInternalRow path costs a
+      // box per key/aggregate per group, tens of millions of objects on
+      // the groups≈rows shapes this operator exists for
+      val evalRow = new SpecificInternalRow(evalSchema.map(_.dataType))
       val acc = new DriverAgg.Acc(new Array[Long](aL), new Array[Double](aD),
         new Array[Boolean](aF))
-      def keyValue(j: Int, s: Int): Any = {
-        if ((m.maskAt(s) & (1L << j)) != 0) null
-        else if (theKinds(j) == KindLong) {
-          val k = m.longKeyAt(s, theSub(j))
-          keyDts(j) match {
-            case ByteType => k.toByte
-            case ShortType => k.toShort
-            case IntegerType | DateType => k.toInt
-            case _ => k
-          }
-        } else {
+      // compiled per-key writers (slot → evalRow field j)
+      val keyWriters: Array[Int => Unit] = Array.tabulate(kN) { j =>
+        if (theKinds(j) == KindStr) {
           val si = theSub(j)
-          UTF8String.fromBytes(m.poolArray, m.strOffAt(s, si), m.strLenAt(s, si))
+          (s: Int) =>
+            if ((m.maskAt(s) & (1L << j)) != 0) evalRow.setNullAt(j)
+            else evalRow.update(j,
+              UTF8String.fromBytes(m.poolArray, m.strOffAt(s, si), m.strLenAt(s, si)))
+        } else {
+          val li = theSub(j)
+          keyDts(j) match {
+            case ByteType => (s: Int) =>
+              if ((m.maskAt(s) & (1L << j)) != 0) evalRow.setNullAt(j)
+              else evalRow.setByte(j, m.longKeyAt(s, li).toByte)
+            case ShortType => (s: Int) =>
+              if ((m.maskAt(s) & (1L << j)) != 0) evalRow.setNullAt(j)
+              else evalRow.setShort(j, m.longKeyAt(s, li).toShort)
+            case IntegerType | DateType => (s: Int) =>
+              if ((m.maskAt(s) & (1L << j)) != 0) evalRow.setNullAt(j)
+              else evalRow.setInt(j, m.longKeyAt(s, li).toInt)
+            case _ => (s: Int) =>
+              if ((m.maskAt(s) & (1L << j)) != 0) evalRow.setNullAt(j)
+              else evalRow.setLong(j, m.longKeyAt(s, li))
+          }
         }
       }
       def fillAggs(s: Int): Unit = {
@@ -824,11 +1185,11 @@ final case class PackedFinalAggExec(
         while (j < theSlots.length) {
           theSlots(j) match {
             case DriverAgg.AvgSlot(di, li, _) if buffered =>
-              evalRow.update(c, acc.doubles(di))
-              evalRow.update(c + 1, acc.longs(li))
+              evalRow.setDouble(c, acc.doubles(di))
+              evalRow.setLong(c + 1, acc.longs(li))
               c += 2
             case _ =>
-              evalRow.update(c, DriverAgg.finalValue(theSlots, types, j, acc))
+              DriverAgg.writeFinal(theSlots, types, j, acc, evalRow, c)
               c += 1
           }
           j += 1
@@ -836,12 +1197,31 @@ final case class PackedFinalAggExec(
       }
       // STREAM emission — the projection's output row is reused, as
       // Spark's own aggregate iterators do
-      m.slotIterator.map { s =>
+      val emitted = m.slotIterator.map { s =>
         var j = 0
-        while (j < kN) { evalRow.update(j, keyValue(j, s)); j += 1 }
+        while (j < kN) { keyWriters(j)(s); j += 1 }
         fillAggs(s)
         numOut.add(1)
         proj(evalRow)
+      }
+      theTopK match {
+        case None => emitted
+        case Some(tk) =>
+          // bounded selection by the parent sink's total order: compare
+          // first (codegen'd), copy only on retention — the sink then
+          // merges <= limit rows per partition instead of every group
+          val ord: Ordering[InternalRow] =
+            new LazilyGeneratedOrdering(tk.order, theOutput)
+          val heap = new java.util.PriorityQueue[UnsafeRow](
+            tk.limit + 1, ord.reverse)
+          emitted.foreach { r =>
+            if (heap.size < tk.limit) heap.add(r.copy())
+            else if (ord.compare(r, heap.peek()) < 0) {
+              heap.poll(); heap.add(r.copy())
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          heap.iterator().asScala
       }
     }
   }

@@ -83,8 +83,42 @@ object PackedShuffleAgg extends Rule[SparkPlan] {
       }
     }
 
+  /** The stats proof that the partial cannot reduce (groups≈rows) over
+    * a row-preserving chain — [[SinglePhaseAgg]]'s premise, reused for
+    * routing: in that regime the packed exchange's byte savings measured
+    * a wash against its merge-side overhead when the CONSUMER drains
+    * every group (A/B'd at x100 hits: ORDER-BY-count LIMIT 1.38×,
+    * distinct-piggyback inner dedup 1.17×), while lazy/limited sinks
+    * keep winning (dedup+LIMIT 0.65×). So packed declines exactly the
+    * proved-no-reduction pairs whose parent drains all groups, and
+    * SinglePhaseAgg (registered after) claims them.
+    */
+  private def provedNoReduction(gPs: Seq[NamedExpression], gchild: SparkPlan): Boolean =
+    SinglePhaseAgg.provedHighCardinality(gPs) &&
+      SinglePhaseAgg.rowPreservingScanChain(gchild)
+
   override def apply(plan: SparkPlan): SparkPlan = {
     if (!enabled) return plan
+    // Final-arm parent pre-scan: a TakeOrderedAndProject sorting by an
+    // aggregate output (not a grouping prefix — TopNThroughAgg already
+    // claimed those) drains every group through its heap; with the
+    // no-reduction proof the single-phase plan measured faster, so those
+    // specific pairs are skipped (identity set — plan nodes, pre-rewrite)
+    val skipFinals = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    plan.foreach {
+      case org.apache.spark.sql.execution.TakeOrderedAndProjectExec(_, so, _,
+            fin @ HashAggregateExec(_, false, _, gAttrs, aggsF, _, _, _,
+              ShuffleExchangeExec(_,
+                HashAggregateExec(_, false, _, gPs, _, _, _, _, gchild), _, _)), _)
+          if aggsF.forall(_.mode == Final) && so.nonEmpty &&
+            !so.head.references.subsetOf(
+              org.apache.spark.sql.catalyst.expressions.AttributeSet(
+                gAttrs.map(_.toAttribute))) &&
+            provedNoReduction(gPs, gchild) =>
+        skipFinals.add(fin)
+      case _ => ()
+    }
     var changed = false
     val rewritten = plan.transformUp {
       case fin @ HashAggregateExec(_, false, _, gAttrsRaw, aggsF, aggAttrs, _,
@@ -95,7 +129,8 @@ object PackedShuffleAgg extends Rule[SparkPlan] {
             aggsF.forall(_.mode == Final) && aggsP.forall(_.mode == Partial) &&
             aggsF.map(_.resultId) == aggsP.map(_.resultId) &&
             keysOk(gAttrsRaw.map(_.asInstanceOf[Attribute])) &&
-            aligned(gPs, gAttrsRaw.map(_.asInstanceOf[Attribute]), pks) =>
+            aligned(gPs, gAttrsRaw.map(_.asInstanceOf[Attribute]), pks) &&
+            !skipFinals.contains(fin) =>
         val gAttrs = gAttrsRaw.map(_.asInstanceOf[Attribute])
         scala.util.Try(DriverAgg.layout(aggsP)).toOption match {
           case Some(lay) =>
@@ -129,7 +164,11 @@ object PackedShuffleAgg extends Rule[SparkPlan] {
             aggsF.map(_.resultId) == aggsP.map(_.resultId) &&
             keysOk(gAttrsRaw.map(_.asInstanceOf[Attribute])) &&
             aligned(gPs, gAttrsRaw.map(_.asInstanceOf[Attribute]), pks) &&
-            bufferShapeOk(aggsF) =>
+            bufferShapeOk(aggsF) &&
+            // the PartialMerge consumer (the distinct rewrite's next
+            // aggregate level) always drains every group — decline on
+            // the no-reduction proof (see provedNoReduction)
+            !provedNoReduction(gPs, gchild) =>
         val gAttrs = gAttrsRaw.map(_.asInstanceOf[Attribute])
         scala.util.Try(DriverAgg.layout(aggsP)).toOption match {
           case Some(lay) =>
@@ -153,8 +192,22 @@ object PackedShuffleAgg extends Rule[SparkPlan] {
           case None => fin
         }
     }
-    if (!changed) return plan
-    val ensured = new EnsureRequirements(true, None).apply(rewritten)
+    // ORDER-BY-aggregate LIMIT sink: retain only the per-partition top-K
+    // during the packed final's emission (plans/PackedAgg.PackedTopK) —
+    // the TakeOrderedAndProject above still merges partitions and applies
+    // projection/offset. Matched in a second pass so the pair rewrite
+    // above is already in place; idempotent via topK.isEmpty.
+    val topKed = rewritten.transformUp {
+      case t @ org.apache.spark.sql.execution.TakeOrderedAndProjectExec(
+            limit, so, _, fin: graft.plans.PackedFinalAggExec, _)
+          if limit > 0 && limit <= (1 << 16) && fin.topK.isEmpty &&
+            so.nonEmpty && so.forall(_.references.subsetOf(fin.outputSet)) =>
+        val fin2 = fin.copy(topK = Some(graft.plans.PackedTopK(limit, so)))
+        fin.logicalLink.foreach(fin2.setLogicalLink)
+        t.withNewChildren(Seq(fin2))
+    }
+    if (!changed) return topKed
+    val ensured = new EnsureRequirements(true, None).apply(topKed)
     // thread the logical link onto the bucket exchange EnsureRequirements
     // just inserted (setLogicalLink early-returns on tagged nodes)
     ensured.foreach {

@@ -61,7 +61,7 @@ object SinglePhaseAgg extends Rule[SparkPlan] {
     * scan. Projections keep row counts; anything else (Filter, Expand,
     * Generate, joins) voids the full-table NDV premise.
     */
-  private def rowPreservingScanChain(p: SparkPlan): Boolean = p match {
+  private[rules] def rowPreservingScanChain(p: SparkPlan): Boolean = p match {
     case _: InMemoryTableScanExec => true
     case pr: ProjectExec => rowPreservingScanChain(pr.child)
     case c: ColumnarToRowExec => rowPreservingScanChain(c.child)
@@ -76,7 +76,7 @@ object SinglePhaseAgg extends Rule[SparkPlan] {
   /** groups ≥ ndv(c) for any grouping column c — proved high-cardinality
     * when some column's HLL lower bound covers minRatio of the table.
     */
-  private def provedHighCardinality(groups: Seq[Expression]): Boolean =
+  private[rules] def provedHighCardinality(groups: Seq[Expression]): Boolean =
     groups.map(strip).exists {
       case a: AttributeReference if a.metadata.contains("graft.ndvLow") &&
           a.metadata.contains("graft.rowCount") =>

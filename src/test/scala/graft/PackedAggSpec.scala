@@ -141,6 +141,54 @@ class PackedAggSpec extends AnyFunSuite {
     } finally graft.plans.PackedAgg.flushCapOverride = prev
   }
 
+  test("adaptive pass-through: no-reduction input switches mid-partition, results identical") {
+    // near-unique composite keys so the 0.75 group/row ratio trips at the
+    // lowered check point; mixed with the map-phase prefix the reducer
+    // merges map blobs AND one-row pass-through fragments of the SAME
+    // groups (each id value appears twice → real cross-fragment merges)
+    val (prevCheck, prevRatio) = (graft.plans.PackedAgg.passThroughCheckRows,
+      graft.plans.PackedAgg.passThroughGroupRatio)
+    graft.plans.PackedAgg.passThroughCheckRows = 256
+    try withAqe(false) {
+      def src() = spark.range(40000).selectExpr(
+        "CAST(id % 20000 AS LONG) AS k",
+        "CASE WHEN id % 37 = 0 THEN NULL ELSE concat('u_', id % 20000) END AS s",
+        "CASE WHEN id % 13 = 0 THEN NULL ELSE id % 7 END AS v")
+      def q() = src().groupBy("k", "s").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        avg(col("v")).as("av"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      assert(q().queryExecution.executedPlan.collect {
+        case p: graft.plans.PackedFinalAggExec => p }.nonEmpty)
+      val on = q().orderBy(col("k"), col("s").asc_nulls_first).collect().toSeq
+      graft.plans.PackedAgg.passThroughCheckRows = prevCheck
+      val off = packedOff(
+        q().orderBy(col("k"), col("s").asc_nulls_first).collect().toSeq)
+      assert(on.size == off.size && on == off,
+        s"sizes ${on.size}/${off.size}; first diff: ${
+          on.zip(off).find { case (a, b) => a != b }}")
+    } finally {
+      graft.plans.PackedAgg.passThroughCheckRows = prevCheck
+      graft.plans.PackedAgg.passThroughGroupRatio = prevRatio
+    }
+  }
+
+  test("ORDER BY aggregate LIMIT fuses a per-partition top-K into emission") {
+    withAqe(false) {
+      // total order (count desc, then keys) with heavy count ties — the
+      // per-partition retention must agree with the unpruned plan
+      def q() = data().groupBy("k", "s").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("k").asc_nulls_first, col("s").asc_nulls_first)
+        .limit(7)
+      val plan = q().queryExecution.executedPlan
+      val fins = plan.collect { case p: graft.plans.PackedFinalAggExec => p }
+      assert(fins.nonEmpty && fins.forall(_.topK.exists(_.limit == 7)),
+        plan.toString.take(2000))
+      val on = q().collect().toSeq
+      val off = packedOff(q().collect().toSeq)
+      assert(on == off)
+    }
+  }
+
   test("unsupported shapes keep Spark's aggregate") {
     withAqe(false) {
       // decimal sum — no slot encoding
