@@ -2385,7 +2385,90 @@ object SltSlice {
         |  (SELECT CAST(count(*) AS BIGINT) FROM t
         |   WHERE t.g NOT IN (SELECT g FROM w)) AS n_without_null,
         |  (SELECT min(t.g) FROM t
-        |   WHERE t.g IN (SELECT g FROM u)) AS in_member""".stripMargin
+        |   WHERE t.g IN (SELECT g FROM u)) AS in_member""".stripMargin,
+
+    // ------------------------------------- r12b: packed-grouping edges
+    // (the multi-key packed aggregate routes these shapes at the gate
+    // fixture — no stats metadata — so each pin exercises its key
+    // widening/hash/intern surface end-to-end vs the oracle)
+
+    // test/sql/aggregate/group/group_by_limits.test: grouping on the
+    // extreme values of every integer width (sign-extension through the
+    // long-widened key must be lossless; BIGINT limits hash/compare raw)
+    "slt_group_numeric_limits" ->
+      """WITH t(t8, t16, t32, t64) AS (
+        |  SELECT CAST(-128 AS TINYINT), CAST(-32768 AS SMALLINT),
+        |         CAST(-2147483648 AS INT), CAST(-9223372036854775808 AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(127 AS TINYINT), CAST(32767 AS SMALLINT),
+        |         CAST(2147483647 AS INT), CAST(9223372036854775807 AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(127 AS TINYINT), CAST(32767 AS SMALLINT),
+        |         CAST(2147483647 AS INT), CAST(9223372036854775807 AS BIGINT))
+        |SELECT t8, t16, t32, t64, count(*) AS n
+        |FROM t GROUP BY t8, t16, t32, t64 ORDER BY t8, t16, t32, t64""".stripMargin,
+
+    // test/sql/aggregate/group/test_group_by_large_string.test: large
+    // (multi-KB) string keys group correctly — the interned-pool growth
+    // path; two long keys sharing a 4000-char prefix must stay distinct
+    "slt_group_large_strings" ->
+      """WITH t(a, b) AS (
+        |  SELECT repeat('x', 4000) || 'tailA', 22
+        |  UNION ALL SELECT repeat('x', 4000) || 'tailB', 5
+        |  UNION ALL SELECT repeat('x', 4000) || 'tailA', 21
+        |  UNION ALL SELECT 'short', 1)
+        |SELECT length(a) AS key_len, substr(a, 4001, 5) AS tail,
+        |       CAST(sum(b) AS BIGINT) AS s, count(*) AS n
+        |FROM t GROUP BY a ORDER BY key_len, tail""".stripMargin,
+
+    // test/sql/aggregate/group/test_group_null.test +
+    // test_group_by_multi_column.test: NULL, 0, and '' are THREE distinct
+    // composite keys; NULL groups aggregate normally
+    "slt_group_null_vs_empty_key" ->
+      """WITH t(k, s, v) AS (
+        |  SELECT CAST(NULL AS INT), '', 1 UNION ALL SELECT 0, '', 2
+        |  UNION ALL SELECT CAST(NULL AS INT), CAST(NULL AS STRING), 4
+        |  UNION ALL SELECT 0, CAST(NULL AS STRING), 8
+        |  UNION ALL SELECT CAST(NULL AS INT), '', 16 UNION ALL SELECT 0, 'x', 32)
+        |SELECT k, s, CAST(sum(v) AS BIGINT) AS s_v, count(*) AS n
+        |FROM t GROUP BY k, s
+        |ORDER BY k NULLS FIRST, s NULLS FIRST""".stripMargin,
+
+    // test/sql/types/date + group: composite DATE/TIMESTAMP keys widen
+    // to long and convert back exactly (epoch edges both sides of 1970)
+    "slt_group_temporal_keys" ->
+      """WITH t(d, ts, v) AS (
+        |  SELECT DATE '1969-12-31', TIMESTAMP '1969-12-31 23:59:59.999999', 1
+        |  UNION ALL SELECT DATE '1970-01-01', TIMESTAMP '1970-01-01 00:00:00', 2
+        |  UNION ALL SELECT DATE '1969-12-31', TIMESTAMP '1969-12-31 23:59:59.999999', 4
+        |  UNION ALL SELECT DATE '2262-04-11', TIMESTAMP '2262-04-11 23:47:16.854775', 8)
+        |SELECT d, ts, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |FROM t GROUP BY d, ts ORDER BY d, ts""".stripMargin,
+
+    // test/sql/aggregate/distinct/test_distinct_aggr.test over composite
+    // string keys: the distinct rewrite's inner dedup level (buffer-mode
+    // packed) must keep NULL-skipping count semantics per group
+    "slt_group_distinct_composite" ->
+      """WITH t(g, h, v) AS (
+        |  SELECT 'a', 'x', 1 UNION ALL SELECT 'a', 'x', 1
+        |  UNION ALL SELECT 'a', 'x', 2 UNION ALL SELECT 'a', 'y', CAST(NULL AS INT)
+        |  UNION ALL SELECT 'b', 'x', 3 UNION ALL SELECT 'b', 'x', CAST(NULL AS INT))
+        |SELECT g, h, count(DISTINCT v) AS nd, count(*) AS n,
+        |       CAST(sum(v) AS BIGINT) AS s
+        |FROM t GROUP BY g, h ORDER BY g, h""".stripMargin,
+
+    // test/sql/aggregate/group/test_group_by_nested.test shape: grouping
+    // by a computed expression key alongside plain keys (the partial
+    // evaluates the expression; alignment with the final's attribute)
+    "slt_group_computed_key" ->
+      """WITH t(s, v) AS (
+        |  SELECT 'apple', 1 UNION ALL SELECT 'avocado', 2
+        |  UNION ALL SELECT 'banana', 4 UNION ALL SELECT 'apricot', 8
+        |  UNION ALL SELECT 'blueberry', 16)
+        |SELECT substr(s, 1, 1) AS initial, length(s) % 2 AS parity,
+        |       CAST(sum(v) AS BIGINT) AS s_v, count(*) AS n
+        |FROM t GROUP BY substr(s, 1, 1), length(s) % 2
+        |ORDER BY initial, parity""".stripMargin
   )
 
   // q is a Seq so toMap silently last-wins on a duplicated key — a
