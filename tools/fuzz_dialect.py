@@ -373,12 +373,80 @@ def diff_nested():
     print(f"== {n_diff} NEW divergences")
 
 
+# ---------------- packed-grouping round (r12b): random MULTI-KEY
+# grouped aggregations over random inline tables — the surface the
+# packed shuffle aggregate (plans/PackedAgg) owns. Keys mix int (small
+# domain + NULLs), string (NULL vs '' vs dups), and date; aggregates
+# mix count(*)/sum/min/max/avg/count(DISTINCT) over a value column with
+# NULLs. Shared-dialect SQL (the standard gen/diff flow applies; run
+# SqlProbe with the packed rule ON — default — so every query's Spark
+# side executes the packed partial/final or its stats-declined twin).
+
+def _rand_int_key():
+    r = random.randrange(6)
+    if r == 0:
+        return "CAST(NULL AS INT)"
+    return str(random.choice([-2147483648, -7, 0, 3, 2147483647]))
+
+
+def _rand_str_key():
+    r = random.randrange(8)
+    if r == 0:
+        return "CAST(NULL AS STRING)"
+    if r == 1:
+        return "''"
+    return "'" + random.choice(["a", "b", "grp", "GRP", "k_y",
+                                "xx" * random.randrange(1, 30)]) + "'"
+
+
+def _rand_date_key():
+    if random.randrange(6) == 0:
+        return "CAST(NULL AS DATE)"
+    return f"DATE '19{random.randrange(69, 99)}-0{random.randrange(1, 9)}-1{random.randrange(0, 9)}'"
+
+
+def _rand_val():
+    if random.randrange(5) == 0:
+        return "CAST(NULL AS INT)"
+    return str(random.randrange(-9, 10))
+
+
+def gen_packed(seed, n):
+    random.seed(seed)
+    gens = {"int": _rand_int_key, "str": _rand_str_key, "date": _rand_date_key}
+    aggs = ["count(*) AS n", "CAST(sum(v) AS BIGINT) AS s", "min(v) AS mn",
+            "max(v) AS mx", "avg(v) AS av", "count(DISTINCT v) AS nd",
+            "count(v) AS nv"]
+    exprs = []
+    for _ in range(n):
+        kinds = [random.choice(list(gens)) for _ in range(random.randrange(2, 4))]
+        nrows = random.randrange(8, 48)
+        # UNION ALL chain keeps the one shared spelling for inline data
+        selects = " UNION ALL ".join(
+            "SELECT " + ", ".join([gens[k]() for k in kinds] + [_rand_val()])
+            for _ in range(nrows))
+        keys = ", ".join(f"k{j}" for j in range(len(kinds)))
+        cols = ", ".join([f"k{j}" for j in range(len(kinds))] + ["v"])
+        picks = ", ".join(random.sample(aggs, random.randrange(1, 4)))
+        order = ", ".join(f"k{j} NULLS FIRST" for j in range(len(kinds)))
+        exprs.append(f"WITH t({cols}) AS ({selects}) "
+                     f"SELECT {keys}, {picks} FROM t GROUP BY {keys} "
+                     f"ORDER BY {order}")
+    with open("/tmp/fuzz_exprs.txt", "w") as f:
+        for i, e in enumerate(exprs):
+            f.write(f"fz{i:03d} :: {e}\n")
+    print(f"wrote {len(exprs)} packed-grouping queries (seed={seed})")
+
+
 if __name__ == "__main__":
     if sys.argv[1:2] == ["gen"]:
         gen(int(sys.argv[2]) if len(sys.argv) > 2 else 20260815,
             int(sys.argv[3]) if len(sys.argv) > 3 else 500)
     elif sys.argv[1:2] == ["gen-nested"]:
         gen_nested(int(sys.argv[2]) if len(sys.argv) > 2 else 20260820,
+                   int(sys.argv[3]) if len(sys.argv) > 3 else 300)
+    elif sys.argv[1:2] == ["gen-packed"]:
+        gen_packed(int(sys.argv[2]) if len(sys.argv) > 2 else 20260822,
                    int(sys.argv[3]) if len(sys.argv) > 3 else 300)
     elif sys.argv[1:2] == ["diff-nested"]:
         diff_nested()
