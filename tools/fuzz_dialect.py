@@ -58,6 +58,12 @@ encodes the divergence surface):
     hand-probed slt_cast_* pins, the nested surface agrees modulo the
     two documented not-pinnable classes (struct field-reorder casts,
     double->int rounding).
+  - r12b packed-grouping round (gen-packed): 300 random MULTI-KEY
+    grouped aggregations (2-3 keys mixing int-limit/NULL, string
+    NULL-vs-''-vs-dup-vs-case, and date domains; 8-48 inline rows;
+    count/sum/min/max/avg/count-DISTINCT picks), seed 20260822 ->
+    0 divergences — the multi-key packed shuffle aggregate
+    (plans/PackedAgg) agrees with DuckDB on every generated shape.
 
 Dev tool only — NOT part of the Spark library.
 """
