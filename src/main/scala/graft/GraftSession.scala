@@ -125,7 +125,15 @@ object Tables {
   private val clusterKeys: Map[String, (Seq[String], Seq[String])] = Map(
     "lineitem" -> (Seq("l_orderkey") -> Seq("l_orderkey", "l_linenumber")),
     "orders" -> (Seq("o_custkey") -> Seq("o_custkey", "o_orderdate", "o_orderkey")),
-    "events" -> (Seq("user_id") -> Seq("user_id", "ts", "event_id")))
+    "events" -> (Seq("user_id") -> Seq("user_id", "ts", "event_id")),
+    // the ClickBench entity key: every UserID-containing GROUP BY
+    // (q05/q09/q10/q16-q19 — the groups≈rows family) plans NO exchange
+    // over this layout (HashPartitioning(UserID) satisfies clustering on
+    // any key set containing UserID), and the UserID sort prefix lets
+    // the sorted-run aggregate stream per-user runs instead of building
+    // partition-wide maps — the same warehouse-layout assumption the
+    // TPC-H cache argues (a tuned warehouse clusters facts by entity)
+    "hits" -> (Seq("UserID") -> Seq("UserID", "EventTime", "WatchID")))
   // memoizes (the persisted DataFrame — the unpersist handle — and the
   // relation-backed DataFrame handed to queries; see apply())
   private val cached =

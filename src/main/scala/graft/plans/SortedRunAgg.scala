@@ -332,7 +332,8 @@ final case class SortedRunAggExec(
       case _ => false
     }
     prefix.forall(a => direct(a) && numericRead(a.dataType)) &&
-      runKey.forall(e => direct(e) && numericRead(runKeyType)) &&
+      runKey.forall(e => direct(e) &&
+        (numericRead(runKeyType) || runKeyType == org.apache.spark.sql.types.StringType)) &&
       aggInputs.forall(direct)
   }
 
@@ -347,7 +348,8 @@ final case class SortedRunAggExec(
       case _ => false
     }
     prefix.forall(a => ord(a) && numericRead(a.dataType)) &&
-      runKey.forall(e => ord(e) && numericRead(runKeyType))
+      runKey.forall(e => ord(e) &&
+        (numericRead(runKeyType) || runKeyType == org.apache.spark.sql.types.StringType))
   }
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
@@ -541,6 +543,30 @@ final case class SortedRunAggExec(
              org.apache.spark.sql.types.DateType => true
         case _ => false
       }
+      val kStr = kT == org.apache.spark.sql.types.StringType
+      // string run keys intern to dense per-partition ids (the run map
+      // stays long-keyed); `reverse` translates back at drain. Interned
+      // strings are CLONED — probe values reference transient row/batch
+      // buffers. Ids persist across runs (bounded by the partition's
+      // distinct key count); the per-run map resets as before. The topN
+      // paths never see strings (topNSpecFor declines the fusion).
+      val internMap = if (kStr)
+        new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+        else null
+      val reverse = if (kStr)
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.unsafe.types.UTF8String]
+        else null
+      def intern(str: org.apache.spark.unsafe.types.UTF8String): Long = {
+        val got = internMap.get(str)
+        if (got != null) got.longValue()
+        else {
+          val owned = str.clone()
+          val id = reverse.length.toLong
+          internMap.put(owned, java.lang.Long.valueOf(id))
+          reverse += owned
+          id
+        }
+      }
       var curSet = false
       var sawNull = false
 
@@ -583,7 +609,8 @@ final case class SortedRunAggExec(
           if (kOrd < 0) (m, m.slotOf(0L))
           else if (row.isNullAt(kOrd)) { sawNull = true; (nullM, nullM.slotOf(0L)) }
           else (m, m.slotOf(
-            if (kLong) row.getLong(kOrd) else row.getInt(kOrd).toLong))
+            if (kStr) intern(row.getUTF8String(kOrd))
+            else if (kLong) row.getLong(kOrd) else row.getInt(kOrd).toLong))
         val v = valProj(row)
         var j = 0
         while (j < ups.length) { ups(j)(tgt, v, s); j += 1 }
@@ -640,7 +667,8 @@ final case class SortedRunAggExec(
             load(m, s)
             if (rk.isDefined) {
               val k = m.keyAt(s)
-              if (kInt) evalRow.setInt(keyPos, k.toInt)
+              if (kStr) evalRow.update(keyPos, reverse(k.toInt))
+              else if (kInt) evalRow.setInt(keyPos, k.toInt)
               else evalRow.setLong(keyPos, k)
             }
             fillAggs()
@@ -718,6 +746,30 @@ final case class SortedRunAggExec(
              org.apache.spark.sql.types.DateType => true
         case _ => false
       }
+      val kStr = kT == org.apache.spark.sql.types.StringType
+      // string run keys intern to dense per-partition ids (the run map
+      // stays long-keyed); `reverse` translates back at drain. Interned
+      // strings are CLONED — probe values reference transient row/batch
+      // buffers. Ids persist across runs (bounded by the partition's
+      // distinct key count); the per-run map resets as before. The topN
+      // paths never see strings (topNSpecFor declines the fusion).
+      val internMap = if (kStr)
+        new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+        else null
+      val reverse = if (kStr)
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.unsafe.types.UTF8String]
+        else null
+      def intern(str: org.apache.spark.unsafe.types.UTF8String): Long = {
+        val got = internMap.get(str)
+        if (got != null) got.longValue()
+        else {
+          val owned = str.clone()
+          val id = reverse.length.toLong
+          internMap.put(owned, java.lang.Long.valueOf(id))
+          reverse += owned
+          id
+        }
+      }
       var curSet = false
       var sawNull = false
 
@@ -792,7 +844,9 @@ final case class SortedRunAggExec(
           val (tgt, s) =
             if (kVec == null) (m, m.slotOf(0L))
             else if (kVec.isNullAt(r)) { sawNull = true; (nullM, nullM.slotOf(0L)) }
-            else (m, m.slotOf(if (kLong) kVec.getLong(r) else kVec.getInt(r).toLong))
+            else (m, m.slotOf(
+              if (kStr) intern(kVec.getUTF8String(r))
+              else if (kLong) kVec.getLong(r) else kVec.getInt(r).toLong))
           var j = 0
           while (j < ups.length) { ups(j)(tgt, r, s); j += 1 }
         }
@@ -845,7 +899,8 @@ final case class SortedRunAggExec(
             load(m, s)
             if (rk.isDefined) {
               val k = m.keyAt(s)
-              if (kInt) evalRow.setInt(keyPos, k.toInt)
+              if (kStr) evalRow.update(keyPos, reverse(k.toInt))
+              else if (kInt) evalRow.setInt(keyPos, k.toInt)
               else evalRow.setLong(keyPos, k)
             }
             fillAggs()

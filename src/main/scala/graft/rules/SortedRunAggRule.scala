@@ -77,7 +77,11 @@ object SortedRunAggRule extends Rule[SparkPlan] {
             case ar: AttributeReference =>
               val pi = s.prefix.indexWhere(_.exprId == ar.exprId)
               if (pi >= 0) Some(PrefixTopKey(pi))
-              else if (runKeyId.contains(ar.exprId)) Some(RunTopKey)
+              else if (runKeyId.contains(ar.exprId) &&
+                s.runKeyType != org.apache.spark.sql.types.StringType)
+              // string run keys are INTERNED ids in the drain — id order
+              // is not string order, so the fused heap must decline
+              Some(RunTopKey)
               else {
                 val j = s.aggAttrs.indexWhere(_.exprId == ar.exprId)
                 if (j >= 0 && primitiveSlot(s.slots(j))) Some(AggTopKey(j))
@@ -124,7 +128,8 @@ object SortedRunAggRule extends Rule[SparkPlan] {
           val prefixIds = prefix.map(_.exprId).toSet
           val remainder = groupAttrs.filterNot(a => prefixIds.contains(a.exprId))
           if (prefix.isEmpty || remainder.size > 1 ||
-            !remainder.forall(a => RadixAgg.supportedKey(a.dataType))) agg
+            !remainder.forall(a => RadixAgg.supportedKey(a.dataType) ||
+              a.dataType == org.apache.spark.sql.types.StringType)) agg
           else scala.util.Try(DriverAgg.layout(aggs)).toOption match {
             case Some(lay) =>
               val exec = SortedRunAggExec(prefix, remainder.headOption,

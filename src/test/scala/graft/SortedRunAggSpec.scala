@@ -201,13 +201,83 @@ class SortedRunAggSpec extends AnyFunSuite {
       val twoRem = base.groupBy("a", "b", "l").agg(sum(col("d")).as("s"))
       assert(twoRem.queryExecution.executedPlan.collect {
         case s: graft.plans.SortedRunAggExec => s }.isEmpty)
-      // string remainder
+      // string remainder over a NON-columnar child: the direct-loop
+      // guard still declines (r12b supports string run keys, but only
+      // where the batch/direct-ordinal loop engages)
       val strRem = spark.range(1000)
         .selectExpr("CAST(id % 10 AS INT) AS a", "CAST(id % 3 AS STRING) AS s", "id AS v")
         .repartition(4, col("a")).sortWithinPartitions("a")
         .groupBy("a", "s").agg(sum(col("v")).as("sv"))
       assert(strRem.queryExecution.executedPlan.collect {
         case s: graft.plans.SortedRunAggExec => s }.isEmpty)
+    } }
+  }
+
+  // r12b: string run keys (ClickBench GROUP BY UserID, SearchPhrase over
+  // the UserID-clustered cache) — interned per partition, translated
+  // back at drain; NULL and '' keys stay distinct groups
+  private lazy val strBase: DataFrame = {
+    val df = spark.range(60000).selectExpr(
+      "CASE WHEN id % 997 = 0 THEN NULL ELSE CAST(id % 3000 AS INT) END AS a",
+      "CASE WHEN id % 13 = 0 THEN NULL WHEN id % 7 = 0 THEN '' " +
+        "ELSE concat('ph_', id % 11) END AS s",
+      "CASE WHEN id % 11 = 0 THEN NULL ELSE CAST(id % 9 AS DOUBLE) END AS d",
+      "id % 5 AS l")
+      .repartition(8, col("a")).sortWithinPartitions("a").cache()
+    df.count()
+    df
+  }
+
+  test("string run key streams over the clustered cache, results identical") {
+    withAqe(false) {
+      def sq() = strBase.groupBy("a", "s").agg(
+        count(lit(1)).as("n"), sum(col("d")).as("sd"), sum(col("l")).as("sl"),
+        min(col("d")).as("mn"), max(col("d")).as("mx"))
+      withRule(true) {
+        val plan = sq().queryExecution.executedPlan
+        assert(plan.collect { case s: graft.plans.SortedRunAggExec => s }.nonEmpty,
+          plan.toString.take(2000))
+      }
+      val on = withRule(true)(
+        sq().orderBy(col("a").asc_nulls_first, col("s").asc_nulls_first)
+          .collect().toSeq)
+      val off = withRule(false)(
+        sq().orderBy(col("a").asc_nulls_first, col("s").asc_nulls_first)
+          .collect().toSeq)
+      assert(on.size == off.size && on == off, s"sizes ${on.size}/${off.size}")
+    }
+  }
+
+  test("string run key: zero-aggregate dedup + LIMIT early-exits the stream") {
+    withAqe(false) { withRule(true) {
+      // the cb_q18 shape: distinct (prefix, string) with an inner LIMIT —
+      // the streaming iterator lets LocalLimit cut the scan short
+      def dq() = strBase.select("a", "s").distinct().limit(7)
+      val plan = dq().queryExecution.executedPlan
+      assert(plan.collect { case s: graft.plans.SortedRunAggExec => s }.nonEmpty,
+        plan.toString.take(2000))
+      assert(dq().collect().length == 7)
+      // and the unlimited dedup matches the rule-off result exactly
+      def full() = strBase.select("a", "s").distinct()
+        .orderBy(col("a").asc_nulls_first, col("s").asc_nulls_first)
+      val on = full().collect().toSeq
+      val off = withRule(false)(full().collect().toSeq)
+      assert(on == off)
+    } }
+  }
+
+  test("string run key declines the fused top-n (interned order is not string order)") {
+    withAqe(false) { withRule(true) {
+      val q = strBase.groupBy("a", "s").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a").asc_nulls_first, col("s").asc_nulls_first)
+        .limit(5)
+      val execs = q.queryExecution.executedPlan.collect {
+        case s: graft.plans.SortedRunAggExec => s }
+      assert(execs.nonEmpty && execs.forall(_.topN.isEmpty),
+        q.queryExecution.executedPlan.toString.take(2000))
+      val on = q.collect().toSeq
+      val off = withRule(false)(q.collect().toSeq)
+      assert(on == off)
     } }
   }
 }
