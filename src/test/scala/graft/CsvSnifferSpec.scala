@@ -112,5 +112,20 @@ class CsvSnifferSpec extends AnyFunSuite {
     assert(row.getAs[String]("Delimiter") == ";")
     assert(row.getAs[Boolean]("HasHeader"))
     assert(row.getAs[String]("Prompt").startsWith("FROM read_csv("))
+    // gated variant serializes Columns for the hash harness
+    assert(row.getAs[String]("Columns").startsWith("""[{"name":"""))
+  }
+
+  test("sniffRowsTyped: Columns keeps the reference list<struct> shape") {
+    val df = CsvSniffer.sniffRowsTyped(spark, write("k;v\n1;2,0\n2;3,5\n"))
+    val colsField = df.schema("Columns").dataType
+    import org.apache.spark.sql.types._
+    colsField match {
+      case ArrayType(s: StructType, _) =>
+        assert(s.fieldNames.toSeq == Seq("name", "type"))
+      case other => fail(s"Columns should be array<struct>, got $other")
+    }
+    val cols = df.collect().head.getSeq[org.apache.spark.sql.Row](7)
+    assert(cols.map(_.getString(0)) == Seq("k", "v"))
   }
 }
