@@ -215,8 +215,12 @@ object GraftCacheSerializer {
   /** Dictionary valves: a batch's string column dict-encodes only while
     * it stays under both; beyond them the column is high-cardinality and
     * the dense blob layout is the better trade (no valve tuning exposed —
-    * the spill is automatic and per batch). */
-  val MaxDictEntries = 1024
+    * the spill is automatic and per batch). 4096 entries covers the
+    * search-phrase-class dimension (a few thousand distinct values per
+    * 10k-row batch) that 1024 spilled to plain blobs, which starved the
+    * dict-id aggregation paths (DriverAgg dictKeys, PackedPartialAgg)
+    * exactly where they matter most. */
+  val MaxDictEntries = 4096
   val MaxDictBytes = 1 << 20
 
   /** Append-side builders. */

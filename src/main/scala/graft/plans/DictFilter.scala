@@ -200,8 +200,14 @@ final class DictSelection(
               ok(e) = single(i).eval(probe)
               e += 1
             }
-            probe.update(0, null)
-            nullPass(i) = single(i).eval(probe)
+            // null verdict only when the batch HAS nulls: a predicate
+            // codegen'd for a non-nullable column (e.g. a concat-derived
+            // key) NPEs on a null probe, and passes() never consults
+            // nullPass when the null mask is absent
+            if (d.nulls != null) {
+              probe.update(0, null)
+              nullPass(i) = single(i).eval(probe)
+            } else nullPass(i) = false
             idTables(i) = ok
             idCols(i) = d.ids
             nullMasks(i) = d.nulls

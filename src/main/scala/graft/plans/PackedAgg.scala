@@ -691,7 +691,10 @@ final case class PackedPartialAggExec(
     output: Seq[Attribute],
     child: SparkPlan,
     columnarChild: Boolean,
-    ansi: Boolean) extends UnaryExecNode {
+    ansi: Boolean,
+    // folded CacheFilter conjuncts, evaluated per batch through
+    // DictSelection (columnar path only) — set by InsertCacheColumnarToRow
+    selection: Seq[Expression] = Nil) extends UnaryExecNode {
   import PackedAgg._
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
@@ -823,11 +826,27 @@ final case class PackedPartialAggExec(
         case LongType | TimestampType | TimestampNTZType => true
         case _ => false
       }.toArray
+      val selPreds = if (selection.isEmpty) null else selection.toArray
       child.executeColumnar().mapPartitions { batches =>
         val m = new MultiKeyMap(kLK, kSK, aL, aD, aF)
         val vecs = new Array[ColumnVector](ords.length)
         val kvecs = new Array[ColumnVector](kOrds.length)
         val ups = colUpdaters(theSlots, dts, vecs, aL, aD, aF, ansiMode)
+        // folded filter: classified per batch into dict/prim/row tiers
+        val sel = if (selPreds == null) null else new DictSelection(selPreds, childOut)
+        // per-batch dict-id key fast path: when the cache serves a string
+        // key dictionary-encoded, each distinct entry is hashed ONCE per
+        // batch and rows key through the id array — the per-row hashStr
+        // over string bytes collapses to two array reads (the reference
+        // aggregates DICTIONARY vectors by entry the same way,
+        // src/common/types/vector.cpp dictionary aggregation path)
+        val dictIds = new Array[Array[Int]](kOrds.length)
+        val dictStrs = new Array[Array[UTF8String]](kOrds.length)
+        val dictHash = new Array[Array[Long]](kOrds.length)
+        // emissions produced while consuming the CURRENT batch only —
+        // drained to the shuffle writer before the next batch is read,
+        // so task heap stays at the documented FlushCap/PoolFlushBytes
+        // bound instead of accumulating every flush for the partition
         val flushed = ArrayBuffer.empty[InternalRow]
         // adaptive partial skip (see PackedAgg.passThroughEnabled)
         var rowsSeen = 0L
@@ -870,14 +889,38 @@ final case class PackedPartialAggExec(
           bb.nRecs += 1
           if (bb.bytes >= BuilderEmitBytes) flushed += emitBuilder(bk)
         }
-        batches.foreach { batch =>
+        def processBatch(batch: org.apache.spark.sql.vectorized.ColumnarBatch): Unit = {
           var i = 0
           while (i < ords.length) { vecs(i) = batch.column(ords(i)); i += 1 }
           i = 0
-          while (i < kOrds.length) { kvecs(i) = batch.column(kOrds(i)); i += 1 }
+          while (i < kOrds.length) {
+            kvecs(i) = batch.column(kOrds(i))
+            dictIds(i) = null
+            if (theKinds(i) == KindStr) kvecs(i) match {
+              case g: GraftColumnVector => g.store match {
+                case d: GraftCacheSerializer.DictStore =>
+                  val es = new Array[UTF8String](d.entries)
+                  val eh = new Array[Long](d.entries)
+                  var e = 0
+                  while (e < d.entries) {
+                    es(e) = UTF8String.fromBytes(d.dict, d.dictOffsets(e),
+                      d.dictOffsets(e + 1) - d.dictOffsets(e))
+                    eh(e) = hashStr(es(e))
+                    e += 1
+                  }
+                  dictIds(i) = d.ids; dictStrs(i) = es; dictHash(i) = eh
+                case _ =>
+              }
+              case _ =>
+            }
+            i += 1
+          }
+          if (sel != null) sel.reset(batch)
           val n = batch.numRows()
           var r = 0
           while (r < n) {
+            if (sel != null && !sel.passes(r)) { r += 1 }
+            else {
             var h = hashSeed
             var msk = 0L
             var j = 0
@@ -893,6 +936,10 @@ final case class PackedPartialAggExec(
                 val k = if (kLongRead(j)) v.getLong(r) else v.getInt(r).toLong
                 m.stageLongs(theSub(j)) = k
                 h = mix(h, k)
+              } else if (dictIds(j) != null) {
+                val id = dictIds(j)(r)
+                m.stageStrs(theSub(j)) = dictStrs(j)(id)
+                h = mix(h, dictHash(j)(id))
               } else {
                 val s = v.getUTF8String(r)
                 m.stageStrs(theSub(j)) = s
@@ -915,16 +962,40 @@ final case class PackedPartialAggExec(
               }
             }
             r += 1
+            }
           }
           if (!passThrough && (m.size >= flushCap || m.poolLen >= PoolFlushBytes)) {
             flushed ++= emitRows(m); m.reset()
           }
         }
-        val tail =
-          if (builders == null) Iterator.empty
-          else (0 until nBuckets).iterator
-            .filter(bk => builders(bk).nRecs > 0).map(emitBuilder)
-        (flushed.iterator ++ emitRows(m) ++ tail).map { row => numOut.add(1); row }
+        // lazy drain: interleave batch consumption with emission so the
+        // shuffle writer absorbs each flush before the next batch loads
+        new Iterator[InternalRow] {
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          private var finished = false
+          private def advance(): Unit = {
+            while (!pending.hasNext && !finished) {
+              if (batches.hasNext) {
+                flushed.clear()
+                processBatch(batches.next())
+                // snapshot: the buffer is cleared next round while this
+                // iterator object may still be probed by the writer
+                if (flushed.nonEmpty) pending = flushed.toArray.iterator
+              } else {
+                finished = true
+                val tail =
+                  if (builders == null) Iterator.empty
+                  else (0 until nBuckets).iterator
+                    .filter(bk => builders(bk).nRecs > 0).map(emitBuilder)
+                pending = emitRows(m) ++ tail
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.hasNext }
+          override def next(): InternalRow = {
+            advance(); numOut.add(1); pending.next()
+          }
+        }
       }
     } else {
       child.execute().mapPartitions { rows =>
@@ -938,6 +1009,8 @@ final case class PackedPartialAggExec(
           case (IntegerType | DateType, i) => (r: InternalRow) => r.getInt(i).toLong
           case (_, i) => (r: InternalRow) => r.getLong(i)
         }.toArray
+        // emissions since the last drain — bounded by one flush (see the
+        // columnar branch note); drained lazily between input rows
         val flushed = ArrayBuffer.empty[InternalRow]
         // adaptive partial skip — row-path twin of the columnar branch
         var rowsSeen = 0L
@@ -980,8 +1053,7 @@ final case class PackedPartialAggExec(
           bb.nRecs += 1
           if (bb.bytes >= BuilderEmitBytes) flushed += emitBuilder(bk)
         }
-        while (rows.hasNext) {
-          val row = rows.next()
+        def processRow(row: InternalRow): Unit = {
           val kr = keyProj(row)
           val v = valProj(row)
           var h = hashSeed
@@ -1022,11 +1094,34 @@ final case class PackedPartialAggExec(
             }
           }
         }
-        val tail =
-          if (builders == null) Iterator.empty
-          else (0 until nBuckets).iterator
-            .filter(bk => builders(bk).nRecs > 0).map(emitBuilder)
-        (flushed.iterator ++ emitRows(m) ++ tail).map { row => numOut.add(1); row }
+        new Iterator[InternalRow] {
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          private var finished = false
+          private def advance(): Unit = {
+            while (!pending.hasNext && !finished) {
+              if (rows.hasNext) {
+                flushed.clear()
+                // consume until an emission happens (rare: one per
+                // FlushCap/PoolFlushBytes/BuilderEmitBytes) or input ends
+                while (flushed.isEmpty && rows.hasNext) processRow(rows.next())
+                // snapshot: the buffer is cleared next round while this
+                // iterator object may still be probed by the writer
+                if (flushed.nonEmpty) pending = flushed.toArray.iterator
+              } else {
+                finished = true
+                val tail =
+                  if (builders == null) Iterator.empty
+                  else (0 until nBuckets).iterator
+                    .filter(bk => builders(bk).nRecs > 0).map(emitBuilder)
+                pending = emitRows(m) ++ tail
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.hasNext }
+          override def next(): InternalRow = {
+            advance(); numOut.add(1); pending.next()
+          }
+        }
       }
     }
   }

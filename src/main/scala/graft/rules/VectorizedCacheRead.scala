@@ -121,9 +121,14 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
           case _ => r
         }
       // packed multi-key partial: same batch-direct rewire when every
-      // key and input is a plain column of a columnar-capable child
+      // key and input is a plain column of a columnar-capable child; a
+      // CacheFilter child folds INTO the batch loop as a per-batch
+      // DictSelection (no row materialization between filter and partial)
       case r: graft.plans.PackedPartialAggExec if !r.columnarChild =>
         r.child match {
+          case graft.plans.CacheFilterExec(_, conjuncts, c)
+              if c.supportsColumnar && r.columnarEligible(c) =>
+            r.copy(child = c, columnarChild = true, selection = conjuncts)
           case ColumnarToRowExec(c) if c.supportsColumnar && r.columnarEligible(c) =>
             r.copy(child = c, columnarChild = true)
           case c if c.supportsColumnar && r.columnarEligible(c) =>

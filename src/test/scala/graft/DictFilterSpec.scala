@@ -182,7 +182,8 @@ class DictFilterSpec extends AnyFunSuite {
     assert(readBack(lowStore, low.length) == low)
 
     // > MaxDictEntries distinct values: spills mid-build and replays
-    val high = (0 until 3000).map(i => if (i % 31 == 0) null else s"k$i")
+    val high = (0 until GraftCacheSerializer.MaxDictEntries + 2000)
+      .map(i => if (i % 31 == 0) null else s"k$i")
     val highStore = build(high)
     assert(highStore.isInstanceOf[BlobStore])
     assert(readBack(highStore, high.length) == high)
