@@ -125,6 +125,13 @@ object DriverAgg {
     * physical_hash_aggregate.cpp over dictionary vectors). Escape hatch
     * for A/B + differential specs.
     */
+  /** Dense single-string-key grouping: index groups directly by intern id
+    * (no per-row hash probe) — the perfect-hash group-by applied to the
+    * interned string domain. Escape hatch: GRAFT_NO_DIRECT_STR_KEY=1.
+    */
+  @volatile var directStringArm: Boolean =
+    !sys.env.get("GRAFT_NO_DIRECT_STR_KEY").contains("1")
+
   @volatile var dictKeysEnabled: Boolean =
     !sys.env.get("GRAFT_NO_DICT_KEYS").contains("1")
 
@@ -1188,6 +1195,25 @@ final case class DriverGroupAggExec(
           g += 1
         }
       }
+      def newGroup(k1: Long, nb: Int, k2: Long = 0L): Int = {
+        if (accs.length >= cap) throw new GroupCardinalityExceeded(
+          s"driver agg: group count exceeded maxGroups=$cap in one partition — " +
+            "key is not low-cardinality; falling back to the shuffled aggregate")
+        val idx = accs.length
+        if (idx >= gk1.length) {
+          gk1 = java.util.Arrays.copyOf(gk1, gk1.length * 2)
+          gk2 = java.util.Arrays.copyOf(gk2, gk2.length * 2)
+          gnull = java.util.Arrays.copyOf(gnull, gnull.length * 2)
+        }
+        gk1(idx) = k1; gk2(idx) = k2; gnull(idx) = nb.toByte
+        accs += mkAcc()
+        idx
+      }
+      // dense single-string-key arm state (see the directArm loop below)
+      val directArm = DriverAgg.directStringArm &&
+        nParts == 1 && partsSpec(0).isInstanceOf[DriverAgg.StringKeyPart]
+      var directIdx: Array[Int] = if (directArm) Array.fill(1 << 12)(-1) else null
+      var nullGroup = -1
       def extract(spec: DriverAgg.ColKeyPart, ci: Int,
           vec: org.apache.spark.sql.vectorized.ColumnVector, r: Int): Long =
         spec match {
@@ -1407,6 +1433,44 @@ final case class DriverGroupAggExec(
         }
         val n = batch.numRows()
         var r = 0
+        if (directArm) {
+          // dense single-string-key arm: the intern id IS dense (0..N in
+          // first-intern order), so groups index DIRECTLY by it — no hash,
+          // no probe loop, no key compare per row. This is the reference's
+          // perfect-hash group-by over dictionary ids
+          // (physical_perfect_hash_aggregate.cpp) applied to the interned
+          // string domain.
+          while (r < n) {
+            if (sel != null && !sel.passes(r)) { r += 1 }
+            else {
+            var idx = -1
+            if (v0.isNullAt(r)) {
+              if (nullGroup == -1) nullGroup = newGroup(0L, 1)
+              idx = nullGroup
+            } else {
+              val k1i = if (dictIdArr(0) != null) dictRemap(0)(dictIdArr(0)(r))
+                else extract(partsSpec(0), 0, v0, r).toInt
+              if (k1i >= directIdx.length) {
+                val grown = new Array[Int](math.max(directIdx.length * 2, k1i + 1))
+                java.util.Arrays.fill(grown, directIdx.length, grown.length, -1)
+                System.arraycopy(directIdx, 0, grown, 0, directIdx.length)
+                directIdx = grown
+              }
+              idx = directIdx(k1i)
+              if (idx == -1) { idx = newGroup(k1i.toLong, 0); directIdx(k1i) = idx }
+            }
+            val acc = accs(idx)
+            if (inVecs != null) {
+              if (opcodeOk) opUpdate(r, acc) else vecUpdate(r, acc)
+            } else {
+              val v = valProj(batch.getRow(r))
+              var j = 0
+              while (j < ups.length) { ups(j)(v, acc); j += 1 }
+            }
+            r += 1
+            }
+          }
+        } else {
         while (r < n) {
           if (sel != null && !sel.passes(r)) { r += 1 }
           else {
@@ -1429,17 +1493,7 @@ final case class DriverGroupAggExec(
             idx = table(p)
           }
           if (idx == -1) {
-            if (accs.length >= cap) throw new GroupCardinalityExceeded(
-              s"driver agg: group count exceeded maxGroups=$cap in one partition — " +
-                "key is not low-cardinality; falling back to the shuffled aggregate")
-            idx = accs.length
-            if (idx >= gk1.length) {
-              gk1 = java.util.Arrays.copyOf(gk1, gk1.length * 2)
-              gk2 = java.util.Arrays.copyOf(gk2, gk2.length * 2)
-              gnull = java.util.Arrays.copyOf(gnull, gnull.length * 2)
-            }
-            gk1(idx) = k1; gk2(idx) = k2; gnull(idx) = nb.toByte
-            accs += mkAcc()
+            idx = newGroup(k1, nb, k2)
             table(p) = idx
             if (accs.length * 2 > mask) growTable()
           }
@@ -1453,6 +1507,7 @@ final case class DriverGroupAggExec(
           }
           r += 1
           }
+        }
         }
       }
       // same payload as the row path: exact-layout key rows + state

@@ -58,6 +58,20 @@ object PackedAgg {
   /** Interned-string pool bytes per map before a flush-and-reset. */
   val PoolFlushBytes: Int = 64 << 20
 
+  /** Dict-id key fast path in the columnar partial (per-batch entry
+    * hashing over dictionary-served string keys). Escape hatch:
+    * GRAFT_NO_PACKED_DICT_KEYS=1.
+    */
+  @volatile var dictKeysEnabled: Boolean =
+    !sys.env.get("GRAFT_NO_PACKED_DICT_KEYS").contains("1")
+
+  /** CacheFilter fold into the packed partial's batch loop (per-batch
+    * DictSelection instead of row-at-a-time filter + projection).
+    * Escape hatch: GRAFT_NO_PACKED_SELECTION=1.
+    */
+  @volatile var selectionFoldEnabled: Boolean =
+    !sys.env.get("GRAFT_NO_PACKED_SELECTION").contains("1")
+
   /** Test hook: when > 0, overrides the group-count flush threshold
     * ([[RadixAgg.FlushCap]]) so specs can exercise the multi-blob merge
     * path without 2M-group inputs.
@@ -827,6 +841,7 @@ final case class PackedPartialAggExec(
         case _ => false
       }.toArray
       val selPreds = if (selection.isEmpty) null else selection.toArray
+      val dictKeys = PackedAgg.dictKeysEnabled
       child.executeColumnar().mapPartitions { batches =>
         val m = new MultiKeyMap(kLK, kSK, aL, aD, aF)
         val vecs = new Array[ColumnVector](ords.length)
@@ -896,7 +911,7 @@ final case class PackedPartialAggExec(
           while (i < kOrds.length) {
             kvecs(i) = batch.column(kOrds(i))
             dictIds(i) = null
-            if (theKinds(i) == KindStr) kvecs(i) match {
+            if (dictKeys && theKinds(i) == KindStr) kvecs(i) match {
               case g: GraftColumnVector => g.store match {
                 case d: GraftCacheSerializer.DictStore =>
                   val es = new Array[UTF8String](d.entries)

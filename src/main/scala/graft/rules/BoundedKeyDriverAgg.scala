@@ -207,6 +207,9 @@ object BoundedKeyDriverAgg extends Rule[LogicalPlan] {
             case _ => false
           })
         }
+        if (sys.env.contains("GRAFT_BOUNDED_DEBUG"))
+          System.err.println(s"[bounded] keys=$keys bounds=$bounds product=$product " +
+            s"distinctOk=$distinctOk maxBound=$maxBound grounded=$grounded")
         product match {
           case _ if !distinctOk => s
           case Some(b) if b > 0 && b <= maxBound =>

@@ -127,7 +127,8 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
       case r: graft.plans.PackedPartialAggExec if !r.columnarChild =>
         r.child match {
           case graft.plans.CacheFilterExec(_, conjuncts, c)
-              if c.supportsColumnar && r.columnarEligible(c) =>
+              if graft.plans.PackedAgg.selectionFoldEnabled &&
+                c.supportsColumnar && r.columnarEligible(c) =>
             r.copy(child = c, columnarChild = true, selection = conjuncts)
           case ColumnarToRowExec(c) if c.supportsColumnar && r.columnarEligible(c) =>
             r.copy(child = c, columnarChild = true)

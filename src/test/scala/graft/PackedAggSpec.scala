@@ -232,4 +232,62 @@ class PackedAggSpec extends AnyFunSuite {
       } finally spark.sql("UNCACHE TABLE packed_cache")
     }
   }
+
+  test("cache filter folds into the batch-direct packed partial; dict keys equivalent") {
+    withAqe(false) {
+      val t = data()
+      t.createOrReplaceTempView("packed_src2")
+      spark.sql("CACHE TABLE packed_cache2 AS SELECT * FROM packed_src2")
+      try {
+        def q() = spark.table("packed_cache2")
+          .filter("s IS NOT NULL AND s <> ''")
+          .groupBy("k", "s")
+          .agg(sum(col("l")).as("sl"), count(lit(1)).as("n"))
+          .orderBy(col("k").asc_nulls_first, col("s").asc_nulls_first)
+        val partials = q().queryExecution.executedPlan.collect {
+          case p: graft.plans.PackedPartialAggExec => p }
+        assert(partials.nonEmpty && partials.forall(p =>
+          p.columnarChild && p.selection.nonEmpty),
+          q().queryExecution.executedPlan.toString.take(2000))
+        val folded = q().collect().toSeq
+        // fold off: row-path packed through the CacheFilter iterator
+        graft.plans.PackedAgg.selectionFoldEnabled = false
+        val unfolded = try q().collect().toSeq
+          finally graft.plans.PackedAgg.selectionFoldEnabled = true
+        // dict-id keys off: per-row string hashing in the batch loop
+        graft.plans.PackedAgg.dictKeysEnabled = false
+        val noDict = try q().collect().toSeq
+          finally graft.plans.PackedAgg.dictKeysEnabled = true
+        val stock = packedOff(q().collect().toSeq)
+        assert(folded == stock)
+        assert(unfolded == stock)
+        assert(noDict == stock)
+      } finally spark.sql("UNCACHE TABLE packed_cache2")
+    }
+  }
+
+  test("direct single-string-key driver agg arm equals the probe arm") {
+    withAqe(false) {
+      // ndv metadata (normally attached by the Tables stats pass) so
+      // BoundedKeyDriverAgg can prove the key domain
+      val t = data().withMetadata("s",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.ndvBound", 64L).build())
+      t.createOrReplaceTempView("direct_src")
+      spark.sql("CACHE TABLE direct_cache AS SELECT * FROM direct_src")
+      try {
+        // single string key with NULL and '' groups → bounded driver agg
+        def q() = spark.sql(
+          """SELECT s, count(*) AS n, sum(l) AS sl FROM direct_cache
+            |GROUP BY s ORDER BY s NULLS FIRST""".stripMargin)
+        assert(q().queryExecution.executedPlan.collect {
+          case d: graft.plans.DriverGroupAggExec => d }.nonEmpty)
+        val direct = q().collect().toSeq
+        graft.plans.DriverAgg.directStringArm = false
+        val probed = try q().collect().toSeq
+          finally graft.plans.DriverAgg.directStringArm = true
+        assert(direct == probed)
+      } finally spark.sql("UNCACHE TABLE direct_cache")
+    }
+  }
 }
