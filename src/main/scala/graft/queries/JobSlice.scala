@@ -350,9 +350,12 @@ object JobSlice {
 
   require(defs.map(_._1).distinct.size == defs.size, "duplicate job keys")
 
-  def texts: Seq[(String, String)] = defs
+  /** All JOB shapes: the original dozen plus the generated variant set
+    * ([[JobVerbatim]] — 61 more b/c/d/e/f texts over the same fixture).
+    */
+  def texts: Seq[(String, String)] = defs ++ JobVerbatim.defs
 
-  val queries: Map[String, Q.Fn] = defs.map { case (name, sql) =>
+  val queries: Map[String, Q.Fn] = texts.map { case (name, sql) =>
     name -> { (s: SparkSession, _: String) =>
       ensureGate(s)
       s.sql(sql)
@@ -370,7 +373,7 @@ object JobSlice {
         s"read_parquet('$dir/$t.parquet/*.parquet') AS ")
     }
 
-  val oracle: Map[String, String] = defs.map { case (name, sql) =>
+  val oracle: Map[String, String] = texts.map { case (name, sql) =>
     name -> toOracle(sql, ImdbFixture.gateDir)
   }.toMap
 }

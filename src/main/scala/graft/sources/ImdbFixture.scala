@@ -142,7 +142,11 @@ object ImdbFixture {
       s"""CAST(CASE WHEN id + 1 BETWEEN 100 AND 199 THEN 1
          |  ELSE 1 + ${hm(4, 7)} END AS INT) AS kind_id""".stripMargin,
       s"""CAST(CASE WHEN id + 1 BETWEEN 100 AND 199 THEN 2012
-         |  ELSE 1950 + ${hm(5, 66)} END AS INT) AS production_year""".stripMargin))
+         |  ELSE 1950 + ${hm(5, 66)} END AS INT) AS production_year""".stripMargin,
+      // episode number: NULL for non-episodes, small ints otherwise
+      // (title.episode_nr — the 16a/c/d variants band-filter on it)
+      s"""CAST(CASE WHEN ${hm(40, 3)} = 0 THEN NULL
+         |  ELSE ${hm(41, 200)} END AS INT) AS episode_nr""".stripMargin))
 
     // movie_companies: bulk rows + the plant block's constructed rows
     val mcBulk = spark.range(50000L * factor).selectExpr(
@@ -192,14 +196,19 @@ object ImdbFixture {
       s"CAST(1 + ${hm(15, 110)} AS INT) AS info_type_id",
       s"""element_at(array('Sweden','Norway','Germany','Denmark','USA',
          |  'Horror','Action','Drama','Comedy','2010-01-01','other info'),
-         |  CAST(1 + ${hm(16, 11)} AS INT)) AS info""".stripMargin)
+         |  CAST(1 + ${hm(16, 11)} AS INT)) AS info""".stripMargin,
+      // movie_info.note: mostly NULL, occasional internet/literal notes
+      // (18b filters `mi.note IS NULL`)
+      s"""CASE WHEN ${hm(42, 4)} = 0 THEN concat('(note ', id, ')')
+         |  ELSE NULL END AS note""".stripMargin)
     val miPlant = spark.range(100).selectExpr("CAST(id + 100 AS INT) AS m")
       .selectExpr("m", "explode(array(3, 4, 5)) AS it")
       .selectExpr("m AS movie_id", "CAST(it AS INT) AS info_type_id",
         """CASE it WHEN 3 THEN '2012-05-04'
           |  WHEN 4 THEN (CASE WHEN m BETWEEN 140 AND 179 THEN 'Germany' ELSE 'USA' END)
           |  ELSE (CASE WHEN m BETWEEN 160 AND 179 THEN 'Horror' ELSE 'Drama' END)
-          |END AS info""".stripMargin)
+          |END AS info""".stripMargin,
+        "CAST(NULL AS STRING) AS note")
     write("movie_info", miBulk.unionByName(miPlant))
 
     // movie_keyword: plant blocks wire each query's keyword
