@@ -1404,6 +1404,106 @@ object Sources {
           sum(length(col("s"))).cast("long").as("s_chars"))
     },
 
+    // names= overriding an existing header (csv_names.test: names
+    // replace the header labels, header row still skipped)
+    "src_csv_names_with_header" -> { (s, d) =>
+      val path = csvFixture("nameshdr", "a,b,c\n1,x,2.5\n2,y,3.5\n3,z,4.5\n")
+      s.read.option("header", "true")
+        .schema("k INT, s STRING, v DOUBLE").csv(path)
+        .orderBy("k")
+    },
+
+    // per-column type override BY NAME (read_csv types={'b': 'VARCHAR'}):
+    // the numeric-looking column is read as text, the rest stay inferred
+    "src_csv_types_by_name" -> { (s, d) =>
+      val path = csvFixture("typesby", "a,b,c\n1,007,2.5\n2,042,3.5\n")
+      s.read.option("header", "true")
+        .schema("a INT, b STRING, c DOUBLE").csv(path)
+        .select(col("a"), col("b"), length(col("b")).as("b_len"), col("c"))
+        .orderBy("a")
+    },
+
+    // multi-character delimiter (reference csv_scanner supports
+    // multi-byte delim strings; Spark `sep` accepts them too)
+    "src_csv_multichar_delim" -> { (s, d) =>
+      val path = csvFixture("multidelim", "k||s||v\n1||aa||2.5\n2||b|b||3.5\n")
+      s.read.option("header", "true").option("sep", "||")
+        .schema("k INT, s STRING, v DOUBLE").csv(path)
+        .orderBy("k")
+    },
+
+    // deflate-compressed CSV roundtrip (codec matrix beyond gzip —
+    // zstd is unavailable in this Hadoop build, deflate is the next
+    // reference-relevant codec); VALUES oracle since DuckDB reads only
+    // gzip/zstd CSV
+    "src_csv_deflate" -> { (s, d) =>
+      val dir = roundtripDir("csv_deflate")
+      Tables(s, d, "region")
+        .select(col("r_regionkey").cast("int").as("k"), col("r_name").as("s"))
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .option("compression", "deflate").csv(dir)
+      s.read.option("header", "true").schema("k INT, s STRING").csv(dir)
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(length(col("s"))).cast("long").as("s_chars"))
+    },
+
+    // a file that STARTS with an empty line before the header
+    // (empty_first_line.test): both engines skip it
+    "src_csv_empty_first_line" -> { (s, d) =>
+      val path = csvFixture("emptyfirst", "\nk,s\n1,a\n2,b\n")
+      s.read.option("header", "true").schema("k INT, s STRING").csv(path)
+        .orderBy("k")
+    },
+
+    // hive-partitioned CSV WRITE (COPY TO ... PARTITION_BY over csv —
+    // the parquet twin is src_partitioned_write): partition column is
+    // recovered from the directory layout on read
+    "src_csv_partitioned_write" -> { (s, d) =>
+      val dir = roundtripDir("csv_partby")
+      Tables(s, d, "nation")
+        .select(col("n_nationkey").cast("int").as("k"),
+          col("n_name").as("s"), col("n_regionkey").cast("int").as("r"))
+        .write.mode("overwrite").partitionBy("r")
+        .option("header", "true").csv(dir)
+      s.read.option("header", "true").schema("k INT, s STRING").csv(dir)
+        .withColumn("r", regexp_extract(input_file_name(), "r=(\\d+)", 1)
+          .cast("int"))
+        .groupBy("r").agg(count(lit(1)).as("n"), min(col("k")).as("min_k"))
+        .orderBy("r")
+    },
+
+    // parquet writer format version v2 (DATA_PAGE_V2 — the reference's
+    // parquet_version option, parquet_extension.cpp); DuckDB reads v2
+    // pages so the oracle is a full-value gate
+    "src_parquet_v2_pages" -> { (s, d) =>
+      val dir = roundtripDir("pq_v2")
+      Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .write.mode("overwrite")
+        .option("parquet.writer.version", "v2").parquet(dir)
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("s_name"))).cast("long").as("name_chars"),
+          round(sum(col("s_acctbal")), 2).as("bal"))
+    },
+
+    // dictionary encoding disabled + small pages (writer option matrix:
+    // parquet.enable.dictionary / parquet.page.size); values must
+    // survive the plain-encoding path exactly
+    "src_parquet_no_dictionary" -> { (s, d) =>
+      val dir = roundtripDir("pq_nodict")
+      Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.size", (16 * 1024).toString).parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("price"))
+        .orderBy("p_brand")
+    },
+
     // the sniffer verdict AS ROWS — the reference's sniff_csv() table
     // function (src/function/table/sniff_csv.cpp); engine-specific
     // introspection output → rows-only
@@ -1611,6 +1711,53 @@ object Sources {
         | CAST(sum(length(s_name)) AS BIGINT) AS name_chars,
         | round(sum(s_acctbal), 2) AS bal
         |FROM supplier""".stripMargin,
+
+    "src_csv_names_with_header" ->
+      s"""SELECT k, s, v
+        |FROM read_csv('${csvFixturePath("nameshdr")}', header=true,
+        |  names=['k', 's', 'v'],
+        |  columns={'k': 'INTEGER', 's': 'VARCHAR', 'v': 'DOUBLE'})
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_types_by_name" ->
+      s"""SELECT a, b, CAST(length(b) AS INT) AS b_len, c
+        |FROM read_csv('${csvFixturePath("typesby")}', header=true,
+        |  types={'b': 'VARCHAR'},
+        |  columns={'a': 'INTEGER', 'b': 'VARCHAR', 'c': 'DOUBLE'})
+        |ORDER BY a""".stripMargin,
+
+    // VALUES oracle: this DuckDB build caps delim at 1 byte, so the
+    // multi-byte-delimiter read is reconstructed literally
+    "src_csv_multichar_delim" ->
+      """SELECT * FROM (VALUES (1, 'aa', 2.5), (2, 'b|b', 3.5)) t(k, s, v)
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_deflate" ->
+      """SELECT count(*) AS n, CAST(min(r_regionkey) AS INT) AS min_k,
+        | CAST(max(r_regionkey) AS INT) AS max_k,
+        | CAST(sum(length(r_name)) AS BIGINT) AS s_chars
+        |FROM region""".stripMargin,
+
+    "src_csv_empty_first_line" ->
+      s"""SELECT k, s
+        |FROM read_csv('${csvFixturePath("emptyfirst")}', header=true,
+        |  columns={'k': 'INTEGER', 's': 'VARCHAR'})
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_partitioned_write" ->
+      """SELECT CAST(n_regionkey AS INT) AS r, count(*) AS n,
+        | CAST(min(n_nationkey) AS INT) AS min_k
+        |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
+
+    "src_parquet_v2_pages" ->
+      """SELECT count(*) AS n,
+        | CAST(sum(length(s_name)) AS BIGINT) AS name_chars,
+        | round(sum(s_acctbal), 2) AS bal
+        |FROM supplier""".stripMargin,
+
+    "src_parquet_no_dictionary" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "src_csv_per_thread_output" ->
       """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n,
