@@ -72,6 +72,11 @@ object BenchClickBench {
     val textMap = queries.ClickBench.texts.toMap
     names.foreach { name =>
       val sql = textMap(name)
+      // suite hygiene: collect the PREVIOUS query's garbage before this
+      // one is timed — the groups≈rows shapes (q33-class) leave ~GBs of
+      // dead builder/blob allocations that otherwise GC-strike whichever
+      // query runs next (r12's q09/q14 "suite wobble", r13's q34)
+      System.gc()
       (1 to 2).foreach(_ => spark.sql(sql).collect())
       val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime()

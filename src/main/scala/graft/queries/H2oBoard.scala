@@ -126,6 +126,12 @@ object H2oBoard {
 
   def texts: Seq[(String, String)] = defs.map(d => (d._1, d._2))
 
+  /** DuckDB-dialect twins with plain table names (the bench pair tool
+    * creates views x_group/small/medium/big/h2o_x over the scaled dir).
+    */
+  def duckTexts: Seq[(String, String)] =
+    defs.map(d => (d._1, Option(d._3).getOrElse(d._2)))
+
   val queries: Map[String, Q.Fn] = defs.map { case (name, sql, _) =>
     name -> { (s: SparkSession, _: String) =>
       ensureGate(s)
