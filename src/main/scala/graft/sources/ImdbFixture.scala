@@ -69,8 +69,12 @@ object ImdbFixture {
     val nComp = 2000L * factor
     val nKw = 5000L * factor
     val nChar = 10000L * factor
+    // repartition, NOT coalesce: the bulk∪plant unions coalesce into 2-3
+    // fat files (6M cast_info rows landed in 3 of 16 files), capping
+    // scan parallelism at 3 tasks — a fixture artifact, not a plan
+    // property. An even repartition restores full-width scans.
     def write(name: String, df: DataFrame): Unit =
-      df.coalesce(math.max(2, (2 * factor).toInt min 16))
+      df.repartition(math.max(2, (2 * factor).toInt min 16))
         .write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
     write("kind_type", spark.range(7).selectExpr(

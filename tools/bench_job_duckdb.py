@@ -16,13 +16,26 @@ TABLES = ["title", "movie_companies", "company_name", "company_type",
           "movie_keyword", "cast_info", "name", "aka_name", "role_type",
           "char_name", "kind_type"]
 QDIR = "/root/reference/benchmark/imdb_plan_cost/queries"
-DEFAULT = ["01a", "02a", "03a", "04a", "06a", "08a", "10a", "13b",
-           "14a", "16b", "17a", "25c"]
+
+
+def default_names():
+    """All fixture-eligible shapes (mirrors tools/gen_job_verbatim.py +
+    the original JobSlice dozen)."""
+    import os
+    import re
+    out = []
+    for f in sorted(os.listdir(QDIR)):
+        sql = open(os.path.join(QDIR, f)).read()
+        tabs = {t for t in re.findall(r"(\w+) AS \w+", sql)
+                if not t.startswith("MIN")}
+        if tabs <= set(TABLES):
+            out.append(f[:-4])
+    return out
 
 
 def main():
     d = sys.argv[1]
-    names = [n.replace("job_", "") for n in sys.argv[2:]] or DEFAULT
+    names = [n.replace("job_", "") for n in sys.argv[2:]] or default_names()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * "
