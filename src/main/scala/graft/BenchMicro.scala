@@ -54,6 +54,8 @@ object BenchMicro {
       "window_lead_lag", null),
     ("fast_regex", v => rules.FastRegexpExtract.enabled = v,
       "cb_regex_key", null),
+    ("fast_percentile", v => rules.FastPercentileRule.enabled = v,
+      "agg_quantiles", "fast_percentile"),
     ("dict_filter", v => rules.DictFilterScan.enabled = v,
       "cb_like_count", "CacheFilter"),
     ("single_phase", v => rules.SinglePhaseAgg.enabled = v,

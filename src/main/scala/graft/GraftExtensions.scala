@@ -56,6 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.FuseSingleDistinct)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectOptimizerRule(_ => graft.rules.FastRegexpExtract)
+    e.injectOptimizerRule(_ => graft.rules.FastPercentileRule)
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
     // after RadixShuffleAgg (matches the radix pair it emits); BEFORE
     // PackedShuffleAgg so its generic arm still sees the stock
