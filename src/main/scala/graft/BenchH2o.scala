@@ -40,13 +40,9 @@ object BenchH2o {
       t(t.length / 2)
     }
 
-    // dump duck-dialect texts for the pair tool
-    val dump = queries.H2oBoard.duckTexts.map { case (n, sql) =>
-      "\"" + n + "\": \"" + sql.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n") + "\""
-    }.mkString("{", ",\n", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("tools/h2o_duck_texts.json"), dump)
+    // dump duck-dialect texts for the pair tool (full JSON escaping +
+    // repo-anchored path — see ToolPaths)
+    ToolPaths.writeToolJson("h2o_duck_texts.json", queries.H2oBoard.duckTexts)
 
     // GRAFT_H2O_DIR reuses an existing generated dir (same-dir duck
     // pairing across JVMs)

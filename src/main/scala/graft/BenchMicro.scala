@@ -22,6 +22,20 @@ object BenchMicro {
 
   val Tolerance = 1.3
 
+  /** Stock-lane tolerance (vs micro_ref_scan in the same JVM). */
+  val StockTolerance = 1.5
+
+  /** Stock Catalyst shapes with no rule to toggle — gated as a ratio
+    * to micro_ref_scan (see the stock lane below and
+    * [[graft.queries.MicroShapes]]).
+    */
+  private val stockShapes: Seq[(String, String)] = Seq(
+    ("stock_cast_tower", "micro_cast_tower"),
+    ("stock_wide_case", "micro_wide_case"),
+    ("stock_in_list", "micro_in_list"),
+    ("stock_bnlj", "micro_bnlj"),
+    ("stock_window_frame", "micro_window_frame"))
+
   /** (shape name, flag setter, anchor query, plan substring proving the
     * rule fired; null = perf-only pair with no structural pin).
     */
@@ -63,7 +77,7 @@ object BenchMicro {
     ("collapse_agg", v => rules.CollapsePartialAggregate.enabled = v,
       "q18_large_volume", null))
 
-  private val floorsPath = "tools/micro_floors.json"
+  private def floorsPath = ToolPaths.toolsDir.resolve("micro_floors.json")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,8 +97,8 @@ object BenchMicro {
     val floors: Map[String, Double] =
       if (record) Map.empty
       else {
-        val txt = scala.util.Try(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(floorsPath))).getOrElse("{}")
+        val txt = scala.util.Try(java.nio.file.Files.readString(floorsPath))
+          .getOrElse("{}")
         """"([a-z_0-9]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
@@ -123,7 +137,12 @@ object BenchMicro {
         val bm = b.sorted.apply(b.length / 2)
         val ratio = am / bm
         results(shape) = ratio
-        val floor = floors.get(shape)
+        // floors cap at 1.0: a kept-for-posture rule whose recorded
+        // interleaved ratio sits above parity (dict_keys, single_phase)
+        // must still gate from parity — otherwise the xTolerance band
+        // stacks on the above-parity floor and a real regression to
+        // ~1.4x passes silently
+        val floor = floors.get(shape).map(math.min(_, 1.0))
         val verdict = floor match {
           case _ if record => "recorded"
           case Some(f) if ratio > f * Tolerance =>
@@ -135,10 +154,40 @@ object BenchMicro {
           f"off=${bm}%7.1f ms  ratio=${ratio}%.3f  $verdict")
       } finally set(true)
     }
+
+    // STOCK-path lane (reference benchmark/micro/ discipline): no rule
+    // to toggle, so each shape interleaves against micro_ref_scan in
+    // the same JVM and gates on the cross-shape ratio — host phase
+    // drift hits both sides of every iteration pair. Wider tolerance
+    // than the on/off lane: the two sides are different plans, so
+    // cache/codegen phase effects do not cancel as exactly.
+    val refFn = SparkEntry.queries("micro_ref_scan")
+    stockShapes.foreach { case (shape, qname) =>
+      val fn = SparkEntry.queries(qname)
+      (1 to 2).foreach { _ => timed(refFn); timed(fn) }
+      val a = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to 7).foreach { _ => b += timed(refFn); a += timed(fn) }
+      val am = a.sorted.apply(a.length / 2)
+      val bm = b.sorted.apply(b.length / 2)
+      val ratio = am / bm
+      results(shape) = ratio
+      val floor = floors.get(shape)
+      val verdict = floor match {
+        case _ if record => "recorded"
+        case Some(f) if ratio > f * StockTolerance =>
+          failures += 1; f"REGRESSION (floor $f%.3f x$StockTolerance)"
+        case Some(f) => f"ok (floor $f%.3f)"
+        case None => "no floor (run GRAFT_MICRO_RECORD=1)"
+      }
+      println(f"[micro] $shape%-20s $qname%-24s t=${am}%7.1f ms  " +
+        f"ref=${bm}%7.1f ms  ratio=${ratio}%.3f  $verdict")
+    }
+
     if (record) {
       val json = results.map { case (k, v) => s""""$k": ${f"$v%.4f"}""" }
         .mkString("{\n  ", ",\n  ", "\n}\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(floorsPath), json)
+      java.nio.file.Files.writeString(floorsPath, json)
       println(s"[micro] recorded ${results.size} floors to $floorsPath")
     }
     println(s"[micro] == ${if (failures == 0) "PASS" else s"$failures FAILURES"}")

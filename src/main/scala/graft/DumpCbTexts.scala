@@ -7,18 +7,10 @@ package graft
   */
 object DumpCbTexts {
   def main(args: Array[String]): Unit = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = queries.ClickBench.texts.map { case (name, _) =>
-      s"${q(name)}: ${q(queries.ClickBench.oracleTextFor(name))}"
-    }.mkString("{\n", ",\n", "\n}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("tools/cb_duck_texts.json"), json)
+    ToolPaths.writeToolJson("cb_duck_texts.json",
+      queries.ClickBench.texts.map { case (name, _) =>
+        name -> queries.ClickBench.oracleTextFor(name)
+      })
     println(s"wrote ${queries.ClickBench.texts.size} texts")
   }
 }

@@ -27,9 +27,13 @@ final class DoubleBuf(var arr: Array[Double], var n: Int) {
   * flat-array twin of Spark's `Percentile`, whose aggregation state is
   * an OpenHashMap[boxed value → count] (one boxed key + hash probe per
   * row, boxed iteration + sort at eval). This buffers primitive doubles
-  * and sorts once per group at eval; interpolation follows Percentile's
-  * own formula exactly (lower + (higher - lower) * (pos - lowerIndex)),
-  * so results are bit-identical for unit frequencies. The reference's
+  * and sorts once per group at eval; interpolation uses the
+  * CONVEX-COMBINATION spelling `(1 - frac) * lower + frac * higher` —
+  * the exact sequence of FP ops Spark's Percentile.getPercentile
+  * executes for unit frequencies — so results are bit-identical. Do NOT
+  * "simplify" to `lower + (higher - lower) * frac`: the two spellings
+  * differ in the last ulp and flipped 238/10,000 oracle rounding edges
+  * when tried (see eval() comment + PERF.md r13). The reference's
   * quantile_cont materializes per-group value vectors the same way
   * (src/core_functions/aggregate/holistic/quantile.cpp).
   *

@@ -351,7 +351,8 @@ object JobSlice {
   require(defs.map(_._1).distinct.size == defs.size, "duplicate job keys")
 
   /** All JOB shapes: the original dozen plus the generated variant set
-    * ([[JobVerbatim]] — 61 more b/c/d/e/f texts over the same fixture).
+    * ([[JobVerbatim]] — the other 101 texts over the same fixture;
+    * 113/113 total since the r14 fixture planted the last 6 tables).
     */
   def texts: Seq[(String, String)] = defs ++ JobVerbatim.defs
 

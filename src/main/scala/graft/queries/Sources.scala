@@ -225,6 +225,19 @@ object Sources {
   private[queries] val csvUtf16Content =
     "k,s\n1,alpha✓\n2,betaé\n3,gamma\n"
 
+  /** UTF-16BE without BOM (csv_encoder.cpp distinguishes the BE arm
+    * from the BOM-led default); VALUES oracle.
+    */
+  private[queries] val csvUtf16beContent =
+    "k,s\n1,nordé\n2,søster\n3,plain\n"
+
+  /** UTF-16LE without BOM — the third UTF-16 byte-order arm (Spark's
+    * CSV charset allowlist: iso-8859-1, us-ascii, utf-16, utf-16be,
+    * utf-16le, utf-32, utf-8); VALUES oracle.
+    */
+  private[queries] val csvUtf16leContent =
+    "k,s\n1,léft\n2,façade\n3,plain\n"
+
   private[queries] def csvRejectsFixture(): String = {
     val path = java.nio.file.Paths.get(csvRejectsPath)
     val content =
@@ -1504,12 +1517,135 @@ object Sources {
         .orderBy("p_brand")
     },
 
+    // UTF-16BE WITHOUT a BOM (the byte order the charset name pins —
+    // csv_encoder.cpp's non-default UTF-16 arm); VALUES oracle
+    "src_csv_encoding_utf16be" -> { (s, d) =>
+      val path = csvFixtureBytes("utf16be",
+        csvUtf16beContent.getBytes(java.nio.charset.StandardCharsets.UTF_16BE))
+      s.read.option("header", "true").option("encoding", "UTF-16BE")
+        .option("multiLine", "true")
+        .schema("k INT, s STRING").csv(path)
+        .select(col("k"), col("s"), length(col("s")).as("chars"))
+        .orderBy("k")
+    },
+
+    // UTF-16LE without BOM (the explicit little-endian arm; the BOM-led
+    // default and BE twins are pinned above); VALUES oracle
+    "src_csv_encoding_utf16le" -> { (s, d) =>
+      val path = csvFixtureBytes("utf16le",
+        csvUtf16leContent.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+      s.read.option("header", "true").option("encoding", "UTF-16LE")
+        .option("multiLine", "true")
+        .schema("k INT, s STRING").csv(path)
+        .select(col("k"), col("s"), length(col("s")).as("chars"))
+        .orderBy("k")
+    },
+
+    // bzip2-compressed CSV roundtrip (splittable codec — the one class
+    // where a 100 TB CSV lake still scans in parallel); source-table
+    // oracle since DuckDB reads only gzip/zstd CSV
+    "src_csv_bzip2" -> { (s, d) =>
+      val dir = roundtripDir("csv_bzip2")
+      Tables(s, d, "nation")
+        .select(col("n_nationkey").cast("int").as("k"), col("n_name").as("s"))
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .option("compression", "bzip2").csv(dir)
+      s.read.option("header", "true").schema("k INT, s STRING").csv(dir)
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(length(col("s"))).cast("long").as("s_chars"))
+    },
+
+    // writer-side custom quote + escape (COPY TO ... QUOTE '' ESCAPE:
+    // csv_writer options): values containing the delimiter, the quote
+    // char and newlines must survive the roundtrip exactly
+    "src_csv_write_quote_escape" -> { (s, d) =>
+      val dir = roundtripDir("csv_wq")
+      val src = s.sql(
+        """SELECT * FROM VALUES
+          |  (1, 'plain'), (2, 'comma,inside'), (3, 'quote''inside'),
+          |  (4, 'both'',and'), (5, 'line\nbreak') AS t(k, s)""".stripMargin)
+      src.coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("quote", "'").option("escape", "'")
+        .csv(dir)
+      s.read.option("header", "true").option("quote", "'").option("escape", "'")
+        .option("multiLine", "true")
+        .schema("k INT, s STRING").csv(dir)
+        .select(col("k"), col("s"), length(col("s")).as("chars"))
+        .orderBy("k")
+    },
+
+    // writer NULL literal (COPY TO ... NULL 'NULLX') — the null marker
+    // must roundtrip as SQL NULL, not as the literal string
+    "src_csv_write_null_literal" -> { (s, d) =>
+      val dir = roundtripDir("csv_wnull")
+      val src = s.sql(
+        """SELECT * FROM VALUES
+          |  (1, 'a'), (2, CAST(NULL AS STRING)), (3, 'NULL-ish'), (4, 'z')
+          |  AS t(k, s)""".stripMargin)
+      src.coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("nullValue", "NULLX").csv(dir)
+      s.read.option("header", "true").option("nullValue", "NULLX")
+        .schema("k INT, s STRING").csv(dir)
+        .select(col("k"), col("s").isNull.as("is_null"),
+          coalesce(col("s"), lit("-")).as("s"))
+        .orderBy("k")
+    },
+
+    // parquet writer page-row limit (reference parquet_extension.cpp
+    // ROW_GROUP_SIZE/page knobs): tiny pages force many page headers —
+    // values must survive unchanged
+    "src_parquet_page_row_limit" -> { (s, d) =>
+      val dir = roundtripDir("pq_pagerows")
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "100")
+        .option("parquet.page.size", (4 * 1024).toString).parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // parquet writer row-group size matrix (64 KB vs 8 MB block size →
+    // many vs one row group); both variants must agree with the source
+    "src_parquet_block_size_matrix" -> { (s, d) =>
+      val small = roundtripDir("pq_blk_small")
+      val large = roundtripDir("pq_blk_large")
+      val src = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      src.write.mode("overwrite")
+        .option("parquet.block.size", (64 * 1024).toString).parquet(small)
+      src.write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString).parquet(large)
+      s.read.parquet(small).unionAll(s.read.parquet(large))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
+    // parquet per-partition output files (the reference's COPY TO ...
+    // PER_THREAD_OUTPUT: one file per writer thread; Spark's native
+    // layout is one file per task — same mechanism, CSV twin above)
+    "src_parquet_per_thread_output" -> { (s, d) =>
+      val dir = roundtripDir("pq_pto")
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        // input_file_name() is nondeterministic — it must live in a
+        // projection BELOW the aggregate (Spark rejects it as an
+        // aggregate argument)
+        .select(input_file_name().as("f"), col("c_acctbal"))
+        .agg(countDistinct(col("f")).cast("long").as("n_files"),
+          count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+    },
+
     // the sniffer verdict AS ROWS — the reference's sniff_csv() table
     // function (src/function/table/sniff_csv.cpp); engine-specific
     // introspection output → rows-only
     "util_sniff_csv" -> { (s, d) =>
       val path = csvFixture("sniffed", csvSniffedContent)
-      graft.sources.CsvSniffer.sniffRows(s, path)
+      graft.sources.CsvSniffer.sniffRowsHashable(s, path)
     }
   )
 
@@ -2045,6 +2181,48 @@ object Sources {
         | CAST(sum(length(s)) AS BIGINT) AS s_chars
         |FROM read_json('${roundtripDir("json_gz")}/*.json.gz',
         |  format='newline_delimited',
-        |  columns={'k': 'INTEGER', 's': 'VARCHAR'})""".stripMargin
+        |  columns={'k': 'INTEGER', 's': 'VARCHAR'})""".stripMargin,
+
+    "src_csv_encoding_utf16be" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'nordé', 5), (2, 'søster', 6), (3, 'plain', 5)) t(k, s, chars)
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_encoding_utf16le" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'léft', 4), (2, 'façade', 6), (3, 'plain', 5)) t(k, s, chars)
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_bzip2" ->
+      """SELECT count(*) AS n, CAST(min(n_nationkey) AS INT) AS min_k,
+        | CAST(max(n_nationkey) AS INT) AS max_k,
+        | CAST(sum(length(n_name)) AS BIGINT) AS s_chars
+        |FROM nation""".stripMargin,
+
+    "src_csv_write_quote_escape" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'plain', 5), (2, 'comma,inside', 12), (3, 'quote''inside', 12),
+        |  (4, 'both'',and', 9), (5, 'line' || chr(10) || 'break', 10))
+        |  t(k, s, chars)
+        |ORDER BY k""".stripMargin,
+
+    "src_csv_write_null_literal" ->
+      """SELECT * FROM (VALUES
+        |  (1, false, 'a'), (2, true, '-'), (3, false, 'NULL-ish'),
+        |  (4, false, 'z')) t(k, is_null, s)
+        |ORDER BY k""".stripMargin,
+
+    "src_parquet_page_row_limit" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "src_parquet_block_size_matrix" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders) t""".stripMargin,
+
+    "src_parquet_per_thread_output" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n,
+        | round(sum(c_acctbal), 2) AS bal
+        |FROM customer""".stripMargin
   )
 }

@@ -270,9 +270,11 @@ object CsvSniffer {
     * Escape, NewLineDelimiter, Comment, SkipRows, HasHeader, Columns,
     * DateFormat, TimestampFormat, UserArguments, Prompt.
     *
-    * `Columns` keeps the reference's list<struct<name,type>> shape.
+    * `Columns` keeps the reference's list<struct<name,type>> shape —
+    * this is the default API, matching sniff_csv's output schema; the
+    * hash harness uses [[sniffRowsHashable]].
     */
-  def sniffRowsTyped(spark: SparkSession, path: String): DataFrame = {
+  def sniffRows(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val r = sniffAll(spark, path)
     def fmt(c: Char): String = if (c == '\'') "''" else c.toString
@@ -304,12 +306,12 @@ object CsvSniffer {
   /** Gate-friendly variant: identical rows but `Columns` serialized to a
     * deterministic JSON string. The correctness harness hashes parquet
     * cells through a pandas sort, which cannot order list-typed cells —
-    * the typed shape stays available via [[sniffRowsTyped]] and is pinned
-    * by CsvSnifferSpec.
+    * the reference-shaped default stays [[sniffRows]] and is pinned by
+    * CsvSnifferSpec.
     */
-  def sniffRows(spark: SparkSession, path: String): DataFrame = {
+  def sniffRowsHashable(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    sniffRowsTyped(spark, path)
+    sniffRows(spark, path)
       .withColumn("Columns", to_json(col("Columns")))
   }
 }

@@ -78,17 +78,17 @@ object H2oFixture {
       s"concat('id', 1 + ${hm(21, nSmall)}) AS id4",
       s"concat('id', 1 + ${hm(22, nMedium)}) AS id5",
       s"concat('id', 1 + ${hm(23, n)}) AS id6",
-      s"${hm(24, 6400)} / 64.0 AS v1"))
+      s"CAST(${hm(24, 6400)} / 64.0 AS DOUBLE) AS v1"))
     write("small", spark.range(nSmall).selectExpr(
       "CAST(1 + id AS INT) AS id1",
       "concat('id', 1 + id) AS id4",
-      s"${hm(25, 6400)} / 64.0 AS v2"))
+      s"CAST(${hm(25, 6400)} / 64.0 AS DOUBLE) AS v2"))
     write("medium", spark.range(nMedium).selectExpr(
       s"CAST(1 + ${hm(26, nSmall)} AS INT) AS id1",
       "CAST(1 + id AS INT) AS id2",
       s"concat('id', 1 + ${hm(26, nSmall)}) AS id4",
       "concat('id', 1 + id) AS id5",
-      s"${hm(27, 6400)} / 64.0 AS v2"))
+      s"CAST(${hm(27, 6400)} / 64.0 AS DOUBLE) AS v2"))
     write("big", spark.range(n).selectExpr(
       s"CAST(1 + ${hm(28, nSmall)} AS INT) AS id1",
       s"CAST(1 + ${hm(29, nMedium)} AS INT) AS id2",
@@ -96,6 +96,6 @@ object H2oFixture {
       s"concat('id', 1 + ${hm(28, nSmall)}) AS id4",
       s"concat('id', 1 + ${hm(29, nMedium)}) AS id5",
       "concat('id', 1 + id) AS id6",
-      s"${hm(30, 6400)} / 64.0 AS v2"))
+      s"CAST(${hm(30, 6400)} / 64.0 AS DOUBLE) AS v2"))
   }
 }

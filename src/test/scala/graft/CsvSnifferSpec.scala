@@ -103,8 +103,8 @@ class CsvSnifferSpec extends AnyFunSuite {
     assert(r.columns.forall(_._2 == "VARCHAR"))
   }
 
-  test("sniffRows: one row, reference sniff_csv column set") {
-    val df = CsvSniffer.sniffRows(spark, write("k;v\n1;2,0\n2;3,5\n"))
+  test("sniffRowsHashable: one row, reference sniff_csv column set") {
+    val df = CsvSniffer.sniffRowsHashable(spark, write("k;v\n1;2,0\n2;3,5\n"))
     assert(df.columns.toSeq == Seq("Delimiter", "Quote", "Escape",
       "NewLineDelimiter", "Comment", "SkipRows", "HasHeader", "Columns",
       "DateFormat", "TimestampFormat", "UserArguments", "Prompt"))
@@ -116,8 +116,8 @@ class CsvSnifferSpec extends AnyFunSuite {
     assert(row.getAs[String]("Columns").startsWith("""[{"name":"""))
   }
 
-  test("sniffRowsTyped: Columns keeps the reference list<struct> shape") {
-    val df = CsvSniffer.sniffRowsTyped(spark, write("k;v\n1;2,0\n2;3,5\n"))
+  test("sniffRows (default API): Columns keeps the reference list<struct> shape") {
+    val df = CsvSniffer.sniffRows(spark, write("k;v\n1;2,0\n2;3,5\n"))
     val colsField = df.schema("Columns").dataType
     import org.apache.spark.sql.types._
     colsField match {

@@ -14,22 +14,25 @@ import duckdb
 TABLES = ["title", "movie_companies", "company_name", "company_type",
           "info_type", "movie_info_idx", "movie_info", "keyword",
           "movie_keyword", "cast_info", "name", "aka_name", "role_type",
-          "char_name", "kind_type"]
+          "char_name", "kind_type", "movie_link", "link_type",
+          "person_info", "comp_cast_type", "complete_cast", "aka_title"]
 QDIR = "/root/reference/benchmark/imdb_plan_cost/queries"
 
 
 def default_names():
-    """All fixture-eligible shapes (mirrors tools/gen_job_verbatim.py +
-    the original JobSlice dozen)."""
+    """All fixture-eligible shapes (mirrors tools/gen_job_verbatim.py's
+    FROM-anchored table detection + the original JobSlice dozen)."""
     import os
     import re
     out = []
     for f in sorted(os.listdir(QDIR)):
         sql = open(os.path.join(QDIR, f)).read()
-        tabs = {t for t in re.findall(r"(\w+) AS \w+", sql)
-                if not t.startswith("MIN")}
+        m = re.search(r"\bFROM\b(.*?)\bWHERE\b", sql, re.S | re.I)
+        tabs = {t for t in re.findall(r"(\w+)\s+AS\s+\w+", m.group(1))}
         if tabs <= set(TABLES):
             out.append(f[:-4])
+        else:
+            print(f"SKIP {f[:-4]}: fixture lacks {sorted(tabs - set(TABLES))}")
     return out
 
 
