@@ -75,7 +75,11 @@ object BenchMicro {
     ("single_phase", v => rules.SinglePhaseAgg.enabled = v,
       "cb_q16", null),
     ("collapse_agg", v => rules.CollapsePartialAggregate.enabled = v,
-      "q18_large_volume", null))
+      "q18_large_volume", null),
+    ("ungrouped_driver_agg", v => rules.BoundedKeyDriverAgg.ungroupedEnabled = v,
+      "micro_ref_scan", "DriverGroupAgg"),
+    ("str_bcast_join", v => rules.StringBcastJoinRule.enabled = v,
+      "h2o_j04", "StringBcastJoin"))
 
   private def floorsPath = ToolPaths.toolsDir.resolve("micro_floors.json")
 

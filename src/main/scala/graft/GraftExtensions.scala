@@ -57,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectOptimizerRule(_ => graft.rules.FastRegexpExtract)
     e.injectOptimizerRule(_ => graft.rules.FastPercentileRule)
+    // single-string-key broadcast inner joins probe the columnar cache
+    // dictionary-first (plans/StringBcastJoin.scala)
+    e.injectQueryStagePrepRule(_ => graft.rules.StringBcastJoinRule)
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
     // after RadixShuffleAgg (matches the radix pair it emits); BEFORE
     // PackedShuffleAgg so its generic arm still sees the stock

@@ -495,7 +495,10 @@ object DriverAgg {
     */
   private[plans] def colKeyParts(groupExprs: Seq[Expression],
       childOut: Seq[Attribute]): Option[Seq[ColKeyPart]] = {
-    if (groupExprs.isEmpty || groupExprs.length > 2) return None
+    // UNGROUPED: trivially columnar-translatable (no key to extract) —
+    // the batch partial runs its dedicated single-acc loop
+    if (groupExprs.isEmpty) return Some(Nil)
+    if (groupExprs.length > 2) return None
     def ordOf(a: Attribute): Int = childOut.indexWhere(_.exprId == a.exprId)
     // the micros source of a calendar trunc: a timestamp column, or an
     // NTZ column through the UTC reinterpret (both store micros longs in
@@ -1214,6 +1217,8 @@ final case class DriverGroupAggExec(
         nParts == 1 && partsSpec(0).isInstanceOf[DriverAgg.StringKeyPart]
       var directIdx: Array[Int] = if (directArm) Array.fill(1 << 12)(-1) else null
       var nullGroup = -1
+      // ungrouped arm state: the partition's single Acc
+      var acc0: Acc = null
       def extract(spec: DriverAgg.ColKeyPart, ci: Int,
           vec: org.apache.spark.sql.vectorized.ColumnVector, r: Int): Long =
         spec match {
@@ -1256,7 +1261,7 @@ final case class DriverGroupAggExec(
       }
       val addL = DriverAgg.longAdd(ansiMode)
       batches.foreach { batch =>
-        val v0 = batch.column(partsSpec(0).ord)
+        val v0 = if (nParts == 0) null else batch.column(partsSpec(0).ord)
         val v1 = if (nParts > 1) batch.column(partsSpec(1).ord) else null
         var c1 = 0
         while (c1 < nParts) {
@@ -1433,7 +1438,127 @@ final case class DriverGroupAggExec(
         }
         val n = batch.numRows()
         var r = 0
-        if (directArm) {
+        if (nParts == 0) {
+          // UNGROUPED: one Acc per partition and no key work at all —
+          // the fused scan→ungrouped-aggregate (reference:
+          // src/execution/operator/aggregate/
+          // physical_ungrouped_aggregate.cpp). With direct vector
+          // inputs and no selection the update runs COLUMN-MAJOR: one
+          // sequential pass per slot over its vector (null-free vectors
+          // skip the per-row check entirely); otherwise the row loop
+          // keeps the opcode int-switch with the selection in front.
+          if (acc0 == null) acc0 = accs(newGroup(0L, 0))
+          val colMajor = opcodeOk && sel == null && inVecs != null &&
+            inProgs.forall(_ == null)
+          if (colMajor) {
+            val acc = acc0
+            var j = 0
+            while (j < nOps) {
+              val in = vinA(j)
+              val vec = if (opA(j) == 0) null else inVecs(in)
+              val noNulls = vec == null || !vec.hasNull
+              (opA(j): @annotation.switch) match {
+                case 0 => acc.longs(a1A(j)) += n
+                case 1 =>
+                  if (noNulls) acc.longs(a1A(j)) += n
+                  else {
+                    var c = 0L; var i = 0
+                    while (i < n) { if (!vec.isNullAt(i)) c += 1; i += 1 }
+                    acc.longs(a1A(j)) += c
+                  }
+                case 2 =>
+                  var i = 0
+                  while (i < n) {
+                    if (noNulls || !vec.isNullAt(i)) {
+                      val x = readVL(in, i)
+                      acc.longs(a1A(j)) =
+                        if (acc.flags(a2A(j))) addL(acc.longs(a1A(j)), x) else x
+                      acc.flags(a2A(j)) = true
+                    }
+                    i += 1
+                  }
+                // sum/avg seed the local from the acc so the FP addition
+                // SEQUENCE matches the per-row += of the row arms exactly
+                // (a batch-local subtotal would change the rounding tree)
+                case 3 =>
+                  var s = acc.doubles(a1A(j)); var any = false; var i = 0
+                  while (i < n) {
+                    if (noNulls || !vec.isNullAt(i)) { s += readVD(in, i); any = true }
+                    i += 1
+                  }
+                  acc.doubles(a1A(j)) = s
+                  if (any) acc.flags(a2A(j)) = true
+                case 4 =>
+                  var s = acc.doubles(a1A(j)); var c = 0L; var i = 0
+                  while (i < n) {
+                    if (noNulls || !vec.isNullAt(i)) { s += readVD(in, i); c += 1 }
+                    i += 1
+                  }
+                  acc.doubles(a1A(j)) = s; acc.longs(a2A(j)) += c
+                case 5 =>
+                  var i = 0
+                  while (i < n) {
+                    if (noNulls || !vec.isNullAt(i)) {
+                      val x = readVL(in, i)
+                      if (!acc.flags(a2A(j)) || x < acc.longs(a1A(j)))
+                        acc.longs(a1A(j)) = x
+                      acc.flags(a2A(j)) = true
+                    }
+                    i += 1
+                  }
+                case 6 =>
+                  var i = 0
+                  while (i < n) {
+                    if (noNulls || !vec.isNullAt(i)) {
+                      val x = readVL(in, i)
+                      if (!acc.flags(a2A(j)) || x > acc.longs(a1A(j)))
+                        acc.longs(a1A(j)) = x
+                      acc.flags(a2A(j)) = true
+                    }
+                    i += 1
+                  }
+                case 7 =>
+                  var i = 0
+                  while (i < n) {
+                    if (noNulls || !vec.isNullAt(i)) {
+                      val x = readVD(in, i)
+                      if (!acc.flags(a2A(j)) ||
+                          java.lang.Double.compare(x, acc.doubles(a1A(j))) < 0)
+                        acc.doubles(a1A(j)) = x
+                      acc.flags(a2A(j)) = true
+                    }
+                    i += 1
+                  }
+                case 8 =>
+                  var i = 0
+                  while (i < n) {
+                    if (noNulls || !vec.isNullAt(i)) {
+                      val x = readVD(in, i)
+                      if (!acc.flags(a2A(j)) ||
+                          java.lang.Double.compare(x, acc.doubles(a1A(j))) > 0)
+                        acc.doubles(a1A(j)) = x
+                      acc.flags(a2A(j)) = true
+                    }
+                    i += 1
+                  }
+              }
+              j += 1
+            }
+          } else {
+            while (r < n) {
+              if (sel == null || sel.passes(r)) {
+                if (inVecs != null) {
+                  if (opcodeOk) opUpdate(r, acc0) else vecUpdate(r, acc0)
+                } else {
+                  val v = valProj(batch.getRow(r))
+                  var j = 0
+                  while (j < ups.length) { ups(j)(v, acc0); j += 1 }
+                }
+              }
+              r += 1
+            }
+          }
+        } else if (directArm) {
           // dense single-string-key arm: the intern id IS dense (0..N in
           // first-intern order), so groups index DIRECTLY by it — no hash,
           // no probe loop, no key compare per row. This is the reference's

@@ -43,6 +43,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object BoundedKeyDriverAgg extends Rule[LogicalPlan] {
   /** dev escape hatch for A/B + differential specs */
   @volatile var enabled = !sys.env.get("GRAFT_NO_BOUNDED_DRIVER_AGG").contains("1")
+
+  /** Root UNGROUPED aggregates route to the driver-finalized single-job
+    * form (one Acc per partition, driver merge of P states) — the fused
+    * scan→ungrouped-aggregate every native engine runs (reference:
+    * physical_ungrouped_aggregate.cpp). Escape hatch for A/B + specs.
+    */
+  @volatile var ungroupedEnabled =
+    !sys.env.get("GRAFT_NO_UNGROUPED_DRIVER_AGG").contains("1")
   /** fire only when the estimated group-domain product is ≤ this */
   @volatile var maxBound: Long =
     sys.env.get("GRAFT_BOUNDED_AGG_MAX").map(_.toLong).getOrElse(4096L)
@@ -139,9 +147,74 @@ object BoundedKeyDriverAgg extends Rule[LogicalPlan] {
     }
   }
 
+  /** True when the parquet reader could answer the whole aggregate from
+    * footer metadata (spark.sql.parquet.aggregatePushdown: COUNT/MIN/MAX
+    * only, no SUM/AVG, directly over a bare relation) — rerouting those
+    * to a scan loop would REPLACE a metadata read with a full scan.
+    */
+  private def metadataAnswerable(agg: Aggregate): Boolean = {
+    def bare(p: LogicalPlan): Boolean = p match {
+      case prj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        prj.projectList.forall(_.isInstanceOf[AttributeReference]) && bare(prj.child)
+      case _ => p.children.isEmpty
+    }
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Max, Min}
+    val fns = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[AggregateExpression]
+      agg.aggregateExpressions.foreach(_.foreach {
+        case ae: AggregateExpression => acc += ae
+        case _ =>
+      })
+      acc.toSeq
+    }
+    fns.forall(_.aggregateFunction match {
+      case _: Count | _: Min | _: Max => true
+      case _ => false
+    }) && bare(agg.child)
+  }
+
+  /** Scan-like child: a leaf under Project/Filter chains only. The
+    * ungrouped route's win is the COLUMNAR batch arm over a scan (plus
+    * one saved stage); over a join/union output it would run the
+    * interpreted row partial against 10^7+ joined rows — measured 1.2-
+    * 1.5x SLOWER than the codegen'd stock aggregate (PERF.md r14 A/B),
+    * so those shapes keep the stock plan.
+    */
+  private def scanLike(p: LogicalPlan): Boolean = p match {
+    case _ if p.children.isEmpty => true
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter => scanLike(f.child)
+    case prj: org.apache.spark.sql.catalyst.plans.logical.Project => scanLike(prj.child)
+    case _ => false
+  }
+
+  /** Route a root ungrouped aggregate into the driver-finalized form.
+    * Declines (returns the input) for DISTINCT (FuseSingleDistinct's
+    * surface), FILTER clauses / unsupported functions (layout throws →
+    * Try), streaming or non-scan-like children, and metadata-answerable
+    * shapes.
+    */
+  private def routeUngrouped(agg: Aggregate): LogicalPlan = {
+    val hasDistinct = agg.aggregateExpressions.exists(_.exists {
+      case ae: AggregateExpression => ae.isDistinct || ae.filter.isDefined
+      case _ => false
+    })
+    if (hasDistinct || agg.isStreaming || !agg.resolved ||
+        !scanLike(agg.child) || metadataAnswerable(agg) ||
+        !agg.aggregateExpressions.forall(_.deterministic)) agg
+    else scala.util.Try(DriverAgg.fromAggregate(agg, Nil, limit = -1,
+      maxGroups = 1 << 16, fallback = agg,
+      ansi = conf.ansiEnabled)).getOrElse(agg)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled || DriverAgg.replanning.get()) return plan
-    plan.transformDown {
+    val routedRoot = plan match {
+      case agg: Aggregate
+          if ungroupedEnabled && agg.groupingExpressions.isEmpty =>
+        routeUngrouped(agg)
+      case _ => plan
+    }
+    routedRoot.transformDown {
       case s @ Sort(order, true, agg: Aggregate, _)
           if agg.groupingExpressions.nonEmpty &&
             agg.groupingExpressions.forall(_.deterministic) &&

@@ -78,9 +78,14 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
     // must see the stock pair BEFORE packed consumes it); packed claims
     // the remaining multi/string-key pairs; single-phase takes whatever
     // aggregation pairs are left with a stats proof
+    // string-key broadcast joins re-route before the agg rules (under
+    // AQE this ran as a query-stage-prep rule already)
+    val strJoined =
+      if (conf.adaptiveExecutionEnabled) collapsed
+      else StringBcastJoinRule(collapsed)
     val radixed =
-      if (conf.adaptiveExecutionEnabled) TopNThroughAgg(collapsed)
-      else SinglePhaseAgg(PackedShuffleAgg(TopNThroughAgg(RadixShuffleAgg(collapsed))))
+      if (conf.adaptiveExecutionEnabled) TopNThroughAgg(strJoined)
+      else SinglePhaseAgg(PackedShuffleAgg(TopNThroughAgg(RadixShuffleAgg(strJoined))))
     // run-clustered Complete aggregates (created by the collapse above)
     // stream per sorted-prefix run instead of building the whole
     // partition's group map (plans/SortedRunAgg.scala)
@@ -149,6 +154,15 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
             s.copy(child = c, columnarChild = true)
           case c if c.supportsColumnar && s.columnarEligible(c) =>
             s.copy(columnarChild = true)
+          case _ => s
+        }
+      // string-key broadcast join: batch-direct probe when the streamed
+      // side is columnar-capable (same peel contract)
+      case s: graft.plans.StringBcastJoinExec if !s.columnarChild =>
+        s.left match {
+          case ColumnarToRowExec(c) if c.supportsColumnar =>
+            s.copy(left = c, columnarChild = true)
+          case c if c.supportsColumnar => s.copy(columnarChild = true)
           case _ => s
         }
       // fused single-distinct partial: same batch-direct contract

@@ -1,0 +1,105 @@
+package graft
+
+import graft.plans.DriverGroupAggPlan
+import graft.rules.BoundedKeyDriverAgg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Root UNGROUPED aggregates route to the driver-finalized single-job
+  * form (the fused scan→ungrouped-aggregate): differential vs the stock
+  * shuffled plan on every supported slot, over both the row path and
+  * the columnar cache (which engages the column-major batch loops),
+  * plus the decline surface (DISTINCT / FILTER clause / metadata-
+  * answerable COUNT-MIN-MAX over a bare scan / unsupported functions).
+  */
+class UngroupedDriverAggSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def fired(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case p: DriverGroupAggPlan => p
+    }.nonEmpty
+
+  private def offRows(df: => DataFrame): Seq[String] = {
+    BoundedKeyDriverAgg.ungroupedEnabled = false
+    try df.collect().toSeq.map(_.toString)
+    finally BoundedKeyDriverAgg.ungroupedEnabled = true
+  }
+
+  private lazy val facts: DataFrame = spark.range(0, 9973)
+    .select(
+      col("id").cast("int").as("i"),
+      col("id").as("l"),
+      when(col("id") % 11 =!= 0, (col("id") % 101).cast("double") / 4.0).as("d"),
+      when(col("id") % 7 =!= 0, concat(lit("s"), col("id") % 997)).as("s"))
+
+  private def agged(src: DataFrame): DataFrame = src.agg(
+    count(lit(1)).as("n"), count(col("d")).as("nd"),
+    sum(col("i")).as("si"), sum(col("l")).as("sl"), sum(col("d")).as("sd"),
+    avg(col("d")).as("ad"), min(col("i")).as("mi"), max(col("l")).as("xl"),
+    min(col("d")).as("md"), max(col("d")).as("xd"),
+    min(col("s")).as("ms"), max(col("s")).as("xs"))
+
+  test("row path: all slots differential vs the stock plan") {
+    val df = agged(facts)
+    assert(fired(df), "ungrouped route should fire")
+    assert(df.collect().toSeq.map(_.toString) == offRows(agged(facts)))
+  }
+
+  test("columnar cache path: all slots differential (column-major loops)") {
+    val cached = facts.cache()
+    try {
+      cached.count()
+      val df = agged(cached)
+      assert(fired(df))
+      assert(df.collect().toSeq.map(_.toString) == offRows(agged(cached)))
+    } finally cached.unpersist()
+  }
+
+  test("selection fold: filtered ungrouped aggregate over the cache") {
+    val cached = facts.cache()
+    try {
+      cached.count()
+      def q = cached.filter(col("i") % 3 === 1 && col("d") > 5.0)
+        .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"), max(col("i")).as("xi"))
+      assert(fired(q))
+      assert(q.collect().toSeq.map(_.toString) == offRows(q))
+    } finally cached.unpersist()
+  }
+
+  test("empty input: count 0, sums NULL — exact stock semantics") {
+    val empty = facts.filter(col("i") < 0)
+    val df = empty.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+      min(col("s")).as("ms"))
+    assert(fired(df))
+    assert(df.collect().toSeq.map(_.toString) ==
+      offRows(empty.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        min(col("s")).as("ms"))))
+  }
+
+  test("declines: DISTINCT, FILTER clause, metadata-answerable min/max") {
+    assert(!fired(facts.agg(countDistinct(col("s")).as("nd"))))
+    facts.createOrReplaceTempView("ug_facts")
+    assert(!fired(spark.sql(
+      "SELECT sum(d) FILTER (WHERE i % 2 = 0) AS sf FROM ug_facts")))
+    // COUNT/MIN/MAX over a BARE relation: parquet footer metadata could
+    // answer it — the route must leave it to aggregate pushdown. (facts
+    // itself is a computed Project, which is NOT metadata-answerable —
+    // hence the parquet roundtrip here.)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ug_${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    facts.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    assert(!fired(pq.agg(count(lit(1)).as("n"), min(col("i")).as("mi"))))
+    // ... but adding a SUM makes the scan unavoidable, so routing wins
+    assert(fired(pq.agg(count(lit(1)).as("n"), sum(col("i")).as("si"))))
+  }
+
+  test("expression inputs (the q6 shape): sum of a compiled double tree") {
+    def q = facts.filter(col("d") > 2.0)
+      .agg(sum(col("d") * (lit(1.0) - col("d") / 100.0)).as("rev"))
+    assert(fired(q))
+    assert(q.collect().toSeq.map(_.toString) == offRows(q))
+  }
+}
