@@ -70,8 +70,14 @@ object BenchMicro {
       "cb_regex_key", null),
     ("fast_percentile", v => rules.FastPercentileRule.enabled = v,
       "agg_quantiles", "fast_percentile"),
+    // no plan pin: standalone CacheFilterExec no longer survives in the
+    // gated plans (the agg partials fold it as a DictSelection — r14's
+    // ungrouped route took the last holdout, cb_like_count);
+    // DictFilterSpec pins the node structurally at unit level. On cb_q15
+    // the toggle still gates whether the packed partial can fold at all
+    // (its fold matches CacheFilterExec, which this rule produces).
     ("dict_filter", v => rules.DictFilterScan.enabled = v,
-      "cb_like_count", "CacheFilter"),
+      "cb_q15", null),
     ("single_phase", v => rules.SinglePhaseAgg.enabled = v,
       "cb_q16", null),
     ("collapse_agg", v => rules.CollapsePartialAggregate.enabled = v,

@@ -18,7 +18,9 @@ object JobPlan {
       .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG", "ERROR"))
-    val dir = graft.sources.ImdbFixture.ensureScaled(spark, factor)
+    // GRAFT_IMDB_DIR reuses an existing generated dir (cross-JVM pairing)
+    val dir = sys.env.getOrElse("GRAFT_IMDB_DIR",
+      graft.sources.ImdbFixture.ensureScaled(spark, factor))
     graft.sources.ImdbFixture.tables.foreach { t =>
       spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$dir/$t.parquet'")
       spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
