@@ -23,6 +23,7 @@ object BenchABCb {
       case "packedsel" => v => plans.PackedAgg.selectionFoldEnabled = v
       case "packed" => v => rules.PackedShuffleAgg.enabled = v
       case "bounded" => v => rules.BoundedKeyDriverAgg.enabled = v
+      case "ungrouped" => v => rules.BoundedKeyDriverAgg.ungroupedEnabled = v
       case other => throw new IllegalArgumentException(s"unknown flag $other")
     }
     val spark = GraftSession.tune(SparkSession.builder()
@@ -36,7 +37,9 @@ object BenchABCb {
     spark.sparkContext.setLogLevel("ERROR")
     val probe = spark.sparkContext.parallelize(1 to 32, 32)
     (1 to 120).foreach(_ => probe.count())
-    val dir = graft.sources.HitsFixture.ensureScaled(spark, factor)
+    // GRAFT_HITS_DIR reuses an existing generated dir (cross-JVM pairing)
+    val dir = sys.env.getOrElse("GRAFT_HITS_DIR",
+      graft.sources.HitsFixture.ensureScaled(spark, factor))
     Tables.cacheMode = true
     Tables(spark, dir, "hits").createOrReplaceTempView("hits")
     spark.table("hits").count()

@@ -42,7 +42,9 @@ object BenchClickBench {
       t(t.length / 2)
     }
 
-    val dir = graft.sources.HitsFixture.ensureScaled(spark, factor)
+    // GRAFT_HITS_DIR reuses an existing generated dir (cross-JVM pairing)
+    val dir = sys.env.getOrElse("GRAFT_HITS_DIR",
+      graft.sources.HitsFixture.ensureScaled(spark, factor))
     println(s"scaled_dir=$dir factor=$factor")
     if (!sys.env.get("GRAFT_DS_CACHE").contains("0")) {
       // the annotating loader (Tables): same columnar cache as before,

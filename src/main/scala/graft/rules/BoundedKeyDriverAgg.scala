@@ -156,6 +156,11 @@ object BoundedKeyDriverAgg extends Rule[LogicalPlan] {
     def bare(p: LogicalPlan): Boolean = p match {
       case prj: org.apache.spark.sql.catalyst.plans.logical.Project =>
         prj.projectList.forall(_.isInstanceOf[AttributeReference]) && bare(prj.child)
+      // a CACHED relation has no footer metadata to push into — stock
+      // COUNT(*) iterates every cached row while the routed column-major
+      // partial just sums batch row counts (ClickBench q01: 86 → one
+      // batch-count job), so cached leaves are NOT metadata-answerable
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => false
       case _ => p.children.isEmpty
     }
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Max, Min}

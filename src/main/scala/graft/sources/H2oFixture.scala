@@ -49,14 +49,14 @@ object H2oFixture {
   private def generate(spark: SparkSession, dir: String, factor: Long): Unit = {
     val n = 100000L * factor
     val k = 100L // the 1e2 of G1_1e7_1e2, constant across scales
-    // repartition (not coalesce — the r13 lesson: coalesce skews rows
-    // into few fat files) to one file per core at scale: 16 files capped
-    // every x100 scan AND the warm cache at 16-way parallelism on the
-    // 32-core box, a fixture artifact both engines should not inherit
-    // (DuckDB parallelizes within files by row group; Spark cannot split
-    // below a row group)
+    // repartition, not coalesce (the r13 lesson: coalesce skews union
+    // pipelines into few fat files). File cap stays 16 at x100: the r14
+    // 32-file experiment measured h2o as a wash and JOB 15% WORSE at
+    // median (80/113 queries regressed) — per-task dispatch/shuffle-file
+    // overhead on 40-90 ms walls outweighs the extra scan width; only
+    // the compute-heavy deep joins gained 12-18% (PERF.md r14)
     def write(name: String, df: DataFrame): Unit =
-      df.repartition(math.max(2, (2 * factor).toInt min 32))
+      df.repartition(math.max(2, (2 * factor).toInt min 16))
         .write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
     // ~2% NULLs in the measure columns exercise null-skipping aggs the

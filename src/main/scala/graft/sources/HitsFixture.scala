@@ -101,11 +101,10 @@ object HitsFixture {
       s"CAST(640 + ${hm(35, 1280)} AS INT) AS WindowClientWidth",
       s"CAST(480 + ${hm(36, 800)} AS INT) AS WindowClientHeight")
       .selectExpr("*", "CAST(EventTime AS DATE) AS EventDate")
-    // repartition to one file per core at scale (r14): the 16-file
-    // coalesce capped every x100 scan stage at half the 32-core box —
-    // a fixture artifact DuckDB does not inherit (it parallelizes
-    // within files by row group; Spark cannot split below a row group)
-    base.repartition(math.max(2, (2 * factor).toInt min 32))
+    // repartition (even layout; coalesce skews unions) — cap stays 16:
+    // the r14 32-file experiment measured JOB 15% worse at median
+    // (task-dispatch overhead beats scan width at these walls; PERF r14)
+    base.repartition(math.max(2, (2 * factor).toInt min 16))
       .write.mode("overwrite").parquet(s"$dir/hits.parquet")
   }
 }

@@ -88,12 +88,12 @@ object ImdbFixture {
     // repartition, NOT coalesce: the bulk∪plant unions coalesce into 2-3
     // fat files (6M cast_info rows landed in 3 of 16 files), capping
     // scan parallelism at 3 tasks — a fixture artifact, not a plan
-    // property. An even repartition restores full-width scans. r14:
-    // cap raised 16 → 32 (one file per core at x100 — 16 single-row-
-    // group files capped every scan stage at half the machine, which
-    // DuckDB does not suffer since it parallelizes within files).
+    // property. An even repartition restores full-width scans. The r14
+    // 32-file experiment is reverted: it measured 15% WORSE at median
+    // over the 113 shapes (task dispatch on 40-90 ms walls outweighs
+    // scan width; PERF.md r14).
     def write(name: String, df: DataFrame): Unit =
-      df.repartition(math.max(2, (2 * factor).toInt min 32))
+      df.repartition(math.max(2, (2 * factor).toInt min 16))
         .write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
     write("kind_type", spark.range(7).selectExpr(

@@ -115,11 +115,10 @@ object TpcdsFixture {
 
   private def generate(spark: SparkSession, dir: String, factor: Long): Unit = {
     def write(name: String, df: DataFrame): Unit =
-    // repartition to one file per core at scale (r14): the 16-file
-    // coalesce capped every x100 scan stage at half the 32-core box —
-    // a fixture artifact DuckDB does not inherit (it parallelizes
-    // within files by row group; Spark cannot split below a row group)
-      df.repartition(math.max(2, (2 * factor).toInt min 32))
+    // repartition (even layout; coalesce skews unions) — cap stays 16:
+    // the r14 32-file experiment measured JOB 15% worse at median
+    // (task-dispatch overhead beats scan width at these walls; PERF r14)
+      df.repartition(math.max(2, (2 * factor).toInt min 16))
         .write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
     write("date_dim", spark.range(NDays.toLong).selectExpr(
