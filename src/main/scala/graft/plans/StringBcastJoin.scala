@@ -50,7 +50,16 @@ final case class StringBcastJoinExec(
     columnarChild: Boolean = false)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  /** Inner equi-join output never carries a NULL streamed key: the probe
+    * skips NULL keys itself. The rule folded away the IsNotNull(key)
+    * FilterExec that used to tighten this attribute's nullability, so we
+    * restore it here — downstream operators were planned against the
+    * non-nullable attribute the original join output exposed.
+    */
+  override def output: Seq[Attribute] =
+    left.output.zipWithIndex.map { case (a, i) =>
+      if (i == streamedKeyOrd) a.withNullability(false) else a
+    } ++ right.output
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override protected def withNewChildrenInternal(
@@ -146,16 +155,37 @@ object StringBcastJoin {
     h & 0x7fffffff
   }
 
-  // one table per broadcast per executor JVM; bounded — entries outlive
-  // their query only until the next 32 broadcasts cycle through
+  // One table per (broadcast, key ordinal) per executor JVM. The key
+  // MUST include keyOrd: IdentityBroadcastMode canonicalizes without
+  // the join key, so ReuseExchange/AQE can legally share one broadcast
+  // between two joins over the same build child keyed on DIFFERENT
+  // string columns — a bcast.id-only cache would hand the second join a
+  // table hashed on the wrong ordinal. Bounded: oldest-inserted entries
+  // evict one at a time past 32 (never clear-all — tables are immutable
+  // and may be in use by concurrently running queries).
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Table]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), Table]()
+  private val insertOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
 
   def tableFor(bcast: Broadcast[Array[InternalRow]], keyOrd: Int): Table = {
-    val cached = cache.get(bcast.id)
+    val k = (bcast.id, keyOrd)
+    val cached = cache.get(k)
     if (cached != null) return cached
-    if (cache.size() > 32) cache.clear()
-    cache.computeIfAbsent(bcast.id, _ => build(bcast.value, keyOrd))
+    // mapping fn touches only the side queue (CHM forbids map mutation)
+    val t = cache.computeIfAbsent(k, k2 => {
+      insertOrder.add(k2)
+      build(bcast.value, keyOrd)
+    })
+    var evictAttempts = 64 // bounded: racing evictors may drain the queue
+    while (cache.size() > 32 && evictAttempts > 0) {
+      evictAttempts -= 1
+      val old = insertOrder.poll()
+      if (old == null) evictAttempts = 0
+      else if (old != k) cache.remove(old)
+      else insertOrder.add(old)
+    }
+    t
   }
 
   def build(rows: Array[InternalRow], keyOrd: Int): Table = {

@@ -88,6 +88,56 @@ class StringBcastJoinSpec extends AnyFunSuite {
     } finally pc.unpersist()
   }
 
+  test("one broadcast, two key ordinals: executor cache keys on (id, keyOrd)") {
+    // ReuseExchange can share one IdentityBroadcastMode exchange between
+    // two joins keyed on DIFFERENT columns of the same build child — the
+    // table cache must not hand the second join a table hashed on the
+    // wrong ordinal (r14 ADVICE high).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val proj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](
+      StringType, StringType))
+    val rows: Array[InternalRow] = (0 until 10).map { i =>
+      proj(InternalRow(
+        UTF8String.fromString(s"a$i"), UTF8String.fromString(s"b$i"))).copy()
+        .asInstanceOf[InternalRow]
+    }.toArray
+    val bc = spark.sparkContext.broadcast(rows)
+    val t0 = graft.plans.StringBcastJoin.tableFor(bc, 0)
+    val t1 = graft.plans.StringBcastJoin.tableFor(bc, 1)
+    assert(t0 ne t1)
+    assert(t0.lookupUtf8(UTF8String.fromString("a3")) >= 0)
+    assert(t0.lookupUtf8(UTF8String.fromString("b3")) == -1)
+    assert(t1.lookupUtf8(UTF8String.fromString("b3")) >= 0)
+    assert(t1.lookupUtf8(UTF8String.fromString("a3")) == -1)
+    // memoized per ordinal
+    assert(graft.plans.StringBcastJoin.tableFor(bc, 0) eq t0)
+    assert(graft.plans.StringBcastJoin.tableFor(bc, 1) eq t1)
+  }
+
+  test("two joins over one build side on different key columns: exact rows") {
+    val twoKey = spark.range(0, 300).select(
+      concat(lit("key"), col("id")).as("k1"),
+      concat(lit("alt"), col("id")).as("k2"),
+      (col("id") * 10).as("bv"))
+    val probeAlt = spark.range(0, 40000)
+      .select(concat(lit("alt"), col("id") % 300).as("k"), col("id").as("pv"))
+    def q: DataFrame = {
+      val a = probe.join(broadcast(twoKey), probe("k") === twoKey("k1"), "inner")
+        .select(col("pv"), col("bv"))
+      val b = probeAlt.join(broadcast(twoKey), probeAlt("k") === twoKey("k2"), "inner")
+        .select(col("pv"), col("bv"))
+      a.unionAll(b)
+    }
+    val pc = probe.cache(); pc.count()
+    try {
+      assert(q.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toString) ==
+        offRows(q))
+    } finally pc.unpersist()
+  }
+
   test("declines: non-string keys, outer joins, extra condition") {
     val pi = spark.range(100).select(col("id").as("k"), col("id").as("pv")).cache()
     pi.count()
