@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("nfc_normalize", a => NfcNormalize(a.head))
     inject("json_merge_patch", a => JsonMergePatch(a(0), a(1)))
     inject("json_pretty", a => JsonPretty(a.head))
+    // HAVING-threshold scalar subqueries over the same relation rewrite
+    // into a window over the grouped result (WinMagic; TPC-H q11). Runs
+    // at post-hoc resolution: the two subtree instances still
+    // canonicalize equal there — column pruning later diverges them.
+    e.injectPostHocResolutionRule(_ => graft.rules.ScalarAggToWindow)
     e.injectPlannerStrategy(_ => graft.plans.FusedDistinctStrategy)
     e.injectPlannerStrategy(_ => graft.plans.DriverAggStrategy)
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)

@@ -747,7 +747,11 @@ final case class DriverGroupAggExec(
     nL: Int, nD: Int, nF: Int, nS: Int, nO: Int,
     output: Seq[Attribute],
     child: SparkPlan,
-    fallback: LogicalPlan,
+    // driver-side only (the valve fallback). MUST be @transient: when
+    // this exec runs inside a ScalarSubquery, the enclosing stage's
+    // task closure serializes the subquery expression tree — and an
+    // analyzed LogicalPlan holds non-serializable file indexes.
+    @transient fallback: LogicalPlan,
     ansi: Boolean,
     // batch-direct partial (InsertCacheColumnarToRow peels the transition
     // when the keys columnar-translate — see DriverAgg.colKeyParts)

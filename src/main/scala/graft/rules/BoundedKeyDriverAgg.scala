@@ -192,6 +192,25 @@ object BoundedKeyDriverAgg extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Grouped-aggregate-topped child: Project/Filter chains over a grouped
+    * Aggregate — the thq15 scalar-subquery shape (max/sum over a grouped
+    * CTE result). Routing the ungrouped aggregate here drops the
+    * partial → SinglePartition exchange → final roundtrip stock Spark
+    * plans above the grouped FINAL: the driver-finalized partial runs
+    * INSIDE the final's stage and the driver merges O(partitions) states
+    * (reference behavior: one pipeline breaker per aggregate,
+    * /root/reference/src/execution/operator/aggregate/
+    * physical_ungrouped_aggregate.cpp combine/finalize). The interpreted
+    * row partial is safe on this shape: its input is O(groups), not the
+    * O(rows) join outputs the scanLike veto protects against.
+    */
+  private def aggTopped(p: LogicalPlan): Boolean = p match {
+    case a: Aggregate => a.groupingExpressions.nonEmpty
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter => aggTopped(f.child)
+    case prj: org.apache.spark.sql.catalyst.plans.logical.Project => aggTopped(prj.child)
+    case _ => false
+  }
+
   /** Route a root ungrouped aggregate into the driver-finalized form.
     * Declines (returns the input) for DISTINCT (FuseSingleDistinct's
     * surface), FILTER clauses / unsupported functions (layout throws →
@@ -204,7 +223,8 @@ object BoundedKeyDriverAgg extends Rule[LogicalPlan] {
       case _ => false
     })
     if (hasDistinct || agg.isStreaming || !agg.resolved ||
-        !scanLike(agg.child) || metadataAnswerable(agg) ||
+        !(scanLike(agg.child) || aggTopped(agg.child)) ||
+        metadataAnswerable(agg) ||
         !agg.aggregateExpressions.forall(_.deterministic)) agg
     else scala.util.Try(DriverAgg.fromAggregate(agg, Nil, limit = -1,
       maxGroups = 1 << 16, fallback = agg,
@@ -217,6 +237,16 @@ object BoundedKeyDriverAgg extends Rule[LogicalPlan] {
       case agg: Aggregate
           if ungroupedEnabled && agg.groupingExpressions.isEmpty =>
         routeUngrouped(agg)
+      // scalar-subquery plans re-enter the optimizer wrapped in a
+      // Subquery node (OptimizeSubqueries) — the thq15 max-over-CTE
+      // shape lives here. Correlated subqueries keep the stock plan
+      // (decorrelation must still see the Aggregate).
+      case s @ org.apache.spark.sql.catalyst.plans.logical.Subquery(
+          agg: Aggregate, correlated)
+          if ungroupedEnabled && !correlated &&
+            agg.groupingExpressions.isEmpty =>
+        val routed = routeUngrouped(agg)
+        if (routed eq agg) s else s.copy(child = routed)
       case _ => plan
     }
     routedRoot.transformDown {

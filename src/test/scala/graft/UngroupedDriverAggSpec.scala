@@ -96,6 +96,40 @@ class UngroupedDriverAggSpec extends AnyFunSuite {
     assert(fired(pq.agg(count(lit(1)).as("n"), sum(col("i")).as("si"))))
   }
 
+  test("ungrouped over a grouped final: routes, drops the single-partition exchange") {
+    // the thq15 shape: max over a grouped aggregate result — the
+    // driver-finalized partial runs inside the final's stage instead of
+    // exchanging O(groups) rows to one partition
+    def q = facts.groupBy(col("i") % 501).agg(sum(col("d")).as("rev"))
+      .agg(max(col("rev")).as("mx"), sum(col("rev")).as("tot"),
+        count(lit(1)).as("n"))
+    assert(fired(q))
+    assert(q.queryExecution.executedPlan.toString.contains("DriverGroupAgg"))
+    assert(q.collect().toSeq.map(_.toString) == offRows(q))
+  }
+
+  test("scalar subquery over a grouped final (thq15 shape): routes inside the subquery") {
+    facts.createOrReplaceTempView("ug_facts2")
+    val sql = """
+      WITH rev AS (SELECT i % 501 AS k, sum(d) AS total FROM ug_facts2 GROUP BY 1)
+      SELECT k, total FROM rev
+      WHERE total = (SELECT max(total) FROM rev) ORDER BY k"""
+    val df = spark.sql(sql)
+    val routed = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case p: DriverGroupAggPlan => p
+    }
+    assert(routed.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    val expect = offRows(spark.sql(sql))
+    assert(df.collect().toSeq.map(_.toString) == expect)
+  }
+
+  test("declines: join child keeps the stock plan (the interpreted-partial veto)") {
+    val dims = spark.range(0, 997).select(col("id").as("l"), (col("id") * 2).as("w"))
+    def q = facts.join(dims, "l").agg(sum(col("w") + col("d")).as("sw"))
+    assert(!fired(q))
+    assert(q.collect().toSeq.map(_.toString) == offRows(q))
+  }
+
   test("expression inputs (the q6 shape): sum of a compiled double tree") {
     def q = facts.filter(col("d") > 2.0)
       .agg(sum(col("d") * (lit(1.0) - col("d") / 100.0)).as("rev"))
