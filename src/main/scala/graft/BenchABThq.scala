@@ -23,6 +23,19 @@ object BenchABThq {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "32")
+      // diagnostics for the per-segment shuffle write cost
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.checksum.enabled",
+        sys.env.getOrElse("GRAFT_SHUFFLE_CHECKSUM", "true"))
+      .config("spark.shuffle.sort.initialBufferSize",
+        sys.env.getOrElse("GRAFT_SHUFFLE_INITBUF", "4096"))
+      .config("spark.shuffle.file.buffer",
+        sys.env.getOrElse("GRAFT_SHUFFLE_FILEBUF", "32k"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_SHUFFLE_BYPASS", "200"))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.locality.wait", "0")
@@ -40,6 +53,7 @@ object BenchABThq {
     def setArm(on: Boolean): Unit = {
       graft.rules.BoundedKeyDriverAgg.ungroupedEnabled = on
       graft.rules.ScalarAggToWindow.enabled = on
+      graft.rules.SemiJoinThroughAgg.enabled = on
     }
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
 

@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.FusedDistinctStrategy)
     e.injectPlannerStrategy(_ => graft.plans.DriverAggStrategy)
     e.injectOptimizerRule(_ => graft.rules.SumRewrite)
+    // magic-set pushdown: selective join sides filter the other side's
+    // grouped aggregate INPUT (delim-join analog; TPC-H q2/q17/q20)
+    e.injectOptimizerRule(_ => graft.rules.SemiJoinThroughAgg)
     // BEFORE FuseSingleDistinct: when the group keys AND a distinct
     // child are statistics-bounded, the single-job driver-finalized
     // route (exact set slot) beats the fused two-phase distinct; the
@@ -62,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectOptimizerRule(_ => graft.rules.FastRegexpExtract)
     e.injectOptimizerRule(_ => graft.rules.FastPercentileRule)
+    // consecutive single-int-key broadcast inner joins fuse into one
+    // probe pass (plans/IntChainJoin.scala — the JOB deep-join lane);
+    // BEFORE the string rule so chains claim whole spines first
+    e.injectQueryStagePrepRule(_ => graft.rules.IntChainJoinRule)
     // single-string-key broadcast inner joins probe the columnar cache
     // dictionary-first (plans/StringBcastJoin.scala)
     e.injectQueryStagePrepRule(_ => graft.rules.StringBcastJoinRule)

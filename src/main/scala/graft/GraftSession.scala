@@ -53,6 +53,19 @@ object GraftSession {
     // GRAFT_LOCAL_DIR overrides both ways for operators who know their
     // box. Warehouse translation: give shuffle the fastest local device
     // whose capacity exceeds the worst-case spill, not unconditionally.
+    // Never take the bypass-merge shuffle writer: with numPartitions ≤
+    // 200 (bench local mode sizes reducers to cores or below) it creates
+    // ONE FILE PER REDUCER PER MAP TASK and concatenates — measured
+    // ~2.5 ms per segment of pure file-create/commit contention on this
+    // box (thq17: 24 maps × 32 reducers = 768 creates = ~1.9 s of
+    // aggregate write wall for a <1 MB exchange; sort-writer run: 7 ms).
+    // Threshold 0 routes every exchange through the Unsafe/sort writer —
+    // one spill file per task — which is ALSO the only path a real
+    // cluster ever takes (reducers > 200 skip bypass by construction),
+    // so local bench behavior now matches warehouse behavior.
+    // GRAFT_SHUFFLE_BYPASS restores a custom threshold for A/Bs.
+    .config("spark.shuffle.sort.bypassMergeThreshold",
+      sys.env.getOrElse("GRAFT_SHUFFLE_BYPASS", "0"))
     .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", {
       val shm = java.nio.file.Paths.get("/dev/shm")
       val headroom =

@@ -80,9 +80,11 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
     // aggregation pairs are left with a stats proof
     // string-key broadcast joins re-route before the agg rules (under
     // AQE this ran as a query-stage-prep rule already)
+    // int-key chains fuse FIRST (they claim whole spines of consecutive
+    // joins); string-key joins then route the remaining singles
     val strJoined =
       if (conf.adaptiveExecutionEnabled) collapsed
-      else StringBcastJoinRule(collapsed)
+      else StringBcastJoinRule(IntChainJoinRule(collapsed))
     val radixed =
       if (conf.adaptiveExecutionEnabled) TopNThroughAgg(strJoined)
       else SinglePhaseAgg(PackedShuffleAgg(TopNThroughAgg(RadixShuffleAgg(strJoined))))
@@ -155,6 +157,15 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
           case c if c.supportsColumnar && s.columnarEligible(c) =>
             s.copy(columnarChild = true)
           case _ => s
+        }
+      // int-key chain join: batch-direct probe when the base is
+      // columnar-capable (same peel contract)
+      case c: graft.plans.IntChainJoinExec if !c.columnarChild =>
+        c.base match {
+          case ColumnarToRowExec(x) if x.supportsColumnar =>
+            c.copy(base = x, columnarChild = true)
+          case x if x.supportsColumnar => c.copy(columnarChild = true)
+          case _ => c
         }
       // string-key broadcast join: batch-direct probe when the streamed
       // side is columnar-capable (same peel contract)
