@@ -34,7 +34,12 @@ object BenchMicro {
     ("stock_wide_case", "micro_wide_case"),
     ("stock_in_list", "micro_in_list"),
     ("stock_bnlj", "micro_bnlj"),
-    ("stock_window_frame", "micro_window_frame"))
+    ("stock_window_frame", "micro_window_frame"),
+    ("stock_arith_tower", "micro_arith_tower"),
+    ("stock_like_family", "micro_like_family"),
+    ("stock_date_cast", "micro_date_cast"),
+    ("stock_large_groupby", "micro_large_groupby"),
+    ("stock_join_key_cast", "micro_join_key_cast"))
 
   /** (shape name, flag setter, anchor query, plan substring proving the
     * rule fired; null = perf-only pair with no structural pin).

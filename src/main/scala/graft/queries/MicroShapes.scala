@@ -60,6 +60,48 @@ object MicroShapes {
         |  AS thresholds(t)
         |ON l_quantity > t""".stripMargin),
 
+    // integer arithmetic tower: 6 exact integral ops per row (reference
+    // benchmark/micro/ arithmetic discipline); BIGINT end-to-end so both
+    // engines fold identically
+    "micro_arith_tower" -> Q.sharedSql(Seq("lineitem"),
+      """SELECT count(*) AS n,
+        | CAST(sum((CAST(l_quantity AS BIGINT) * 3 + l_linenumber * 7
+        |   - l_suppkey % 13) * 2 + l_partkey % 5) AS BIGINT) AS s
+        |FROM lineitem""".stripMargin),
+
+    // LIKE family: leading-wildcard contains, anchored prefix/suffix,
+    // and a single-char wildcard over the documents text column
+    "micro_like_family" -> Q.sharedSql(Seq("documents"),
+      """SELECT
+        |  CAST(sum(CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS BIGINT) AS c_contains,
+        |  CAST(sum(CASE WHEN text LIKE 'The%' THEN 1 ELSE 0 END) AS BIGINT) AS c_prefix,
+        |  CAST(sum(CASE WHEN text LIKE '%.' THEN 1 ELSE 0 END) AS BIGINT) AS c_suffix,
+        |  CAST(sum(CASE WHEN text LIKE '%qu_ck%' THEN 1 ELSE 0 END) AS BIGINT) AS c_underscore
+        |FROM documents""".stripMargin),
+
+    // date-cast micro: timestamp -> DATE -> VARCHAR -> DATE round trip
+    // per row, grouped by extracted year (ISO text form on both engines)
+    "micro_date_cast" -> Q.sharedSql(Seq("lineitem"),
+      """SELECT year(CAST(CAST(CAST(l_shipdate AS DATE) AS STRING) AS DATE)) AS y,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY y""".stripMargin),
+
+    // large group-by: ~rows/1.07 distinct derived integer keys, outer
+    // re-aggregation keeps the gated output tiny while the inner
+    // hash-table build dominates
+    "micro_large_groupby" -> Q.sharedSql(Seq("lineitem"),
+      """SELECT count(*) AS groups, CAST(sum(c) AS BIGINT) AS total
+        |FROM (SELECT l_orderkey * 8 + l_linenumber AS k, count(*) AS c
+        |      FROM lineitem GROUP BY 1) t""".stripMargin),
+
+    // join-key cast micro: both equi-join keys pass through an explicit
+    // cast, so key-side expression eval sits on the join hot path
+    "micro_join_key_cast" -> Q.sharedSql(Seq("lineitem", "orders"),
+      """SELECT count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        |FROM lineitem JOIN orders
+        |  ON CAST(l_orderkey AS INT) = CAST(o_orderkey AS INT)""".stripMargin),
+
     // heavy window frame: wide sliding RANGE frame per supplier. RANGE,
     // not ROWS: the testdata's (l_orderkey, l_linenumber) is NOT unique
     // (60k rows, 45.8k distinct pairs), so a ROWS frame over tied order

@@ -1646,8 +1646,173 @@ object Sources {
     "util_sniff_csv" -> { (s, d) =>
       val path = csvFixture("sniffed", csvSniffedContent)
       graft.sources.CsvSniffer.sniffRowsHashable(s, path)
+    },
+
+    // ------------------------------------------------------------------
+    // r15 copy/ drip: parquet writer metadata options + partitioned-write
+    // edge semantics (reference: extension/parquet/parquet_extension.cpp
+    // FIELD_IDS:1227 / KV_METADATA:1244 / COMPRESSION_LEVEL:1287,
+    // test/sql/copy/parquet/writer/, test/sql/copy/partitioned/).
+    // The cross-engine footer pins are the strongest in the file: DuckDB
+    // introspects the SPARK-WRITTEN file (parquet_schema /
+    // parquet_kv_metadata / file_row_number / binary_as_string), so a
+    // value match proves the two engines agree on the physical format,
+    // not merely on the data values.
+    // ------------------------------------------------------------------
+
+    // COPY ... (FIELD_IDS {..}) ≙ schema metadata `parquet.field.id` +
+    // spark.sql.parquet.fieldId.write.enabled; oracle reads the ids back
+    // with DuckDB parquet_schema()
+    "src_parquet_field_ids" -> { (s, d) =>
+      val dir = roundtripDir("pq_field_ids")
+      // harmless when no metadata is present; pinned on for the write
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      def fid(i: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", i.toLong).build()
+      Tables(s, d, "nation")
+        .select(col("n_nationkey").as("nk", fid(42)),
+          col("n_name").as("nname", fid(7)))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      import s.implicits._
+      footerSchemaFields(dir)
+        .map { case (n, id) => (n, id) }.toDF("name", "field_id")
+        .orderBy("name")
+    },
+
+    // COPY ... (KV_METADATA {..}) analog: the writer's file-level
+    // key-value metadata — DuckDB's parquet_kv_metadata() must see the
+    // exact keys the Spark writer stamps
+    "src_parquet_kv_metadata" -> { (s, d) =>
+      val dir = roundtripDir("pq_kv_meta")
+      Tables(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      import s.implicits._
+      footerKvKeys(dir).toDF("key").orderBy("key")
+    },
+
+    // read_parquet(file_row_number=true) ≙ the parquet _metadata
+    // .row_index constant column — position-in-file must agree between
+    // the engines on the same single-file layout
+    "src_parquet_file_row_number" -> { (s, d) =>
+      val dir = roundtripDir("pq_frn")
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") < 1000)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("_metadata.row_index").as("frn"))
+        .orderBy("o_orderkey")
+    },
+
+    // COPY ... (COMPRESSION zstd, COMPRESSION_LEVEL n): level is a
+    // hadoop writer conf; both extremes must read back losslessly and
+    // the footer must really carry ZSTD column chunks
+    "src_parquet_compression_level" -> { (s, d) =>
+      val lo = roundtripDir("pq_zstd_lo")
+      val hi = roundtripDir("pq_zstd_hi")
+      val src = Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      src.write.mode("overwrite").option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", "1").parquet(lo)
+      src.write.mode("overwrite").option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", "19").parquet(hi)
+      val zstd = footerCodecs(lo) == Set("ZSTD") && footerCodecs(hi) == Set("ZSTD")
+      s.read.parquet(lo).unionAll(s.read.parquet(hi))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+          lit(zstd).as("zstd_chunks"))
+    },
+
+    // read_parquet(binary_as_string=true): unannotated BINARY columns
+    // surfaced as strings — Spark writes the raw binary, the oracle
+    // reads it back AS VARCHAR through the option
+    "src_parquet_binary_as_string" -> { (s, d) =>
+      val dir = roundtripDir("pq_bas")
+      Tables(s, d, "part")
+        .select(col("p_partkey"), encode(col("p_name"), "UTF-8").as("bn"))
+        .filter(col("p_partkey") < 500)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("p_partkey"), decode(col("bn"), "UTF-8").as("nm"))
+        .orderBy("p_partkey")
+    },
+
+    // COPY TO ... (OVERWRITE_OR_IGNORE / hive overwrite semantics):
+    // dynamic partition overwrite replaces ONLY the partitions present
+    // in the incoming frame; untouched partitions survive
+    "src_partitioned_overwrite_dynamic" -> { (s, d) =>
+      val dir = roundtripDir("part_dyn_ow")
+      val base = Tables(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+      base.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      base.filter(col("l_returnflag") === "R")
+        .withColumn("l_quantity", col("l_quantity") + 1000)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("l_returnflag").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // COPY TO ... (APPEND): new files land NEXT TO the existing
+    // partition layout; one partition appended twice doubles exactly
+    "src_partitioned_append" -> { (s, d) =>
+      val dir = roundtripDir("part_append")
+      val base = Tables(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"))
+      base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      base.filter(col("o_orderstatus") === "F")
+        .write.mode("append").partitionBy("o_orderstatus").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // COPY TO ... (FILENAME_PATTERN '{uuid}') analog: Spark's task files
+    // are always part-NNNNN-<uuid>; pin the layout so a writer change
+    // can't silently break collision-free multi-writer output
+    "src_parquet_filename_uuid" -> { (s, d) =>
+      val dir = roundtripDir("pq_fname")
+      Tables(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+        .repartition(3).write.mode("overwrite").parquet(dir)
+      val pat = "part-\\d{5}-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}.*\\.parquet".r
+      val names = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+      val ok = names.nonEmpty && names.forall(n => pat.pattern.matcher(n).matches())
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"),
+          lit(ok).as("uuid_named"))
     }
   )
+
+  /** (name, field_id) of every leaf in the (single) parquet footer under
+    * `dir` — parquet-hadoop, driver-side, metadata-sized. */
+  private def footerFooter(dir: String): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter finally r.close()
+  }
+
+  private def footerSchemaFields(dir: String): Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    footerFooter(dir).getFileMetaData.getSchema.getFields.asScala.toSeq
+      .map(f => (f.getName, f.getId.intValue()))
+  }
+
+  private def footerKvKeys(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    footerFooter(dir).getFileMetaData.getKeyValueMetaData.asScala.keys.toSeq.sorted
+  }
+
+  private def footerCodecs(dir: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    footerFooter(dir).getBlocks.asScala
+      .flatMap(_.getColumns.asScala.map(_.getCodec.name())).toSet
+  }
 
   val oracle: Map[String, String] = Map(
     "src_bucketed_agg" ->
@@ -2223,6 +2388,49 @@ object Sources {
     "src_parquet_per_thread_output" ->
       """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n,
         | round(sum(c_acctbal), 2) AS bal
+        |FROM customer""".stripMargin,
+
+    // r15 drip — the footer pins read the SPARK-WRITTEN files
+    "src_parquet_field_ids" ->
+      s"""SELECT name, CAST(field_id AS INT) AS field_id
+         |FROM parquet_schema('$tmpRoot/pq_field_ids/*.parquet')
+         |WHERE field_id IS NOT NULL ORDER BY name""".stripMargin,
+
+    "src_parquet_kv_metadata" ->
+      s"""SELECT CAST(key AS VARCHAR) AS key
+         |FROM parquet_kv_metadata('$tmpRoot/pq_kv_meta/*.parquet')
+         |ORDER BY key""".stripMargin,
+
+    "src_parquet_file_row_number" ->
+      s"""SELECT o_orderkey, CAST(file_row_number AS BIGINT) AS frn
+         |FROM read_parquet('$tmpRoot/pq_frn/*.parquet', file_row_number=true)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "src_parquet_compression_level" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        | true AS zstd_chunks
+        |FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders) t""".stripMargin,
+
+    "src_parquet_binary_as_string" ->
+      s"""SELECT p_partkey, bn AS nm
+         |FROM read_parquet('$tmpRoot/pq_bas/*.parquet', binary_as_string=true)
+         |ORDER BY p_partkey""".stripMargin,
+
+    "src_partitioned_overwrite_dynamic" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity + CASE WHEN l_returnflag = 'R' THEN 1000 ELSE 0 END), 2) AS qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "src_partitioned_append" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM (SELECT o_orderstatus, o_totalprice FROM orders
+        |      UNION ALL
+        |      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "src_parquet_filename_uuid" ->
+      """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal,
+        | true AS uuid_named
         |FROM customer""".stripMargin
   )
 }
