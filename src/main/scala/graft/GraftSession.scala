@@ -53,6 +53,16 @@ object GraftSession {
     // GRAFT_LOCAL_DIR overrides both ways for operators who know their
     // box. Warehouse translation: give shuffle the fastest local device
     // whose capacity exceeds the worst-case spill, not unconditionally.
+    // ObjectHashAggregate (percentile/collect/typed-imperative aggs)
+    // silently degrades to SORT-BASED aggregation once a partition sees
+    // more than 128 distinct groups — Spark's default threshold predates
+    // large heaps, and h2o g06 (10k groups × 1e3 rows of fast_percentile
+    // state) was paying a full 1e7-row sort per run because of it
+    // (measured 160 ns/row; the hash path is the reference's behavior —
+    // DuckDB never sorts for quantile grouping). 128k keeps the safety
+    // valve for genuinely huge group counts.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      sys.env.getOrElse("GRAFT_OBJ_AGG_FALLBACK", "131072"))
     // Never take the bypass-merge shuffle writer: with numPartitions ≤
     // 200 (bench local mode sizes reducers to cores or below) it creates
     // ONE FILE PER REDUCER PER MAP TASK and concatenates — measured
