@@ -90,7 +90,9 @@ object BenchMicro {
     ("ungrouped_driver_agg", v => rules.BoundedKeyDriverAgg.ungroupedEnabled = v,
       "micro_ref_scan", "DriverGroupAgg"),
     ("str_bcast_join", v => rules.StringBcastJoinRule.enabled = v,
-      "h2o_j04", "StringBcastJoin"))
+      "h2o_j04", "StringBcastJoin"),
+    ("window_topk", v => rules.WindowTopKToAgg.enabled = v,
+      "window_topk_group", "graft_top_k_rows"))
 
   private def floorsPath = ToolPaths.toolsDir.resolve("micro_floors.json")
 

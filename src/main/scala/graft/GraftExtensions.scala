@@ -65,6 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectOptimizerRule(_ => graft.rules.FastRegexpExtract)
     e.injectOptimizerRule(_ => graft.rules.FastPercentileRule)
+    // grouped top-k: Filter(row_number <= k over Window) → k-bounded
+    // hash aggregate + posexplode (kills both full sorts; h2o_g08)
+    e.injectOptimizerRule(_ => graft.rules.WindowTopKToAgg)
     // consecutive single-int-key broadcast inner joins fuse into one
     // probe pass (plans/IntChainJoin.scala — the JOB deep-join lane);
     // BEFORE the string rule so chains claim whole spines first
@@ -82,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectQueryStagePrepRule(_ => graft.rules.PackedShuffleAgg)
     // stats-proved partial skip for whatever aggregation pairs remain
     e.injectQueryStagePrepRule(_ => graft.rules.SinglePhaseAgg)
+    // stats-proved partial skip for the grouped top-k pair (the
+    // high-cardinality regime where the k-bounded partial is an
+    // allocation storm that reduces nothing)
+    e.injectQueryStagePrepRule(_ => graft.rules.TopKSinglePhase)
     // warm-mode cross-execution broadcast cache under AQE (no-op
     // otherwise; the non-AQE wrap lives in InsertCacheColumnarToRow)
     e.injectQueryStagePrepRule(_ => graft.plans.CachedBroadcastPrep)

@@ -53,7 +53,20 @@ object Windows {
       """SELECT event_id,
         | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING), 6) AS mavg
-        |FROM events ORDER BY event_id LIMIT 300""".stripMargin)
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin),
+
+    // grouped top-k (the h2o_g08 shape at gate scale): routed through
+    // rules/WindowTopKToAgg's k-bounded hash aggregate instead of the
+    // sort-everything window plan; tie-free by the (price, orderkey,
+    // linenumber) tiebreak so the oracle hash compare is exact
+    "window_topk_group" -> Q.sharedSql(Seq("lineitem"),
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin)
   )
 
   val queries: Map[String, Q.Fn] = shared.map { case (k, v) => k -> v._1 } ++ Map[String, Q.Fn](

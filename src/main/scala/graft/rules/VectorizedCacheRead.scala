@@ -87,7 +87,8 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
       else StringBcastJoinRule(IntChainJoinRule(collapsed))
     val radixed =
       if (conf.adaptiveExecutionEnabled) TopNThroughAgg(strJoined)
-      else SinglePhaseAgg(PackedShuffleAgg(TopNThroughAgg(RadixShuffleAgg(strJoined))))
+      else TopKSinglePhase(
+        SinglePhaseAgg(PackedShuffleAgg(TopNThroughAgg(RadixShuffleAgg(strJoined)))))
     // run-clustered Complete aggregates (created by the collapse above)
     // stream per sorted-prefix run instead of building the whole
     // partition's group map (plans/SortedRunAgg.scala)
