@@ -1766,7 +1766,16 @@ final case class DriverGroupAggExec(
     * aborted scan; never a wrong answer.
     */
   private def rowsWithFallback(): Array[InternalRow] =
-    try finalRows() catch {
+    try {
+      // finalExprs may hold ExecSubqueryExpressions (the thq15-class
+      // scalar-subquery routing): executeCollect bypasses executeQuery's
+      // wrapper, so materialize this node's subqueries explicitly before
+      // any driver-side eval — ScalarSubquery.eval throws otherwise
+      // (idempotent on the doExecute path, which already prepared)
+      prepare()
+      waitForSubqueries()
+      finalRows()
+    } catch {
       case t: Throwable if cardinalityExceeded(t) =>
         logWarning(s"DriverAgg maxGroups=$maxGroups exceeded; re-running the " +
           "retained shuffled aggregate plan")

@@ -152,6 +152,50 @@ object Functions {
         .orderBy(col("p_partkey")).limit(200)
     },
 
+    // nested-nested types (reference: test/sql/types/nested/
+    // nested_nested_types.test): list<struct{i, j:list}> with a NULL
+    // element, inspected via positional access so the gate compares
+    // scalars, not engine-specific rendering
+    "fn_nested_nested" -> { (s, d) =>
+      s.range(1).selectExpr(
+        "array(named_struct('i', 1, 'j', array(2, 3)), NULL, " +
+          "named_struct('i', 4, 'j', array(5))) AS xs")
+        .selectExpr(
+          "CAST(size(xs) AS BIGINT) AS n",
+          "xs[0].i AS first_i",
+          "xs[0].j[1] AS first_j2",
+          "CAST(xs[1] IS NULL AS BOOLEAN) AS mid_null",
+          "CAST(size(xs[2].j) AS BIGINT) AS last_jn")
+    },
+
+    // map with struct values + nested map keys (reference: test/sql/
+    // types/nested/map/test_map_nested_keys.test): cardinality, key
+    // list, struct-member extraction through the map
+    "fn_map_nested" -> { (s, d) =>
+      s.range(1).selectExpr(
+        "map('a', named_struct('x', 1, 'y', 2.5D), " +
+          "'b', named_struct('x', 3, 'y', 4.5D)) AS m")
+        .selectExpr(
+          "CAST(size(m) AS BIGINT) AS n",
+          "array_join(array_sort(map_keys(m)), ',') AS ks",
+          "m['a'].x AS ax",
+          "m['b'].y AS yb")
+    },
+
+    // nested struct cast (reference: test/sql/types/struct/
+    // struct_cast.test shape): widen int members through
+    // struct<list<struct>> without losing values
+    "fn_struct_cast_nested" -> { (s, d) =>
+      s.range(1).selectExpr(
+        "CAST(named_struct('a', 1, 'xs', array(named_struct('v', 2), " +
+          "named_struct('v', 3))) AS " +
+          "STRUCT<a: BIGINT, xs: ARRAY<STRUCT<v: DOUBLE>>>) AS st")
+        .selectExpr(
+          "st.a AS a",
+          "st.xs[0].v AS v1",
+          "st.xs[1].v AS v2")
+    },
+
     "fn_struct_map" -> { (s, d) =>
       Tables(s, d, "part").select(
           col("p_partkey"),
@@ -475,6 +519,33 @@ object Functions {
         |   ELSE union_value(str := p_brand)::UNION(num INTEGER, str VARCHAR) END AS u
         | FROM part) t
         |ORDER BY p_partkey LIMIT 200""".stripMargin,
+
+    // duck list indexing is 1-based and map subscript yields a LIST
+    "fn_nested_nested" ->
+      """SELECT CAST(len(xs) AS BIGINT) AS n,
+        | struct_extract(xs[1], 'i') AS first_i,
+        | (struct_extract(xs[1], 'j'))[2] AS first_j2,
+        | (xs[2] IS NULL) AS mid_null,
+        | CAST(len(struct_extract(xs[3], 'j')) AS BIGINT) AS last_jn
+        |FROM (SELECT [struct_pack(i := 1, j := [2, 3]), NULL,
+        |              struct_pack(i := 4, j := [5])] AS xs)""".stripMargin,
+
+    "fn_map_nested" ->
+      """SELECT CAST(cardinality(m) AS BIGINT) AS n,
+        | array_to_string(list_sort(map_keys(m)), ',') AS ks,
+        | struct_extract((m['a'])[1], 'x') AS ax,
+        | struct_extract((m['b'])[1], 'y') AS yb
+        |FROM (SELECT map(['a', 'b'],
+        |  [struct_pack(x := 1, y := CAST(2.5 AS DOUBLE)),
+        |   struct_pack(x := 3, y := CAST(4.5 AS DOUBLE))]) AS m)""".stripMargin,
+
+    "fn_struct_cast_nested" ->
+      """SELECT struct_extract(st, 'a') AS a,
+        | struct_extract((struct_extract(st, 'xs'))[1], 'v') AS v1,
+        | struct_extract((struct_extract(st, 'xs'))[2], 'v') AS v2
+        |FROM (SELECT CAST(struct_pack(a := 1,
+        |    xs := [struct_pack(v := 2), struct_pack(v := 3)])
+        |  AS STRUCT(a BIGINT, xs STRUCT(v DOUBLE)[])) AS st)""".stripMargin,
 
     "fn_struct_map" ->
       """SELECT p_partkey,

@@ -2468,7 +2468,32 @@ object SltSlice {
         |SELECT substr(s, 1, 1) AS initial, length(s) % 2 AS parity,
         |       CAST(sum(v) AS BIGINT) AS s_v, count(*) AS n
         |FROM t GROUP BY substr(s, 1, 1), length(s) % 2
-        |ORDER BY initial, parity""".stripMargin
+        |ORDER BY initial, parity""".stripMargin,
+
+    // test/sql/types/interval/test_interval_comparison.test (day-time
+    // slice — Spark's year-month and day-time interval families do not
+    // compare with each other, so the shared text stays within one):
+    // unit normalization, addition closure, timestamp displacement
+    "slt_interval_compare" ->
+      """SELECT (INTERVAL 1 DAY > INTERVAL 23 HOUR) AS d_gt_h,
+        | (INTERVAL 1 DAY < INTERVAL 25 HOUR) AS d_lt_h25,
+        | (INTERVAL 2 HOUR + INTERVAL 30 MINUTE = INTERVAL 150 MINUTE) AS add_eq,
+        | (INTERVAL 90 SECOND = INTERVAL 1 MINUTE + INTERVAL 30 SECOND) AS s_eq,
+        | CAST(TIMESTAMP '2000-06-15 22:30:00' + INTERVAL 90 MINUTE AS DATE) AS rolled""".stripMargin,
+
+    // test/sql/types/decimal/ edges: TRY_CAST overflow → NULL, rounding
+    // on scale narrowing both signs, and the DECIMAL(38) precision
+    // ceiling through text. The narrowing casts go through STRINGS:
+    // DuckDB 1.0's decimal→decimal rescale TRUNCATES toward zero
+    // (1.009::DECIMAL(3,2) = 1.00) where Spark rounds HALF_UP — a real
+    // cross-engine divergence probed while authoring this pin; its
+    // string→decimal and double→decimal casts round like Spark's.
+    "slt_decimal_edges" ->
+      """SELECT TRY_CAST('123.45' AS DECIMAL(4,2)) IS NULL AS overflow_null,
+        | CAST(CAST('1.006' AS DECIMAL(3,2)) AS DOUBLE) AS round_up,
+        | CAST(CAST('-2.676' AS DECIMAL(3,2)) AS DOUBLE) AS round_neg,
+        | CAST(CAST('99999999999999999999999999999999999999' AS DECIMAL(38,0)) AS STRING) AS p38,
+        | TRY_CAST('abc' AS DECIMAL(10,2)) IS NULL AS junk_null""".stripMargin
   )
 
   // q is a Seq so toMap silently last-wins on a duplicated key — a

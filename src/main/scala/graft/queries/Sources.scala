@@ -1698,7 +1698,11 @@ object Sources {
       Tables(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
         .filter(col("o_orderkey") < 1000)
-        .coalesce(1).write.mode("overwrite").parquet(dir)
+        // deterministic file order: the warm cache serves a clustered
+        // layout, and row_index is a position-in-file property — without
+        // the sort the warm and cold runs write different files
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(dir)
       s.read.parquet(dir)
         .select(col("o_orderkey"), col("_metadata.row_index").as("frn"))
         .orderBy("o_orderkey")

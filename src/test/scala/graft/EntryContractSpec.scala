@@ -21,7 +21,8 @@ class EntryContractSpec extends AnyFunSuite {
     "TpcdsShapes" -> TpcdsShapes.queries, "TpcdsVerbatim" -> TpcdsVerbatim.queries, "TpchVerbatim" -> TpchVerbatim.queries,
     "NestedSlice" -> NestedSlice.queries, "OlapShapes" -> OlapShapes.queries,
     "ClickBench" -> ClickBench.queries, "JobSlice" -> JobSlice.queries,
-    "H2oBoard" -> H2oBoard.queries, "MicroShapes" -> MicroShapes.queries)
+    "H2oBoard" -> H2oBoard.queries, "MicroShapes" -> MicroShapes.queries,
+    "RealBoards" -> RealBoards.queries)
 
   test("query names are unique across families") {
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }

@@ -114,12 +114,34 @@ class UngroupedDriverAggSpec extends AnyFunSuite {
       WITH rev AS (SELECT i % 501 AS k, sum(d) AS total FROM ug_facts2 GROUP BY 1)
       SELECT k, total FROM rev
       WHERE total = (SELECT max(total) FROM rev) ORDER BY k"""
+    // this spec pins the subquery ROUTING arm — the fallback for shapes
+    // the WinMagic rewrite declines. On this exact shape ScalarAggToWindow
+    // outranks it (the subquery becomes a window and no scalar subquery
+    // survives to route), so pin the arm with WinMagic off.
+    graft.rules.ScalarAggToWindow.enabled = false
+    try {
+      val df = spark.sql(sql)
+      val routed = df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case p: DriverGroupAggPlan => p
+      }
+      assert(routed.nonEmpty, df.queryExecution.optimizedPlan.toString)
+      val expect = offRows(spark.sql(sql))
+      assert(df.collect().toSeq.map(_.toString) == expect)
+    } finally graft.rules.ScalarAggToWindow.enabled = true
+  }
+
+  test("thq15 subquery shape under WinMagic: window rewrite wins, results exact") {
+    facts.createOrReplaceTempView("ug_facts3")
+    val sql = """
+      WITH rev AS (SELECT i % 501 AS k, sum(d) AS total FROM ug_facts3 GROUP BY 1)
+      SELECT k, total FROM rev
+      WHERE total = (SELECT max(total) FROM rev) ORDER BY k"""
     val df = spark.sql(sql)
-    val routed = df.queryExecution.optimizedPlan.collectWithSubqueries {
-      case p: DriverGroupAggPlan => p
-    }
-    assert(routed.nonEmpty, df.queryExecution.optimizedPlan.toString)
-    val expect = offRows(spark.sql(sql))
+    // differential: default stack (WinMagic claims the shape) vs both
+    // rewrites disabled
+    graft.rules.ScalarAggToWindow.enabled = false
+    val expect = try offRows(spark.sql(sql))
+      finally graft.rules.ScalarAggToWindow.enabled = true
     assert(df.collect().toSeq.map(_.toString) == expect)
   }
 
