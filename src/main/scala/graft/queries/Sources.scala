@@ -1640,6 +1640,45 @@ object Sources {
           count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
     },
 
+    // COPY ... (DATEFORMAT / TIMESTAMPFORMAT) ≙ dateFormat/
+    // timestampFormat writer+reader options: custom render must
+    // round-trip exactly (reference: test/sql/copy/csv/
+    // test_date_format.test)
+    "src_csv_write_dateformat" -> { (s, d) =>
+      val dir = roundtripDir("csv_datefmt")
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"),
+          col("o_orderdate").cast("timestamp").as("ots"))
+        .filter(col("o_orderkey") < 500)
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "true")
+        .option("dateFormat", "dd/MM/yyyy")
+        .option("timestampFormat", "yyyy.MM.dd HH:mm:ss")
+        .csv(dir)
+      s.read.option("header", "true")
+        .option("dateFormat", "dd/MM/yyyy")
+        .option("timestampFormat", "yyyy.MM.dd HH:mm:ss")
+        .schema("o_orderkey BIGINT, od DATE, ots TIMESTAMP").csv(dir)
+        .select(col("o_orderkey"), col("od"), col("ots").cast("date").as("ots_d"))
+        .orderBy("o_orderkey")
+    },
+
+    // COPY ... (COMPRESSION gzip) on the WRITE side (the read side is
+    // pinned by src_csv_bzip2): gzip-compressed csv out, schema-inferred
+    // read back
+    "src_csv_write_gzip" -> { (s, d) =>
+      val dir = roundtripDir("csv_wgz")
+      Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("compression", "gzip").csv(dir)
+      val gz = new java.io.File(dir).listFiles()
+        .exists(_.getName.endsWith(".csv.gz"))
+      s.read.option("header", "true").option("inferSchema", "true").csv(dir)
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"),
+          lit(gz).as("gzipped"))
+    },
+
     // the sniffer verdict AS ROWS — the reference's sniff_csv() table
     // function (src/function/table/sniff_csv.cpp); engine-specific
     // introspection output → rows-only
@@ -2435,6 +2474,16 @@ object Sources {
     "src_parquet_filename_uuid" ->
       """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal,
         | true AS uuid_named
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "src_csv_write_dateformat" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        | CAST(o_orderdate AS DATE) AS ots_d
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "src_csv_write_gzip" ->
+      """SELECT count(*) AS n, round(sum(s_acctbal), 2) AS bal,
+        | true AS gzipped
+        |FROM supplier""".stripMargin
   )
 }
