@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // single-string-key broadcast inner joins probe the columnar cache
     // dictionary-first (plans/StringBcastJoin.scala)
     e.injectQueryStagePrepRule(_ => graft.rules.StringBcastJoinRule)
+    // grouped-distinct towers: re-key the dedup exchange onto the
+    // grouping prefix so the count level is exchange-free (TPC-H q16).
+    // BEFORE Radix/PackedShuffleAgg so it sees the stock 4-level tower
+    e.injectQueryStagePrepRule(_ => graft.rules.DistinctByGroupPrefix)
     e.injectQueryStagePrepRule(_ => graft.rules.RadixShuffleAgg)
     // after RadixShuffleAgg (matches the radix pair it emits); BEFORE
     // PackedShuffleAgg so its generic arm still sees the stock

@@ -85,10 +85,14 @@ object InsertCacheColumnarToRow extends Rule[SparkPlan] {
     val strJoined =
       if (conf.adaptiveExecutionEnabled) collapsed
       else StringBcastJoinRule(IntChainJoinRule(collapsed))
+    // grouped-distinct prefix re-key must see the stock 4-level tower
+    // BEFORE radix/packed claim its dedup pair (same order as the AQE
+    // query-stage-prep registration in GraftExtensions)
     val radixed =
       if (conf.adaptiveExecutionEnabled) TopNThroughAgg(strJoined)
       else TopKSinglePhase(
-        SinglePhaseAgg(PackedShuffleAgg(TopNThroughAgg(RadixShuffleAgg(strJoined)))))
+        SinglePhaseAgg(PackedShuffleAgg(TopNThroughAgg(RadixShuffleAgg(
+          DistinctByGroupPrefix(strJoined))))))
     // run-clustered Complete aggregates (created by the collapse above)
     // stream per sorted-prefix run instead of building the whole
     // partition's group map (plans/SortedRunAgg.scala)
