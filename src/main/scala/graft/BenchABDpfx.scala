@@ -35,10 +35,18 @@ object BenchABDpfx {
       t(t.length / 2)
     }
 
-    val dir = graft.sources.TpchFixture.ensureScaled(spark, factor)
     Tables.cacheMode = true
-    graft.sources.TpchFixture.tables.foreach { t =>
-      Tables(spark, dir, t).createOrReplaceTempView(t)
+    if (names.exists(_.startsWith("thq"))) {
+      val dir = graft.sources.TpchFixture.ensureScaled(spark, factor)
+      graft.sources.TpchFixture.tables.foreach { t =>
+        Tables(spark, dir, t).createOrReplaceTempView(t)
+      }
+    }
+    if (names.exists(_.startsWith("cb_"))) {
+      val hitsFactor = sys.env.getOrElse("SPARK_GRAFT_HITS_FACTOR", "100").toLong
+      val dir = graft.sources.HitsFixture.ensureScaled(spark, hitsFactor)
+      Tables(spark, dir, "hits").createOrReplaceTempView("hits")
+      spark.table("hits").count()
     }
     println(f"probe_before=${probeMs()}%.1f ms/job")
 
@@ -58,8 +66,9 @@ object BenchABDpfx {
       })
 
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+    val texts = queries.TpchVerbatim.texts ++ queries.ClickBench.texts.toMap
     names.foreach { name =>
-      val sql = queries.TpchVerbatim.texts(name)
+      val sql = texts(name)
       def once(): Double = {
         val t0 = System.nanoTime()
         spark.sql(sql).collect()
