@@ -50,10 +50,16 @@ object BenchABThq {
       Tables(spark, dir, t).createOrReplaceTempView(t)
     }
 
+    // GRAFT_AB_ONLY=scalar narrows the arm to ScalarAggToWindow alone
+    // (attribution runs for a change to that one rule)
+    val only = sys.env.get("GRAFT_AB_ONLY")
     def setArm(on: Boolean): Unit = {
-      graft.rules.BoundedKeyDriverAgg.ungroupedEnabled = on
-      graft.rules.ScalarAggToWindow.enabled = on
-      graft.rules.SemiJoinThroughAgg.enabled = on
+      if (only.forall(_ == "driveragg"))
+        graft.rules.BoundedKeyDriverAgg.ungroupedEnabled = on
+      if (only.forall(_ == "scalar"))
+        graft.rules.ScalarAggToWindow.enabled = on
+      if (only.forall(_ == "semi"))
+        graft.rules.SemiJoinThroughAgg.enabled = on
     }
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
 

@@ -32,6 +32,15 @@ import org.apache.spark.sql.types.DecimalType
   * twice (measured: 2× 24-task partial stages per run at x100). After
   * the rewrite the CTE has ONE reference and the duplicate disappears.
   *
+  * The filter-level arm also accepts a subquery child that is the
+  * shared node under EXTRA Filter conjuncts (TPC-H q22's
+  * `avg(c_acctbal) ... WHERE c_acctbal > 0.00 AND <shared preds>`):
+  * the extra conjuncts lift into the window aggregates as
+  * `f(if(pred, x, null))` — aggregates ignore NULLs, so the result is
+  * exactly the filtered aggregate while the shared instance is scanned
+  * once (predicate-lift; conjuncts must be deterministic,
+  * subquery-free, and expressible over the shared node's output).
+  *
   * **HAVING-level** (TPC-H q11): the Filter sits on a grouped
   * Aggregate and the subquery's child equals the AGGREGATE's child.
   * Any grouping partitions that child, so a decomposable global
@@ -64,11 +73,16 @@ object ScalarAggToWindow extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
+    // CTE definitions, for resolving CTERelationRef in the funnel guard
+    // (q15's shared revenue node reaches the Filter as a ref)
+    val cteDefs: Map[Long, LogicalPlan] = plan.collect {
+      case d: CTERelationDef => d.id -> d.child
+    }.toMap
     plan.transformUp {
       case f @ Filter(cond, child)
           if f.resolved && !f.isStreaming && cond.deterministic &&
             cond.exists(_.isInstanceOf[ScalarSubquery]) =>
-        rewriteFilterLevel(cond, child)
+        rewriteFilterLevel(cond, child, cteDefs)
           .orElse(child match {
             case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
               rewriteHaving(cond, agg)
@@ -145,6 +159,28 @@ object ScalarAggToWindow extends Rule[LogicalPlan] {
   private def allDeterministic(p: LogicalPlan): Boolean =
     p.expressions.forall(_.deterministic) && p.children.forall(allDeterministic)
 
+  /** The filter-level rewrite plants a whole-partition window ON the
+    * shared node — a SinglePartition funnel of that node's full output.
+    * That trade only wins when the node is itself an aggregation result
+    * (q15's revenue CTE: O(groups) rows), NOT a base relation: measured
+    * on TPC-H q22 x100, funneling the base customer instance lost 1.12×
+    * against the stock second tower (whose partial/final aggregate scans
+    * in parallel), and at warehouse scale a single-partition pass over a
+    * fact table is strictly worse than a second scan. Gate: Aggregate
+    * (or a grouped Window) beneath row-preserving unaries.
+    */
+  private def aggregateRooted(p: LogicalPlan,
+      cteDefs: Map[Long, LogicalPlan]): Boolean = p match {
+    case _: Aggregate => true
+    case _: Window => true
+    case f: Filter => aggregateRooted(f.child, cteDefs)
+    case pr: Project => aggregateRooted(pr.child, cteDefs)
+    case sa: SubqueryAlias => aggregateRooted(sa.child, cteDefs)
+    case r: CTERelationRef =>
+      cteDefs.get(r.cteId).exists(aggregateRooted(_, cteDefs))
+    case _ => false
+  }
+
   /** Replace the first occurrence (by reference) of `target` in `root`. */
   private def replaceOnce(root: LogicalPlan, target: LogicalPlan,
       repl: LogicalPlan): LogicalPlan = {
@@ -168,15 +204,46 @@ object ScalarAggToWindow extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def rewriteFilterLevel(cond: Expression,
-      child: LogicalPlan): Option[LogicalPlan] = {
+  /** Peel Filter layers off the subquery's child, collecting their
+    * conjuncts — the PREDICATE-LIFT form (TPC-H q22): when the subquery
+    * scans the same relation the outer query holds but under extra
+    * filter conjuncts, those conjuncts lift INTO the window aggregates
+    * as `f(if(pred, x, null))` — aggregates ignore NULLs, so the window
+    * over the shared (unfiltered) instance computes exactly the
+    * filtered aggregate, and the second scan tower still disappears.
+    */
+  private def stripFilters(p: LogicalPlan): (LogicalPlan, Seq[Expression]) =
+    p match {
+      case Filter(c, ch) =>
+        val (core, rest) = stripFilters(ch)
+        (core, splitCond(c) ++ rest)
+      case other => (other, Nil)
+    }
+
+  private def splitCond(c: Expression): Seq[Expression] = c match {
+    case And(l, r) => splitCond(l) ++ splitCond(r)
+    case x => Seq(x)
+  }
+
+  private def rewriteFilterLevel(cond: Expression, child: LogicalPlan,
+      cteDefs: Map[Long, LogicalPlan]): Option[LogicalPlan] = {
     val cands = candidates(cond)
     if (cands.isEmpty) return None
     var cur = child
     val repl = scala.collection.mutable.Map.empty[ExprId, Expression]
     cands.foreach { case (s, sub) =>
       val (resExpr, aggs, refsOk) = dissect(sub)
+      val (core, lifted) = stripFilters(sub.child)
       if (refsOk && aggs.nonEmpty &&
+          lifted.forall(_.deterministic) &&
+          // every lifted conjunct must be expressible over the core's
+          // own output (no subqueries — an Exists/In would not remap)
+          lifted.forall(c => c.references.subsetOf(core.outputSet) &&
+            !c.exists(_.isInstanceOf[SubqueryExpression])) &&
+          // a lifted predicate turns agg children nullable via If — the
+          // function must consume its children (count() has none only
+          // in the count(*) Literal form, which If-wraps fine)
+          (lifted.isEmpty || aggs.forall(_.aggregateFunction.children.nonEmpty)) &&
           aggs.forall(ae => plainAgg(ae) && windowable(ae.aggregateFunction))) {
         // search the CURRENT child so several subqueries can each claim
         // (possibly different) nodes; a node already wrapped in a prior
@@ -184,15 +251,32 @@ object ScalarAggToWindow extends Rule[LogicalPlan] {
         // second identical subquery re-matches the inner node — which
         // is correct (its rows are unchanged)
         reachable(cur).find(n => allDeterministic(n) &&
-            n.canonicalized == sub.child.canonicalized &&
-            outputMap(sub.child, n).isDefined) match {
+            aggregateRooted(n, cteDefs) &&
+            n.canonicalized == core.canonicalized &&
+            outputMap(core, n).isDefined) match {
           case Some(n) =>
-            val attrMap = outputMap(sub.child, n).get
+            val attrMap = outputMap(core, n).get
+            val predOnN: Option[Expression] =
+              if (lifted.isEmpty) None
+              else Some(lifted.map(_.transformUp {
+                case a: AttributeReference => attrMap(a.exprId)
+              }).reduce(And))
             val wexprs = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
             val winFor: Map[AggregateExpression, Attribute] = aggs.map { ae =>
-              val remapped = ae.transformUp {
+              val remapped0 = ae.transformUp {
                 case a: AttributeReference => attrMap(a.exprId)
               }.asInstanceOf[AggregateExpression]
+              // lifted-filter form: null out every aggregate input on
+              // rows the subquery's own Filter would have dropped
+              val remapped = predOnN match {
+                case None => remapped0
+                case Some(p) =>
+                  val fn = remapped0.aggregateFunction
+                  val fn2 = fn.withNewChildren(fn.children.map(c =>
+                    If(p, c, Literal(null, c.dataType)))
+                  ).asInstanceOf[AggregateFunction]
+                  remapped0.copy(aggregateFunction = fn2)
+              }
               val w = Alias(WindowExpression(remapped, wholePartition),
                 s"_graft_wscalar_${repl.size}_${wexprs.length}")()
               wexprs += w

@@ -132,14 +132,18 @@ class ScalarAggToWindowSpec extends AnyFunSuite {
     assert(df.collect().toSeq.map(_.toString) == offRows(q15))
   }
 
-  test("avg threshold over the same base table: filter-level fires, exact rows") {
+  test("avg threshold over the same BASE table declines (funnel guard)") {
     register()
+    // the shared node is a base relation: planting an OVER () window on
+    // it would funnel every row through one partition — measured 1.12×
+    // WORSE than the stock second tower on TPC-H q22 x100, so the
+    // filter-level arm requires an aggregate-rooted shared node
     val q = """
       SELECT o_orderkey, o_totalprice FROM orders
       WHERE o_totalprice > (SELECT avg(o_totalprice) * 3 FROM orders)
       ORDER BY o_totalprice DESC, o_orderkey"""
     val df = spark.sql(q)
-    assert(firedFilterLevel(df))
+    assert(!firedFilterLevel(df))
     assert(df.collect().toSeq.map(_.toString) == offRows(q))
   }
 
@@ -170,6 +174,53 @@ class ScalarAggToWindowSpec extends AnyFunSuite {
     val scans = df.queryExecution.executedPlan.toString
       .split("\n").count(l => l.contains("Scan") && l.contains("orders"))
     assert(scans <= 1)
+    assert(df.collect().toSeq.map(_.toString) == offRows(q))
+  }
+
+  // q15-like shared grouped view, inlined twice (the shape the lift
+  // serves: aggregate-rooted shared node + extra subquery-side filter)
+  private def viewQ(subWhere: String): String = s"""
+      SELECT c, s FROM (
+        SELECT o_custkey AS c, sum(o_totalprice) AS s
+        FROM orders GROUP BY o_custkey) v
+      WHERE s > (SELECT avg(s) FROM (
+        SELECT o_custkey AS c, sum(o_totalprice) AS s
+        FROM orders GROUP BY o_custkey) v2 $subWhere)
+      ORDER BY s DESC, c"""
+
+  test("predicate-lift: extra subquery filter over the shared grouped view") {
+    register()
+    val q = viewQ("WHERE c % 2 = 0")
+    val df = spark.sql(q)
+    assert(firedFilterLevel(df), df.queryExecution.analyzed.toString)
+    // the rewrite's point: the grouped view is computed once
+    val aggScans = df.queryExecution.executedPlan.toString
+      .split("\n").count(l => l.contains("Scan") && l.contains("orders"))
+    assert(aggScans <= 1, df.queryExecution.executedPlan.toString)
+    assert(df.collect().toSeq.map(_.toString) == offRows(q))
+  }
+
+  test("predicate-lift: count form counts only predicate rows") {
+    register()
+    val q = s"""
+      SELECT c, s FROM (
+        SELECT o_custkey AS c, sum(o_totalprice) AS s
+        FROM orders GROUP BY o_custkey) v
+      WHERE c <= (SELECT count(*) FROM (
+        SELECT o_custkey AS c, sum(o_totalprice) AS s
+        FROM orders GROUP BY o_custkey) v2 WHERE s > 200000.0)
+      ORDER BY s DESC, c"""
+    val df = spark.sql(q)
+    assert(firedFilterLevel(df), df.queryExecution.analyzed.toString)
+    assert(df.collect().toSeq.map(_.toString) == offRows(q))
+  }
+
+  test("predicate-lift declines: subquery filter contains its own subquery") {
+    register()
+    val q = viewQ(
+      "WHERE c IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')")
+    val df = spark.sql(q)
+    assert(!firedFilterLevel(df), df.queryExecution.analyzed.toString)
     assert(df.collect().toSeq.map(_.toString) == offRows(q))
   }
 }
