@@ -60,6 +60,8 @@ object BenchABThq {
         graft.rules.ScalarAggToWindow.enabled = on
       if (only.forall(_ == "semi"))
         graft.rules.SemiJoinThroughAgg.enabled = on
+      if (only.contains("like"))
+        graft.rules.FastLikeChain.enabled = on
     }
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
 

@@ -64,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.FuseSingleDistinct)
     e.injectOptimizerRule(_ => graft.rules.FastUtcDateTrunc)
     e.injectOptimizerRule(_ => graft.rules.FastRegexpExtract)
+    // multi-segment %-only LIKE → sequential substring chain (the
+    // single-wildcard forms are already LikeSimplification's; TPC-H q13)
+    e.injectOptimizerRule(_ => graft.rules.FastLikeChain)
     e.injectOptimizerRule(_ => graft.rules.FastPercentileRule)
     // grouped top-k: Filter(row_number <= k over Window) → k-bounded
     // hash aggregate + posexplode (kills both full sorts; h2o_g08)
