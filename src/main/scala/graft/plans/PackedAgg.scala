@@ -65,6 +65,28 @@ object PackedAgg {
   @volatile var dictKeysEnabled: Boolean =
     !sys.env.get("GRAFT_NO_PACKED_DICT_KEYS").contains("1")
 
+  /** 2-key pair→slot memo in the columnar partial: string keys served
+    * from a batch dictionary are interned into a per-task global id
+    * space (DictStore ids are per-batch, so cross-batch pair identity
+    * needs the translation), long keys pair by value, and the composite
+    * (key1, key2) memoizes its MultiKeyMap slot — repeat rows of a pair
+    * skip the staged hash + byte-compare probe entirely (the reference
+    * engine's dictionary-vector grouping resolves each distinct entry
+    * once per vector, src/common/types/vector.cpp). Slots move on map
+    * growth/reset, so memos are generation-checked. Escape hatch:
+    * GRAFT_NO_PACKED_PAIR_KEYS=1.
+    */
+  @volatile var pairKeysEnabled: Boolean =
+    !sys.env.get("GRAFT_NO_PACKED_PAIR_KEYS").contains("1")
+
+  /** Pair-key intern budget per string key: past this many distinct
+    * values the task has proved cross-batch reuse is low (every batch
+    * brings mostly new entries — the q15-class high-cardinality regime),
+    * so the pair path permanently yields to the generic loop. Bounds
+    * intern memory AND the per-batch translation overhead.
+    */
+  @volatile var pairInternCap: Int = 1 << 15
+
   /** CacheFilter fold into the packed partial's batch loop (per-batch
     * DictSelection instead of row-at-a-time filter + projection).
     * Escape hatch: GRAFT_NO_PACKED_SELECTION=1.
@@ -194,6 +216,110 @@ object PackedAgg {
   private[plans] def bucketOf(h: Long, buckets: Int): Int =
     math.floorMod(DistinctWithHll.scramble(h), buckets).toInt
 
+  /** Cross-batch string→dense-id interning for the pair-key fast path.
+    * Entries are cloned on insert (probe strings view transient batch
+    * dictionaries — the intern owns its bytes); lookups verify bytes, so
+    * hash collisions cannot merge distinct values.
+    */
+  private[plans] final class StrIntern {
+    private var cap = 1 << 10
+    private var mask = cap - 1
+    private var gidTab = new Array[Int](cap)
+    private var hsTab = new Array[Long](cap)
+    java.util.Arrays.fill(gidTab, -1)
+    private var strs = new Array[UTF8String](cap)
+    /** Number of interned values (= next gid). */
+    var n = 0
+
+    def gidOf(s: UTF8String, h: Long): Int = {
+      var i = (h & mask).toInt
+      while (gidTab(i) >= 0 && (hsTab(i) != h || !strs(gidTab(i)).equals(s)))
+        i = (i + 1) & mask
+      if (gidTab(i) >= 0) gidTab(i)
+      else {
+        if (n >= cap - (cap >> 2)) { grow(); gidOf(s, h) }
+        else {
+          if (n >= strs.length) strs = java.util.Arrays.copyOf(strs, strs.length * 2)
+          strs(n) = s.clone()
+          gidTab(i) = n; hsTab(i) = h
+          n += 1
+          n - 1
+        }
+      }
+    }
+
+    private def grow(): Unit = {
+      val og = gidTab; val oh = hsTab
+      cap <<= 1; mask = cap - 1
+      gidTab = new Array[Int](cap); java.util.Arrays.fill(gidTab, -1)
+      hsTab = new Array[Long](cap)
+      var i = 0
+      while (i < og.length) {
+        if (og(i) >= 0) {
+          var j = (oh(i) & mask).toInt
+          while (gidTab(j) >= 0) j = (j + 1) & mask
+          gidTab(j) = og(i); hsTab(j) = oh(i)
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** (key1, key2) → [[MultiKeyMap]] slot memo for the 2-key columnar
+    * fast path. Slot indices move when the map grows or resets, so every
+    * entry is valid for exactly one map generation: callers `sync` the
+    * cache to the map's generation before trusting a hit (one int
+    * compare; a mismatch clears). Key compares are exact longs — no
+    * false merges.
+    */
+  private[plans] final class PairSlotCache {
+    private var cap = 1 << 13
+    private var mask = cap - 1
+    private var k1 = new Array[Long](cap)
+    private var k2 = new Array[Long](cap)
+    private var slots = new Array[Int](cap)
+    java.util.Arrays.fill(slots, -1)
+    private var size = 0
+    private var gen = Int.MinValue
+
+    def sync(g: Int): Unit = if (g != gen) {
+      java.util.Arrays.fill(slots, -1); size = 0; gen = g
+    }
+
+    /** Memoized slot of (a, b), or -1. */
+    def find(a: Long, b: Long): Int = {
+      var i = (mix(mix(HashSeed, a), b) & mask).toInt
+      while (slots(i) >= 0 && (k1(i) != a || k2(i) != b)) i = (i + 1) & mask
+      slots(i)
+    }
+
+    /** Insert (a, b) → s; the key must be absent (a preceding `find`
+      * returned -1 under the current generation). */
+    def put(a: Long, b: Long, s: Int): Unit = {
+      if (size >= cap - (cap >> 2)) grow()
+      var i = (mix(mix(HashSeed, a), b) & mask).toInt
+      while (slots(i) >= 0) i = (i + 1) & mask
+      k1(i) = a; k2(i) = b; slots(i) = s
+      size += 1
+    }
+
+    private def grow(): Unit = {
+      val oc = cap; val o1 = k1; val o2 = k2; val os = slots
+      cap <<= 1; mask = cap - 1
+      k1 = new Array[Long](cap); k2 = new Array[Long](cap)
+      slots = new Array[Int](cap); java.util.Arrays.fill(slots, -1)
+      var i = 0
+      while (i < oc) {
+        if (os(i) >= 0) {
+          var j = (mix(mix(HashSeed, o1(i)), o2(i)) & mask).toInt
+          while (slots(j) >= 0) j = (j + 1) & mask
+          k1(j) = o1(i); k2(j) = o2(i); slots(j) = os(i)
+        }
+        i += 1
+      }
+    }
+  }
+
   /** Open-addressing composite-key→slot map with flat key/state arrays
     * and an interned-string byte pool. Callers stage the probe key in
     * `stageLongs`/`stageStrs`/`stageMask` and pass the precomputed
@@ -222,6 +348,10 @@ object PackedAgg {
     val stageLongs = new Array[Long](math.max(nLK, 1))
     val stageStrs = new Array[UTF8String](math.max(nSK, 1))
     var stageMask: Long = 0L
+
+    /** Bumped whenever slot indices move (grow/reset) — external slot
+      * memos ([[PairSlotCache]]) clear when it advances. */
+    var generation: Int = 0
 
     private def keyEq(i: Int): Boolean = {
       if (nullMasks(i) != stageMask) return false
@@ -282,6 +412,7 @@ object PackedAgg {
     }
 
     private def grow(): Unit = {
+      generation += 1
       val oc = cap
       val oh = hashes; val ou = used; val olk = lkeys
       val oso = soffs; val osl = slens; val onm = nullMasks
@@ -333,6 +464,7 @@ object PackedAgg {
 
     /** Keep allocated capacity (incl. the pool array) across flushes. */
     def reset(): Unit = {
+      generation += 1
       java.util.Arrays.fill(used, false)
       java.util.Arrays.fill(longs, 0L)
       java.util.Arrays.fill(doubles, 0.0)
@@ -842,8 +974,17 @@ final case class PackedPartialAggExec(
       }.toArray
       val selPreds = if (selection.isEmpty) null else selection.toArray
       val dictKeys = PackedAgg.dictKeysEnabled
+      val pairKeys = PackedAgg.pairKeysEnabled && kN == 2 && kSK >= 1 && dictKeys
       child.executeColumnar().mapPartitions { batches =>
         val m = new MultiKeyMap(kLK, kSK, aL, aD, aF)
+        // pair-key fast path state (see PackedAgg.pairKeysEnabled):
+        // per-task interns per STRING key position, slot memo, and
+        // per-batch local-id → global-id translation arrays
+        val interns = if (pairKeys) Array.fill(math.max(kSK, 1))(new StrIntern) else null
+        val pairs = if (pairKeys) new PairSlotCache else null
+        val gmaps = new Array[Array[Int]](kN)
+        val internCap = PackedAgg.pairInternCap
+        var pairDead = false // intern budget blown — low cross-batch reuse
         val vecs = new Array[ColumnVector](ords.length)
         val kvecs = new Array[ColumnVector](kOrds.length)
         val ups = colUpdaters(theSlots, dts, vecs, aL, aD, aF, ansiMode)
@@ -932,10 +1073,7 @@ final case class PackedPartialAggExec(
           }
           if (sel != null) sel.reset(batch)
           val n = batch.numRows()
-          var r = 0
-          while (r < n) {
-            if (sel != null && !sel.passes(r)) { r += 1 }
-            else {
+          def genericRow(r: Int): Unit = {
             var h = hashSeed
             var msk = 0L
             var j = 0
@@ -976,7 +1114,81 @@ final case class PackedPartialAggExec(
                 builders = Array.fill(nBuckets)(new BucketBuilder(recB, blockB))
               }
             }
-            r += 1
+          }
+          // pair-key fast path, engaged per batch: every string key must
+          // be dictionary-served THIS batch (long keys pair by value)
+          var pairOk = pairKeys && !pairDead && !passThrough &&
+            (theKinds(0) != KindStr || dictIds(0) != null) &&
+            (theKinds(1) != KindStr || dictIds(1) != null)
+          if (pairOk) {
+            // translate this batch's dict ids into the task-global id
+            // space — one intern probe per distinct entry, not per row
+            var j = 0
+            while (j < kN) {
+              if (theKinds(j) == KindStr) {
+                val es = dictStrs(j); val eh = dictHash(j)
+                val it = interns(theSub(j))
+                var gm = gmaps(j)
+                if (gm == null || gm.length < es.length) {
+                  gm = new Array[Int](es.length); gmaps(j) = gm
+                }
+                var e = 0
+                while (e < es.length) { gm(e) = it.gidOf(es(e), eh(e)); e += 1 }
+                if (it.n > internCap) { pairDead = true; pairOk = false }
+              }
+              j += 1
+            }
+          }
+          if (pairOk) {
+            pairs.sync(m.generation)
+            val v0 = kvecs(0); val v1 = kvecs(1)
+            var r = 0
+            while (r < n) {
+              if (sel != null && !sel.passes(r)) { r += 1 }
+              else if (passThrough || v0.isNullAt(r) || v1.isNullAt(r)) {
+                genericRow(r); r += 1
+              } else {
+                val a = if (theKinds(0) == KindStr) gmaps(0)(dictIds(0)(r)).toLong
+                        else if (kLongRead(0)) v0.getLong(r) else v0.getInt(r).toLong
+                val b = if (theKinds(1) == KindStr) gmaps(1)(dictIds(1)(r)).toLong
+                        else if (kLongRead(1)) v1.getLong(r) else v1.getInt(r).toLong
+                var s = pairs.find(a, b)
+                if (s < 0) {
+                  // first sighting this generation: full staged probe,
+                  // then memoize the slot
+                  var h = hashSeed
+                  if (theKinds(0) == KindStr) {
+                    val id = dictIds(0)(r)
+                    m.stageStrs(theSub(0)) = dictStrs(0)(id)
+                    h = mix(h, dictHash(0)(id))
+                  } else { m.stageLongs(theSub(0)) = a; h = mix(h, a) }
+                  if (theKinds(1) == KindStr) {
+                    val id = dictIds(1)(r)
+                    m.stageStrs(theSub(1)) = dictStrs(1)(id)
+                    h = mix(h, dictHash(1)(id))
+                  } else { m.stageLongs(theSub(1)) = b; h = mix(h, b) }
+                  m.stageMask = 0L
+                  s = m.slotOf(h)
+                  pairs.sync(m.generation) // slotOf may have grown the map
+                  pairs.put(a, b, s)
+                }
+                var u = 0
+                while (u < ups.length) { ups(u)(m, r, s); u += 1 }
+                rowsSeen += 1
+                if (ptEnabled && rowsSeen == ptCheckRows &&
+                    m.size >= rowsSeen * ptRatio) {
+                  flushed ++= emitRows(m); m.reset()
+                  passThrough = true
+                  builders = Array.fill(nBuckets)(new BucketBuilder(recB, blockB))
+                }
+                r += 1
+              }
+            }
+          } else {
+            var r = 0
+            while (r < n) {
+              if (sel != null && !sel.passes(r)) { r += 1 }
+              else { genericRow(r); r += 1 }
             }
           }
           if (!passThrough && (m.size >= flushCap || m.poolLen >= PoolFlushBytes)) {
