@@ -67,13 +67,18 @@ object BenchABPair {
       (h.getLong(0), h.getLong(1))
     }
     // knob under A/B: "pair" (default) = PackedAgg.pairKeysEnabled;
-    // "bound" = BoundedKeyDriverAgg.maxBound GRAFT_AB_BOUND_HI vs default
+    // "bound" = BoundedKeyDriverAgg.maxBound GRAFT_AB_BOUND_HI vs default;
+    // "pt" = PackedAgg.passThroughGroupRatio GRAFT_AB_PT vs default
     val knob = sys.env.getOrElse("GRAFT_AB_KNOB", "pair")
     val boundLo = graft.rules.BoundedKeyDriverAgg.maxBound
     val boundHi = sys.env.getOrElse("GRAFT_AB_BOUND_HI", "16384").toLong
+    val ptLo = graft.plans.PackedAgg.passThroughGroupRatio
+    val ptHi = sys.env.getOrElse("GRAFT_AB_PT", "0.6").toDouble
     def arm(on: Boolean): Unit = knob match {
       case "bound" =>
         graft.rules.BoundedKeyDriverAgg.maxBound = if (on) boundHi else boundLo
+      case "pt" =>
+        graft.plans.PackedAgg.passThroughGroupRatio = if (on) ptHi else ptLo
       case _ => graft.plans.PackedAgg.pairKeysEnabled = on
     }
     names.foreach { name =>
@@ -101,6 +106,7 @@ object BenchABPair {
     arm(true)
     graft.plans.PackedAgg.pairKeysEnabled = true
     graft.rules.BoundedKeyDriverAgg.maxBound = boundLo
+    graft.plans.PackedAgg.passThroughGroupRatio = ptLo
     println(f"probe_job_ms_after=${probeMs()}%.1f")
     spark.stop()
   }
